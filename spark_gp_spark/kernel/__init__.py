@@ -1,0 +1,26 @@
+"""Kernel algebra: the GP library's user-extensible "expression" surface."""
+
+from .base import (
+    ConstantTimesKernel,
+    EyeKernel,
+    Kernel,
+    Scalar,
+    SumOfKernels,
+    TrainableScalarTimesKernel,
+    TrainingVectorsNotInitializedException,
+    white_noise_kernel,
+)
+from .rbf import ARDRBFKernel, RBFKernel
+
+__all__ = [
+    "ARDRBFKernel",
+    "ConstantTimesKernel",
+    "EyeKernel",
+    "Kernel",
+    "RBFKernel",
+    "Scalar",
+    "SumOfKernels",
+    "TrainableScalarTimesKernel",
+    "TrainingVectorsNotInitializedException",
+    "white_noise_kernel",
+]

@@ -1,0 +1,140 @@
+"""Kernel unit tests — golden matrices and finite-difference derivative checks.
+
+Mirrors the reference test suite (implementation-independent math):
+- RBFKernelTest.scala:29-76 (golden kernel/cross-kernel matrices, tol 1e-4)
+- RBFKernelTest.scala:41-60, ARDRBFKernelTest.scala:11-31 (central-difference
+  derivative checks, h=1e-3, tol 1e-3)
+- RBFKernelTest.scala:9-25 (not-initialized exception contract)
+"""
+
+import numpy as np
+import pytest
+
+from spark_gp_spark.kernel import (
+    ARDRBFKernel,
+    EyeKernel,
+    RBFKernel,
+    Scalar,
+    TrainingVectorsNotInitializedException,
+    white_noise_kernel,
+)
+
+DATASET = np.array([[1.0, 2.0], [2.0, 3.0], [5.0, 7.0]])
+
+
+def test_training_kernel_before_set_raises():
+    with pytest.raises(TrainingVectorsNotInitializedException):
+        RBFKernel().training_kernel()
+
+
+def test_derivative_before_set_raises():
+    with pytest.raises(TrainingVectorsNotInitializedException):
+        RBFKernel().training_kernel_and_derivative()
+
+
+def test_rbf_training_kernel_golden():
+    rbf = RBFKernel(np.sqrt(0.2)).set_training_vectors(DATASET)
+    expected = np.array(
+        [
+            [1.000000e00, 6.737947e-03, 3.053624e-45],
+            [6.737947e-03, 1.000000e00, 7.187782e-28],
+            [3.053624e-45, 7.187782e-28, 1.000000e00],
+        ]
+    )
+    assert np.all(np.abs(rbf.training_kernel() - expected) < 1e-4)
+
+
+def _rbf_fd_derivative(sigma, h):
+    left = RBFKernel(sigma - h).set_training_vectors(DATASET)
+    right = RBFKernel(sigma + h).set_training_vectors(DATASET)
+    return (right.training_kernel() - left.training_kernel()) / (2 * h)
+
+
+def test_rbf_derivative_matches_finite_difference():
+    rbf = RBFKernel(0.2).set_training_vectors(DATASET)
+    _, dK = rbf.training_kernel_and_derivative()
+    assert np.all(np.abs(dK[0] - _rbf_fd_derivative(0.2, 1e-3)) < 1e-3)
+
+
+def test_rbf_cross_kernel_golden():
+    rbf = RBFKernel(np.sqrt(0.2)).set_training_vectors(DATASET[1:])
+    cross = rbf.cross_kernel(DATASET[:1])
+    expected = np.array([[6.737947e-03, 3.053624e-45]])
+    assert cross.shape == (1, 2)
+    assert np.all(np.abs(cross - expected) < 1e-4)
+
+
+def test_rbf_cross_kernel_single_vector():
+    rbf = RBFKernel(np.sqrt(0.2)).set_training_vectors(DATASET[1:])
+    cross = rbf.cross_kernel(DATASET[0])  # 1-D input → (1, n) row
+    assert np.all(np.abs(cross - np.array([[6.737947e-03, 3.053624e-45]])) < 1e-4)
+
+
+def _ard_fd_derivative(beta, h):
+    left = ARDRBFKernel(beta - h).set_training_vectors(DATASET)
+    right = ARDRBFKernel(beta + h).set_training_vectors(DATASET)
+    return (right.training_kernel() - left.training_kernel()) / (2 * h)
+
+
+def test_ard_derivative_matches_finite_difference():
+    beta = np.array([0.2, 0.3])
+    ard = ARDRBFKernel(beta).set_training_vectors(DATASET)
+    _, dK = ard.training_kernel_and_derivative()
+    analytical = dK.sum(axis=0)
+    assert np.all(np.abs(analytical - _ard_fd_derivative(beta, 1e-3)) < 1e-3)
+
+
+def test_composite_kernel_hyperparameters_and_bounds():
+    # 1 * RBF(0.1, 1e-6, 10) + WhiteNoise(0.5, 0, 1) — the Synthetics kernel
+    k = Scalar(1.0) * RBFKernel(0.1, 1e-6, 10) + white_noise_kernel(0.5, 0, 1)
+    hp = k.get_hyperparameters()
+    assert np.allclose(hp, [1.0, 0.1, 0.5])
+    lo, up = k.hyperparameter_bounds()
+    assert np.allclose(lo, [0.0, 1e-6, 0.0])
+    assert np.allclose(up, [np.inf, 10.0, 1.0])
+    # white noise variance = trainable scalar of the Eye component
+    k.set_training_vectors(DATASET)
+    assert k.white_noise_var == pytest.approx(0.5)
+    # K = C*RBF + noise*I on the diagonal
+    K = k.training_kernel()
+    assert np.allclose(np.diag(K), 1.0 + 0.5)
+    # derivative stack: dC (=K_rbf), dsigma, dnoise (=I)
+    Kfull, dK = k.training_kernel_and_derivative()
+    assert dK.shape == (3, 3, 3)
+    assert np.allclose(dK[2], np.eye(3))
+
+
+def test_composite_derivative_finite_difference():
+    def build(theta):
+        k = Scalar(theta[0]) * RBFKernel(theta[1]) + white_noise_kernel(theta[2], 0, 1)
+        return k.set_training_vectors(DATASET)
+
+    theta = np.array([1.3, 0.7, 0.2])
+    k = build(theta)
+    k.set_hyperparameters(theta)
+    _, dK = k.training_kernel_and_derivative()
+    h = 1e-5
+    for i in range(3):
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += h
+        tm[i] -= h
+        fd = (build(tp).training_kernel() - build(tm).training_kernel()) / (2 * h)
+        assert np.all(np.abs(dK[i] - fd) < 1e-5), f"hyperparam {i}"
+
+
+def test_eye_kernel_contract():
+    eye = EyeKernel().set_training_vectors(DATASET)
+    assert np.allclose(eye.training_kernel(), np.eye(3))
+    assert np.allclose(eye.cross_kernel(DATASET[:2]), np.zeros((2, 3)))
+    assert eye.white_noise_var == 1.0
+
+
+def test_scalar_const_dsl():
+    k = Scalar(2.0).const * EyeKernel()
+    assert k.n_hyperparameters == 0
+    assert k.white_noise_var == 2.0
+
+
+def test_double_times_kernel_dsl():
+    k = 2.0 * RBFKernel(0.5)
+    assert np.allclose(k.get_hyperparameters(), [2.0, 0.5])

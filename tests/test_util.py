@@ -1,0 +1,103 @@
+"""Unit tests for numeric utilities (integrator / logdet+inv / memoize).
+
+Mirrors IntegratorTest.scala:11-26 with a fixed MC seed (the reference is
+seedless and flaky-by-design; we pin the seed per FIXTURES.md F2).
+"""
+
+import numpy as np
+
+from spark_gp_spark.util import expected_of_function_of_normal, logdet_and_inv, memoize_by_x
+from spark_gp_spark.util.linalg import solve_posdef
+
+
+def test_integrator_matches_monte_carlo():
+    mean, variance = 0.5, 3.0
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    quad = expected_of_function_of_normal(mean, variance, sigmoid, n=100)
+
+    rng = np.random.default_rng(7)
+    samples = sigmoid(rng.normal(mean, np.sqrt(variance), size=100_000))
+    mc = samples.mean()
+    mc_sd = samples.std() / np.sqrt(len(samples))
+    assert abs(mc - quad) < 3 * mc_sd
+
+
+def test_logdet_and_inv_posdef():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(20, 20))
+    K = A @ A.T + 20 * np.eye(20)
+    sign, logdet, inv = logdet_and_inv(K)
+    assert sign == 1.0
+    expected_sign, expected_logdet = np.linalg.slogdet(K)
+    assert abs(logdet - expected_logdet) < 1e-8
+    assert np.allclose(inv @ K, np.eye(20), atol=1e-8)
+
+
+def test_logdet_and_inv_general_matrix():
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(10, 10))  # not symmetric
+    sign, logdet, inv = logdet_and_inv(A, assume_posdef=False)
+    expected_sign, expected_logdet = np.linalg.slogdet(A)
+    assert sign == expected_sign
+    assert abs(logdet - expected_logdet) < 1e-8
+    assert np.allclose(inv @ A, np.eye(10), atol=1e-6)
+
+
+def test_solve_posdef_raises_actionable_error():
+    import pytest
+
+    from spark_gp_spark.util.linalg import NotPositiveDefiniteException
+
+    bad = np.array([[1.0, 2.0], [2.0, 1.0]])  # eigenvalues 3, -1
+    with pytest.raises(NotPositiveDefiniteException, match="sigma2"):
+        solve_posdef(bad, np.ones(2))
+
+
+def test_memoize_by_x():
+    calls = []
+
+    @memoize_by_x
+    def f(x):
+        calls.append(x.copy())
+        return float(x.sum()), x * 2
+
+    x = np.array([1.0, 2.0])
+    f(x)
+    f(x.copy())
+    assert len(calls) == 1
+
+
+def test_lbfgsb_bounded_quadratic():
+    from spark_gp_spark.util.lbfgsb import minimize_lbfgsb
+
+    # min (x-3)^2 + (y+2)^2 s.t. 0<=x<=2, 0<=y<=5 → (2, 0)
+    def f(v):
+        return float((v[0] - 3) ** 2 + (v[1] + 2) ** 2), np.array(
+            [2 * (v[0] - 3), 2 * (v[1] + 2)]
+        )
+
+    x = minimize_lbfgsb(f, np.array([1.0, 1.0]), np.array([0.0, 0.0]), np.array([2.0, 5.0]))
+    assert np.allclose(x, [2.0, 0.0], atol=1e-5)
+
+
+def test_lbfgsb_rosenbrock():
+    from spark_gp_spark.util.lbfgsb import minimize_lbfgsb
+
+    def rosen(v):
+        x, y = v
+        f = (1 - x) ** 2 + 100 * (y - x * x) ** 2
+        g = np.array([-2 * (1 - x) - 400 * x * (y - x * x), 200 * (y - x * x)])
+        return float(f), g
+
+    x = minimize_lbfgsb(
+        rosen,
+        np.array([-1.2, 1.0]),
+        np.array([-2.0, -2.0]),
+        np.array([2.0, 2.0]),
+        max_iter=500,
+        tol=1e-10,
+    )
+    assert np.allclose(x, [1.0, 1.0], atol=1e-4)
