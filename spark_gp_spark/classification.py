@@ -1,0 +1,202 @@
+"""Binary Gaussian Process Classification (Laplace approximation) on Spark.
+
+Parity: classification/GaussianProcessClassifier.scala —
+- {0,1} label contract enforced distributedly (:68-72),
+- per-expert Laplace/Newton objective (:74-129, R&W alg. 3.1 + 5.1),
+- the latent mode f (not y) is projected by PPA (:62-65),
+- model emits rawPrediction [-f, f], probability [sigmoid(-f), 1-sigmoid(-f)],
+  prediction = argmax (:137-162).
+
+Architectural divergence (SURVEY §2.3 "in-place mutation"): the reference
+warm-starts each expert's Newton solve from latent state mutated inside the
+cached RDD (:52-60).  Python workers are stateless, so each objective
+evaluation recomputes the mode from zero — the converged mode is identical;
+only constant-factor work differs.
+
+``probabilityGaussHermite=True`` additionally calibrates probabilities with
+the predictive variance via Gauss-Hermite quadrature — the reference ships and
+unit-tests this integrator but never wires it in (util/Integrator.scala:7-16,
+dead code per SURVEY §2.5); here it is an opt-in flag.
+
+Multiclass: compose with ``OneVsRestGP`` (the reference composes Spark's
+OneVsRest the same way, classification/examples/Iris.scala:26-35).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.param.shared import HasProbabilityCol, HasRawPredictionCol
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .estimator_base import (
+    GaussianProcessEstimatorBase,
+    GaussianProcessModelBase,
+    features_as_array,
+)
+from .gp_math import _sigmoid, gpc_laplace
+
+
+class _GPCOutputParams(HasRawPredictionCol, HasProbabilityCol):
+    probabilityGaussHermite = Param(
+        Params._dummy(),
+        "probabilityGaussHermite",
+        "calibrate probabilities with the predictive variance via Gauss-"
+        "Hermite quadrature instead of squashing the latent mean",
+        typeConverter=TypeConverters.toBoolean,
+    )
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._setDefault(probabilityGaussHermite=False)
+
+    def setRawPredictionCol(self, value: str):
+        return self._set(rawPredictionCol=value)
+
+    def setProbabilityCol(self, value: str):
+        return self._set(probabilityCol=value)
+
+    def setProbabilityGaussHermite(self, value: bool):
+        return self._set(probabilityGaussHermite=value)
+
+
+class GaussianProcessClassifier(GaussianProcessEstimatorBase, _GPCOutputParams):
+    def _fit(self, dataset: DataFrame) -> "GaussianProcessClassificationModel":
+        points, experts = self._prepare(dataset)
+        try:
+            self._assert_labels_are_01(points)
+            tol = self.getOrDefault(self.tol)
+
+            def objective(y, X, kernel, x, _tol=tol):
+                nll, ngrad, _f = gpc_laplace(y, X, kernel, x, _tol)
+                return nll, ngrad
+
+            x_opt = self._optimize_hypers(experts, objective)
+
+            def latent_mode(y, X, kernel, _x=x_opt, _tol=tol):
+                return gpc_laplace(y, X, kernel, _x, _tol)[2]
+
+            raw_predictor = self._projected_process(points, experts, x_opt, targets_fn=latent_mode)
+        finally:
+            points.unpersist()
+            experts.unpersist()
+        model = GaussianProcessClassificationModel(raw_predictor)
+        model._resetUid(self.uid)
+        self._copyValues(model)
+        return model
+
+    @staticmethod
+    def _assert_labels_are_01(points: DataFrame) -> None:
+        """Distributed AND over label ∈ {0,1}
+        (GaussianProcessClassifier.scala:68-72), as one aggregate."""
+        ok = points.agg(
+            F.min(F.col("label").isin(0.0, 1.0)).alias("ok")
+        ).first()["ok"]
+        if not ok:
+            raise RuntimeError("Only 0 and 1 labels are supported.")
+
+
+class GaussianProcessClassificationModel(GaussianProcessModelBase, _GPCOutputParams):
+    numClasses = 2
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        predictor = self.raw_predictor
+        use_gh = self.getOrDefault(self.probabilityGaussHermite)
+
+        @F.pandas_udf("struct<raw:array<double>,prob:array<double>,pred:double>")
+        def predict_udf(features: pd.Series) -> pd.DataFrame:
+            X = np.asarray(features.tolist(), dtype=np.float64)
+            f, var = predictor.predict(X)
+            if use_gh:
+                # E[sigmoid(latent)] under N(f, var) via 100-pt Gauss-Hermite,
+                # vectorized over the batch.
+                nodes, weights = np.polynomial.hermite.hermgauss(100)
+                z = np.sqrt(2.0 * np.maximum(var, 0.0))[:, None] * nodes[None, :] + f[:, None]
+                p1 = (_sigmoid(z) @ weights) / np.sqrt(np.pi)
+            else:
+                p1 = 1.0 - _sigmoid(-f)
+            p0 = 1.0 - p1
+            return pd.DataFrame(
+                {
+                    "raw": [list(r) for r in np.column_stack([-f, f])],
+                    "prob": [list(r) for r in np.column_stack([p0, p1])],
+                    "pred": (p1 > p0).astype(np.float64),
+                }
+            )
+
+        feats = features_as_array(dataset, self.getOrDefault(self.featuresCol))
+        out = dataset.withColumn("__gp", predict_udf(feats))
+        raw_col = self.getOrDefault(self.rawPredictionCol)
+        prob_col = self.getOrDefault(self.probabilityCol)
+        pred_col = self.getOrDefault(self.predictionCol)
+        out = (
+            out.withColumn(raw_col, F.col("__gp.raw"))
+            .withColumn(prob_col, F.col("__gp.prob"))
+            .withColumn(pred_col, F.col("__gp.pred"))
+        )
+        return out.drop("__gp")
+
+
+class OneVsRestGP(Estimator):
+    """One-vs-rest multiclass composition over the binary GPC.
+
+    The reference composes ``org.apache.spark.ml.classification.OneVsRest``
+    (Iris.scala:26-35); Spark's Python OneVsRest requires JVM-backed
+    classifiers, so this is the same strategy implemented directly: k binary
+    fits (label == c → 1), prediction = argmax over the latent means.
+    """
+
+    def __init__(self, classifier: GaussianProcessClassifier, label_col: str = "label",
+                 prediction_col: str = "prediction") -> None:
+        super().__init__()
+        self.classifier = classifier
+        self.label_col = label_col
+        self.prediction_col = prediction_col
+
+    def _fit(self, dataset: DataFrame) -> "OneVsRestGPModel":
+        labels = sorted(
+            r[0] for r in dataset.select(self.label_col).distinct().collect()
+        )
+        models = []
+        for c in labels:
+            binary = dataset.withColumn(
+                self.label_col,
+                F.when(F.col(self.label_col) == F.lit(c), 1.0).otherwise(0.0),
+            )
+            models.append(self.classifier.copy()._fit(binary))
+        return OneVsRestGPModel(labels, models, self.prediction_col)
+
+    def copy(self, extra=None):
+        return OneVsRestGP(self.classifier.copy(extra), self.label_col, self.prediction_col)
+
+
+class OneVsRestGPModel(Model):
+    def __init__(self, labels, models, prediction_col: str = "prediction") -> None:
+        super().__init__()
+        self.labels = labels
+        self.models = models
+        self.prediction_col = prediction_col
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        out = dataset
+        score_cols = []
+        for i, model in enumerate(self.models):
+            col = f"__ovr_raw_{i}"
+            m = model.copy()
+            m._set(rawPredictionCol=col, probabilityCol=f"__ovr_p_{i}", predictionCol=f"__ovr_pred_{i}")
+            out = m.transform(out).withColumn(col, F.col(col)[1])
+            out = out.drop(f"__ovr_p_{i}", f"__ovr_pred_{i}")
+            score_cols.append(col)
+        scores = F.array(*[F.col(c) for c in score_cols])
+        label_arr = F.array(*[F.lit(float(c)) for c in self.labels])
+        out = out.withColumn(
+            self.prediction_col,
+            F.element_at(label_arr, F.array_position(scores, F.array_max(scores)).cast("int")),
+        )
+        return out.drop(*score_cols)
+
+    def copy(self, extra=None):
+        return OneVsRestGPModel(self.labels, [m.copy(extra) for m in self.models], self.prediction_col)

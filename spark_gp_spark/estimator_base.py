@@ -1,0 +1,283 @@
+"""Shared pyspark.ml plumbing for the GP estimators.
+
+Parity: commons/GaussianProcessParams.scala:11-54 (params + defaults) and
+commons/GaussianProcessCommons.scala (fit skeleton).  Subclassing
+``pyspark.ml.Estimator``/``Model`` with the shared Param mixins makes
+CrossValidator / TrainValidationSplit / ParamGridBuilder composition work
+unchanged (the reference gets this from Spark ML the same way,
+regression/examples/GPExample.scala:17-27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml import Estimator, Model
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.param.shared import (
+    HasFeaturesCol,
+    HasLabelCol,
+    HasMaxIter,
+    HasPredictionCol,
+    HasSeed,
+    HasTol,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .active_set import ActiveSetContext, resolve_provider
+from .experts import Experts, build_experts, normalize_points
+from .gp_math import expert_gram, ppa_solve
+from .kernel import EyeKernel, Kernel, RBFKernel, Scalar
+from .util.lbfgsb import minimize_lbfgsb
+from .util.memoize import memoize_by_x
+
+
+class GaussianProcessParams(
+    HasLabelCol, HasFeaturesCol, HasPredictionCol, HasMaxIter, HasTol, HasSeed
+):
+    """Param surface of GaussianProcessParams.scala:11-54, plus the
+    Spark-rebuild execution knobs (expertPartitioning, driverLocalRows)."""
+
+    kernel = Param(
+        Params._dummy(),
+        "kernel",
+        "zero-arg factory returning the prior kernel; a fresh instance is "
+        "built per expert (GaussianProcessCommons.scala:18,36)",
+    )
+    datasetSizeForExpert = Param(
+        Params._dummy(),
+        "datasetSizeForExpert",
+        "number of data points fed to each expert; training time/space grow "
+        "quadratically with it",
+        typeConverter=TypeConverters.toInt,
+    )
+    sigma2 = Param(
+        Params._dummy(),
+        "sigma2",
+        "input noise variance added to the kernel diagonal",
+        typeConverter=TypeConverters.toFloat,
+    )
+    activeSetSize = Param(
+        Params._dummy(),
+        "activeSetSize",
+        "number of inducing points for Projected Process Approximation; "
+        "model size and predict cost are linear in it",
+        typeConverter=TypeConverters.toInt,
+    )
+    activeSetProvider = Param(
+        Params._dummy(),
+        "activeSetProvider",
+        "'random' | 'kmeans' | 'greedy' or a callable(ActiveSetContext) -> ndarray",
+    )
+    expertPartitioning = Param(
+        Params._dummy(),
+        "expertPartitioning",
+        "'chunk' (zero-shuffle, default) or 'roundrobin' (reference parity)",
+        typeConverter=TypeConverters.toString,
+    )
+    driverLocalRows = Param(
+        Params._dummy(),
+        "driverLocalRows",
+        "datasets at or below this many rows run the optimizer loop driver-"
+        "locally with zero Spark jobs per iteration; 0 forces distributed",
+        typeConverter=TypeConverters.toInt,
+    )
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._setDefault(
+            kernel=lambda: RBFKernel(),
+            datasetSizeForExpert=100,
+            sigma2=1e-3,
+            activeSetSize=100,
+            activeSetProvider="random",
+            maxIter=100,
+            tol=1e-6,
+            seed=0,
+            expertPartitioning="chunk",
+            driverLocalRows=100_000,
+        )
+
+    # fluent setters (reference naming)
+    def setKernel(self, value):
+        return self._set(kernel=value)
+
+    def setDatasetSizeForExpert(self, value: int):
+        return self._set(datasetSizeForExpert=value)
+
+    def setSigma2(self, value: float):
+        return self._set(sigma2=value)
+
+    def setActiveSetSize(self, value: int):
+        return self._set(activeSetSize=value)
+
+    def setActiveSetProvider(self, value):
+        return self._set(activeSetProvider=value)
+
+    def setMaxIter(self, value: int):
+        return self._set(maxIter=value)
+
+    def setTol(self, value: float):
+        return self._set(tol=value)
+
+    def setSeed(self, value: int):
+        return self._set(seed=value)
+
+    def setLabelCol(self, value: str):
+        return self._set(labelCol=value)
+
+    def setFeaturesCol(self, value: str):
+        return self._set(featuresCol=value)
+
+    def setPredictionCol(self, value: str):
+        return self._set(predictionCol=value)
+
+    def setExpertPartitioning(self, value: str):
+        return self._set(expertPartitioning=value)
+
+    def setDriverLocalRows(self, value: int):
+        return self._set(driverLocalRows=value)
+
+    def _effective_kernel_factory(self):
+        """user kernel + sigma2.const * Eye — noise injection
+        (GaussianProcessCommons.scala:18)."""
+        user_factory = self.getOrDefault(self.kernel)
+        sigma2 = self.getOrDefault(self.sigma2)
+
+        def factory() -> Kernel:
+            return user_factory() + Scalar(sigma2).const * EyeKernel()
+
+        return factory
+
+
+class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
+    """Shared fit skeleton: normalize → pack experts → L-BFGS over the summed
+    expert objective → active set → distributed Gram → PPA solve."""
+
+    def _prepare(self, dataset: DataFrame):
+        points = normalize_points(
+            dataset,
+            self.getOrDefault(self.labelCol),
+            self.getOrDefault(self.featuresCol),
+        ).persist()
+        experts = build_experts(
+            points,
+            self.getOrDefault(self.datasetSizeForExpert),
+            self.getOrDefault(self.expertPartitioning),
+            self.getOrDefault(self.driverLocalRows),
+        )
+        return points, experts
+
+    def _optimize_hypers(self, experts: Experts, objective_fn) -> np.ndarray:
+        """objective_fn(y, X, factory, x) -> (lik, grad); returns optimal x.
+
+        Parity: optimizeHypers (GaussianProcessCommons.scala:66-92) — one
+        distributed reduction per L-BFGS evaluation, memoized against line-
+        search re-evaluations (util/DiffFunctionMemoized.scala:8-16).
+        """
+        factory = self._effective_kernel_factory()
+        probe = factory()
+        x0 = probe.get_hyperparameters()
+        lower, upper = probe.hyperparameter_bounds()
+        p = len(x0)
+
+        @memoize_by_x
+        def objective(x: np.ndarray) -> tuple[float, np.ndarray]:
+            def fn(y, X, _x=x, _factory=factory):
+                lik, grad = objective_fn(y, X, _factory(), _x)
+                return np.concatenate([[lik], grad])
+
+            flat = experts.sum_over_experts(fn, 1 + p)
+            return float(flat[0]), flat[1:]
+
+        return minimize_lbfgsb(
+            objective,
+            x0,
+            lower,
+            upper,
+            max_iter=self.getOrDefault(self.maxIter),
+            tol=self.getOrDefault(self.tol),
+        )
+
+    def _projected_process(
+        self,
+        points: DataFrame,
+        experts: Experts,
+        x_opt: np.ndarray,
+        targets_fn=None,
+    ):
+        """Active set selection + distributed Gram + driver PPA solve.
+
+        Parity: projectedProcess (GaussianProcessCommons.scala:40-59).
+        ``targets_fn(y, X, kernel) -> ndarray`` substitutes the regression
+        targets (the classifier projects the latent mode f instead of y,
+        GaussianProcessClassifier.scala:62-65).
+        """
+        factory = self._effective_kernel_factory()
+        ctx = ActiveSetContext(
+            points=points,
+            experts=experts,
+            kernel_factory=factory,
+            optimal_hyperparameters=x_opt,
+            active_set_size=self.getOrDefault(self.activeSetSize),
+            seed=self.getOrDefault(self.seed),
+        )
+        provider = resolve_provider(self.getOrDefault(self.activeSetProvider))
+        active_set = provider(ctx)
+        m = len(active_set)
+
+        def gram_fn(y, X, _factory=factory, _x=x_opt, _act=active_set, _tf=targets_fn):
+            k = _factory().set_hyperparameters(_x).set_training_vectors(X)
+            t = y if _tf is None else _tf(y, X, k)
+            g, v = expert_gram(t, X, k, _act)
+            return np.concatenate([g.ravel(), v])
+
+        flat = experts.sum_over_experts(gram_fn, m * m + m)
+        kmn_knm = flat[: m * m].reshape(m, m)
+        kmny = flat[m * m :]
+
+        kernel_opt = factory().set_hyperparameters(x_opt).set_training_vectors(active_set)
+        magic_vector, magic_matrix = ppa_solve(kernel_opt, kmn_knm, kmny)
+
+        from .gp_math import GaussianProjectedProcessRawPredictor
+
+        return GaussianProjectedProcessRawPredictor(magic_vector, magic_matrix, kernel_opt)
+
+
+def features_as_array(df: DataFrame, features_col: str):
+    """Column expression yielding array<double> features regardless of input
+    representation (ML Vector or array)."""
+    field = df.schema[features_col]
+    if field.dataType.typeName() == "udt":
+        from pyspark.ml.functions import vector_to_array
+
+        return vector_to_array(F.col(features_col)).cast("array<double>")
+    return F.col(features_col).cast("array<double>")
+
+
+class GaussianProcessModelBase(Model, GaussianProcessParams):
+    """Holds the O(m) raw predictor; ships it inside a vectorized pandas UDF
+    (one Arrow batch = one (batch, m) matrix product — pure map, no shuffle,
+    GaussianProcessCommons.scala:118-126 / SURVEY §3 entry point 3)."""
+
+    def __init__(self, raw_predictor=None) -> None:
+        super().__init__()
+        self.raw_predictor = raw_predictor
+
+    def save_model(self, path: str, spark) -> None:
+        """Persist the model payload as a single-row parquet (the reference
+        has no save/load at all — SURVEY §2.1 'sinks')."""
+        import pickle
+
+        payload = pickle.dumps(self.raw_predictor)
+        spark.createDataFrame(
+            [(bytearray(payload), type(self).__name__)], "payload binary, cls string"
+        ).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load_model(cls, path: str, spark):
+        import pickle
+
+        row = spark.read.parquet(path).first()
+        model = cls(pickle.loads(bytes(row["payload"])))
+        return model

@@ -1,0 +1,263 @@
+"""Expert partitioning and distributed reduction for BCM Gaussian Processes.
+
+The reference turns the training relation into an ``RDD[(y, Kernel)]`` of
+small "expert" chunks via count + zipWithIndex + groupByKey
+(GaussianProcessCommons.scala:26-38) and evaluates the summed marginal
+likelihood with ``treeAggregate`` (GaussianProcessCommons.scala:71-80).
+
+This rebuild keeps the data in DataFrames end to end:
+
+- **Packing.** Experts are materialized ONCE as a persisted DataFrame with one
+  row per expert: ``(y array<double>, xs array<double> flattened row-major,
+  n int, d int)``.  Two assignment strategies:
+
+  * ``chunk`` (default): ``mapInPandas`` slices each input partition into
+    consecutive chunks of ``dataset_size_for_expert`` rows — ZERO shuffle.
+    BCM is valid under any partition of the rows into chunks, so we pick the
+    one that moves no data.  At 100 TB this is the difference between a free
+    pass over parquet and a full-data shuffle.
+  * ``roundrobin``: reproduces the reference's ``index % numExperts``
+    assignment (one shuffle) for cases where input order correlates with the
+    target and spread experts are preferred.
+
+  ``num_experts = max(1, round(N / dataset_size_for_expert))`` — guards the
+  reference's division-by-zero when N < datasetSizeForExpert/2
+  (GaussianProcessCommons.scala:27-29).
+
+- **Reduction.** Every distributed quantity the GP needs (summed likelihood +
+  gradient, the m×m Gram products, greedy-selection argmax) is a
+  sum/max over per-expert numpy payloads.  ``sum_over_experts`` runs one
+  ``mapInPandas`` job that emits ONE partial-sum row per Arrow batch
+  (map-side combine), so the driver only ever sees ~numPartitions small rows —
+  the DataFrame analogue of ``treeAggregate``.
+
+- **Adaptive locality.** When the packed experts are tiny (< driver_local_rows
+  rows total) the whole set is collected once and subsequent optimizer
+  iterations run driver-local with zero Spark jobs.  A 100-iteration L-BFGS
+  run on a 2 000-row dataset should not launch 100 jobs; on 100 TB the
+  distributed path kicks in automatically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PACKED_SCHEMA = "y array<double>, xs array<double>, n int, d int"
+
+
+def normalize_points(df: DataFrame, label_col: str, features_col: str) -> DataFrame:
+    """Project to a canonical (label double, features array<double>) relation.
+
+    Accepts either ``array<double>`` or ``pyspark.ml.linalg`` Vector features
+    (the reference consumes ML Vectors, GaussianProcessCommons.scala:20-24).
+    Only these two columns are selected, so Catalyst prunes everything else
+    out of the scan.
+    """
+    field = df.schema[features_col]
+    if field.dataType.typeName() == "udt":  # VectorUDT
+        from pyspark.ml.functions import vector_to_array
+
+        features = vector_to_array(F.col(features_col)).cast("array<double>")
+    else:
+        features = F.col(features_col).cast("array<double>")
+    return df.select(
+        F.col(label_col).cast("double").alias("label"), features.alias("features")
+    )
+
+
+def _pack_batch(labels: list, feats: list) -> dict:
+    X = np.asarray(feats, dtype=np.float64)
+    return {
+        "y": np.asarray(labels, dtype=np.float64),
+        "xs": X.ravel(),
+        "n": len(labels),
+        "d": X.shape[1] if X.ndim == 2 else 1,
+    }
+
+
+def _chunk_packer(chunk_size: int):
+    def pack(iterator):
+        buf_y: list = []
+        buf_x: list = []
+        out_rows: list[dict] = []
+        for pdf in iterator:
+            buf_y.extend(pdf["label"].tolist())
+            buf_x.extend(pdf["features"].tolist())
+            while len(buf_y) >= 2 * chunk_size:
+                out_rows.append(_pack_batch(buf_y[:chunk_size], buf_x[:chunk_size]))
+                buf_y, buf_x = buf_y[chunk_size:], buf_x[chunk_size:]
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+                out_rows = []
+        # Tail: emit full chunks; fold a small remainder (< chunk_size/2) into
+        # the last chunk so expert sizes stay within [n/2, 3n/2] — mirrors the
+        # reference's round(N/n) sizing.
+        while len(buf_y) > 0:
+            take = len(buf_y) if len(buf_y) <= chunk_size * 3 // 2 else chunk_size
+            out_rows.append(_pack_batch(buf_y[:take], buf_x[:take]))
+            buf_y, buf_x = buf_y[take:], buf_x[take:]
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return pack
+
+
+def _group_packer():
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([_pack_batch(pdf["label"].tolist(), pdf["features"].tolist())])
+
+    return pack
+
+
+def build_expert_frame(
+    points: DataFrame, dataset_size_for_expert: int, partitioning: str = "chunk"
+) -> DataFrame:
+    """Pack the points relation into one row per expert (see module doc)."""
+    if partitioning == "chunk":
+        return points.mapInPandas(_chunk_packer(dataset_size_for_expert), schema=PACKED_SCHEMA)
+    if partitioning == "roundrobin":
+        n_total = points.count()
+        num_experts = max(1, round(n_total / dataset_size_for_expert))
+        with_id = points.withColumn(
+            "expert_id", F.pmod(F.monotonically_increasing_id(), F.lit(num_experts))
+        )
+        return with_id.groupBy("expert_id").applyInPandas(
+            lambda key, pdf: pd.DataFrame(
+                [_pack_batch(pdf["label"].tolist(), pdf["features"].tolist())]
+            ),
+            schema=PACKED_SCHEMA,
+        )
+    raise ValueError(f"unknown expert partitioning: {partitioning!r}")
+
+
+ExpertFn = Callable[[np.ndarray, np.ndarray], np.ndarray]
+"""Per-expert payload: (y (n,), X (n, d)) -> flat float64 array."""
+
+
+class Experts:
+    """Reduction interface over the expert set."""
+
+    def sum_over_experts(self, fn: ExpertFn, out_len: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def max_over_experts(self, fn: "Callable[[np.ndarray, np.ndarray], tuple[float, np.ndarray]]"):
+        """fn returns (score, payload-vector) per expert; global argmax,
+        NaN scores dropped (ActiveSetProvider.scala:130)."""
+        raise NotImplementedError
+
+    def unpersist(self) -> None:
+        pass
+
+
+class DistributedExperts(Experts):
+    def __init__(self, frame: DataFrame) -> None:
+        self.frame = frame.persist()
+
+    def sum_over_experts(self, fn: ExpertFn, out_len: int) -> np.ndarray:
+        def partial(iterator):
+            for pdf in iterator:
+                acc = np.zeros(out_len)
+                for y, xs, n, d in zip(pdf["y"], pdf["xs"], pdf["n"], pdf["d"]):
+                    yv = np.asarray(y, dtype=np.float64)
+                    X = np.asarray(xs, dtype=np.float64).reshape(int(n), int(d))
+                    acc += fn(yv, X)
+                yield pd.DataFrame({"part": [acc]})
+
+        partials = self.frame.mapInPandas(partial, schema="part array<double>").collect()
+        result = np.zeros(out_len)
+        for row in partials:
+            result += np.asarray(row["part"], dtype=np.float64)
+        return result
+
+    def max_over_experts(self, fn):
+        def partial(iterator):
+            best_score, best_payload = -np.inf, None
+            for pdf in iterator:
+                for y, xs, n, d in zip(pdf["y"], pdf["xs"], pdf["n"], pdf["d"]):
+                    yv = np.asarray(y, dtype=np.float64)
+                    X = np.asarray(xs, dtype=np.float64).reshape(int(n), int(d))
+                    score, payload = fn(yv, X)
+                    if not np.isnan(score) and score > best_score:
+                        best_score, best_payload = float(score), payload
+            if best_payload is not None:
+                yield pd.DataFrame({"score": [best_score], "payload": [best_payload]})
+
+        rows = self.frame.mapInPandas(partial, schema="score double, payload array<double>").collect()
+        if not rows:
+            raise ValueError("no expert produced a finite score")
+        best = max(rows, key=lambda r: r["score"])
+        return best["score"], np.asarray(best["payload"], dtype=np.float64)
+
+    def unpersist(self) -> None:
+        self.frame.unpersist()
+
+
+class LocalExperts(Experts):
+    """Driver-local fast path: same reductions, zero Spark jobs per call."""
+
+    def __init__(self, chunks: list[tuple[np.ndarray, np.ndarray]]) -> None:
+        self.chunks = chunks
+
+    @classmethod
+    def from_frame(cls, frame: DataFrame) -> "LocalExperts":
+        rows = frame.collect()
+        chunks = [
+            (
+                np.asarray(r["y"], dtype=np.float64),
+                np.asarray(r["xs"], dtype=np.float64).reshape(int(r["n"]), int(r["d"])),
+            )
+            for r in rows
+        ]
+        return cls(chunks)
+
+    def sum_over_experts(self, fn: ExpertFn, out_len: int) -> np.ndarray:
+        acc = np.zeros(out_len)
+        for y, X in self.chunks:
+            acc += fn(y, X)
+        return acc
+
+    def max_over_experts(self, fn):
+        best_score, best_payload = -np.inf, None
+        for y, X in self.chunks:
+            score, payload = fn(y, X)
+            if not np.isnan(score) and score > best_score:
+                best_score, best_payload = float(score), payload
+        if best_payload is None:
+            raise ValueError("no expert produced a finite score")
+        return best_score, best_payload
+
+
+def build_experts(
+    points: DataFrame,
+    dataset_size_for_expert: int,
+    partitioning: str = "chunk",
+    driver_local_rows: int = 100_000,
+) -> Experts:
+    """Pack points into experts; choose local vs distributed reduction.
+
+    ``driver_local_rows``: if the training relation has fewer rows than this,
+    the packed experts are collected once and the optimizer loop runs with
+    zero Spark jobs per iteration.  Set to 0 to force the distributed path.
+    """
+    frame = build_expert_frame(points, dataset_size_for_expert, partitioning)
+    if driver_local_rows > 0:
+        n_total = points.count()
+        if n_total <= driver_local_rows:
+            return LocalExperts.from_frame(frame)
+    return DistributedExperts(frame)
+
+
+def sample_feature_rows(points: DataFrame, m: int, seed: int) -> np.ndarray:
+    """Exact-size uniform sample of feature rows as a (m, d) numpy array.
+
+    Reference: ``takeSample(false, m, seed)`` (ActiveSetProvider.scala:55).
+    ``orderBy(rand).limit(m)`` compiles to TakeOrderedAndProject — a per-
+    partition top-m heap + driver merge, not a full sort, so it scales.
+    """
+    rows = points.orderBy(F.rand(seed)).limit(m).select("features").collect()
+    return np.asarray([r["features"] for r in rows], dtype=np.float64)

@@ -1,0 +1,250 @@
+"""Deduplication operators for large text corpora.
+
+Five families, each a standard LLM-pipeline technique, each expressed with
+built-in column functions so the hot path is JVM-side and shuffle-minimal:
+
+- exact:    md5 grouping — one shuffle on the hash, map-side combine.
+- MinHash:  per-row signature (NO explode — ``array_min`` over a ``transform``
+            keeps shingle→hash→min entirely inside one projection), then
+            LSH banding: explode only b band keys per doc, shuffle on band
+            key, equi-join for candidates, exact Jaccard verify.  At 100 TB
+            the only shuffle is the band-key join; hot bands (boilerplate
+            docs) should be capped/salted — see ``max_band_size``.
+- SimHash:  32-bit signature via per-bit majority vote of token hashes; the
+            candidate join uses the pigeonhole decomposition into 4 8-bit
+            blocks (hamming ≤ 3 ⇒ at least one block equal), so candidate
+            generation is 4 equi-joins instead of an O(N²) cross join.
+- n-gram Jaccard: exact verification primitive shared by the above.
+- embedding cosine: near-duplicate pairs above a cosine threshold; the
+            brute-force form lives in similarity.py — here we expose the
+            thresholded pair set.
+
+Hashes are engine-portable (operators/hashing.py) so the DuckDB oracle can
+replay every pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import MERSENNE_P, affine_hash, h32, minhash_params
+from .text import tokens, word_ngrams
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (text_hash, keep_id = min id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col).cast("string")).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated relation itself (keep the min-id row per text)."""
+    w_keep = exact_dedup(df, text_col, id_col).select("keep_id")
+    return df.join(w_keep, df[id_col] == w_keep["keep_id"], "left_semi")
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3, seed: int = 7) -> Column:
+    """Array of ``num_hashes`` MinHash values over word n-gram shingles.
+
+    Computed as one projection: shingles → portable 32-bit hash → affine
+    family → array_min per hash function.  No explode, no shuffle.
+    """
+    shingles = word_ngrams(text, shingle_n)
+    base = F.transform(shingles, lambda s: h32(s))
+    params = minhash_params(num_hashes, seed)
+    return F.array(
+        *[
+            F.array_min(F.transform(base, lambda h, _a=a, _b=b: affine_hash(h, _a, _b)))
+            for a, b in params
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("signature"),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter.cast("double") / F.greatest(union, F.lit(1))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_band_size: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard) with Jaccard ≥ threshold.
+
+    Candidate generation: docs sharing any of ``bands`` LSH band keys.
+    ``max_band_size`` drops degenerate hot bands (e.g. empty/boilerplate
+    shingle sets) — the skew guard that keeps the band join from exploding
+    at corpus scale; pass None to disable.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
+        word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    banded = sigs.select(
+        "_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_band_size is not None:
+        sizes = banded.groupBy("band", "key").count().filter(F.col("count") <= max_band_size)
+        banded = banded.join(sizes.select("band", "key"), ["band", "key"], "left_semi")
+
+    left = banded.select(
+        F.col("band"), F.col("key"), F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    right = banded.select(
+        F.col("band"), F.col("key"), F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash32(text: Column, seed: int = 7) -> Column:
+    """32-bit SimHash of the token multiset, as a BIGINT column expression.
+
+    bit_i = sign of sum over tokens of (±1 by bit i of the token hash);
+    ties (sum == 0) resolve to 0.  One affine rehash decorrelates the base
+    hash across corpora sharing vocabulary.
+    """
+    a, b = minhash_params(1, seed)[0]
+    th = F.transform(tokens(text), lambda t: affine_hash(h32(t), a, b))
+    out = F.lit(0).cast("bigint")
+    for i in range(32):
+        vote = F.aggregate(
+            th,
+            F.lit(0).cast("bigint"),
+            lambda acc, h, _i=i: acc
+            + F.when(F.shiftright(h, _i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming (default 3).
+
+    Candidates via the 4×8-bit block pigeonhole: distance ≤ 3 implies at
+    least one of the 4 blocks is identical, so candidate generation is an
+    equi-join on (block_index, block_value) instead of a cross join.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), simhash32(F.col(text_col), seed).alias("sh"))
+    blocks = sh.select(
+        "_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftright(F.col("sh"), bi * 8).bitwiseAND(F.lit(255)).alias("val"),
+                    )
+                    for bi in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("_id", "sh", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    left = blocks.select("blk", "val", F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    right = blocks.select("blk", "val", F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Alias for the verified-Jaccard pipeline (candidates via MinHash LSH)."""
+    return minhash_lsh_pairs(
+        df, text_col, id_col, threshold=threshold, shingle_n=shingle_n, **lsh_kwargs
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Embedding near-duplicates: pairs with cosine ≥ threshold.
+
+    Brute-force form (exact): O(N²/2) — fine up to ~10^5 rows per executor
+    batch; above that switch to similarity.lsh_bucketed_candidates for
+    candidate pruning.
+    """
+    from .similarity import cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

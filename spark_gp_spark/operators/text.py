@@ -1,0 +1,121 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+Everything here is pure column expressions (`pyspark.sql.functions`) — the
+whole pipeline stays inside whole-stage codegen, shuffles nothing, and scales
+to 100 TB as a single pass over the parquet scan.  No reference counterpart
+(the reference is a GP library); these are the north-star extension operators
+(BASELINE.json) built on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword inventories for the n-gram/stopword heuristic.
+# Deliberately small so the DuckDB oracle can restate them inline.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "für", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "fr": ["le", "la", "de", "et", "un", "une", "dans", "pour", "sur", "avec"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empty strings dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct lowercase character n-grams (the shingle set for MinHash)."""
+    lowered = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1))),
+            lambda i: F.substring(lowered, i, n),
+        )
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles joined by single spaces."""
+    toks = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(words, t)))
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of per-language stopword counts; CJK characters short-circuit to
+    'zh'; no hits at all → 'und'.  Ties break in fixed lang order."""
+    scores = language_scores(text)
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties via later WHEN precedence
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    expr = F.when(best == 0, F.lit("und")).otherwise(expr)
+    return F.when(cjk, F.lit("zh")).otherwise(expr)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters or spaces."""
+    kept = F.length(F.regexp_replace(text, r"[^A-Za-z ]", ""))
+    return kept / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio + mean
+    word length band + English stopword presence.  The exact formula is
+    arbitrary but fixed — the oracle restates it verbatim."""
+    n_tok = token_count(text)
+    len_ok = (n_tok >= 5) & (n_tok <= 5000)
+    mwl = mean_word_length(text)
+    mwl_ok = (mwl >= 2.0) & (mwl <= 12.0)
+    sw_ratio = stopword_hits(text, "en").cast("double") / F.greatest(n_tok, F.lit(1))
+    return (
+        F.when(len_ok, 0.25).otherwise(0.0)
+        + F.when(mwl_ok, 0.25).otherwise(0.0)
+        + alpha_ratio(text) * 0.25
+        + F.least(sw_ratio * F.lit(2.5), F.lit(1.0)) * 0.25
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats relation: one codegen'd projection, no shuffle."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        token_count(t).alias("n_tokens"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        language_id(t).alias("lang_pred"),
+    )

