@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship GP-regression query at sf0.001 (smoke).
+``queries()`` / ``oracle_sql()`` — the full operator inventory of
+spark_gp_spark (SURVEY §2 + the LLM-pipeline extension operators), each
+checked against a DuckDB oracle at sf0.01 where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -15,24 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: Gaussian Process regression on the lineitem table at
+    sf0.001 — fit (BCM experts + L-BFGS hyperparameter search + projected
+    process) and transform (vectorized O(m)-per-row predict)."""
+    from spark_gp_spark.queries import gpr_lineitem
+
+    return gpr_lineitem(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from spark_gp_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from spark_gp_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries + a GP fit at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The GP fit entry ports the reference's PerformanceBenchmark protocol
+(regression/benchmark/PerformanceBenchmark.scala:13-57): synthetic
+y = sin((x1+x2+x3)/1000) over U(0,1)^3, datasetSizeForExpert =
+activeSetSize = 100, RBF(0.1), sigma2 = 1e-3 — timed over one fit() on
+N = 100k rows, distributed expert reductions (no driver-local shortcut).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+GP_BENCH_N = int(os.environ.get("SPARK_GRAFT_GP_N", "100000"))
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("spark-gp-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+
+def gp_fit_bench(spark, sf_dir: str) -> None:
+    """PerformanceBenchmark port — one distributed GPR fit on synthetic data."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark import GaussianProcessRegression, RBFKernel, Scalar
+
+    df = (
+        spark.range(GP_BENCH_N)
+        .withColumn("features", F.array(F.rand(13), F.rand(17), F.rand(19)))
+        .withColumn(
+            "label",
+            F.sin((F.col("features")[0] + F.col("features")[1] + F.col("features")[2]) / 1000.0),
+        )
+        .select("label", "features")
+    )
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(0.1, 1e-6, 10))
+        .setDatasetSizeForExpert(100)
+        .setActiveSetSize(100)
+        .setActiveSetProvider("random")
+        .setSeed(13)
+        .setSigma2(1e-3)
+        .setMaxIter(20)
+        .setMultiStart(1)
+        .setExpertPartitioning("chunk")
+        .setDriverLocalRows(0)  # force the distributed reduction path
+    )
+    model = gp.fit(df)
+    # include the O(m)-per-row predict in the timing — count() materializes
+    model.transform(df).select("prediction").agg({"prediction": "sum"}).collect()
+
+
+def main() -> None:
+    spark = make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_gp_spark.queries import QUERIES
+
+    bench_queries = [
+        "q1_pricing_summary",
+        "revenue_by_nation",
+        "part_type_revenue",
+        "text_stats",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "simhash_pairs",
+        "cosine_topk",
+        "embedding_neardup_pairs",
+        "asof_purchases_views",
+        "session_stats",
+        "event_window_agg",
+        "streaming_window_counts",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        # force full materialization without driver transfer
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    gp_fit_bench(spark, SF_DIR)
+    timings["gp_fit_100k"] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite + distributed GPR fit (100k rows)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,8 +72,21 @@ class GaussianProcessParams(
     expertPartitioning = Param(
         Params._dummy(),
         "expertPartitioning",
-        "'chunk' (zero-shuffle, default) or 'roundrobin' (reference parity)",
+        "'roundrobin' (default; reference-parity index%numExperts assignment — "
+        "each expert samples the whole dataset, which keeps the BCM likelihood "
+        "well-behaved on sorted inputs, at the cost of one shuffle) or 'chunk' "
+        "(zero-shuffle consecutive packing — the 100TB fast path, safe when "
+        "row order is uncorrelated with the target)",
         typeConverter=TypeConverters.toString,
+    )
+    multiStart = Param(
+        Params._dummy(),
+        "multiStart",
+        "number of L-BFGS restarts from scaled initial hyperparameters "
+        "(ladder 1.0, 0.3, 2.0, 0.1, 5.0); best final likelihood wins.  The "
+        "BCM marginal likelihood has spurious large-inverse-lengthscale "
+        "optima (observed on airfoil); 3 starts reliably escape them",
+        typeConverter=TypeConverters.toInt,
     )
     driverLocalRows = Param(
         Params._dummy(),
@@ -94,8 +107,9 @@ class GaussianProcessParams(
             maxIter=100,
             tol=1e-6,
             seed=0,
-            expertPartitioning="chunk",
+            expertPartitioning="roundrobin",
             driverLocalRows=100_000,
+            multiStart=3,
         )
 
     # fluent setters (reference naming)
@@ -137,6 +151,9 @@ class GaussianProcessParams(
 
     def setDriverLocalRows(self, value: int):
         return self._set(driverLocalRows=value)
+
+    def setMultiStart(self, value: int):
+        return self._set(multiStart=value)
 
     def _effective_kernel_factory(self):
         """user kernel + sigma2.const * Eye — noise injection
@@ -190,14 +207,64 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
             flat = experts.sum_over_experts(fn, 1 + p)
             return float(flat[0]), flat[1:]
 
-        return minimize_lbfgsb(
-            objective,
-            x0,
-            lower,
-            upper,
-            max_iter=self.getOrDefault(self.maxIter),
-            tol=self.getOrDefault(self.tol),
-        )
+        # Multi-start, explore-then-polish: the summed BCM likelihood has
+        # spurious optima with huge inverse lengthscales (observed on
+        # airfoil); short exploratory runs from scaled x0 find the right
+        # basin, then one full-budget run polishes the best.  The memoized
+        # objective dedups shared evaluations across starts.
+        #
+        # When every hyperparameter is nonnegative (the usual GP case:
+        # amplitudes, inverse lengthscales, noise) the search runs in
+        # log-space — optimal amplitudes and lengthscales routinely sit 4+
+        # orders of magnitude apart (airfoil: amp≈5e3, beta≈5e-2), which
+        # cripples a linear-space quasi-Newton step.
+        max_iter = self.getOrDefault(self.maxIter)
+        tol = self.getOrDefault(self.tol)
+        n_starts = max(1, self.getOrDefault(self.multiStart))
+        factors = (1.0, 0.3, 2.0, 0.1, 5.0)[:n_starts]
+
+        log_space = bool(np.all(lower >= 0.0) and np.all(x0 > 0.0))
+        if log_space:
+            tiny = 1e-10
+            z_lo = np.log(np.maximum(lower, tiny))
+            z_hi = np.log(np.maximum(upper, tiny))
+
+            def run(zs: np.ndarray, iters: int) -> np.ndarray:
+                def zobj(z: np.ndarray) -> tuple[float, np.ndarray]:
+                    x = np.exp(z)
+                    f, g = objective(x)
+                    return f, g * x  # chain rule: d f / d log x = x * df/dx
+
+                return minimize_lbfgsb(zobj, zs, z_lo, z_hi, max_iter=iters, tol=tol)
+
+            def to_search(x: np.ndarray) -> np.ndarray:
+                return np.log(np.clip(x, tiny, None))
+
+            def from_search(z: np.ndarray) -> np.ndarray:
+                return np.clip(np.exp(z), lower, upper)
+
+        else:
+
+            def run(xs: np.ndarray, iters: int) -> np.ndarray:
+                return minimize_lbfgsb(objective, xs, lower, upper, max_iter=iters, tol=tol)
+
+            def to_search(x: np.ndarray) -> np.ndarray:
+                return x
+
+            def from_search(x: np.ndarray) -> np.ndarray:
+                return x
+
+        best_s, best_f = None, np.inf
+        explore_iter = max_iter if n_starts == 1 else min(25, max_iter)
+        for fac in factors:
+            xs = np.minimum(np.maximum(x0 * fac, np.maximum(lower, 1e-10 if log_space else lower)), upper)
+            s_opt = run(to_search(xs), explore_iter)
+            f_opt = objective(from_search(s_opt))[0]
+            if f_opt < best_f:
+                best_s, best_f = s_opt, f_opt
+        if explore_iter < max_iter:
+            best_s = run(best_s, max_iter)
+        return from_search(best_s)
 
     def _projected_process(
         self,

@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join and sessionization — operators Spark lacks
+natively, composed from built-in DataFrame ops (no UDFs).
+
+- ``asof_join``: for each left row, the most recent right row with
+  ``right.ts <= left.ts`` within the same key.  Implemented with the
+  union + last_value(ignore nulls) window trick: both sides are tagged and
+  interleaved in time order per key, so one shuffle on the key + one sort
+  within partitions produces the match — the same plan shape a native asof
+  join would pick.  DuckDB's native ``ASOF JOIN`` serves as the correctness
+  oracle.
+- ``sessionize``: classic gap-based session ids via lag + running sum over a
+  per-key window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left rows enriched with the latest preceding right row's payload.
+
+    Output: all left columns + ``payload_cols`` (null when no right row
+    precedes).  Ties (equal timestamps) match, like DuckDB ASOF (>=).
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("__ts"),
+            *[F.col(c) for c in payload_cols],
+        )
+        .withColumn("__side", F.lit(0))
+    )
+    # align schemas: left gets null payloads, right gets null left-columns
+    left_cols = [c for c in left.columns]
+    for c in payload_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    for c in left_cols:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    unioned = lt.select(*left_cols, *payload_cols, "__ts", "__side").unionByName(
+        rt.select(*left_cols, *payload_cols, "__ts", "__side")
+    )
+    # Right rows sort before left rows at equal ts so a tie is matchable.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *left_cols,
+        "__side",
+        *[F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c)
+          for c in payload_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the previous
+    event of the same key exceeds ``gap_minutes``.  One shuffle on key."""
+    w = Window.partitionBy(key).orderBy(F.col(ts))
+    gap = F.col(ts).cast("double") - F.lag(F.col(ts)).over(w).cast("double")
+    new_sess = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session aggregates over the sessionized stream."""
+    s = sessionize(events, key, ts, gap_minutes)
+    return (
+        s.groupBy(key, "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

@@ -49,18 +49,22 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3, seed: int = 7) -> Column:
     """Array of ``num_hashes`` MinHash values over word n-gram shingles.
 
-    Computed as one projection: shingles → portable 32-bit hash → affine
-    family → array_min per hash function.  No explode, no shuffle.
+    One ``aggregate`` pass over the shingle array: the md5-based base hash is
+    computed ONCE per shingle and all ``num_hashes`` running minima update via
+    ``zip_with``.  (The naive per-hash ``array_min(transform(base, ...))``
+    form re-evaluates the md5 chain num_hashes times — 16× slower, measured.)
+    No explode, no shuffle.
     """
     shingles = word_ngrams(text, shingle_n)
     base = F.transform(shingles, lambda s: h32(s))
     params = minhash_params(num_hashes, seed)
-    return F.array(
-        *[
-            F.array_min(F.transform(base, lambda h, _a=a, _b=b: affine_hash(h, _a, _b)))
-            for a, b in params
-        ]
-    )
+    init = F.array(*[F.lit(MERSENNE_P).cast("bigint") for _ in params])
+
+    def step(acc: Column, h: Column) -> Column:
+        affines = F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P) for a, b in params])
+        return F.zip_with(acc, affines, lambda x, y: F.least(x, y))
+
+    return F.aggregate(base, init, step)
 
 
 def minhash_signatures(
@@ -159,16 +163,30 @@ def simhash32(text: Column, seed: int = 7) -> Column:
     """
     a, b = minhash_params(1, seed)[0]
     th = F.transform(tokens(text), lambda t: affine_hash(h32(t), a, b))
-    out = F.lit(0).cast("bigint")
-    for i in range(32):
-        vote = F.aggregate(
-            th,
-            F.lit(0).cast("bigint"),
-            lambda acc, h, _i=i: acc
-            + F.when(F.shiftright(h, _i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+    init = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
+
+    def step(acc: Column, h: Column) -> Column:
+        # ±1 vote per bit, all 32 bits in one zip_with pass (the token hash —
+        # and its md5 — is evaluated once, not once per bit).
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("bigint")
+                for i in range(32)
+            ]
         )
-        out = out + F.when(vote > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
-    return out
+        return F.zip_with(acc, votes, lambda x, y: x + y)
+
+    def finish(acc: Column) -> Column:
+        out = F.lit(0).cast("bigint")
+        for i in range(32):
+            out = out + F.when(
+                F.element_at(acc, i + 1) > 0, F.lit(1 << i).cast("bigint")
+            ).otherwise(F.lit(0))
+        return out
+
+    return F.aggregate(th, init, step, finish)
 
 
 def simhash_pairs(

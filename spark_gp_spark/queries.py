@@ -1,0 +1,732 @@
+"""Query registry: every operator exposed as a (spark, sf_dir) -> DataFrame
+callable plus (where SQL-expressible) a DuckDB oracle that must hash-match.
+
+Design rules for oracle parity (the driver sorts columns by name and compares
+order-insensitive value hashes):
+- identical output column names on both sides (alias everything),
+- floats rounded explicitly (6 dp for per-row math, 4 dp for big sums) so
+  summation-order differences between engines vanish,
+- timestamps emitted as epoch microseconds (BIGINT) — engine-neutral,
+- counts / window ranks cast to BIGINT on both sides (DuckDB's sum(int) is
+  HUGEINT, Spark's is BIGINT — always cast),
+- every hash used by dedup operators is the portable md5-based family from
+  operators/hashing.py so DuckDB replays them bit-for-bit.
+
+GP estimator queries (fit/transform) are iterative ML, not SQL — they carry
+no oracle entry and get the driver's rows-only check (per the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as T
+from .operators import asof as A
+from .operators import multimodal as M
+from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_params
+from .sources.tables import load_table
+from .streaming.events import (
+    run_streaming_window_counts,
+    streaming_sessionization,
+    windowed_event_aggregation,
+)
+
+# --------------------------------------------------------------------------
+# relational / TPC-H-style queries (SURVEY gets these "for free" from Spark
+# SQL — §2.8; they anchor the scan/agg/join surface on the star schema)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 4)                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                     AS avg_price,
+       round(avg(l_discount), 6)                          AS avg_disc,
+       count(*)                                           AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem against broadcast dimension chain.  At scale
+    the only shuffle is lineitem⨝orders / orders⨝customer on their keys; the
+    nation/region dims are broadcast explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_REVENUE_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_PART_TYPE_SQL = """
+SELECT p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS total_qty,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (operators/text.py)
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
+_SQL_SW_EN = (
+    "len(list_filter({toks}, t -> list_contains("
+    "['the','a','and','of','to','in','is','for','on','with'], t)))"
+)
+
+
+def _sql_text_stats_cte() -> str:
+    """Shared CTE computing the text_stats relation in DuckDB."""
+    sw = {
+        lang: "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
+        + "], t)))"
+        for lang in T.STOPWORDS
+    }
+    lang_case = (
+        "CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh' "
+        "WHEN best = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in T.STOPWORDS)
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+), scored AS (
+  SELECT doc_id, text, toks,
+         length(text) AS n_chars,
+         len(toks)::BIGINT AS n_tokens,
+         list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+           / greatest(len(toks), 1) AS mwl,
+         length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha,
+         {sw['en']} AS s_en, {sw['de']} AS s_de, {sw['es']} AS s_es, {sw['fr']} AS s_fr
+  FROM tok
+), lang AS (
+  SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM scored
+), stats AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(mwl, 6) AS mean_word_len,
+         round(alpha, 6) AS alpha_ratio,
+         round(
+           (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 0.25 ELSE 0.0 END)
+           + alpha * 0.25
+           + least(s_en::DOUBLE / greatest(n_tokens, 1) * 2.5, 1.0) * 0.25, 6) AS quality,
+         {lang_case} AS lang_pred
+  FROM lang
+)
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.text_stats(docs)
+
+
+_TEXT_STATS_SQL = _sql_text_stats_cte() + "SELECT * FROM stats"
+
+
+def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        T.text_stats(docs)
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("quality"), 6).alias("avg_quality"))
+    )
+
+
+_LANG_DIST_SQL = (
+    _sql_text_stats_cte()
+    + "SELECT lang_pred, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality "
+    "FROM stats GROUP BY lang_pred"
+)
+
+
+# --------------------------------------------------------------------------
+# dedup family (operators/dedup.py) — portable-hash pipelines
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _sql_word_ngrams(n: int = 3) -> str:
+    """DuckDB rendering of text.word_ngrams: distinct word n-grams with the
+    same partial-gram tail semantics (concat_ws drops out-of-range nulls)."""
+    grams = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+        f"i -> concat_ws(' ', {grams})))"
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature, emitted as a comma-joined string so the
+    value-hash comparison is array-representation-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(",", F.col("signature").cast("array<string>")).alias("signature"),
+    )
+
+
+def _sql_minhash_sig(num_hashes: int = 16, seed: int = 7) -> str:
+    params = minhash_params(num_hashes, seed)
+    base = "list_transform(shingles, s -> " + h32_sql("s") + ")"
+    mins = ", ".join(
+        f"list_min(list_transform(base, h -> {affine_hash_sql('h', a, b)}))" for a, b in params
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_word_ngrams(3)} AS shingles FROM tok
+), based AS (
+  SELECT doc_id, shingles, {base} AS base FROM sh
+), sig AS (
+  SELECT doc_id, [{mins}] AS sig, shingles FROM based
+)
+"""
+
+
+_MINHASH_SIG_SQL = (
+    _sql_minhash_sig() + "SELECT doc_id, array_to_string(sig, ',') AS signature FROM sig"
+)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, threshold=0.5, max_band_size=None)
+
+
+def _sql_minhash_pairs(bands: int = 4, rows_per_band: int = 4, threshold: float = 0.5) -> str:
+    band_structs = ", ".join(
+        "("
+        + str(bi)
+        + ", concat_ws('_', "
+        + ", ".join(f"sig[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for bi in range(bands)
+    )
+    return (
+        _sql_minhash_sig()
+        + f""",
+banded AS (
+  SELECT doc_id, shingles, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {band_structs}) v(band, key)) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.shingles AS sh_a, r.shingles AS sh_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::DOUBLE
+             / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6) AS jaccard
+FROM cand
+WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
+            / greatest(len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)), 1), 6)
+      >= {threshold}
+"""
+    )
+
+
+_MINHASH_PAIRS_SQL = _sql_minhash_pairs()
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+
+
+def _sql_simhash(seed: int = 7) -> str:
+    a, b = minhash_params(1, seed)[0]
+    th = f"list_transform(toks, t -> {affine_hash_sql(h32_sql('t'), a, b)})"
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END))::BIGINT > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), hashed AS (
+  SELECT doc_id, {th} AS th FROM tok
+), sh AS (
+  SELECT doc_id, ({bits})::BIGINT AS simhash FROM hashed
+)
+"""
+
+
+_SIMHASH_SIG_SQL = _sql_simhash() + "SELECT doc_id, simhash FROM sh"
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, max_hamming=3)
+
+
+_SIMHASH_PAIRS_SQL = (
+    _sql_simhash()
+    + """,
+blocks AS (
+  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS val
+  FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS blk) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.val = r.val
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# similarity search (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = S.cosine_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_COSINE_TOPK_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, e.v) AS c
+  FROM q CROSS JOIN e WHERE e.vec_id <> query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, round(c, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked near-duplicate pairs: blocking turns the O(N²) cross
+    join into per-block joins — the standard scale pattern when a cheap
+    partition key exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("label").alias("blk"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(S.cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# time-series: as-of join, sessionization, windowed aggregation
+# --------------------------------------------------------------------------
+
+
+def asof_purchases_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the latest preceding 'view' of the same user —
+    the canonical point-in-time enrichment Spark lacks natively."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = A.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_event_id", "view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       round(l.value, 6) AS value,
+       r.event_id AS view_event_id, round(r.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = A.session_stats(ev, key="user_id", ts="ts", gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("total_value"),
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       round(sum(value), 6) AS total_value
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
+def event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_aggregation(ev, window="1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_WINDOW_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as event_window_agg but computed through a real Structured
+    Streaming query (readStream → watermark → stateful agg → memory sink), so
+    the streaming plan is exercised and checked against the batch oracle."""
+    out = run_streaming_window_counts(spark, sf_dir, window="1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows via Spark's native session_window stateful
+    operator, driven through readStream; oracle = batch lag/gap SQL."""
+    out = streaming_sessionization(spark, sf_dir, gap="30 minutes")
+    return out.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+_STREAM_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       user_id, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sessioned GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal binary columns
+# --------------------------------------------------------------------------
+
+
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.binary_stats(M.attach_binary(docs))
+
+
+_BINARY_STATS_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       'unknown' AS sniffed_type,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode path with the deterministic fake
+    featurizer (decode libs are stubbed per the brief); rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = M.decode_features(M.attach_binary(docs), dim=8, fake=True)
+    return feats.select(
+        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0"), F.size("features").alias("dim")
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaussian Process queries (the reference's core surface; iterative ML →
+# rows-only check, no SQL oracle)
+# --------------------------------------------------------------------------
+
+
+def gpr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GP regression learning the nonlinear revenue surface
+    ``price·(1−discount)·(1+tax)`` from (price, discount, tax) on a
+    deterministic 1k-row lineitem sample.  The label is centered before the
+    fit (the GP prior is zero-mean — GaussianProcessCommons.scala:118-126)
+    and the mean is added back on predict."""
+    from . import GaussianProcessRegression, RBFKernel, Scalar, white_noise_kernel
+    from .scaling import scale_features
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.array(F.col("l_extendedprice") / 1000.0, "l_discount", "l_tax").alias("features"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) / 1000.0
+            ).alias("label"),
+        )
+    )
+    df = scale_features(df, "features")
+    y_mean = df.agg(F.avg("label")).first()[0]
+    centered = df.withColumn("label", F.col("label") - F.lit(y_mean))
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(1.0, 1e-6, 100) + white_noise_kernel(0.5, 1e-3, 10))
+        .setDatasetSizeForExpert(100)
+        .setActiveSetSize(100)
+        .setActiveSetProvider("random")
+        .setSeed(42)
+        .setSigma2(1e-2)
+        .setMaxIter(30)
+    )
+    model = gp.fit(centered).setVarianceCol("variance")
+    out = model.transform(centered)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("label") + F.lit(y_mean), 6).alias("label"),
+        F.round(F.col("prediction") + F.lit(y_mean), 4).alias("prediction"),
+        F.round("variance", 4).alias("variance"),
+    )
+
+
+def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary GP classification of embedding vectors (labels {0,1} subset)."""
+    from . import GaussianProcessClassifier, RBFKernel, Scalar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.filter(F.col("label").isin(0, 1)).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    gp = (
+        GaussianProcessClassifier()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(5.0, 1e-6, 100))
+        .setDatasetSizeForExpert(50)
+        .setActiveSetSize(50)
+        .setActiveSetProvider("random")
+        .setSeed(42)
+        .setSigma2(1e-3)
+        .setMaxIter(20)
+    )
+    model = gp.fit(df)
+    out = model.transform(df)
+    return out.select(
+        "vec_id",
+        F.col("label"),
+        F.col("prediction"),
+        F.round(F.element_at("probability", 2), 4).alias("p1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "part_type_revenue": part_type_revenue,
+    "text_stats": text_stats,
+    "language_distribution": language_distribution,
+    "exact_dedup": exact_dedup,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_signatures": simhash_signatures,
+    "simhash_pairs": simhash_pairs,
+    "cosine_topk": cosine_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "asof_purchases_views": asof_purchases_views,
+    "session_stats": session_stats,
+    "event_window_agg": event_window_agg,
+    "streaming_window_counts": streaming_window_counts,
+    "streaming_sessions": streaming_sessions,
+    "multimodal_binary_stats": multimodal_binary_stats,
+    "multimodal_decode_features": multimodal_decode_features,
+    "gpr_lineitem": gpr_lineitem,
+    "gpc_embeddings": gpc_embeddings,
+}
+
+ORACLE_SQL = {
+    "q1_pricing_summary": _Q1_SQL,
+    "revenue_by_nation": _REVENUE_SQL,
+    "part_type_revenue": _PART_TYPE_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+    "language_distribution": _LANG_DIST_SQL,
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "minhash_signatures": _MINHASH_SIG_SQL,
+    "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+    "simhash_signatures": _SIMHASH_SIG_SQL,
+    "simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "cosine_topk": _COSINE_TOPK_SQL,
+    "embedding_neardup_pairs": _NEARDUP_SQL,
+    "asof_purchases_views": _ASOF_SQL,
+    "session_stats": _SESSION_SQL,
+    "event_window_agg": _WINDOW_SQL,
+    "streaming_window_counts": _WINDOW_SQL,
+    "streaming_sessions": _STREAM_SESSION_SQL,
+    "multimodal_binary_stats": _BINARY_STATS_SQL,
+    # gpr_lineitem / gpc_embeddings / multimodal_decode_features: iterative ML
+    # or Python-RNG featurization — not SQL-expressible, rows-only check.
+}

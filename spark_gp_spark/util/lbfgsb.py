@@ -1,14 +1,17 @@
 """Box-constrained L-BFGS for the driver-side hyperparameter search.
 
 The reference uses breeze's LBFGSB (GaussianProcessCommons.scala:82-91).  The
-container ships no scipy, so this is a self-contained implementation:
+container ships no scipy, so this is a self-contained projected-L-BFGS:
 
-- two-loop-recursion L-BFGS direction (Nocedal & Wright ch. 7),
-- strong-Wolfe line search with bracketing + zoom (N&W alg. 3.5/3.6) while the
-  step stays interior — the curvature condition keeps the (s, y) pairs
-  positive-definite,
-- when the line hits the box, the step is capped at the boundary and accepted
-  under Armijo with projection; pairs with non-positive curvature are skipped.
+- active-set masking: variables pinned at a bound with the gradient pushing
+  outward are frozen for the iteration; the two-loop recursion runs on the
+  free subspace (Nocedal & Wright ch. 7 + gradient-projection, ch. 18.6),
+- projected-arc Armijo backtracking line search, Barzilai-Borwein initial
+  step when curvature history exists,
+- degenerate steps (the projected step barely moves while the projected
+  gradient is still large — the classic failure right after a step is
+  truncated by the box) reset the curvature history and retry with steepest
+  descent instead of being mistaken for convergence.
 
 Dimensions here are tiny (a handful of kernel hyperparameters) but each
 objective evaluation is a Spark job, so the memoized caller keeps evaluation
@@ -26,53 +29,30 @@ def _project(x: np.ndarray, lower: np.ndarray, upper: np.ndarray) -> np.ndarray:
     return np.minimum(np.maximum(x, lower), upper)
 
 
-def _max_feasible_step(x, d, lower, upper) -> float:
-    """Largest alpha with x + alpha*d inside the box."""
-    with np.errstate(divide="ignore", invalid="ignore"):
-        steps = np.where(d > 0, (upper - x) / d, np.where(d < 0, (lower - x) / d, np.inf))
-    return float(np.min(steps)) if len(steps) else np.inf
+def _free_mask(x, g, lower, upper, eps=1e-12) -> np.ndarray:
+    """False for variables pinned at a bound with the gradient pointing
+    further outside the box."""
+    at_lo = (x <= lower + eps) & (g > 0)
+    at_hi = (x >= upper - eps) & (g < 0)
+    return ~(at_lo | at_hi)
 
 
-def _wolfe_zoom(fun, x, f0, g0, d, alpha_max, c1=1e-4, c2=0.9, max_evals=25):
-    """Strong-Wolfe line search along x + alpha*d (interior).  Returns
-    (alpha, f, g) or None on failure."""
-    dphi0 = float(g0 @ d)
-    phi = lambda a: fun(x + a * d)
-
-    def zoom(alo, ahi, flo, glo_d):
-        for _ in range(max_evals):
-            a = 0.5 * (alo + ahi)
-            f, g = phi(a)
-            if (not np.isfinite(f)) or f > f0 + c1 * a * dphi0 or f >= flo:
-                ahi = a
-            else:
-                dphi = float(g @ d)
-                if abs(dphi) <= -c2 * dphi0:
-                    return a, f, g
-                if dphi * (ahi - alo) >= 0:
-                    ahi = alo
-                alo, flo, glo_d = a, f, dphi
-            if abs(ahi - alo) < 1e-14:
-                break
-        f, g = phi(alo)
-        return (alo, f, g) if np.isfinite(f) and f < f0 else None
-
-    a_prev, f_prev = 0.0, f0
-    a = min(1.0, alpha_max)
-    for _ in range(max_evals):
-        f, g = phi(a)
-        if (not np.isfinite(f)) or f > f0 + c1 * a * dphi0 or (a_prev > 0 and f >= f_prev):
-            return zoom(a_prev, a, f_prev, dphi0)
-        dphi = float(g @ d)
-        if abs(dphi) <= -c2 * dphi0:
-            return a, f, g
-        if dphi >= 0:
-            return zoom(a, a_prev, f, dphi)
-        a_prev, f_prev = a, f
-        a = min(2.0 * a, alpha_max)
-        if a_prev >= alpha_max * (1 - 1e-12):
-            return a_prev, f_prev, g
-    return None
+def _two_loop(g_masked: np.ndarray, s_hist, y_hist) -> np.ndarray:
+    """d = -H·g via two-loop recursion over the stored curvature pairs."""
+    q = g_masked.copy()
+    alphas = []
+    for s, y in zip(reversed(s_hist), reversed(y_hist)):
+        rho = 1.0 / float(y @ s)
+        a = rho * float(s @ q)
+        alphas.append((a, rho, s, y))
+        q -= a * y
+    if y_hist:
+        s_last, y_last = s_hist[-1], y_hist[-1]
+        q *= float(s_last @ y_last) / float(y_last @ y_last)
+    for a, rho, s, y in reversed(alphas):
+        b = rho * float(y @ q)
+        q += (a - b) * s
+    return -q
 
 
 def minimize_lbfgsb(
@@ -83,6 +63,7 @@ def minimize_lbfgsb(
     max_iter: int = 100,
     tol: float = 1e-6,
     memory: int = 10,
+    max_ls: int = 30,
 ) -> np.ndarray:
     """Minimize ``fun`` (returning (value, gradient)) subject to
     ``lower <= x <= upper``.  Returns the best x found."""
@@ -93,58 +74,75 @@ def minimize_lbfgsb(
     s_hist: list[np.ndarray] = []
     y_hist: list[np.ndarray] = []
     best_x, best_f = x.copy(), f
+    degenerate_streak = 0
 
     for _ in range(max_iter):
         pg = x - _project(x - g, lower, upper)
-        if np.max(np.abs(pg)) < tol:
+        pg_norm = float(np.max(np.abs(pg))) if len(pg) else 0.0
+        if pg_norm < tol:
             break
 
-        # Two-loop recursion for d = -H g.
-        q = g.copy()
-        alphas = []
-        for s, y in zip(reversed(s_hist), reversed(y_hist)):
-            rho = 1.0 / float(y @ s)
-            a = rho * float(s @ q)
-            alphas.append((a, rho, s, y))
-            q -= a * y
-        if y_hist:
-            s_last, y_last = s_hist[-1], y_hist[-1]
-            q *= float(s_last @ y_last) / float(y_last @ y_last)
-        for a, rho, s, y in reversed(alphas):
-            b = rho * float(y @ q)
-            q += (a - b) * s
-        d = -q
-        if float(d @ g) >= 0.0:  # not a descent direction; reset
-            d = -g
+        free = _free_mask(x, g, lower, upper)
+        gm = np.where(free, g, 0.0)
+        d = _two_loop(gm, s_hist, y_hist)
+        d[~free] = 0.0
+        if float(d @ g) >= 0.0 or not np.any(d):
+            # Not a descent direction in the free subspace — steepest descent.
             s_hist.clear()
             y_hist.clear()
+            d = -gm
 
-        alpha_max = _max_feasible_step(x, d, lower, upper)
-        result = None
-        if alpha_max > 1e-14:
-            result = _wolfe_zoom(fun, x, f, g, d, alpha_max)
-        if result is not None:
-            alpha, f_new, g_new = result
-            x_new = x + alpha * d
+        # Initial trial step: unit for quasi-Newton directions; for steepest
+        # descent use a BB-like / inverse-gradient scale so a huge gradient
+        # does not launch the iterate into the stratosphere.
+        if s_hist:
+            step = 1.0
         else:
-            # Projected-arc Armijo fallback (boundary or pathological line).
-            step = min(1.0, alpha_max) if np.isfinite(alpha_max) and alpha_max > 0 else 1.0
-            x_new = f_new = g_new = None
-            for _ls in range(30):
-                cand = _project(x + step * d, lower, upper)
-                dx = cand - x
-                if np.max(np.abs(dx)) == 0.0:
-                    break
-                fc, gc = fun(cand)
-                if np.isfinite(fc) and fc <= f + 1e-4 * float(g @ dx):
-                    x_new, f_new, g_new = cand, fc, gc
-                    break
-                step *= 0.5
-            if x_new is None:
+            gmax = float(np.max(np.abs(d)))
+            step = min(1.0, 1.0 / gmax) if gmax > 0 else 1.0
+
+        # Projected-arc Armijo backtracking with one expansion attempt.
+        x_new = f_new = g_new = None
+        c1 = 1e-4
+        for _ls in range(max_ls):
+            cand = _project(x + step * d, lower, upper)
+            dx = cand - x
+            if float(np.max(np.abs(dx))) == 0.0:
                 break
+            fc, gc = fun(cand)
+            if np.isfinite(fc) and fc <= f + c1 * float(g @ dx):
+                x_new, f_new, g_new = cand, fc, gc
+                # Greedy expansion: while the doubled step still satisfies
+                # Armijo and keeps descending, take it (cheap way to cover
+                # the many-orders-of-magnitude amplitude search the airfoil
+                # fit needs without a full Wolfe bracket).
+                while True:
+                    step2 = step * 2.0
+                    cand2 = _project(x + step2 * d, lower, upper)
+                    dx2 = cand2 - x
+                    if float(np.max(np.abs(dx2 - dx))) == 0.0:
+                        break
+                    fc2, gc2 = fun(cand2)
+                    if np.isfinite(fc2) and fc2 < f_new + c1 * float(g @ (dx2 - dx)):
+                        step, dx, x_new, f_new, g_new = step2, dx2, cand2, fc2, gc2
+                    else:
+                        break
+                break
+            step *= 0.5
+        if x_new is None:
+            # Could not move at all along d.
+            if s_hist:
+                s_hist.clear()
+                y_hist.clear()
+                continue
+            break
 
         s_vec = x_new - x
         y_vec = g_new - g
+        moved = float(np.max(np.abs(s_vec)))
+        new_pg = x_new - _project(x_new - g_new, lower, upper)
+        new_pg_norm = float(np.max(np.abs(new_pg))) if len(new_pg) else 0.0
+
         if float(s_vec @ y_vec) > 1e-10 * float(
             np.linalg.norm(s_vec) * np.linalg.norm(y_vec) + 1e-30
         ):
@@ -155,11 +153,22 @@ def minimize_lbfgsb(
                 y_hist.pop(0)
 
         f_delta = abs(f_new - f)
-        x = _project(x_new, lower, upper)
-        f, g = f_new, g_new
+        x, f, g = _project(x_new, lower, upper), f_new, g_new
         if f < best_f:
             best_x, best_f = x.copy(), f
-        if f_delta < tol * max(1.0, abs(f)) and np.max(np.abs(s_vec)) < tol:
+
+        tiny_step = moved < tol and f_delta < tol * max(1.0, abs(f))
+        if tiny_step and new_pg_norm >= tol:
+            # Degenerate: barely moved but far from stationary — the history
+            # is poisoned (e.g. by a bound-truncated pair); reset and retry.
+            s_hist.clear()
+            y_hist.clear()
+            degenerate_streak += 1
+            if degenerate_streak >= 3:
+                break
+            continue
+        degenerate_streak = 0
+        if tiny_step:
             break
 
     return best_x
