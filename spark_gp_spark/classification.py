@@ -127,14 +127,19 @@ class GaussianProcessClassificationModel(GaussianProcessModelBase, _GPCOutputPar
                 }
             )
 
+        from pyspark.ml.functions import array_to_vector
+
         feats = features_as_array(dataset, self.getOrDefault(self.featuresCol))
         out = dataset.withColumn("__gp", predict_udf(feats))
         raw_col = self.getOrDefault(self.rawPredictionCol)
         prob_col = self.getOrDefault(self.probabilityCol)
         pred_col = self.getOrDefault(self.predictionCol)
+        # rawPrediction/probability as ML Vectors — the pyspark.ml
+        # probabilistic-classifier convention (GaussianProcessClassifier.scala:
+        # 141-156 emits DenseVector), required for OneVsRest/evaluator interop.
         out = (
-            out.withColumn(raw_col, F.col("__gp.raw"))
-            .withColumn(prob_col, F.col("__gp.prob"))
+            out.withColumn(raw_col, array_to_vector(F.col("__gp.raw")))
+            .withColumn(prob_col, array_to_vector(F.col("__gp.prob")))
             .withColumn(pred_col, F.col("__gp.pred"))
         )
         return out.drop("__gp")
@@ -187,7 +192,9 @@ class OneVsRestGPModel(Model):
             col = f"__ovr_raw_{i}"
             m = model.copy()
             m._set(rawPredictionCol=col, probabilityCol=f"__ovr_p_{i}", predictionCol=f"__ovr_pred_{i}")
-            out = m.transform(out).withColumn(col, F.col(col)[1])
+            from pyspark.ml.functions import vector_to_array
+
+            out = m.transform(out).withColumn(col, vector_to_array(F.col(col))[1])
             out = out.drop(f"__ovr_p_{i}", f"__ovr_pred_{i}")
             score_cols.append(col)
         scores = F.array(*[F.col(c) for c in score_cols])

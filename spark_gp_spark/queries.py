@@ -652,6 +652,8 @@ def gpr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary GP classification of embedding vectors (labels {0,1} subset)."""
+    from pyspark.ml.functions import vector_to_array
+
     from . import GaussianProcessClassifier, RBFKernel, Scalar
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -676,7 +678,7 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("label"),
         F.col("prediction"),
-        F.round(F.element_at("probability", 2), 4).alias("p1"),
+        F.round(F.element_at(vector_to_array("probability"), 2), 4).alias("p1"),
     )
 
 

@@ -1,0 +1,50 @@
+"""End-to-end GPC acceptance: Iris OneVsRest 10-fold CV.
+
+Parity with the reference example (classification/examples/Iris.scala:10-33):
+GaussianProcessClassifier(datasetSizeForExpert=20, activeSetSize=30) wrapped
+in OneVsRest, 10-fold CV multiclass accuracy.  The reference prints the
+accuracy without asserting; we pin a floor of 0.90 (typical GP Iris accuracy
+is ~0.94+) so regressions are caught.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_gp_spark import GaussianProcessClassifier
+
+IRIS_CSV = "/root/reference/data/iris.csv"
+
+
+@pytest.mark.skipif(not os.path.exists(IRIS_CSV), reason="iris data not present")
+def test_iris_onevsrest_cv_accuracy(spark):
+    from pyspark.ml.classification import OneVsRest
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    name2idx = {"Iris-versicolor": 0.0, "Iris-setosa": 1.0, "Iris-virginica": 2.0}
+    mapping = F.create_map(*[F.lit(x) for kv in name2idx.items() for x in kv])
+    raw = spark.read.csv(IRIS_CSV)
+    df = raw.select(
+        F.array(*[F.col(f"_c{i}").cast("double") for i in range(4)]).alias("features"),
+        mapping[F.col("_c4")].alias("label"),
+    )
+
+    gp = (
+        GaussianProcessClassifier()
+        .setDatasetSizeForExpert(20)
+        .setActiveSetSize(30)
+        .setSeed(13)
+        .setMaxIter(20)
+    )
+    ovr = OneVsRest(classifier=gp)
+    cv = CrossValidator(
+        estimator=ovr,
+        evaluator=MulticlassClassificationEvaluator(metricName="accuracy"),
+        estimatorParamMaps=ParamGridBuilder().build(),
+        numFolds=10,
+        seed=13,
+    )
+    acc = cv.fit(df).avgMetrics[0]
+    assert acc > 0.90, f"OneVsRest CV accuracy {acc} <= 0.90"
