@@ -107,15 +107,20 @@ def minhash_lsh_pairs(
     at corpus scale; pass None to disable.
     """
     rows_per_band = num_hashes // bands
+    # The md5-chain signature + shingle set is the expensive part — persist it
+    # so the band-size guard and the two candidate-join sides read it once
+    # instead of recomputing it three times.
     sigs = df.select(
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
         word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
-    )
+    ).persist()
+    # The band self-join carries only (band, key, id) — the heavy shingle
+    # arrays are fetched by id AFTER candidate dedup, so they never ride
+    # through the band shuffle (at corpus scale the candidate set is orders
+    # of magnitude smaller than banded x banded).
     banded = sigs.select(
         "_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -129,26 +134,26 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_band_size is not None:
         sizes = banded.groupBy("band", "key").count().filter(F.col("count") <= max_band_size)
         banded = banded.join(sizes.select("band", "key"), ["band", "key"], "left_semi")
 
-    left = banded.select(
-        F.col("band"), F.col("key"), F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = banded.select(
-        F.col("band"), F.col("key"), F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
+    left = banded.select(F.col("band"), F.col("key"), F.col("_id").alias("id_a"))
+    right = banded.select(F.col("band"), F.col("key"), F.col("_id").alias("id_b"))
     candidates = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = sigs.select(F.col("_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sigs.select(F.col("_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
