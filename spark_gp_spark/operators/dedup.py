@@ -10,10 +10,12 @@ built-in column functions so the hot path is JVM-side and shuffle-minimal:
             key, equi-join for candidates, exact Jaccard verify.  At 100 TB
             the only shuffle is the band-key join; hot bands (boilerplate
             docs) should be capped/salted — see ``max_band_size``.
-- SimHash:  32-bit signature via per-bit majority vote of token hashes; the
-            candidate join uses the pigeonhole decomposition into 4 8-bit
+- SimHash:  64-bit signature via per-bit majority vote of token hashes; the
+            candidate join uses the pigeonhole decomposition into 4 16-bit
             blocks (hamming ≤ 3 ⇒ at least one block equal), so candidate
-            generation is 4 equi-joins instead of an O(N²) cross join.
+            generation is 4 equi-joins instead of an O(N²) cross join.  At
+            corpus scale the 16-bit blocks keep expected hash-collision
+            candidates ~N²/2¹⁶ per block — 256× fewer than 8-bit blocks.
 - n-gram Jaccard: exact verification primitive shared by the above.
 - embedding cosine: near-duplicate pairs above a cosine threshold; the
             brute-force form lives in similarity.py — here we expose the
@@ -28,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import MERSENNE_P, affine_hash, h32, minhash_params
+from .hashing import MERSENNE_P, h32, minhash_params
 from .text import tokens, word_ngrams
 
 
@@ -159,39 +161,61 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash32(text: Column, seed: int = 7) -> Column:
-    """32-bit SimHash of the token multiset, as a BIGINT column expression.
+#: Two's-complement weight of bit 63 — the sign bit of a signed 64-bit int.
+_BIT63 = -(1 << 63)
 
-    bit_i = sign of sum over tokens of (±1 by bit i of the token hash);
-    ties (sum == 0) resolve to 0.  One affine rehash decorrelates the base
-    hash across corpora sharing vocabulary.
+
+def simhash64(text: Column, seed: int = 7) -> Column:
+    """64-bit SimHash of the token multiset, as a (signed) BIGINT expression.
+
+    bit_i = sign of sum over tokens of (±1 by bit i of the token hash); ties
+    (sum == 0) resolve to 0.  The token hash takes the first 16 hex digits of
+    a seed-salted md5 as two full 32-bit halves, so all 64 bits carry signal
+    (a mod-(2³¹−1) reduction would structurally zero the top bit of each
+    half).  Bit 63 contributes −2⁶³, i.e. the signature is the two's-
+    complement signed value — portable because XOR/bit_count/shift-and-mask
+    agree between Spark and DuckDB on signed 64-bit integers.
     """
-    a, b = minhash_params(1, seed)[0]
-    th = F.transform(tokens(text), lambda t: affine_hash(h32(t), a, b))
-    init = F.array(*[F.lit(0).cast("bigint") for _ in range(32)])
+    salt = F.lit(f"sh{seed}_")
+    base = F.transform(
+        tokens(text),
+        lambda t: F.struct(
+            F.conv(F.substring(F.md5(F.concat(salt, t)), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("lo"),
+            F.conv(F.substring(F.md5(F.concat(salt, t)), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("hi"),
+        ),
+    )
+    init = F.array(*[F.lit(0).cast("bigint") for _ in range(64)])
 
     def step(acc: Column, h: Column) -> Column:
-        # ±1 vote per bit, all 32 bits in one zip_with pass (the token hash —
-        # and its md5 — is evaluated once, not once per bit).
+        # ±1 vote per bit, all 64 bits in one zip_with pass over the
+        # materialized (lo, hi) struct — md5 is computed in the transform
+        # above, not once per bit.
         votes = F.array(
             *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                F.when(
+                    F.shiftright(h["lo"] if i < 32 else h["hi"], i % 32).bitwiseAND(F.lit(1))
+                    == 1,
+                    F.lit(1),
+                )
                 .otherwise(F.lit(-1))
                 .cast("bigint")
-                for i in range(32)
+                for i in range(64)
             ]
         )
         return F.zip_with(acc, votes, lambda x, y: x + y)
 
     def finish(acc: Column) -> Column:
         out = F.lit(0).cast("bigint")
-        for i in range(32):
-            out = out + F.when(
-                F.element_at(acc, i + 1) > 0, F.lit(1 << i).cast("bigint")
-            ).otherwise(F.lit(0))
+        for i in range(64):
+            weight = F.lit(_BIT63 if i == 63 else 1 << i).cast("bigint")
+            out = out + F.when(F.element_at(acc, i + 1) > 0, weight).otherwise(F.lit(0))
         return out
 
-    return F.aggregate(th, init, step, finish)
+    return F.aggregate(base, init, step, finish)
 
 
 def simhash_pairs(
@@ -203,11 +227,13 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming (default 3).
 
-    Candidates via the 4×8-bit block pigeonhole: distance ≤ 3 implies at
+    Candidates via the 4×16-bit block pigeonhole: distance ≤ 3 implies at
     least one of the 4 blocks is identical, so candidate generation is an
-    equi-join on (block_index, block_value) instead of a cross join.
+    equi-join on (block_index, block_value) instead of a cross join.  The
+    arithmetic shift + mask extracts the same bit pattern for negative
+    (bit-63-set) signatures in both Spark and the DuckDB oracle.
     """
-    sh = df.select(F.col(id_col).alias("_id"), simhash32(F.col(text_col), seed).alias("sh"))
+    sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col), seed).alias("sh"))
     blocks = sh.select(
         "_id",
         "sh",
@@ -216,7 +242,7 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("blk"),
-                        F.shiftright(F.col("sh"), bi * 8).bitwiseAND(F.lit(255)).alias("val"),
+                        F.shiftright(F.col("sh"), bi * 16).bitwiseAND(F.lit(65535)).alias("val"),
                     )
                     for bi in range(4)
                 ]

@@ -315,22 +315,30 @@ _MINHASH_PAIRS_SQL = _sql_minhash_pairs()
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
 
 
 def _sql_simhash(seed: int = 7) -> str:
-    a, b = minhash_params(1, seed)[0]
-    th = f"list_transform(toks, t -> {affine_hash_sql(h32_sql('t'), a, b)})"
-    bits = " + ".join(
-        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {i}) & 1 = 1 "
-        f"THEN 1 ELSE -1 END))::BIGINT > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
-        for i in range(32)
-    )
+    """DuckDB replay of dedup.simhash64: seed-salted md5, first 16 hex digits
+    as two 32-bit halves, per-bit majority vote, bit 63 weighted −2⁶³ (the
+    two's-complement signed BIGINT value, identical to Spark's)."""
+    lo = f"list_transform(toks, t -> (('0x' || substring(md5('sh{seed}_' || t), 1, 8))::UBIGINT)::BIGINT)"
+    hi = f"list_transform(toks, t -> (('0x' || substring(md5('sh{seed}_' || t), 9, 8))::UBIGINT)::BIGINT)"
+
+    def bit_term(i: int) -> str:
+        src, shift = ("lo", i) if i < 32 else ("hi", i - 32)
+        weight = "(-9223372036854775807 - 1)" if i == 63 else f"{1 << i}"
+        return (
+            f"(CASE WHEN list_sum(list_transform({src}, h -> CASE WHEN (h >> {shift}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END))::BIGINT > 0 THEN {weight}::BIGINT ELSE 0::BIGINT END)"
+        )
+
+    bits = " + ".join(bit_term(i) for i in range(64))
     return f"""
 WITH tok AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
 ), hashed AS (
-  SELECT doc_id, {th} AS th FROM tok
+  SELECT doc_id, {lo} AS lo, {hi} AS hi FROM tok
 ), sh AS (
   SELECT doc_id, ({bits})::BIGINT AS simhash FROM hashed
 )
@@ -349,7 +357,7 @@ _SIMHASH_PAIRS_SQL = (
     _sql_simhash()
     + """,
 blocks AS (
-  SELECT doc_id, simhash, blk, (simhash >> (blk * 8)) & 255 AS val
+  SELECT doc_id, simhash, blk, (simhash >> (blk * 16)) & 65535 AS val
   FROM sh, LATERAL (SELECT unnest(range(0, 4)) AS blk) b
 ), cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
