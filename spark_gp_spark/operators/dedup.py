@@ -280,20 +280,34 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.45,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ threshold.
 
-    Brute-force form (exact): O(N²/2) — fine up to ~10^5 rows per executor
-    batch; above that switch to similarity.lsh_bucketed_candidates for
-    candidate pruning.
+    Default (scale path): sign-LSH candidate generation — an equi-join on
+    (table, bucket) over ``tables`` independent hyperplane tables
+    (similarity.lsh_candidate_pairs) — followed by exact cosine verification
+    on the candidates only.  Recall at production near-dup thresholds
+    (cosine ≥ 0.9) is ≈ 1 − (1 − p^bits)^tables with p = 1 − θ/π ≈ 0.98 for
+    the defaults; tests/test_similarity.py measures it against brute force.
+
+    ``exact=True`` switches to the O(N²/2) brute-force pair join — complete
+    but quadratic, only for corpora that fit a single executor's batch.
     """
-    from .similarity import cosine
+    from .similarity import cosine, lsh_candidate_pairs
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        cand = lsh_candidate_pairs(df, vec_col, id_col, bits=bits, tables=tables, seed=seed)
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

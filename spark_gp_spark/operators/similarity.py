@@ -77,6 +77,11 @@ def random_hyperplanes(dim: int, bits: int, seed: int = 11) -> np.ndarray:
     return np.round(rng.normal(size=(bits, dim)), 6)
 
 
+def hyperplane_tables(dim: int, bits: int, tables: int, seed: int = 11) -> list[np.ndarray]:
+    """One independent hyperplane set per LSH table (seeds seed, seed+1, …)."""
+    return [random_hyperplanes(dim, bits, seed + t) for t in range(tables)]
+
+
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Bucket id = integer of sign bits of ⟨vec, plane_i⟩."""
     out = F.lit(0).cast("bigint")
@@ -88,33 +93,104 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def lsh_table_buckets(vec: Column, planes_by_table: list[np.ndarray]) -> Column:
+    """Array of (table, bucket) structs — one per LSH table.  Pure projection;
+    exploding it costs ``tables`` rows per input row, each carrying only the
+    id, never the vector."""
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec, planes).alias("bucket"))
+            for t, planes in enumerate(planes_by_table)
+        ]
+    )
+
+
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    return len(df.select(vec_col).first()[0])
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Candidate id pairs (id_a < id_b) colliding in ≥1 of ``tables`` sign-LSH
+    tables — the scale path for near-duplicate detection.
+
+    The self-join key is (table, bucket): an equi-join, never a cross join.
+    Only (id, table, bucket) rides the shuffle; vectors are re-joined by id
+    AFTER candidate dedup (same discipline as the MinHash band join —
+    operators/dedup.py).  Collision probability per table is
+    (1 − θ/π)^bits, so recall at cosine ≥ 0.9 with the defaults (6 bits ×
+    8 tables) is ≈ 0.98; low-similarity pairs are pruned, which is the point.
+    """
+    dim = _vector_dim(df, vec_col)
+    planes_by_table = hyperplane_tables(dim, bits, tables, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            lsh_table_buckets(F.col(vec_col).cast("array<double>"), planes_by_table)
+        ).alias("tb"),
+    ).select("_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    left = bucketed.select("tbl", "bucket", F.col("_id").alias("id_a"))
+    right = bucketed.select("tbl", "bucket", F.col("_id").alias("id_b"))
+    return (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     bits: int = 8,
+    tables: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
 ) -> DataFrame:
-    """Approximate top-k: rank only within the query's LSH bucket.
+    """Approximate top-k: rank only within the query's LSH buckets, unioned
+    over ``tables`` independent hyperplane tables.
 
-    One shuffle on the bucket id; corpus is scanned once.  Recall depends on
-    bits (2^bits buckets); callers needing recall guarantees should union
-    several tables with different seeds.
+    One shuffle on (table, bucket); the corpus is scanned once and emits
+    ``tables`` thin (id, table, bucket) rows per vector.  Recall rises with
+    more tables and falls with more bits (finer buckets); candidates per
+    query ≈ tables · N / 2^bits, which is the knob that keeps this sub-scan
+    at corpus scale.  Window ranking runs per query over candidates only.
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    planes = random_hyperplanes(dim, bits, seed)
+    dim = _vector_dim(corpus, vec_col)
+    planes_by_table = hyperplane_tables(dim, bits, tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
+    )
+    cb = c.select(
+        "neighbor_id",
+        F.explode(lsh_table_buckets(F.col("cv"), planes_by_table)).alias("tb"),
+    ).select("neighbor_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
+    )
+    qb = q.select(
+        "query_id",
+        F.explode(lsh_table_buckets(F.col("qv"), planes_by_table)).alias("tb"),
+    ).select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    # Candidate ids first (thin shuffle), vectors re-joined after dedup.
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

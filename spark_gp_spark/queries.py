@@ -377,8 +377,11 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force baseline over a FIXED-SIZE query set (20 queries
+    regardless of corpus size), so the broadcast side and the scored set stay
+    O(N) at any scale factor."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    queries = emb.filter(F.col("vec_id") < 20)
     out = S.cosine_topk(emb, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -387,7 +390,7 @@ _COSINE_TOPK_SQL = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 25 = 0
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
 ), scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(qv, e.v) AS c
@@ -401,38 +404,89 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 """
 
 
+_EMB_DIM = 64  # embeddings.parquet vector width (FIXTURES.md)
+
+
+def _sql_lsh_dot(plane) -> str:
+    """Unrolled ⟨v, plane⟩ with the same left-to-right association as the
+    Spark-side ``aggregate(zip_with(...))``, so the double-precision sum —
+    and therefore the sign — is bit-identical across engines."""
+    return "(0.0" + "".join(f" + v[{j + 1}]*({v!r})" for j, v in enumerate(plane)) + ")"
+
+
+def _sql_lsh_buckets(bits: int, tables: int, seed: int, src: str = "e") -> str:
+    """UNION ALL of per-table (vec_id, tbl, bucket) selects replaying
+    similarity.hyperplane_tables/lsh_bucket in DuckDB."""
+    plane_tables = S.hyperplane_tables(_EMB_DIM, bits, tables, seed)
+    selects = []
+    for t, planes in enumerate(plane_tables):
+        bucket = " + ".join(
+            f"(CASE WHEN {_sql_lsh_dot(plane)} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
+            for i, plane in enumerate(planes)
+        )
+        selects.append(f"SELECT vec_id, {t} AS tbl, ({bucket}) AS bucket FROM {src}")
+    return "\n    UNION ALL ".join(selects)
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-blocked near-duplicate pairs: blocking turns the O(N²) cross
-    join into per-block joins — the standard scale pattern when a cheap
-    partition key exists."""
+    """Near-duplicate pairs via sign-LSH candidates + exact cosine verify —
+    the 100 TB shape: the only joins are (table, bucket) equi-joins and id
+    lookups; no cross join anywhere.  The oracle replays the hyperplane
+    bucketing verbatim, so both engines prune identically."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label").alias("blk"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    )
-    b = emb.select(
-        F.col("label").alias("blk"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(S.cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", "cosine")
-    )
+    return D.embedding_neardup_pairs(emb, threshold=0.45, bits=6, tables=8, seed=11)
 
 
-_NEARDUP_SQL = """
+_NEARDUP_SQL = f"""
 WITH e AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  {_sql_lsh_buckets(bits=6, tables=8, seed=11)}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+SELECT id_a, id_b, round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
+FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e bb ON cand.id_b = bb.vec_id
+WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.45
+"""
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbours via multi-table sign-LSH buckets
+    (similarity.lsh_bucketed_topk) — the scale path whose candidates per
+    query are ~tables·N/2^bits instead of N.  Oracle replays the buckets;
+    tests/test_similarity.py measures recall against the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = S.lsh_bucketed_topk(emb, queries, k=5, bits=8, tables=4, seed=11)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_LSH_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, v FROM e WHERE vec_id < 20
+), cb AS (
+  {_sql_lsh_buckets(bits=8, tables=4, seed=11, src="e")}
+), qb AS (
+  {_sql_lsh_buckets(bits=8, tables=4, seed=11, src="q")}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id <> cb.vec_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+  FROM cand JOIN e qv ON cand.query_id = qv.vec_id
+            JOIN e cv ON cand.neighbor_id = cv.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
 """
 
 
@@ -706,6 +760,7 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,
     "simhash_pairs": simhash_pairs,
     "cosine_topk": cosine_topk,
+    "lsh_topk": lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
     "session_stats": session_stats,
@@ -730,6 +785,7 @@ ORACLE_SQL = {
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
+    "lsh_topk": _LSH_TOPK_SQL,
     "embedding_neardup_pairs": _NEARDUP_SQL,
     "asof_purchases_views": _ASOF_SQL,
     "session_stats": _SESSION_SQL,

@@ -1,0 +1,85 @@
+"""Recall and correctness tests for the sign-LSH similarity/near-dup path.
+
+The test corpus plants true near-duplicates (cosine ≈ 0.995) among random
+vectors — the distribution the LSH parameters are designed for (the synthetic
+``embeddings`` test table is pure noise with max pair cosine ≈ 0.51, where no
+sub-quadratic method can have high recall; planted duplicates measure what
+matters at corpus scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_gp_spark.operators.dedup import embedding_neardup_pairs
+from spark_gp_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
+
+DIM = 32
+N_BASE = 150
+N_DUP = 20
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """(df, truth) — base vectors + planted near-dups; truth = set of planted
+    (base_id, dup_id) pairs, every one at cosine ≥ 0.98."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(N_BASE, DIM))
+    dups = base[:N_DUP] + 0.03 * rng.normal(size=(N_DUP, DIM))
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    truth = {(i, N_BASE + i) for i in range(N_DUP)}
+    cos = np.array(
+        [
+            float(base[i] @ dups[i] / (np.linalg.norm(base[i]) * np.linalg.norm(dups[i])))
+            for i in range(N_DUP)
+        ]
+    )
+    assert cos.min() > 0.98  # the plant is a genuine near-dup set
+    return df, truth
+
+
+def test_lsh_neardup_recall_vs_exact(spark, planted):
+    """LSH-candidate near-dup must recover ≥90% of true high-cosine pairs
+    AND agree with brute force on every pair it does emit."""
+    df, truth = planted
+    approx = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(df, threshold=0.9, exact=True).collect()
+    }
+    assert truth <= set(exact)  # sanity: brute force sees every planted pair
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"near-dup recall {recall:.2f} < 0.9"
+    for pair, c in approx.items():
+        assert c == exact[pair]  # verification is exact on candidates
+
+
+def test_lsh_topk_recall_vs_exact(spark, planted):
+    """Top-1 neighbour of each planted dup is its base vector; the bucketed
+    top-k must find it ≥90% of the time."""
+    df, truth = planted
+    queries = df.filter(f"vec_id >= {N_BASE}")
+    approx = lsh_bucketed_topk(df, queries, k=5, bits=6, tables=6).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    hits = sum(1 for b, d in truth if top1.get(d) == b)
+    assert hits / len(truth) >= 0.9, f"top-1 recall {hits}/{len(truth)}"
+
+
+def test_lsh_topk_matches_exact_on_candidates(spark, planted):
+    """Where the LSH top-k returns a neighbour, its cosine must equal the
+    exact computation (verification is never approximate)."""
+    df, _ = planted
+    queries = df.filter("vec_id < 10")
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(df, queries, k=N_BASE + N_DUP).collect()
+    }
+    ap = lsh_bucketed_topk(df, queries, k=5, bits=6, tables=6).collect()
+    for r in ap:
+        assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
