@@ -56,13 +56,22 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Carry the matched right row as ONE struct (non-null for every right row
+    # even when its payload fields are null), then project the fields.  A
+    # per-column last(ignorenulls) would skip a matched row's NULL payload and
+    # substitute an older row's value — diverging from true as-of semantics
+    # (DuckDB ASOF returns the matched row's NULL).
+    payload_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload_cols])
+    )
     filled = unioned.select(
         *left_cols,
         "__side",
-        *[F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w).alias(c)
-          for c in payload_cols],
+        F.last(payload_struct, ignorenulls=True).over(w).alias("__match"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload_cols]
+    )
 
 
 def sessionize(

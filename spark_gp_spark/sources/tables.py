@@ -8,6 +8,8 @@ headerless string-typed reads with manual casts
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -15,22 +17,29 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+#: Dimension tables are broadcast-joined by every consumer — widening them
+#: would add a shuffle that AQE then has to undo.
+_DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _widen(spark, load_events(spark, sf_dir))
-    return _widen(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    df = load_events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
+    return _widen(spark, df, name, path)
 
 
-def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Single-rowgroup parquet files scan as ONE partition, serializing every
-    downstream operator.  When the scan is narrower than the cluster, insert
-    one cheap round-robin exchange so per-row work parallelizes.  On real
-    multi-file/multi-rowgroup tables (the 100 TB case) the scan is already
-    wide and this is a no-op."""
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(parallelism, 8):
-        return df.repartition(parallelism)
+def _widen(spark: SparkSession, df: DataFrame, name: str, path: str) -> DataFrame:
+    """Single-file single-rowgroup parquet scans as ONE partition, serializing
+    every downstream operator.  For fact tables read from such a file (the
+    local test corpus), insert one cheap round-robin exchange so per-row work
+    parallelizes.  Real production tables are directories of many files — the
+    scan is already wide and this is a no-op.  Decided from the filesystem
+    layout, not ``df.rdd`` (which would build a Python RDD conversion on
+    every load)."""
+    if name in _DIM_TABLES:
+        return df
+    if os.path.isfile(path):
+        return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
@@ -38,8 +47,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     Spark's vectorized reader rejects.  Read them as raw nanos
     (``nanosAsLong``) and truncate to microsecond timestamps — the same
-    truncation DuckDB applies on read, so oracle comparisons stay exact."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    truncation DuckDB applies on read, so oracle comparisons stay exact.
+
+    ``nanosAsLong`` is a session SQLConf (Spark exposes no per-reader
+    option for it); it is set once and only when missing, rather than
+    mutated on every load."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
