@@ -10,10 +10,22 @@ regression/examples/GPExample.scala:17-27).
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 from pyspark.ml import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import (
+    DefaultParamsReader,
+    DefaultParamsWriter,
+    MLReadable,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
 from pyspark.ml.param.shared import (
+    HasAggregationDepth,
     HasFeaturesCol,
     HasLabelCol,
     HasMaxIter,
@@ -29,11 +41,16 @@ from .experts import Experts, build_experts, normalize_points
 from .gp_math import expert_gram, ppa_solve
 from .kernel import EyeKernel, Kernel, RBFKernel, Scalar
 from .util.lbfgsb import minimize_lbfgsb
-from .util.memoize import memoize_by_x
 
 
 class GaussianProcessParams(
-    HasLabelCol, HasFeaturesCol, HasPredictionCol, HasMaxIter, HasTol, HasSeed
+    HasLabelCol,
+    HasFeaturesCol,
+    HasPredictionCol,
+    HasMaxIter,
+    HasTol,
+    HasSeed,
+    HasAggregationDepth,
 ):
     """Param surface of GaussianProcessParams.scala:11-54, plus the
     Spark-rebuild execution knobs (expertPartitioning, driverLocalRows)."""
@@ -155,6 +172,12 @@ class GaussianProcessParams(
     def setMultiStart(self, value: int):
         return self._set(multiStart=value)
 
+    def setAggregationDepth(self, value: int):
+        """Tree-reduction depth for distributed partial sums — the
+        reference reserves the same param (GaussianProcessParams.scala:9);
+        use ≥3 when activeSetSize ≥ ~1000 or partition counts are large."""
+        return self._set(aggregationDepth=value)
+
     def _effective_kernel_factory(self):
         """user kernel + sigma2.const * Eye — noise injection
         (GaussianProcessCommons.scala:18)."""
@@ -167,7 +190,92 @@ class GaussianProcessParams(
         return factory
 
 
-class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
+# ---------------------------------------------------------------------------
+# pyspark.ml-native persistence (SURVEY §2.1 "sinks"; the reference has no
+# save/load at all — rebuilding on pyspark.ml demands it so Pipeline.save /
+# CrossValidatorModel.save round-trip).  Params whose values are JSON-safe go
+# through DefaultParamsWriter metadata; the rest (the kernel factory — a
+# callable — and the fitted raw predictor) ride a cloudpickle payload parquet.
+# ---------------------------------------------------------------------------
+
+
+def _cloudpickle():
+    from pyspark import cloudpickle
+
+    return cloudpickle
+
+
+def _json_safe(value) -> bool:
+    try:
+        json.dumps(value)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+class _GPWriter(MLWriter):
+    def __init__(self, instance) -> None:
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        inst = self.instance
+        sc = self.sparkSession.sparkContext
+        json_params, pickled_params = {}, {}
+        for p, v in inst._paramMap.items():
+            (json_params if _json_safe(v) else pickled_params)[p.name] = v
+        # Non-JSON defaults (the kernel factory) are rebuilt by __init__ on
+        # load; hide them from saveMetadata's unconditional default dump.
+        hidden = {p: v for p, v in inst._defaultParamMap.items() if not _json_safe(v)}
+        for p in hidden:
+            del inst._defaultParamMap[p]
+        try:
+            DefaultParamsWriter.saveMetadata(inst, path, sc, paramMap=json_params)
+        finally:
+            inst._defaultParamMap.update(hidden)
+        payload = {
+            "params": pickled_params,
+            "raw_predictor": getattr(inst, "raw_predictor", None),
+        }
+        blob = _cloudpickle().dumps(payload)
+        self.sparkSession.createDataFrame(
+            [(bytearray(blob),)], "payload binary"
+        ).repartition(1).write.mode("overwrite").parquet(os.path.join(path, "payload"))
+
+
+class _GPReader(MLReader):
+    def __init__(self, cls) -> None:
+        super().__init__()
+        self._cls = cls
+
+    def load(self, path: str):
+        metadata = DefaultParamsReader.loadMetadata(path, self.sparkSession.sparkContext)
+        instance = self._cls()
+        instance._resetUid(metadata["uid"])
+        DefaultParamsReader.getAndSetParams(instance, metadata)
+        row = self.sparkSession.read.parquet(os.path.join(path, "payload")).first()
+        payload = _cloudpickle().loads(bytes(row["payload"]))
+        for name, value in payload["params"].items():
+            instance._set(**{name: value})
+        if payload.get("raw_predictor") is not None:
+            instance.raw_predictor = payload["raw_predictor"]
+        return instance
+
+
+class GPPersistence(MLWritable, MLReadable):
+    """Mixin giving estimators/models ``save``/``write`` and ``load``/``read``
+    compatible with pyspark.ml composition (CrossValidatorModel.save walks
+    sub-stages through exactly this interface)."""
+
+    def write(self) -> MLWriter:
+        return _GPWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _GPReader(cls)
+
+
+class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersistence):
     """Shared fit skeleton: normalize → pack experts → L-BFGS over the summed
     expert objective → active set → distributed Gram → PPA solve."""
 
@@ -182,6 +290,7 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
             self.getOrDefault(self.datasetSizeForExpert),
             self.getOrDefault(self.expertPartitioning),
             self.getOrDefault(self.driverLocalRows),
+            self.getOrDefault(self.aggregationDepth),
         )
         return points, experts
 
@@ -198,14 +307,40 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
         lower, upper = probe.hyperparameter_bounds()
         p = len(x0)
 
-        @memoize_by_x
-        def objective(x: np.ndarray) -> tuple[float, np.ndarray]:
-            def fn(y, X, _x=x, _factory=factory):
-                lik, grad = objective_fn(y, X, _factory(), _x)
-                return np.concatenate([[lik], grad])
+        # Memoized MULTI-point evaluator (supersedes util.memoize for this
+        # path — same contract, shared across single and batched calls): the
+        # line search submits its whole backtracking ladder as one list, so
+        # several candidate evaluations collapse into ONE distributed
+        # reduction — per-expert work for k candidates rides one job instead
+        # of k (each objective evaluation is a Spark job at scale,
+        # GaussianProcessCommons.scala:71-80 / DiffFunctionMemoized.scala:8).
+        cache: dict[bytes, tuple[float, np.ndarray]] = {}
 
-            flat = experts.sum_over_experts(fn, 1 + p)
-            return float(flat[0]), flat[1:]
+        def _eval_many(xs: list[np.ndarray]) -> list[tuple[float, np.ndarray]]:
+            xs = [np.asarray(x, dtype=np.float64) for x in xs]
+            misses: list[np.ndarray] = []
+            seen: set[bytes] = set()
+            for x in xs:
+                key = x.tobytes()
+                if key not in cache and key not in seen:
+                    misses.append(x)
+                    seen.add(key)
+            if misses:
+                def fn(y, X, _xs=tuple(misses), _factory=factory):
+                    segs = []
+                    for x in _xs:
+                        lik, grad = objective_fn(y, X, _factory(), x)
+                        segs.append(np.concatenate([[lik], grad]))
+                    return np.concatenate(segs)
+
+                flat = experts.sum_over_experts(fn, len(misses) * (1 + p))
+                for i, x in enumerate(misses):
+                    seg = flat[i * (1 + p) : (i + 1) * (1 + p)]
+                    cache[x.tobytes()] = (float(seg[0]), seg[1:].copy())
+            return [cache[x.tobytes()] for x in xs]
+
+        def objective(x: np.ndarray) -> tuple[float, np.ndarray]:
+            return _eval_many([x])[0]
 
         # Multi-start, explore-then-polish: the summed BCM likelihood has
         # spurious optima with huge inverse lengthscales (observed on
@@ -220,8 +355,18 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
         # cripples a linear-space quasi-Newton step.
         max_iter = self.getOrDefault(self.maxIter)
         tol = self.getOrDefault(self.tol)
+        all_factors = (1.0, 0.3, 2.0, 0.1, 5.0)
         n_starts = max(1, self.getOrDefault(self.multiStart))
-        factors = (1.0, 0.3, 2.0, 0.1, 5.0)[:n_starts]
+        if n_starts > len(all_factors):
+            import warnings
+
+            warnings.warn(
+                f"multiStart={n_starts} exceeds the {len(all_factors)}-entry "
+                "start ladder; clamping",
+                stacklevel=2,
+            )
+            n_starts = len(all_factors)
+        factors = all_factors[:n_starts]
 
         log_space = bool(np.all(lower >= 0.0) and np.all(x0 > 0.0))
         if log_space:
@@ -235,7 +380,13 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
                     f, g = objective(x)
                     return f, g * x  # chain rule: d f / d log x = x * df/dx
 
-                return minimize_lbfgsb(zobj, zs, z_lo, z_hi, max_iter=iters, tol=tol)
+                def zobj_batch(zlist):
+                    exps = [np.exp(z) for z in zlist]
+                    return [(f, g * x) for (f, g), x in zip(_eval_many(exps), exps)]
+
+                return minimize_lbfgsb(
+                    zobj, zs, z_lo, z_hi, max_iter=iters, tol=tol, fun_batch=zobj_batch
+                )
 
             def to_search(x: np.ndarray) -> np.ndarray:
                 return np.log(np.clip(x, tiny, None))
@@ -246,7 +397,10 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
         else:
 
             def run(xs: np.ndarray, iters: int) -> np.ndarray:
-                return minimize_lbfgsb(objective, xs, lower, upper, max_iter=iters, tol=tol)
+                return minimize_lbfgsb(
+                    objective, xs, lower, upper, max_iter=iters, tol=tol,
+                    fun_batch=_eval_many,
+                )
 
             def to_search(x: np.ndarray) -> np.ndarray:
                 return x
@@ -260,8 +414,14 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams):
             xs = np.minimum(np.maximum(x0 * fac, np.maximum(lower, 1e-10 if log_space else lower)), upper)
             s_opt = run(to_search(xs), explore_iter)
             f_opt = objective(from_search(s_opt))[0]
-            if f_opt < best_f:
+            if np.isfinite(f_opt) and f_opt < best_f:
                 best_s, best_f = s_opt, f_opt
+        if best_s is None:
+            # Every exploratory start ended at a non-finite objective — fall
+            # back to the unscaled x0 start rather than dying on run(None).
+            best_s = to_search(
+                np.minimum(np.maximum(x0, np.maximum(lower, 1e-10 if log_space else lower)), upper)
+            )
         if explore_iter < max_iter:
             best_s = run(best_s, max_iter)
         return from_search(best_s)
@@ -322,7 +482,7 @@ def features_as_array(df: DataFrame, features_col: str):
     return F.col(features_col).cast("array<double>")
 
 
-class GaussianProcessModelBase(Model, GaussianProcessParams):
+class GaussianProcessModelBase(Model, GaussianProcessParams, GPPersistence):
     """Holds the O(m) raw predictor; ships it inside a vectorized pandas UDF
     (one Arrow batch = one (batch, m) matrix product — pure map, no shuffle,
     GaussianProcessCommons.scala:118-126 / SURVEY §3 entry point 3)."""

@@ -155,8 +155,49 @@ class Experts:
 
 
 class DistributedExperts(Experts):
-    def __init__(self, frame: DataFrame) -> None:
+    """Distributed reductions with executor-side tree merging.
+
+    ``aggregation_depth`` mirrors the reference's reserved
+    ``HasAggregationDepth`` (GaussianProcessParams.scala:9, used by
+    ``treeAggregate`` in GaussianProcessCommons.scala:71-80): depth 2 is one
+    map-side combine per partition + driver sum; depth ≥ 3 inserts executor-
+    side merge rounds so the driver receives O(P^(1/(depth-1))) partial rows
+    instead of P.  At m = 1000 active points one partial row is ~8 MB
+    ((m²+m) doubles) — on a 100k-partition scan the merge level is the
+    difference between ~2.5 GB and ~800 GB arriving at the driver.
+    """
+
+    #: partial-row counts at or below this collect directly — a merge round
+    #: would cost a shuffle to save a negligible driver sum.
+    _MERGE_FLOOR = 16
+
+    def __init__(self, frame: DataFrame, aggregation_depth: int = 2) -> None:
         self.frame = frame.persist()
+        self.aggregation_depth = max(2, aggregation_depth)
+        # one JVM-side partition-count probe per fit, not per reduction
+        self._n_parts = frame.rdd.getNumPartitions()
+
+    def _tree_merge(self, partials: DataFrame, out_len: int) -> DataFrame:
+        """Insert ``aggregation_depth - 2`` executor-side combine rounds."""
+
+        def combine(iterator):
+            acc = np.zeros(out_len)
+            seen = False
+            for pdf in iterator:
+                for part in pdf["part"]:
+                    acc += np.asarray(part, dtype=np.float64)
+                    seen = True
+            if seen:
+                yield pd.DataFrame({"part": [acc]})
+
+        p = self._n_parts
+        depth = self.aggregation_depth
+        while depth > 2 and p > self._MERGE_FLOOR:
+            scale = max(2, int(np.ceil(p ** (1.0 / (depth - 1)))))
+            p = max(1, p // scale)
+            partials = partials.repartition(p).mapInPandas(combine, schema="part array<double>")
+            depth -= 1
+        return partials
 
     def sum_over_experts(self, fn: ExpertFn, out_len: int) -> np.ndarray:
         def partial(iterator):
@@ -168,9 +209,10 @@ class DistributedExperts(Experts):
                     acc += fn(yv, X)
                 yield pd.DataFrame({"part": [acc]})
 
-        partials = self.frame.mapInPandas(partial, schema="part array<double>").collect()
+        partials = self.frame.mapInPandas(partial, schema="part array<double>")
+        rows = self._tree_merge(partials, out_len).collect()
         result = np.zeros(out_len)
-        for row in partials:
+        for row in rows:
             result += np.asarray(row["part"], dtype=np.float64)
         return result
 
@@ -237,19 +279,22 @@ def build_experts(
     dataset_size_for_expert: int,
     partitioning: str = "chunk",
     driver_local_rows: int = 100_000,
+    aggregation_depth: int = 2,
 ) -> Experts:
     """Pack points into experts; choose local vs distributed reduction.
 
     ``driver_local_rows``: if the training relation has fewer rows than this,
     the packed experts are collected once and the optimizer loop runs with
     zero Spark jobs per iteration.  Set to 0 to force the distributed path.
+    ``aggregation_depth``: ≥3 adds executor-side merge rounds before partial
+    sums reach the driver (see DistributedExperts).
     """
     frame = build_expert_frame(points, dataset_size_for_expert, partitioning)
     if driver_local_rows > 0:
         n_total = points.count()
         if n_total <= driver_local_rows:
             return LocalExperts.from_frame(frame)
-    return DistributedExperts(frame)
+    return DistributedExperts(frame, aggregation_depth)
 
 
 def sample_feature_rows(points: DataFrame, m: int, seed: int) -> np.ndarray:

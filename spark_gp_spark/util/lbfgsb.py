@@ -55,6 +55,11 @@ def _two_loop(g_masked: np.ndarray, s_hist, y_hist) -> np.ndarray:
     return -q
 
 
+#: candidates evaluated per batched line-search call — covers the typical
+#: Armijo backtrack in ONE distributed objective evaluation.
+_LS_BATCH = 4
+
+
 def minimize_lbfgsb(
     fun: Callable[[np.ndarray], tuple[float, np.ndarray]],
     x0: np.ndarray,
@@ -64,11 +69,24 @@ def minimize_lbfgsb(
     tol: float = 1e-6,
     memory: int = 10,
     max_ls: int = 30,
+    fun_batch: "Callable[[list[np.ndarray]], list[tuple[float, np.ndarray]]] | None" = None,
 ) -> np.ndarray:
     """Minimize ``fun`` (returning (value, gradient)) subject to
-    ``lower <= x <= upper``.  Returns the best x found."""
+    ``lower <= x <= upper``.  Returns the best x found.
+
+    ``fun_batch``, when given, evaluates several points in ONE call; the line
+    search then submits its whole backtracking ladder (and its expansion
+    probes) speculatively in batches of ``_LS_BATCH``, which collapses the
+    per-candidate distributed jobs into one job per ladder.  Accept/reject
+    decisions are made in the same order as the sequential scan, so the
+    iterate sequence — and the result — is unchanged; extra speculative
+    evaluations are pure overlap (and memoized by the caller).
+    """
     lower = np.asarray(lower, dtype=np.float64)
     upper = np.asarray(upper, dtype=np.float64)
+    if fun_batch is None:
+        def fun_batch(xs):
+            return [fun(x) for x in xs]
     x = _project(np.asarray(x0, dtype=np.float64).copy(), lower, upper)
     f, g = fun(x)
     s_hist: list[np.ndarray] = []
@@ -101,34 +119,78 @@ def minimize_lbfgsb(
             gmax = float(np.max(np.abs(d)))
             step = min(1.0, 1.0 / gmax) if gmax > 0 else 1.0
 
-        # Projected-arc Armijo backtracking with one expansion attempt.
+        # Projected-arc Armijo backtracking: the halving ladder is submitted
+        # speculatively in batches (one distributed job per batch when
+        # fun_batch is wired), scanned in sequential order so the accepted
+        # candidate — and the whole iterate sequence — matches the
+        # one-at-a-time algorithm exactly.
         x_new = f_new = g_new = None
+        dx_acc = None
         c1 = 1e-4
-        for _ls in range(max_ls):
-            cand = _project(x + step * d, lower, upper)
-            dx = cand - x
-            if float(np.max(np.abs(dx))) == 0.0:
+        tried = 0
+        exhausted = False  # projection collapsed — no further move possible
+        while tried < max_ls and x_new is None and not exhausted:
+            steps, cands, dxs = [], [], []
+            s = step
+            while len(cands) < min(_LS_BATCH, max_ls - tried):
+                cand = _project(x + s * d, lower, upper)
+                dx = cand - x
+                if float(np.max(np.abs(dx))) == 0.0:
+                    exhausted = True
+                    break
+                steps.append(s)
+                cands.append(cand)
+                dxs.append(dx)
+                s *= 0.5
+            if not cands:
                 break
-            fc, gc = fun(cand)
-            if np.isfinite(fc) and fc <= f + c1 * float(g @ dx):
-                x_new, f_new, g_new = cand, fc, gc
-                # Greedy expansion: while the doubled step still satisfies
-                # Armijo and keeps descending, take it (cheap way to cover
-                # the many-orders-of-magnitude amplitude search the airfoil
-                # fit needs without a full Wolfe bracket).
-                while True:
-                    step2 = step * 2.0
-                    cand2 = _project(x + step2 * d, lower, upper)
+            results = fun_batch(cands)
+            tried += len(cands)
+            for s_i, cand, dx, (fc, gc) in zip(steps, cands, dxs, results):
+                gdx = float(g @ dx)
+                # Box projection can turn d into an ascent direction
+                # (g·dx ≥ 0); the Armijo bound is then ABOVE f and would
+                # accept an ascent step — require strict decrease instead.
+                armijo_ok = fc <= f + c1 * gdx if gdx < 0.0 else fc < f
+                if np.isfinite(fc) and armijo_ok:
+                    step, dx_acc, x_new, f_new, g_new = s_i, dx, cand, fc, gc
+                    break
+            else:
+                step = steps[-1] * 0.5
+        if x_new is not None:
+            # Greedy expansion: while the doubled step still satisfies
+            # Armijo and keeps descending, take it (cheap way to cover
+            # the many-orders-of-magnitude amplitude search the airfoil
+            # fit needs without a full Wolfe bracket).  Probes are batched
+            # three-ahead; decisions stop at the first rejection, so the
+            # accepted sequence equals the sequential doubling loop's.
+            while True:
+                probes = []
+                s, prev_dx = step, dx_acc
+                for _ in range(3):
+                    s2 = s * 2.0
+                    cand2 = _project(x + s2 * d, lower, upper)
                     dx2 = cand2 - x
-                    if float(np.max(np.abs(dx2 - dx))) == 0.0:
+                    if float(np.max(np.abs(dx2 - prev_dx))) == 0.0:
                         break
-                    fc2, gc2 = fun(cand2)
-                    if np.isfinite(fc2) and fc2 < f_new + c1 * float(g @ (dx2 - dx)):
-                        step, dx, x_new, f_new, g_new = step2, dx2, cand2, fc2, gc2
+                    probes.append((s2, cand2, dx2))
+                    s, prev_dx = s2, dx2
+                if not probes:
+                    break
+                results = fun_batch([p[1] for p in probes])
+                advanced_to_end = True
+                for (s2, cand2, dx2), (fc2, gc2) in zip(probes, results):
+                    gdelta = float(g @ (dx2 - dx_acc))
+                    grow_ok = (
+                        fc2 < f_new + c1 * gdelta if gdelta < 0.0 else fc2 < f_new
+                    )
+                    if np.isfinite(fc2) and grow_ok:
+                        step, dx_acc, x_new, f_new, g_new = s2, dx2, cand2, fc2, gc2
                     else:
+                        advanced_to_end = False
                         break
-                break
-            step *= 0.5
+                if not advanced_to_end:
+                    break
         if x_new is None:
             # Could not move at all along d.
             if s_hist:
