@@ -30,6 +30,7 @@ from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_par
 from .sources.tables import load_table
 from .streaming.events import (
     run_streaming_window_counts,
+    run_streaming_window_counts_append,
     streaming_sessionization,
     windowed_event_aggregation,
 )
@@ -597,6 +598,31 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped streaming: APPEND mode + watermark + parquet file
+    sink, emitting only CLOSED windows (bounded state — the variant that
+    scales to an unbounded stream; the complete/memory query above stays as
+    the full-result oracle harness).  The emitted set is exactly the windows
+    whose end ≤ max(ts) − 1h, which the batch oracle states as a cutoff."""
+    out = run_streaming_window_counts_append(spark, sf_dir, window="1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_WINDOW_APPEND_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows via Spark's native session_window stateful
     operator, driven through readStream; oracle = batch lag/gap SQL."""
@@ -766,6 +792,7 @@ QUERIES = {
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "streaming_window_counts": streaming_window_counts,
+    "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
@@ -791,6 +818,7 @@ ORACLE_SQL = {
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "streaming_window_counts": _WINDOW_SQL,
+    "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
     # gpr_lineitem / gpc_embeddings / multimodal_decode_features: iterative ML

@@ -11,6 +11,9 @@ the result stays comparable to a batch SQL oracle.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +74,75 @@ def run_streaming_window_counts(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_window_counts_append(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    query_name: str = "gp_stream_counts_append",
+    n_files: int = 4,
+) -> DataFrame:
+    """Production-shaped streaming: APPEND mode + watermark + parquet file
+    sink — bounded state, incremental emission of CLOSED windows only (the
+    complete/memory variant above is an oracle harness and keeps unbounded
+    state; this is the path that scales to an unbounded stream).
+
+    The single-file test corpus is re-written as ``n_files`` time-ranged
+    chunks whose ARRIVAL is driven explicitly (each chunk is copied into the
+    source directory and fully processed before the next appears), so the
+    watermark genuinely advances batch over batch.  A final sentinel file
+    repeats the max-ts event: it pushes the watermark to max(ts) − 1h —
+    flushing every closed window — while its own window's end exceeds the
+    final watermark and therefore can never be emitted, so the sentinel
+    row leaves no trace in the sink.  The emitted set is then exactly
+    {windows with end ≤ max(ts) − 1h}, a function of the DATA alone (not of
+    file discovery order or of Spark's optional no-data batches), which a
+    batch oracle states as a plain cutoff predicate.
+    """
+    import shutil
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="gp_stream_append_")
+    src, sink, ckpt, staged, sentinel_dir = (
+        os.path.join(work, d) for d in ("src", "sink", "ckpt", "staged", "sentinel")
+    )
+    os.makedirs(src)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = raw nanos
+    raw.repartitionByRange(n_files, "ts").write.parquet(staged)
+    raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
+    chunk_files = sorted(
+        f for f in os.listdir(staged) if f.endswith(".parquet")
+    )  # part-0000i order == ts-range order
+    sentinel = next(
+        f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet")
+    )
+    arrivals = [os.path.join(staged, f) for f in chunk_files] + [
+        os.path.join(sentinel_dir, sentinel)
+    ]
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA_NANOS)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_event_aggregation(stream, window)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        for i, path in enumerate(arrivals):
+            shutil.copy(path, os.path.join(src, f"arrival-{i:04d}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink)
 
 
 def streaming_sessionization(
