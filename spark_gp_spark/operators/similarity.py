@@ -93,15 +93,52 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
-def lsh_table_buckets(vec: Column, planes_by_table: list[np.ndarray]) -> Column:
-    """Array of (table, bucket) structs — one per LSH table.  Pure projection;
-    exploding it costs ``tables`` rows per input row, each carrying only the
-    id, never the vector."""
-    return F.array(
+def lsh_bucket_frame(
+    df: DataFrame,
+    id_expr: Column,
+    vec_expr: Column,
+    planes_by_table: list[np.ndarray],
+    id_name: str,
+) -> DataFrame:
+    """(id, tbl, bucket) relation: one row per (input row, LSH table).
+
+    All tables·bits hyperplane dot products are computed by ONE ``transform``
+    lambda over a literal plane matrix, materialized as a dots column in a
+    separate projection — the dot expression is generated once instead of
+    once per plane, which keeps whole-stage codegen small (48 inlined 64-term
+    dots measured ~7 s of Janino compile time at sf0.1).  Only (id, tbl,
+    bucket) leaves the projection; vectors never ride the downstream shuffle.
+    """
+    bits = len(planes_by_table[0])
+    all_planes = F.array(
         *[
-            F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec, planes).alias("bucket"))
-            for t, planes in enumerate(planes_by_table)
+            F.array(*[F.lit(float(v)) for v in plane])
+            for planes in planes_by_table
+            for plane in planes
         ]
+    )
+    dotted = df.select(
+        id_expr.alias(id_name),
+        F.transform(all_planes, lambda p: dot(vec_expr, p)).alias("_dots"),
+    )
+
+    def bucket(t: int) -> Column:
+        out = F.lit(0).cast("bigint")
+        for i in range(bits):
+            out = out + F.when(
+                F.element_at(F.col("_dots"), t * bits + i + 1) > 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0))
+        return out
+
+    tb = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
+            for t in range(len(planes_by_table))
+        ]
+    )
+    return dotted.select(id_name, F.explode(tb).alias("tb")).select(
+        id_name, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
 
 
@@ -129,12 +166,9 @@ def lsh_candidate_pairs(
     """
     dim = _vector_dim(df, vec_col)
     planes_by_table = hyperplane_tables(dim, bits, tables, seed)
-    bucketed = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            lsh_table_buckets(F.col(vec_col).cast("array<double>"), planes_by_table)
-        ).alias("tb"),
-    ).select("_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    bucketed = lsh_bucket_frame(
+        df, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table, "_id"
+    )
     left = bucketed.select("tbl", "bucket", F.col("_id").alias("id_a"))
     right = bucketed.select("tbl", "bucket", F.col("_id").alias("id_b"))
     return (
@@ -170,17 +204,17 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
-    cb = c.select(
+    cb = lsh_bucket_frame(
+        corpus, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
         "neighbor_id",
-        F.explode(lsh_table_buckets(F.col("cv"), planes_by_table)).alias("tb"),
-    ).select("neighbor_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     )
-    qb = q.select(
+    qb = lsh_bucket_frame(
+        queries, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
         "query_id",
-        F.explode(lsh_table_buckets(F.col("qv"), planes_by_table)).alias("tb"),
-    ).select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
     # Candidate ids first (thin shuffle), vectors re-joined after dedup.
     cand = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])

@@ -107,6 +107,46 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def doc_fingerprint(
+    text: Column, k: int = 3, window: int = 4, seed: int = 7
+) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003): hash
+    every POSITIONAL word k-gram (order preserved, duplicates kept — unlike
+    the MinHash shingle set), slide a ``window`` over the hash sequence and
+    keep each window's minimum; the sorted distinct minima are the
+    fingerprint.  Guarantees any shared run of ``k + window − 1`` tokens
+    between two documents shares a fingerprint value.  Pure column
+    expressions — no shuffle, no Python."""
+    from .hashing import h32
+
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    # seed-salted so fingerprints are decorrelated from the MinHash family
+    hashes = F.transform(grams, lambda g: h32(F.concat(F.lit(f"fp{seed}_"), g)))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        doc_fingerprint(F.col(text_col), k, window, seed).alias("fingerprint"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document stats relation: one codegen'd projection, no shuffle."""
     t = F.col(text_col)

@@ -219,6 +219,37 @@ _LANG_DIST_SQL = (
 # --------------------------------------------------------------------------
 
 
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (operators/text.py) — emitted as a
+    comma-joined string so the value hash is representation-agnostic."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = T.doc_fingerprints(docs, k=3, window=4, seed=7)
+    return fps.select(
+        "doc_id",
+        F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias("fingerprint"),
+    )
+
+
+_DOC_FINGERPRINTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+         i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS grams FROM tok
+), hashed AS (
+  SELECT doc_id, list_transform(grams,
+         g -> (('0x' || substring(md5('fp7_' || g), 1, 8))::UBIGINT % 2147483647)::BIGINT) AS hs
+  FROM grams
+), mins AS (
+  SELECT doc_id, list_sort(list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           i -> list_min(hs[i:i+3])))) AS fp
+  FROM hashed
+)
+SELECT doc_id, array_to_string(fp, ',') AS fingerprint FROM mins
+"""
+
+
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -780,6 +811,7 @@ QUERIES = {
     "part_type_revenue": part_type_revenue,
     "text_stats": text_stats,
     "language_distribution": language_distribution,
+    "doc_fingerprints": doc_fingerprints,
     "exact_dedup": exact_dedup,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -806,6 +838,7 @@ ORACLE_SQL = {
     "part_type_revenue": _PART_TYPE_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "language_distribution": _LANG_DIST_SQL,
+    "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
