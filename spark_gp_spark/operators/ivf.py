@@ -1,0 +1,147 @@
+"""IVF (inverted-file) approximate nearest-neighbour search.
+
+The second scale path for similarity search next to sign-LSH
+(operators/similarity.py): a coarse k-means quantizer partitions the corpus
+into ``n_centroids`` cells; each query probes only its ``nprobe`` nearest
+cells.  Candidates per query ≈ nprobe·N/n_centroids — the classic
+FAISS-style IVF-Flat trade (probe more cells → higher recall, bigger scan).
+
+Spark shape (the 100 TB plan):
+- centroids are a small driver-side numpy array (trained on a sample),
+  embedded as literal columns — an implicit broadcast, no shuffle;
+- cell assignment is a pure projection (one ``transform`` over the centroid
+  matrix per row — same codegen-lean trick as similarity.lsh_bucket_frame);
+- the candidate join is an equi-join on cell id carrying only (id, cell);
+  vectors are re-joined by id after candidate generation;
+- exact cosine verification + per-query rank run on candidates only.
+
+Centroids are rounded to 6 decimals so the DuckDB oracle can replay
+assignment and probing bit-for-bit (distances use the same left-to-right
+float summation as the SQL rendering; ties break on centroid index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+
+
+def train_centroids_from_parquet(
+    path: str, n_centroids: int = 16, seed: int = 5, sample_rows: int = 4000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side coarse quantizer: k-means over the first ``sample_rows``
+    of a parquet file via pyarrow + numpy (no Spark job — the sample is tiny
+    and the result must be reproducible OUTSIDE Spark so the correctness
+    oracle can derive the identical centroids).  Production-scale users with
+    evolving corpora can instead pass centroids from pyspark.ml KMeans; the
+    operator only needs the (k, d) array."""
+    import pyarrow.parquet as pq
+
+    from ..active_set import _local_kmeans
+
+    table = pq.read_table(path, columns=[vec_col])
+    X = np.asarray(table.column(vec_col).to_pylist()[:sample_rows], dtype=np.float64)
+    return np.round(_local_kmeans(X, n_centroids, seed), 6)
+
+
+def _sq_dists(vec: Column, centroids: np.ndarray) -> Column:
+    """Array of squared L2 distances to every centroid, computed by ONE
+    transform lambda (summation order matches the SQL rendering)."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def ivf_assign_frame(
+    df: DataFrame, id_expr: Column, vec_expr: Column, centroids: np.ndarray, id_name: str
+) -> DataFrame:
+    """(id, cell) relation: nearest centroid per row (1-based, first-min ties)."""
+    dotted = df.select(id_expr.alias(id_name), _sq_dists(vec_expr, centroids).alias("_d"))
+    return dotted.select(
+        id_name,
+        F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int").alias("cell"),
+    )
+
+
+def ivf_probe_frame(
+    df: DataFrame,
+    id_expr: Column,
+    vec_expr: Column,
+    centroids: np.ndarray,
+    nprobe: int,
+    id_name: str,
+) -> DataFrame:
+    """(id, cell) relation with ``nprobe`` rows per input row: the nprobe
+    nearest cells, ordered by (distance, cell index) — the deterministic
+    tie-break both engines share."""
+    dotted = df.select(id_expr.alias(id_name), _sq_dists(vec_expr, centroids).alias("_d"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            F.element_at(F.col("_d"), i).alias("d"), i.cast("int").alias("i")
+        ),
+    )
+    probe = F.slice(F.array_sort(pairs), 1, nprobe)
+    return dotted.select(
+        id_name, F.explode(F.transform(probe, lambda s: s["i"])).alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k neighbours through the IVF index.
+
+    Output: (query_id, neighbor_id, cosine, rank) like cosine_topk /
+    lsh_bucketed_topk; recall is measured against the exact baseline in
+    tests/test_similarity.py.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    cb = ivf_assign_frame(
+        corpus, F.col(id_col), F.col(vec_col).cast("array<double>"), centroids, "neighbor_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qb = ivf_probe_frame(
+        queries, F.col(id_col), F.col(vec_col).cast("array<double>"), centroids, nprobe,
+        "query_id",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

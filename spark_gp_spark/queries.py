@@ -460,6 +460,81 @@ def _sql_lsh_buckets(bits: int, tables: int, seed: int, src: str = "e") -> str:
     return "\n    UNION ALL ".join(selects)
 
 
+_IVF_K, _IVF_NPROBE, _IVF_SEED, _IVF_SAMPLE = 16, 4, 5, 4000
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (operators/ivf.py): coarse k-means cells +
+    nprobe probing — candidates per query ≈ nprobe·N/n_centroids.  Centroids
+    are trained deterministically from the sf_dir parquet sample (pyarrow +
+    numpy, no Spark), so the oracle derives the IDENTICAL quantizer from the
+    same file and replays assignment/probing bit-for-bit."""
+    from .operators.ivf import ivf_topk as _ivf_topk
+    from .operators.ivf import train_centroids_from_parquet
+
+    cents = train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = _ivf_topk(emb, queries, cents, k=5, nprobe=_IVF_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_ivf_topk() -> str | None:
+    """Oracle for ivf_topk at the driver's correctness scale factor (sf0.01).
+    Returns None when the testdata file is unavailable (the query then gets
+    the weaker rows-only check)."""
+    try:
+        from .operators.ivf import train_centroids_from_parquet
+
+        cents = train_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+        )
+    except Exception:
+        return None
+
+    def dist(c) -> str:
+        return "(0.0" + "".join(
+            f" + (v[{j + 1}]-({v!r}))*(v[{j + 1}]-({v!r}))" for j, v in enumerate(c)
+        ) + ")"
+
+    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ad AS (
+  SELECT vec_id, {ds} AS ds FROM e
+), cb AS (
+  SELECT vec_id AS neighbor_id, list_position(ds, list_min(ds)) AS cell FROM ad
+), qb AS (
+  SELECT vec_id AS query_id,
+         unnest(list_transform(
+           list_sort(list_transform(range(1, {_IVF_K} + 1),
+                                    i -> {{'d': ds[i], 'i': i}}))[1:{_IVF_NPROBE}],
+           s -> s.i)) AS cell
+  FROM ad WHERE vec_id < 20
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (cell)
+  WHERE query_id <> neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+  FROM cand JOIN e qv ON cand.query_id = qv.vec_id
+            JOIN e cv ON cand.neighbor_id = cv.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+_IVF_TOPK_SQL = _sql_ivf_topk()
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via sign-LSH candidates + exact cosine verify —
     the 100 TB shape: the only joins are (table, bucket) equi-joins and id
@@ -819,6 +894,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "cosine_topk": cosine_topk,
     "lsh_topk": lsh_topk,
+    "ivf_topk": ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
     "session_stats": session_stats,
@@ -848,6 +924,7 @@ ORACLE_SQL = {
     "lsh_topk": _LSH_TOPK_SQL,
     "embedding_neardup_pairs": _NEARDUP_SQL,
     "asof_purchases_views": _ASOF_SQL,
+    **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "streaming_window_counts": _WINDOW_SQL,

@@ -71,6 +71,27 @@ def test_lsh_topk_recall_vs_exact(spark, planted):
     assert hits / len(truth) >= 0.9, f"top-1 recall {hits}/{len(truth)}"
 
 
+def test_ivf_topk_recall_vs_exact(spark, planted):
+    """IVF-Flat: top-1 neighbour of each planted dup is its base vector; a
+    near-duplicate lands in the same (or a probed) k-means cell essentially
+    always, so recall must be ≥0.9."""
+    import numpy as np
+
+    from spark_gp_spark.active_set import _local_kmeans
+    from spark_gp_spark.operators.ivf import ivf_topk
+
+    df, truth = planted
+    X = np.asarray(
+        [r["embedding"] for r in df.orderBy("vec_id").collect()], dtype=np.float64
+    )
+    cents = np.round(_local_kmeans(X, 8, seed=5), 6)
+    queries = df.filter(f"vec_id >= {N_BASE}")
+    approx = ivf_topk(df, queries, cents, k=5, nprobe=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    hits = sum(1 for b, d in truth if top1.get(d) == b)
+    assert hits / len(truth) >= 0.9, f"IVF top-1 recall {hits}/{len(truth)}"
+
+
 def test_lsh_topk_matches_exact_on_candidates(spark, planted):
     """Where the LSH top-k returns a neighbour, its cosine must equal the
     exact computation (verification is never approximate)."""
