@@ -143,15 +143,19 @@ def main() -> None:
         "revenue_by_nation",
         "part_type_revenue",
         "text_stats",
+        "doc_fingerprints",
         "exact_dedup",
         "minhash_lsh_pairs",
         "simhash_pairs",
         "cosine_topk",
+        "lsh_topk",
+        "ivf_topk",
         "embedding_neardup_pairs",
         "asof_purchases_views",
         "session_stats",
         "event_window_agg",
         "streaming_window_counts",
+        "streaming_window_counts_append",
     ]
 
     timings: dict[str, float] = {}

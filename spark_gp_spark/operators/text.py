@@ -107,32 +107,6 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def doc_fingerprint(
-    text: Column, k: int = 3, window: int = 4, seed: int = 7
-) -> Column:
-    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003): hash
-    every POSITIONAL word k-gram (order preserved, duplicates kept — unlike
-    the MinHash shingle set), slide a ``window`` over the hash sequence and
-    keep each window's minimum; the sorted distinct minima are the
-    fingerprint.  Guarantees any shared run of ``k + window − 1`` tokens
-    between two documents shares a fingerprint value.  Pure column
-    expressions — no shuffle, no Python."""
-    from .hashing import h32
-
-    toks = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )
-    # seed-salted so fingerprints are decorrelated from the MinHash family
-    hashes = F.transform(grams, lambda g: h32(F.concat(F.lit(f"fp{seed}_"), g)))
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
-    )
-    return F.array_sort(F.array_distinct(mins))
-
-
 def doc_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -141,9 +115,52 @@ def doc_fingerprints(
     window: int = 4,
     seed: int = 7,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        doc_fingerprint(F.col(text_col), k, window, seed).alias("fingerprint"),
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003): hash
+    every POSITIONAL word k-gram (order preserved, duplicates kept — unlike
+    the MinHash shingle set), slide a ``window`` over the hash sequence and
+    keep each window's minimum; the sorted distinct minima are the
+    fingerprint.  Guarantees any shared run of ``k + window − 1`` tokens
+    between two documents shares a fingerprint value.
+
+    Each intermediate array (tokens → grams → hashes → window minima) is
+    MATERIALIZED as a column in its own projection.  Folding the pipeline
+    into one nested expression re-evaluates the producer array on every
+    element access — O(tokens²·window) md5 chains per document; measured
+    46.5 s → 0.3 s at sf0.1 for the staged form.  No shuffle, no Python.
+    """
+    from .hashing import h32
+
+    t = F.col(text_col)
+    staged = df.select(F.col(id_col), tokens(t).alias("_toks"))
+    staged = staged.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)]
+            ),
+        ).alias("_grams"),
+    )
+    # seed-salted so fingerprints are decorrelated from the MinHash family
+    staged = staged.select(
+        id_col,
+        F.transform(
+            "_grams", lambda g: h32(F.concat(F.lit(f"fp{seed}_"), g))
+        ).alias("_h"),
+    )
+    return staged.select(
+        id_col,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("_h") - (window - 1), F.lit(1))),
+                    # least() over w direct element accesses — no per-position
+                    # slice allocation; NULL tail elements are skipped, matching
+                    # list_min over a truncated slice in the oracle
+                    lambda i: F.least(*[F.element_at(F.col("_h"), i + j) for j in range(window)]),
+                )
+            )
+        ).alias("fingerprint"),
     )
 
 
