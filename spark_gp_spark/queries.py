@@ -29,6 +29,7 @@ from .operators import multimodal as M
 from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_params
 from .sources.tables import load_table
 from .streaming.events import (
+    run_streaming_sessions_append,
     run_streaming_window_counts,
     run_streaming_window_counts_append,
     streaming_sessionization,
@@ -742,6 +743,43 @@ def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessions_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode session_window streaming into a parquet sink (bounded
+    state, closed sessions only) — the production companion of the
+    complete-mode streaming_sessions oracle harness.  Emitted set = sessions
+    whose end (last event + 30 min) ≤ max(ts) − 1h."""
+    out = run_streaming_sessions_append(spark, sf_dir, gap="30 minutes")
+    return out.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "user_id",
+        "n_events",
+        "total_value",
+    )
+
+
+_STREAM_SESSION_APPEND_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       user_id, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sessioned GROUP BY user_id, session_seq
+HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+"""
+
+
 _STREAM_SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -902,6 +940,7 @@ QUERIES = {
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
+    "streaming_sessions_append": streaming_sessions_append,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "gpr_lineitem": gpr_lineitem,
@@ -930,6 +969,7 @@ ORACLE_SQL = {
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
+    "streaming_sessions_append": _STREAM_SESSION_APPEND_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
     # gpr_lineitem / gpc_embeddings / multimodal_decode_features: iterative ML
     # or Python-RNG featurization — not SQL-expressible, rows-only check.

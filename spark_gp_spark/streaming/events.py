@@ -145,6 +145,84 @@ def run_streaming_window_counts_append(
     return spark.read.parquet(sink)
 
 
+def _staged_arrivals(spark: SparkSession, sf_dir: str, work: str, n_files: int):
+    """Split the events parquet into ``n_files`` ts-ranged chunks plus a
+    max-ts sentinel file; returns (src_dir, ordered arrival paths)."""
+    src, staged, sentinel_dir = (
+        os.path.join(work, d) for d in ("src", "staged", "sentinel")
+    )
+    os.makedirs(src)
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = raw nanos
+    raw.repartitionByRange(n_files, "ts").write.parquet(staged)
+    raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
+    chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    sentinel = next(f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet"))
+    return src, [os.path.join(staged, f) for f in chunks] + [
+        os.path.join(sentinel_dir, sentinel)
+    ]
+
+
+def _drive_append_query(q, src: str, arrivals) -> None:
+    import shutil
+
+    try:
+        for i, path in enumerate(arrivals):
+            shutil.copy(path, os.path.join(src, f"arrival-{i:04d}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def run_streaming_sessions_append(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    query_name: str = "gp_stream_sessions_append",
+    n_files: int = 4,
+) -> DataFrame:
+    """APPEND-mode gap sessions through ``session_window`` + watermark into a
+    parquet sink — bounded state, only CLOSED sessions emitted.  Same
+    staged-arrival + max-ts sentinel protocol as
+    ``run_streaming_window_counts_append``: the final watermark is
+    max(ts) − 1h, so the sink holds exactly the sessions whose end
+    (last event + gap) ≤ that cutoff — a pure-data predicate for the oracle.
+    The sentinel row's own session ends after the cutoff and is never
+    emitted."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="gp_stream_sess_append_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals = _staged_arrivals(spark, sf_dir, work, n_files)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA_NANOS)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    return spark.read.parquet(sink)
+
+
 def streaming_sessionization(
     spark: SparkSession,
     sf_dir: str,
