@@ -165,14 +165,48 @@ def doc_fingerprints(
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document stats relation: one codegen'd projection, no shuffle."""
+    """Per-document stats relation: two codegen'd projections, no shuffle.
+
+    The token array is tokenized ONCE into a staged column; the naive
+    single-projection form re-runs the split for every stat that consumes
+    tokens (~6× per row).  Values are identical to the Column-form helpers.
+    """
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(F.col(id_col), t.alias("_text"), tokens(t).alias("_toks"))
+    txt, toks = F.col("_text"), F.col("_toks")
+    n_tok = F.size(toks)
+    mwl = (
+        F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w)).cast("double")
+        / F.greatest(n_tok, F.lit(1))
+    )
+    def _sw_count(lang: str) -> Column:
+        ws = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda w: F.array_contains(ws, w)))
+
+    sw = {lang: _sw_count(lang) for lang in STOPWORDS}
+    alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z ]", "")) / F.greatest(
+        F.length(txt), F.lit(1)
+    )
+    quality = (
+        F.when((n_tok >= 5) & (n_tok <= 5000), 0.25).otherwise(0.0)
+        + F.when((mwl >= 2.0) & (mwl <= 12.0), 0.25).otherwise(0.0)
+        + alpha * 0.25
+        + F.least(sw["en"].cast("double") / F.greatest(n_tok, F.lit(1)) * F.lit(2.5), F.lit(1.0))
+        * 0.25
+    )
+    cjk = F.length(F.regexp_replace(txt, r"[^一-鿿]", "")) > 0
+    best = F.greatest(*sw.values())
+    lang_expr = F.lit("und")
+    for lang in reversed(list(sw)):
+        lang_expr = F.when(sw[lang] == best, F.lit(lang)).otherwise(lang_expr)
+    lang_expr = F.when(best == 0, F.lit("und")).otherwise(lang_expr)
+    lang_expr = F.when(cjk, F.lit("zh")).otherwise(lang_expr)
+    return staged.select(
         F.col(id_col),
-        F.length(t).alias("n_chars"),
-        token_count(t).alias("n_tokens"),
-        F.round(mean_word_length(t), 6).alias("mean_word_len"),
-        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
-        F.round(quality_score(t), 6).alias("quality"),
-        language_id(t).alias("lang_pred"),
+        F.length(txt).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(quality, 6).alias("quality"),
+        lang_expr.alias("lang_pred"),
     )
