@@ -32,6 +32,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-style pre-tokenization classes (letter runs / digit runs / single
+#: non-space symbols) — the regex split GPT-2-family tokenizers apply before
+#: merges.  Kept to character classes that Java and RE2-style engines treat
+#: identically so the DuckDB oracle matches.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-merge BPE token count: a cheap, deterministic proxy for LLM token
+    budgeting (letter runs + digit runs + individual symbols).  Actual BPE
+    merges only ever reduce this count, so it is a stable upper bound."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def char_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct lowercase character n-grams (the shingle set for MinHash)."""
     lowered = F.lower(text)

@@ -251,6 +251,25 @@ SELECT doc_id, array_to_string(fp, ',') AS fingerprint FROM mins
 """
 
 
+def token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style pre-tokenization counts per document — the
+    token-budgeting pass an LLM data pipeline runs before sampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+_TOKEN_BUDGET_SQL = rf"""
+SELECT doc_id,
+       len({_SQL_TOKENS})::INT AS ws_tokens,
+       len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}'))::INT AS bpe_tokens
+FROM documents
+"""
+
+
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -258,6 +277,22 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_DEDUP_SQL = """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
 FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated relation itself: min-id row kept per distinct text
+    (left-semi join against the keeper set — no row explosion, one shuffle)."""
+    out = D.dedup_keep_first(load_table(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+
+
+_DEDUP_KEEP_FIRST_SQL = """
+WITH keep AS (
+  SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)
+)
+SELECT doc_id, md5(text) AS text_hash
+FROM documents JOIN keep ON doc_id = keep_id
 """
 
 
@@ -925,7 +960,9 @@ QUERIES = {
     "text_stats": text_stats,
     "language_distribution": language_distribution,
     "doc_fingerprints": doc_fingerprints,
+    "token_budget": token_budget,
     "exact_dedup": exact_dedup,
+    "dedup_keep_first": dedup_keep_first,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_signatures": simhash_signatures,
@@ -954,7 +991,9 @@ ORACLE_SQL = {
     "text_stats": _TEXT_STATS_SQL,
     "language_distribution": _LANG_DIST_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
+    "token_budget": _TOKEN_BUDGET_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
+    "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
