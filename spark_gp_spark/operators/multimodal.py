@@ -88,6 +88,82 @@ def decode_features(
     )
 
 
+def frame_sample(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    dim: int = 8,
+    fake: bool = False,
+) -> DataFrame:
+    """Sample ``n_frames`` evenly from each video payload via mapInPandas —
+    one output row per (doc, frame_idx) with a per-frame feature vector.
+
+    The row-explosion happens INSIDE the Arrow batch (no Spark-side explode
+    of the heavy binary), so the shuffle-free partition-parallel shape holds
+    at scale.  Real frame extraction needs ffmpeg (absent here) and is
+    stubbed exactly like ``decode_features``: ``fake=True`` derives
+    deterministic per-frame features from (payload, frame_idx).
+    """
+
+    def sample(iterator):
+        for pdf in iterator:
+            if not fake:
+                raise NotImplementedError(
+                    "real video frame extraction requires ffmpeg, not present in "
+                    "this environment; pass fake=True for the deterministic stub"
+                )
+            ids, idxs, feats = [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                payload = bytes(b)
+                for f_i in range(n_frames):
+                    ids.append(i)
+                    idxs.append(f_i)
+                    feats.append(list(_fake_features(payload + bytes([f_i]), dim)))
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
+
+    return df.select(id_col, content_col).mapInPandas(
+        sample, schema=f"{id_col} long, frame_idx int, features array<double>"
+    )
+
+
+def resize_binary(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    target_bytes: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Re-encode each payload to a target size via mapInPandas (the image
+    resize / audio downsample slot).  Real resizing needs PIL/ffmpeg and is
+    stubbed; ``fake=True`` deterministically truncates or zero-pads so the
+    schema/batching contract — binary in, binary + updated metadata out —
+    is exercised for real."""
+
+    def resize(iterator):
+        for pdf in iterator:
+            if not fake:
+                raise NotImplementedError(
+                    "real image/audio resizing requires PIL/ffmpeg, not present "
+                    "in this environment; pass fake=True for the deterministic stub"
+                )
+            out = []
+            for b in pdf[content_col]:
+                payload = bytes(b)[:target_bytes]
+                out.append(payload.ljust(target_bytes, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    content_col: out,
+                    "n_bytes": [len(o) for o in out],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        resize, schema=f"{id_col} long, {content_col} binary, n_bytes int"
+    )
+
+
 def binary_stats(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """Metadata relation over binary payloads — no Python, pure projection."""
     c = F.col(content_col)

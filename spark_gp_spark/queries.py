@@ -865,6 +865,20 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per (doc, frame) with per-frame
+    features, exploded inside the Arrow batch (rows-only check — the
+    featurizer is the deterministic Python stub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = M.frame_sample(M.attach_binary(docs), n_frames=4, dim=8, fake=True)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Gaussian Process queries (the reference's core surface; iterative ML →
 # rows-only check, no SQL oracle)
@@ -980,6 +994,7 @@ QUERIES = {
     "streaming_sessions_append": streaming_sessions_append,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "gpr_lineitem": gpr_lineitem,
     "gpc_embeddings": gpc_embeddings,
 }
