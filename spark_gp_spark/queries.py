@@ -28,6 +28,7 @@ from .operators import asof as A
 from .operators import multimodal as M
 from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_params
 from .sources.tables import load_table
+from .streaming.stateful import run_stateful_session_stats
 from .streaming.events import (
     run_streaming_sessions_append,
     run_streaming_window_counts,
@@ -815,6 +816,54 @@ HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events) - INTERVAL 1
 """
 
 
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): gap sessions with
+    EXACT distinct-event-type counts — unsupported by built-in streaming
+    aggregation (no distinct aggs in streaming), so it needs a per-key state
+    machine.  Emission: every non-final session per user as soon as a later
+    event closes it, plus final sessions whose event-time timeout
+    (last + 30 min, ms-floored) is strictly passed by the final watermark
+    (max(ts) − 1h) — Spark fires event-time timeouts on strict `<` at ms
+    precision, which the oracle replays with integer arithmetic."""
+    out = run_stateful_session_stats(spark, sf_dir, gap="30 minutes")
+    return out.select(
+        "session_start_us",
+        "session_end_us",
+        "user_id",
+        "n_events",
+        "n_types",
+        "total_value",
+    )
+
+
+_STREAM_STATEFUL_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts, value, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_seq,
+         epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts)) + 1800000000 AS session_end_us,
+         count(*) AS n_events,
+         count(DISTINCT event_type) AS n_types,
+         round(sum(value), 6) AS total_value
+  FROM sessioned GROUP BY user_id, session_seq
+)
+SELECT session_start_us, session_end_us, user_id, n_events, n_types, total_value
+FROM sess
+QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+   OR session_end_us // 1000 < (SELECT max(epoch_us(ts)) FROM events) // 1000 - 3600000
+"""
+
+
 _STREAM_SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -992,6 +1041,7 @@ QUERIES = {
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
+    "streaming_stateful_sessions": streaming_stateful_sessions,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1024,6 +1074,7 @@ ORACLE_SQL = {
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
     "streaming_sessions_append": _STREAM_SESSION_APPEND_SQL,
+    "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
     # gpr_lineitem / gpc_embeddings / multimodal_decode_features: iterative ML
     # or Python-RNG featurization — not SQL-expressible, rows-only check.

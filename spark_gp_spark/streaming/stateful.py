@@ -1,0 +1,198 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference has no streaming surface (SURVEY §2.8); the engine's other
+streaming operators (events.py) are built from Spark's native stateful
+primitives (windowed agg, ``session_window``).  This module adds the shape
+those primitives CANNOT express: a per-key custom state machine.  The
+concrete operator is gap-sessionization that tracks the set of distinct
+event types per session — exact distinct aggregation is unsupported inside
+Structured Streaming aggregations, so ``n_types`` genuinely requires custom
+state (a per-session seen-set carried in the state row).
+
+Scale shape: state is partitioned by key across executors (one shuffle on
+``user_id``), each state row is O(1) + the distinct-type set, and sessions
+are flushed by event-time timeout as the watermark passes — bounded state on
+an unbounded stream, the same contract as ``session_window``.
+
+Emission semantics (what the batch oracle states as a pure-data predicate):
+- a session closed by a LATER event of the same user is emitted in the
+  micro-batch that event arrives in — i.e. every non-final session per user
+  is always emitted;
+- a user's final session is emitted iff its event-time timeout
+  (last event + gap) is strictly passed by the final watermark
+  (max(ts) − delay); Spark fires event-time timeouts on the
+  ``timeout < watermark`` strict inequality
+  (FlatMapGroupsWithStateExec's timed-out-state scan).
+
+The test corpus is driven with the staged-arrival + max-ts sentinel
+protocol from events.py, so the final watermark is max(ts) − delay exactly
+and the emitted set is a deterministic function of the data alone.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .events import EVENT_SCHEMA_NANOS, _drive_append_query, _staged_arrivals
+
+SESSION_OUT_SCHEMA = (
+    "session_start_us bigint, session_end_us bigint, user_id bigint, "
+    "n_events bigint, n_types bigint, total_value double"
+)
+# state: running session of one user.  Distinct event types ride along as a
+# \x1f-joined string (state rows must be flat Spark SQL types).
+SESSION_STATE_SCHEMA = (
+    "start_us bigint, last_us bigint, n bigint, total double, types string"
+)
+
+_SEP = "\x1f"
+
+
+def _session_state_func(gap_us: int):
+    """Build the (key, pdf_iter, state) function for applyInPandasWithState."""
+
+    cols = [
+        "session_start_us",
+        "session_end_us",
+        "user_id",
+        "n_events",
+        "n_types",
+        "total_value",
+    ]
+    dtypes = {
+        "session_start_us": "int64",
+        "session_end_us": "int64",
+        "user_id": "int64",
+        "n_events": "int64",
+        "n_types": "int64",
+        "total_value": "float64",
+    }
+
+    def func(key: Tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        user_id = int(key[0])
+        out: list[tuple] = []
+
+        def emit(start_us: int, last_us: int, n: int, total: float, types: set) -> None:
+            out.append(
+                (
+                    int(start_us),
+                    int(last_us) + gap_us,
+                    user_id,
+                    int(n),
+                    len(types),
+                    round(float(total), 6),
+                )
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, total, types_s = state.get
+            emit(start_us, last_us, n, total, set(types_s.split(_SEP)))
+            state.remove()
+        else:
+            pdf = pd.concat(list(pdf_iter), ignore_index=True)
+            # normalize datetime64[ns|us] → epoch micros; sort for in-batch order
+            pdf["_ts_us"] = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            pdf = pdf.sort_values(["_ts_us", "event_id"])
+
+            if state.exists:
+                start_us, last_us, n, total, types_s = state.get
+                types = set(types_s.split(_SEP))
+            else:
+                start_us = None
+
+            for ts_us, etype, value in zip(
+                pdf["_ts_us"], pdf["event_type"], pdf["value"]
+            ):
+                if start_us is not None and ts_us - last_us > gap_us:
+                    emit(start_us, last_us, n, total, types)
+                    start_us = None
+                if start_us is None:
+                    start_us, last_us, n, total, types = ts_us, ts_us, 0, 0.0, set()
+                last_us = ts_us
+                n += 1
+                total += float(value)
+                types.add(str(etype))
+
+            state.update(
+                (int(start_us), int(last_us), int(n), float(total), _SEP.join(sorted(types)))
+            )
+            # flush via event-time timeout once the watermark passes the gap
+            state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
+
+        yield pd.DataFrame(out, columns=cols).astype(dtypes)
+
+    return func
+
+
+def stateful_session_stats(events: DataFrame, gap: str = "30 minutes",
+                           delay: str = "1 hour") -> DataFrame:
+    """Gap sessions with exact distinct-type counts over a (streaming) events
+    frame — ``applyInPandasWithState`` custom state machine, one shuffle on
+    ``user_id``."""
+    gap_us = _duration_us(gap)
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_state_func(gap_us),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def _duration_us(s: str) -> int:
+    qty, unit = s.split()
+    mult = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+    }[unit]
+    return int(qty) * mult
+
+
+def run_stateful_session_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    query_name: str = "gp_stream_stateful_sessions",
+    n_files: int = 4,
+) -> DataFrame:
+    """Drive the events parquet through the custom stateful operator with the
+    staged-arrival + sentinel protocol (events.py) into a parquet sink."""
+    import pyspark.sql.functions as F
+
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    work = tempfile.mkdtemp(prefix="gp_stream_stateful_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals = _staged_arrivals(spark, sf_dir, work, n_files)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA_NANOS)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("ts", "event_id", "user_id", "event_type", "value")
+    )
+    out = stateful_session_stats(stream, gap=gap)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    return spark.read.parquet(sink)
