@@ -1,0 +1,66 @@
+"""Sinks: bucketed and partitioned parquet writers.
+
+The reference never writes data (SURVEY §2.1 — sources only); a 100 TB
+training-data pipeline lives and dies by its write layout, so the engine
+adds the two layouts that remove whole classes of downstream cost:
+
+- ``write_bucketed``: hash-bucketed (+ optionally sorted) table.  Two tables
+  bucketed by the same key into the same bucket count join WITHOUT a
+  shuffle — the exchange disappears from the physical plan (verified in
+  tests/test_sinks.py by asserting no ``Exchange`` node).  At 100 TB this
+  converts every recurring fact-fact join on the bucket key from a full
+  network shuffle into a local zip of co-located files.
+- ``write_partitioned``: directory-partitioned layout (``partitionBy``) so
+  per-partition predicates become partition PRUNING at scan time — Spark
+  lists only matching directories instead of reading every file.
+
+Both emit plain parquet readable by any engine (DuckDB included).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-bucketed parquet table (catalog-managed —
+    bucketing metadata lives in the table catalog, so this is ``saveAsTable``
+    rather than a bare path write).
+
+    Choose ``n_buckets`` so one bucket ≈ 100-500 MB at the target scale; all
+    tables that will be joined on ``bucket_cols`` must use the SAME count.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as directory-partitioned parquet at ``path``.
+
+    Partition columns should be low-cardinality (date, type, language); a
+    high-cardinality partition column explodes the file count and kills the
+    scan-time listing instead of helping it.
+    """
+    df.write.format("parquet").mode(mode).partitionBy(*partition_cols).save(path)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a table written by ``write_bucketed`` with bucketing metadata
+    intact (plain ``spark.table``; the catalog carries the bucket spec)."""
+    return spark.table(table)
