@@ -44,10 +44,14 @@ def _widen(spark: SparkSession, df: DataFrame, name: str, path: str) -> DataFram
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    Spark's vectorized reader rejects.  Read them as raw nanos
-    (``nanosAsLong``) and truncate to microsecond timestamps — the same
-    truncation DuckDB applies on read, so oracle comparisons stay exact.
+    """Load the events table with a normalized TIMESTAMP ``ts`` column.
+
+    The corpus has shipped ``ts`` in two encodings across generations:
+    TIMESTAMP(NANOS) (which Spark's vectorized reader only surfaces as raw
+    longs via ``nanosAsLong``) and plain TIMESTAMP(MICROS) / TIMESTAMP_NTZ.
+    Both are normalized to microsecond-instant timestamps whose
+    ``unix_micros`` equals DuckDB's ``epoch_us`` on the same file, so oracle
+    comparisons stay exact regardless of the file's encoding.
 
     ``nanosAsLong`` is a session SQLConf (Spark exposes no per-reader
     option for it); it is set once and only when missing, rather than
@@ -55,7 +59,29 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark, raw)
+
+
+def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize an events frame's ``ts`` to TimestampType UTC instants.
+
+    - BIGINT (legacy nanos-as-long read): truncate nanos → micros, exactly
+      the truncation DuckDB applies on read.
+    - TIMESTAMP_NTZ (native micros parquet): reinterpret the naive value as
+      UTC.  The session timezone is pinned to UTC first so the NTZ→TIMESTAMP
+      cast is a pure reinterpretation — ``unix_micros(ts)`` then equals
+      DuckDB's ``epoch_us`` of the same naive value.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -17,10 +17,16 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENT_SCHEMA_NANOS = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
+from ..sources.tables import normalize_event_ts
+
+
+def _event_file_schema(spark: SparkSession, sf_dir: str):
+    """Batch-read the events parquet footer for the stream schema — file
+    sources require an explicit schema, and the corpus has shipped ``ts``
+    as both nanos-longs and native timestamps (see tables.normalize_event_ts)."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,17 +34,16 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two quirks of the test corpus handled here, both invisible to callers:
     the source path is a single file (file-stream sources need a directory +
-    glob), and timestamps are TIMESTAMP(NANOS) which Spark only reads as raw
-    longs (``nanosAsLong``) — truncated to microseconds exactly like DuckDB
-    does on read.
+    glob), and ``ts`` arrives in whichever encoding the corpus generation
+    used — normalized to UTC-instant timestamps exactly like the batch
+    loader, so stream and oracle agree.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
-        spark.readStream.schema(EVENT_SCHEMA_NANOS)
+        spark.readStream.schema(_event_file_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(spark, stream)
 
 
 def windowed_event_aggregation(events: DataFrame, window: str = "1 hour") -> DataFrame:
@@ -100,33 +105,11 @@ def run_streaming_window_counts_append(
     file discovery order or of Spark's optional no-data batches), which a
     batch oracle states as a plain cutoff predicate.
     """
-    import shutil
-
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="gp_stream_append_")
-    src, sink, ckpt, staged, sentinel_dir = (
-        os.path.join(work, d) for d in ("src", "sink", "ckpt", "staged", "sentinel")
-    )
-    os.makedirs(src)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = raw nanos
-    raw.repartitionByRange(n_files, "ts").write.parquet(staged)
-    raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
-    chunk_files = sorted(
-        f for f in os.listdir(staged) if f.endswith(".parquet")
-    )  # part-0000i order == ts-range order
-    sentinel = next(
-        f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet")
-    )
-    arrivals = [os.path.join(staged, f) for f in chunk_files] + [
-        os.path.join(sentinel_dir, sentinel)
-    ]
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files)
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA_NANOS)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = normalize_event_ts(spark, spark.readStream.schema(schema).parquet(src))
     agg = windowed_event_aggregation(stream, window)
     q = (
         agg.writeStream.outputMode("append")
@@ -136,30 +119,31 @@ def run_streaming_window_counts_append(
         .queryName(query_name)
         .start()
     )
-    try:
-        for i, path in enumerate(arrivals):
-            shutil.copy(path, os.path.join(src, f"arrival-{i:04d}.parquet"))
-            q.processAllAvailable()
-    finally:
-        q.stop()
+    _drive_append_query(q, src, arrivals)
     return spark.read.parquet(sink)
 
 
 def _staged_arrivals(spark: SparkSession, sf_dir: str, work: str, n_files: int):
     """Split the events parquet into ``n_files`` ts-ranged chunks plus a
-    max-ts sentinel file; returns (src_dir, ordered arrival paths)."""
+    max-ts sentinel file; returns (src_dir, ordered arrival paths, schema).
+    ``ts`` keeps the file's native encoding (raw nanos-long or timestamp) —
+    the returned schema is what the re-staged chunks carry, and callers
+    normalize after the readStream."""
     src, staged, sentinel_dir = (
         os.path.join(work, d) for d in ("src", "staged", "sentinel")
     )
     os.makedirs(src)
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts = raw nanos
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartitionByRange(n_files, "ts").write.parquet(staged)
     raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
     chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
     sentinel = next(f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet"))
-    return src, [os.path.join(staged, f) for f in chunks] + [
+    arrivals = [os.path.join(staged, f) for f in chunks] + [
         os.path.join(sentinel_dir, sentinel)
     ]
+    return src, arrivals, spark.read.parquet(staged).schema
 
 
 def _drive_append_query(q, src: str, arrivals) -> None:
@@ -188,17 +172,11 @@ def run_streaming_sessions_append(
     (last event + gap) ≤ that cutoff — a pure-data predicate for the oracle.
     The sentinel row's own session ends after the cutoff and is never
     emitted."""
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="gp_stream_sess_append_")
     sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
-    src, arrivals = _staged_arrivals(spark, sf_dir, work, n_files)
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files)
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA_NANOS)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = normalize_event_ts(spark, spark.readStream.schema(schema).parquet(src))
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -39,7 +39,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .events import EVENT_SCHEMA_NANOS, _drive_append_query, _staged_arrivals
+from ..sources.tables import normalize_event_ts
+from .events import _drive_append_query, _staged_arrivals
 
 SESSION_OUT_SCHEMA = (
     "session_start_us bigint, session_end_us bigint, user_id bigint, "
@@ -171,20 +172,13 @@ def run_stateful_session_stats(
 ) -> DataFrame:
     """Drive the events parquet through the custom stateful operator with the
     staged-arrival + sentinel protocol (events.py) into a parquet sink."""
-    import pyspark.sql.functions as F
-
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     work = tempfile.mkdtemp(prefix="gp_stream_stateful_")
     sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
-    src, arrivals = _staged_arrivals(spark, sf_dir, work, n_files)
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files)
 
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA_NANOS)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("ts", "event_id", "user_id", "event_type", "value")
-    )
+    stream = normalize_event_ts(
+        spark, spark.readStream.schema(schema).parquet(src)
+    ).select("ts", "event_id", "user_id", "event_type", "value")
     out = stateful_session_stats(stream, gap=gap)
     q = (
         out.writeStream.outputMode("append")
