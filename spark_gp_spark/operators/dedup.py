@@ -294,12 +294,124 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_n: int = 3,
-    **lsh_kwargs,
+    max_posting_size: int | None = 1000,
 ) -> DataFrame:
-    """Alias for the verified-Jaccard pipeline (candidates via MinHash LSH)."""
-    return minhash_lsh_pairs(
-        df, text_col, id_col, threshold=threshold, shingle_n=shingle_n, **lsh_kwargs
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via an inverted index.
+
+    Complements the approximate MinHash pipeline with the index-based exact
+    plan: distinct word n-gram shingles per doc → explode to a
+    (shingle, id) posting list → self-equi-join on shingle → count common
+    shingles per (id_a, id_b) → join per-doc set sizes → Jaccard filter.
+    No signature, no candidate misses — every qualifying pair is returned.
+
+    Scale shape: two shuffles (postings on shingle, pair-count on
+    (id_a, id_b)); there is no cross join anywhere.  The quadratic risk is
+    hot shingles (boilerplate appearing in many docs): a posting of size p
+    emits p·(p−1)/2 pair rows, so ``max_posting_size`` drops shingles whose
+    document frequency exceeds the cap — the standard stop-shingle guard.
+    Dropping a shingle can only LOWER a pair's computed Jaccard (it removes
+    common and total elements of near-universal grams), so the guard trades
+    recall on boilerplate-only similarity, never precision blow-up.  Pass
+    None to disable (the oracle-checked query does, at oracle scale).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
     )
+    sizes = sh.select("_id", F.size("shingles").alias("_n"))
+    post = sh.select("_id", F.explode("shingles").alias("sh"))
+    if max_posting_size is not None:
+        small = post.groupBy("sh").count().filter(F.col("count") <= max_posting_size)
+        post = post.join(small.select("sh"), "sh", "left_semi")
+    common = (
+        post.select(F.col("sh"), F.col("_id").alias("id_a"))
+        .join(post.select(F.col("sh"), F.col("_id").alias("id_b")), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_common").cast("double")
+                / F.greatest(F.col("_na") + F.col("_nb") - F.col("_common"), F.lit(1)),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``edges`` is (id_a, id_b); ``nodes`` a single-column frame of ids.
+    Returns (id, component) where component = min node id reachable — the
+    canonical representative.  Each iteration joins current labels across
+    the symmetrized edge list and takes the elementwise min; convergence is
+    checked with one count of changed labels, and lineage is cut with
+    ``localCheckpoint`` so plan depth stays O(1) per iteration instead of
+    compounding (the standard Spark iterative-graph discipline; GraphX-style
+    large-star/small-star halves the round count but the simple propagation
+    already converges in graph-diameter rounds, and near-dup graphs are
+    clique-like with tiny diameters).
+    """
+    id_col = nodes.columns[0]
+    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    for _ in range(max_iter):
+        labels = labels.localCheckpoint(eager=True)
+        neigh = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("_neigh_min"))
+        )
+        updated = labels.join(neigh, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("_neigh_min", F.col("component"))).alias(
+                "component"
+            ),
+            (F.col("_neigh_min") < F.col("component")).alias("_changed"),
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("id").alias(id_col), "component")
+
+
+def neardup_components(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_posting_size: int | None = 1000,
+) -> DataFrame:
+    """(id, component, component_size) over the exact n-gram-Jaccard
+    near-duplicate graph — the end-to-end 'collapse near-dups' operator a
+    training pipeline runs: docs in the same component are mutual
+    near-duplicates (transitively), and ``component`` (min doc id) is the
+    canonical survivor."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=threshold, shingle_n=shingle_n,
+        max_posting_size=max_posting_size,
+    )
+    comp = connected_components(pairs, df.select(id_col))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
+    return comp.join(sizes, "component").select(id_col, "component", "component_size")
 
 
 def embedding_neardup_pairs(

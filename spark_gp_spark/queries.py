@@ -382,6 +382,78 @@ WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
 _MINHASH_PAIRS_SQL = _sql_minhash_pairs()
 
 
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via inverted-index equi-join
+    (operators/dedup.py) — the no-miss complement to the MinHash LSH
+    approximation, with the hot-shingle posting cap engaged exactly as it
+    would be at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5, max_posting_size=1000)
+
+
+def _sql_ngram_jaccard_ctes(threshold: float = 0.5, cap: int = 1000) -> str:
+    """Flat CTE chain (usable inside WITH RECURSIVE) replaying the exact
+    posting-list Jaccard pipeline, ending in ``pairs``."""
+    return f"""
+tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_word_ngrams(3)} AS shingles FROM tok
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh
+), post AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), keep_sh AS (
+  SELECT s FROM post GROUP BY s HAVING count(*) <= {cap}
+), postf AS (
+  SELECT p.doc_id, p.s FROM post p JOIN keep_sh USING (s)
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM postf a JOIN postf b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b,
+         round(c::DOUBLE / greatest(na.n + nb.n - c, 1), 6) AS jaccard
+  FROM common
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE round(c::DOUBLE / greatest(na.n + nb.n - c, 1), 6) >= {threshold}
+)"""
+
+
+_NGRAM_JACCARD_SQL = "WITH " + _sql_ngram_jaccard_ctes() + "\nSELECT * FROM pairs"
+
+
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse near-duplicates: connected components over the exact
+    n-gram-Jaccard pair graph (min-label propagation, operators/dedup.py);
+    every doc gets its canonical representative + component size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.neardup_components(docs, threshold=0.5, max_posting_size=1000)
+
+
+_NEARDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE "
+    + _sql_ngram_jaccard_ctes()
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), csize AS (
+  SELECT component, count(*) AS component_size FROM comp GROUP BY component
+)
+SELECT c.doc_id, c.component, s.component_size
+FROM comp c JOIN csize s USING (component)"""
+)
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
@@ -1028,6 +1100,8 @@ QUERIES = {
     "dedup_keep_first": dedup_keep_first,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "neardup_components": neardup_components,
     "simhash_signatures": simhash_signatures,
     "simhash_pairs": simhash_pairs,
     "cosine_topk": cosine_topk,
@@ -1061,6 +1135,8 @@ ORACLE_SQL = {
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "neardup_components": _NEARDUP_COMPONENTS_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
