@@ -315,6 +315,12 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
         # of k (each objective evaluation is a Spark job at scale,
         # GaussianProcessCommons.scala:71-80 / DiffFunctionMemoized.scala:8).
         cache: dict[bytes, tuple[float, np.ndarray]] = {}
+        # Observability for benchmarking: distributed reductions (Spark jobs)
+        # and candidate evaluations of the LAST fit.  The linear-time claim
+        # is per-evaluation (each reduction's cost ∝ N·n²); wall-clock to
+        # convergence also depends on how many evaluations L-BFGS happens to
+        # take, which varies with the data — bench.py normalizes by these.
+        self._fit_stats = {"reductions": 0, "evals": 0}
 
         def _eval_many(xs: list[np.ndarray]) -> list[tuple[float, np.ndarray]]:
             xs = [np.asarray(x, dtype=np.float64) for x in xs]
@@ -333,6 +339,8 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                         segs.append(np.concatenate([[lik], grad]))
                     return np.concatenate(segs)
 
+                self._fit_stats["reductions"] += 1
+                self._fit_stats["evals"] += len(misses)
                 flat = experts.sum_over_experts(fn, len(misses) * (1 + p))
                 for i, x in enumerate(misses):
                     seg = flat[i * (1 + p) : (i + 1) * (1 + p)]

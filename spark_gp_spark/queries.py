@@ -30,6 +30,8 @@ from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_par
 from .sources.tables import load_table
 from .streaming.stateful import run_stateful_session_stats
 from .streaming.events import (
+    run_streaming_dedup,
+    run_streaming_interval_join,
     run_streaming_sessions_append,
     run_streaming_window_counts,
     run_streaming_window_counts_append,
@@ -936,6 +938,42 @@ QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
 """
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark) on
+    (user_id, event_type, hour bucket); emission projected to the key set so
+    the result equals a batch SELECT DISTINCT (streaming/events.py)."""
+    out = run_streaming_dedup(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("hour_start").alias("hour_start_us"),
+    )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       epoch_us(date_trunc('hour', ts)) AS hour_start_us
+FROM events
+"""
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner interval join (purchase ← same-user views in the
+    preceding 30 min) with watermark-bounded state on both sides; inner
+    matches emit on arrival, so the sink equals the batch range join."""
+    return run_streaming_interval_join(spark, sf_dir, lower="30 minutes")
+
+
+_STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       epoch_us(p.ts) AS purchase_ts_us, epoch_us(v.ts) AS view_ts_us
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+"""
+
+
 _STREAM_SESSION_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -1116,6 +1154,8 @@ QUERIES = {
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
     "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_dedup": streaming_dedup,
+    "streaming_interval_join": streaming_interval_join,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1151,6 +1191,8 @@ ORACLE_SQL = {
     "streaming_sessions": _STREAM_SESSION_SQL,
     "streaming_sessions_append": _STREAM_SESSION_APPEND_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,
+    "streaming_dedup": _STREAM_DEDUP_SQL,
+    "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
     # gpr_lineitem / gpc_embeddings / multimodal_decode_features: iterative ML
     # or Python-RNG featurization — not SQL-expressible, rows-only check.

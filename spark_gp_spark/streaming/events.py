@@ -123,12 +123,20 @@ def run_streaming_window_counts_append(
     return spark.read.parquet(sink)
 
 
-def _staged_arrivals(spark: SparkSession, sf_dir: str, work: str, n_files: int):
-    """Split the events parquet into ``n_files`` ts-ranged chunks plus a
-    max-ts sentinel file; returns (src_dir, ordered arrival paths, schema).
-    ``ts`` keeps the file's native encoding (raw nanos-long or timestamp) —
-    the returned schema is what the re-staged chunks carry, and callers
-    normalize after the readStream."""
+def _staged_arrivals(
+    spark: SparkSession, sf_dir: str, work: str, n_files: int, sentinel: bool = True
+):
+    """Split the events parquet into ``n_files`` ts-ranged chunks (plus, by
+    default, a max-ts sentinel file); returns (src_dir, ordered arrival
+    paths, schema).  ``ts`` keeps the file's native encoding (raw nanos-long
+    or timestamp) — the returned schema is what the re-staged chunks carry,
+    and callers normalize after the readStream.
+
+    The sentinel repeats the max-ts event to push the final watermark to
+    max(ts) − delay, flushing closed windows/sessions/timeouts.  Operators
+    that emit ON ARRIVAL rather than on watermark flush (streaming dedup,
+    inner stream-stream joins) must pass ``sentinel=False``: they need no
+    flush, and the duplicated event row would land in their sink as data."""
     src, staged, sentinel_dir = (
         os.path.join(work, d) for d in ("src", "staged", "sentinel")
     )
@@ -137,12 +145,12 @@ def _staged_arrivals(spark: SparkSession, sf_dir: str, work: str, n_files: int):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartitionByRange(n_files, "ts").write.parquet(staged)
-    raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
     chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
-    sentinel = next(f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet"))
-    arrivals = [os.path.join(staged, f) for f in chunks] + [
-        os.path.join(sentinel_dir, sentinel)
-    ]
+    arrivals = [os.path.join(staged, f) for f in chunks]
+    if sentinel:
+        raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
+        sent = next(f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet"))
+        arrivals.append(os.path.join(sentinel_dir, sent))
     return src, arrivals, spark.read.parquet(staged).schema
 
 
@@ -191,6 +199,118 @@ def run_streaming_sessions_append(
     )
     q = (
         agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    return spark.read.parquet(sink)
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    delay: str = "2 hours",
+    query_name: str = "gp_stream_dedup",
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keyed on (user_id, event_type, hour
+    bucket) — state for a key is evicted once the watermark passes its event
+    time + delay, so an unbounded stream holds a sliding window of keys
+    instead of all keys ever seen (the scale difference vs plain streaming
+    ``dropDuplicates``).
+
+    Determinism contract for the oracle: WithinWatermark guarantees dedup of
+    duplicates arriving within ``delay`` of each other; same-hour-bucket
+    events are < 1 h apart in event time and the staged arrivals are
+    ts-ordered, so with delay ≥ 1 h every duplicate lands while its key is
+    still in state.  The emission is projected to the KEY COLUMNS ONLY
+    (which surviving row is kept is arrival-order-dependent; the key set is
+    not), making the result exactly the distinct key set — a plain batch
+    ``SELECT DISTINCT``."""
+    work = tempfile.mkdtemp(prefix="gp_stream_dedup_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files, sentinel=False)
+
+    stream = normalize_event_ts(spark, spark.readStream.schema(schema).parquet(src))
+    deduped = (
+        stream.withColumn("hour_start", F.date_trunc("hour", F.col("ts")))
+        .select("ts", "user_id", "event_type", "hour_start")
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
+        .select("user_id", "event_type", "hour_start")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    return spark.read.parquet(sink)
+
+
+def run_streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    lower: str = "30 minutes",
+    delay: str = "2 hours",
+    query_name: str = "gp_stream_interval_join",
+    n_files: int = 4,
+) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase matched to the same
+    user's views in the preceding ``lower`` window — the streaming form of
+    the attribution query ``asof_purchases_views`` answers in batch.
+
+    Both sides are watermarked and the join condition carries the time-range
+    predicate, so Spark bounds each side's state to the interval plus the
+    watermark delay (the production contract for unbounded streams).  Inner
+    matches emit as soon as both rows have arrived — no watermark flush is
+    needed for completeness, so with the staged ts-ordered arrivals the sink
+    holds exactly the full interval-join result, a plain batch range join
+    for the oracle."""
+    work = tempfile.mkdtemp(prefix="gp_stream_ij_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files, sentinel=False)
+
+    stream = normalize_event_ts(spark, spark.readStream.schema(schema).parquet(src))
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", delay)
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            f"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL {lower} AND p_ts"
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
         .format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)

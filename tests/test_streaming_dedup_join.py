@@ -1,0 +1,53 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark) and stream-stream
+interval join vs their batch equivalents on the same data.
+
+Both operators emit on arrival (no watermark flush), so with the staged
+ts-ordered arrival protocol the sink must equal the batch result exactly.
+"""
+
+from pyspark.sql import functions as F
+
+from spark_gp_spark.sources.tables import load_events
+from spark_gp_spark.streaming.events import (
+    run_streaming_dedup,
+    run_streaming_interval_join,
+)
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir):
+    got = {
+        (r.user_id, r.event_type, r.hour_start)
+        for r in run_streaming_dedup(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.event_type, r.hour_start)
+        for r in load_events(spark, sf_dir)
+        .select("user_id", "event_type", F.date_trunc("hour", "ts").alias("hour_start"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_interval_join_equals_batch_range_join(spark, sf_dir):
+    got = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in run_streaming_interval_join(spark, sf_dir, lower="30 minutes").collect()
+    }
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    want = {
+        (r.p_user, r.purchase_id, r.view_id)
+        for r in p.join(
+            v,
+            F.expr("p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"),
+        ).collect()
+    }
+    assert got == want
