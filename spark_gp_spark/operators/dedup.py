@@ -31,7 +31,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .hashing import MERSENNE_P, h32, minhash_params
-from .text import tokens, word_ngrams
+from .text import tokens, word_ngrams, word_ngrams_of
+
+
+def _staged_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(_id, shingles) with the tokenizer staged as its own projection, so
+    the n-gram lambda references a materialized array instead of re-running
+    the whitespace split per element (see text.word_ngrams_of)."""
+    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    return toks.select("_id", word_ngrams_of(F.col("_toks"), shingle_n).alias("shingles"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -87,10 +97,7 @@ def _minhash_staged(
     makes Catalyst re-evaluate the producer array per element access — the
     same O(n²) trap as the fingerprint pipeline; staging measured ~2×
     faster at sf0.1."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
-    )
+    sh = _staged_shingles(df, text_col, id_col, shingle_n)
     base = sh.select("_id", "shingles", F.transform("shingles", lambda s: h32(s)).alias("_b"))
     params = minhash_params(num_hashes, seed)
     init = F.array(*[F.lit(MERSENNE_P).cast("bigint") for _ in params])
@@ -314,10 +321,7 @@ def ngram_jaccard_pairs(
     recall on boilerplate-only similarity, never precision blow-up.  Pass
     None to disable (the oracle-checked query does, at oracle scale).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams(F.col(text_col), shingle_n).alias("shingles"),
-    )
+    sh = _staged_shingles(df, text_col, id_col, shingle_n).persist()
     sizes = sh.select("_id", F.size("shingles").alias("_n"))
     post = sh.select("_id", F.explode("shingles").alias("sh"))
     if max_posting_size is not None:

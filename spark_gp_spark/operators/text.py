@@ -57,15 +57,28 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles joined by single spaces."""
-    toks = tokens(text)
+def word_ngrams_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a TOKEN ARRAY column.
+
+    Feed this a STAGED column (a projection that already materialized
+    ``tokens(text)``), not the ``tokens(...)`` expression itself: the lambda
+    references ``toks`` n times per output element, so an inlined tokenizer
+    would be re-evaluated O(n·n_tokens) times per row — the Catalyst
+    re-inlining trap that made the unstaged pipeline ~5× slower."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         )
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles joined by single spaces.
+
+    Column-expression form for ad-hoc use; full-table pipelines should stage
+    ``tokens(text)`` as a column and call ``word_ngrams_of`` (see there)."""
+    return word_ngrams_of(tokens(text), n)
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
