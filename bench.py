@@ -176,6 +176,24 @@ def main() -> None:
         "streaming_window_counts_append",
     ]
 
+    # Untimed session warm-up: the first job in a fresh JVM pays parquet
+    # reader/codegen/shuffle-service init (~5 s measured on q1, vs 2.4 s for
+    # a COLDER but later 5-table join), and the first Arrow/pandas-UDF stage
+    # pays Python-worker spawn (~8 s for 32 workers importing numpy).
+    # Warming both makes every timed number a steady-state plan cost instead
+    # of charging process startup to whichever query happens to run first.
+    QUERIES[bench_queries[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _warm(v):
+        return v * 1.0
+
+    spark.range(10_000).repartition(int(CPUS)).select(
+        _warm(F.col("id").cast("double")).alias("x")
+    ).agg({"x": "sum"}).collect()
+
     timings: dict[str, float] = {}
     for name in bench_queries:
         fn = QUERIES[name]

@@ -440,17 +440,24 @@ def embedding_neardup_pairs(
     ``exact=True`` switches to the O(N²/2) brute-force pair join — complete
     but quadratic, only for corpora that fit a single executor's batch.
     """
-    from .similarity import cosine, lsh_candidate_pairs
+    from .similarity import lsh_candidate_pairs, norm, paired_cosine
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         cand = lsh_candidate_pairs(df, vec_col, id_col, bits=bits, tables=tables, seed=seed)
         pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -26,7 +26,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import norm, paired_cosine
+
 
 
 def train_centroids_from_parquet(
@@ -117,13 +118,13 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     cb = ivf_assign_frame(
         corpus, F.col(id_col), F.col(vec_col).cast("array<double>"), centroids, "neighbor_id"
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     qb = ivf_probe_frame(
         queries, F.col(id_col), F.col(vec_col).cast("array<double>"), centroids, nprobe,
         "query_id",
@@ -137,7 +138,10 @@ def ivf_topk(
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

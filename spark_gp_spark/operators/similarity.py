@@ -20,6 +20,7 @@ these operators are its SQL-native counterpart (SURVEY §2.8).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,6 +39,18 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def paired_cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the norms read from precomputed columns.
+
+    Higher-order-function aggregates are interpreted per element (outside
+    whole-stage codegen), so on a pair join the norms — fixed per row —
+    must not be recomputed per candidate pair: precompute them once per id
+    frame and this drops 3 HOF passes per pair to 1.  The arithmetic is
+    bit-identical to ``cosine`` (same expressions, same order), so oracle
+    hash-matches are unaffected."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,13 +66,16 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -93,6 +109,39 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return out
 
 
+def _bucket_udf(planes_by_table: list[np.ndarray]):
+    """Arrow-batched pandas UDF: per input vector, the bucket id in every
+    LSH table, returned as one array<bigint>.
+
+    The tables·bits hyperplane dots are the numeric hot loop of the LSH
+    path; as interpreted higher-order-function expressions they cost ~1 µs
+    per element (6 s for 2 000 × 48 × 64 at sf0.1) — this numpy version is
+    vectorized across the Arrow batch.  The accumulation loops over the
+    DIMENSION axis with scalar adds (acc = acc + x_j·p_j), which is the
+    exact left-to-right IEEE association of the SQL oracle's unrolled
+    ``0.0 + v[1]*p1 + v[2]*p2 + …`` (queries._sql_lsh_dot), so every sign —
+    and every bucket — stays bit-identical across engines (a BLAS matmul's
+    blocked summation would not guarantee that)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.vstack([p for planes in planes_by_table for p in planes])  # (T·B, d)
+    bits = len(planes_by_table[0])
+    tables = len(planes_by_table)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)          # (n, d) exact
+        acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+        for j in range(P.shape[1]):                           # left-to-right
+            acc = acc + X[:, j, None] * P[None, :, j]
+        signs = (acc > 0.0).reshape(-1, tables, bits)
+        out = (signs * weights).sum(axis=2)                   # (n, T)
+        return pd.Series(list(out))
+
+    return buckets
+
+
 def lsh_bucket_frame(
     df: DataFrame,
     id_expr: Column,
@@ -102,43 +151,14 @@ def lsh_bucket_frame(
 ) -> DataFrame:
     """(id, tbl, bucket) relation: one row per (input row, LSH table).
 
-    All tables·bits hyperplane dot products are computed by ONE ``transform``
-    lambda over a literal plane matrix, materialized as a dots column in a
-    separate projection — the dot expression is generated once instead of
-    once per plane, which keeps whole-stage codegen small (48 inlined 64-term
-    dots measured ~7 s of Janino compile time at sf0.1).  Only (id, tbl,
-    bucket) leaves the projection; vectors never ride the downstream shuffle.
-    """
-    bits = len(planes_by_table[0])
-    all_planes = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in plane])
-            for planes in planes_by_table
-            for plane in planes
-        ]
-    )
-    dotted = df.select(
-        id_expr.alias(id_name),
-        F.transform(all_planes, lambda p: dot(vec_expr, p)).alias("_dots"),
-    )
-
-    def bucket(t: int) -> Column:
-        out = F.lit(0).cast("bigint")
-        for i in range(bits):
-            out = out + F.when(
-                F.element_at(F.col("_dots"), t * bits + i + 1) > 0,
-                F.lit(1 << i).cast("bigint"),
-            ).otherwise(F.lit(0))
-        return out
-
-    tb = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
-            for t in range(len(planes_by_table))
-        ]
-    )
-    return dotted.select(id_name, F.explode(tb).alias("tb")).select(
-        id_name, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    Buckets come from one Arrow-batched pandas UDF computing all tables·bits
+    hyperplane dots per row (see ``_bucket_udf`` for why numpy, and for the
+    bit-parity contract with the SQL oracle).  Only (id, tbl, bucket) leaves
+    the projection; vectors never ride the downstream shuffle."""
+    udf = _bucket_udf(planes_by_table)
+    dotted = df.select(id_expr.alias(id_name), udf(vec_expr).alias("_b"))
+    return dotted.select(
+        id_name, F.posexplode(F.col("_b")).alias("tbl", "bucket")
     )
 
 
@@ -203,14 +223,14 @@ def lsh_bucketed_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     cb = lsh_bucket_frame(
         corpus, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
         "neighbor_id",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     qb = lsh_bucket_frame(
         queries, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
         "query_id",
@@ -225,7 +245,10 @@ def lsh_bucketed_topk(
     scored = (
         cand.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
