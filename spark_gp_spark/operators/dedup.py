@@ -27,6 +27,8 @@ replay every pipeline bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -252,6 +254,63 @@ def simhash64(text: Column, seed: int = 7) -> Column:
     return F.aggregate(base, init, step, finish)
 
 
+def _simhash_vote_udf():
+    """Arrow-batched vote accumulation for SimHash: given the per-token md5
+    halves (array<bigint> lo/hi), return the 64-bit signature.
+
+    Pure INTEGER math (bit tests, ±1 votes, power-of-two packing), so the
+    result is exactly ``simhash64``'s aggregate-finish — no float-parity
+    caveat.  The interpreted HOF form costs 64 interpreted ops per token
+    (~5 s for 5 000 docs at sf0.1); this is vectorized per row."""
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(32, dtype=np.int64)
+    weights = np.int64(1) << np.arange(64, dtype=np.int64)  # [63] wraps to −2⁶³
+
+    @F.pandas_udf(LongType())
+    def sig(lo: pd.Series, hi: pd.Series) -> pd.Series:
+        out = np.zeros(len(lo), dtype=np.int64)
+        for r in range(len(lo)):
+            l = np.asarray(lo.iloc[r], dtype=np.int64)
+            if l.size == 0:
+                continue  # empty token set → all votes 0 → signature 0
+            h = np.asarray(hi.iloc[r], dtype=np.int64)
+            votes = np.concatenate(
+                [((l[:, None] >> shifts) & 1), ((h[:, None] >> shifts) & 1)], axis=1
+            ) * 2 - 1
+            out[r] = weights[votes.sum(axis=0) > 0].sum()
+        return pd.Series(out)
+
+    return sig
+
+
+def simhash64_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", seed: int = 7
+) -> DataFrame:
+    """(_id, sh) SimHash relation with every stage materialized: tokens →
+    seed-salted md5 hex (ONE md5 per token) → (lo, hi) 32-bit halves →
+    vectorized vote accumulation (see ``_simhash_vote_udf``).  Same
+    signatures as the ``simhash64`` column expression, ~3× faster on full
+    tables; md5 and tokenization stay JVM-side for oracle portability."""
+    salt = F.lit(f"sh{seed}_")
+    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    hexed = toks.select(
+        "_id", F.transform("_toks", lambda t: F.md5(F.concat(salt, t))).alias("_hx")
+    )
+    halves = hexed.select(
+        "_id",
+        F.transform(
+            "_hx", lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("bigint")
+        ).alias("_lo"),
+        F.transform(
+            "_hx", lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("bigint")
+        ).alias("_hi"),
+    )
+    return halves.select(
+        "_id", _simhash_vote_udf()(F.col("_lo"), F.col("_hi")).alias("sh")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -267,7 +326,7 @@ def simhash_pairs(
     arithmetic shift + mask extracts the same bit pattern for negative
     (bit-63-set) signatures in both Spark and the DuckDB oracle.
     """
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col), seed).alias("sh"))
+    sh = simhash64_frame(df, text_col, id_col, seed)
     blocks = sh.select(
         "_id",
         "sh",

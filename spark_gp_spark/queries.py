@@ -458,7 +458,9 @@ FROM comp c JOIN csize s USING (component)"""
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash64(F.col("text")).alias("simhash"))
+    return D.simhash64_frame(docs).select(
+        F.col("_id").alias("doc_id"), F.col("sh").alias("simhash")
+    )
 
 
 def _sql_simhash(seed: int = 7) -> str:
