@@ -18,7 +18,7 @@ no oracle entry and get the driver's rows-only check (per the contract).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as D
@@ -98,6 +98,54 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lineitems"),
         )
     )
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP over the region→nation hierarchy: per-nation rows,
+    per-region subtotals, and the grand total in one grouping-sets pass
+    (Spark computes all levels in a single shuffle via Expand).
+
+    Revenue is summed in EXACT decimal arithmetic (the money columns are
+    2-dp by construction) and only cast to double at the end: the grand
+    total aggregates the whole fact table, where float summation-order
+    noise (~n·ε·Σ) would otherwise reach the 2-dp rounding boundary and
+    make the oracle comparison flaky at larger scale factors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("r_name", "n_name", "revenue", "n_lineitems", F.col("gid").cast("long").alias("gid"))
+    )
+
+
+_REVENUE_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lineitems,
+       (CAST(GROUPING(r_name) AS BIGINT) * 2 + CAST(GROUPING(n_name) AS BIGINT)) AS gid
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
 
 
 _REVENUE_SQL = """
@@ -221,6 +269,60 @@ _LANG_DIST_SQL = (
 # --------------------------------------------------------------------------
 # dedup family (operators/dedup.py) — portable-hash pipelines
 # --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1)) + 1,
+    the pyspark.ml.feature.IDF convention).  Relational plan: staged tokens →
+    explode → (doc, term) tf counts → term document frequencies → score +
+    per-doc rank.  Two thin shuffles (tf grouping, df grouping); the rank
+    window partitions by doc_id over ≤ |vocab ∩ doc| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    tf = (
+        toks.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log(F.lit(float(n_docs + 1)) / (F.col("_df") + 1)) + F.lit(1.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), post AS (
+  SELECT doc_id, unnest(toks) AS term FROM tok
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM post GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT doc_id, term, tf,
+         round(tf * (ln((n + 1)::DOUBLE / (df + 1)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)::BIGINT AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= 5
+"""
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,9 +1234,11 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "part_type_revenue": part_type_revenue,
+    "revenue_rollup": revenue_rollup,
     "text_stats": text_stats,
     "language_distribution": language_distribution,
     "doc_fingerprints": doc_fingerprints,
+    "tfidf_top_terms": tfidf_top_terms,
     "token_budget": token_budget,
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
@@ -1169,9 +1273,11 @@ ORACLE_SQL = {
     "q1_pricing_summary": _Q1_SQL,
     "revenue_by_nation": _REVENUE_SQL,
     "part_type_revenue": _PART_TYPE_SQL,
+    "revenue_rollup": _REVENUE_ROLLUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "language_distribution": _LANG_DIST_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
