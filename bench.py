@@ -157,8 +157,10 @@ def main() -> None:
     bench_queries = [
         "q1_pricing_summary",
         "revenue_by_nation",
+        "revenue_rollup",
         "part_type_revenue",
         "text_stats",
+        "tfidf_top_terms",
         "doc_fingerprints",
         "exact_dedup",
         "minhash_lsh_pairs",
@@ -174,6 +176,7 @@ def main() -> None:
         "event_window_agg",
         "streaming_window_counts",
         "streaming_window_counts_append",
+        "streaming_interval_join",
     ]
 
     # Untimed session warm-up: the first job in a fresh JVM pays parquet

@@ -180,13 +180,16 @@ def run_stateful_session_stats(
         spark, spark.readStream.schema(schema).parquet(src)
     ).select("ts", "event_id", "user_id", "event_type", "value")
     out = stateful_session_stats(stream, gap=gap)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .queryName(query_name)
-        .start()
-    )
+    from .events import _state_partitions
+
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
     _drive_append_query(q, src, arrivals)
     return spark.read.parquet(sink)
