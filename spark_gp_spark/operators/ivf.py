@@ -9,8 +9,9 @@ FAISS-style IVF-Flat trade (probe more cells → higher recall, bigger scan).
 Spark shape (the 100 TB plan):
 - centroids are a small driver-side numpy array (trained on a sample),
   embedded as literal columns — an implicit broadcast, no shuffle;
-- cell assignment is a pure projection (one ``transform`` over the centroid
-  matrix per row — same codegen-lean trick as similarity.lsh_bucket_frame);
+- cell assignment is a per-row projection (one Arrow-batched pandas UDF
+  over the broadcast centroid matrix — same shape as
+  similarity.lsh_bucket_frame);
 - the candidate join is an equi-join on cell id carrying only (id, cell);
   vectors are re-joined by id after candidate generation;
 - exact cosine verification + per-query rank run on candidates only.
@@ -23,6 +24,7 @@ float summation as the SQL rendering; ties break on centroid index).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,20 +51,37 @@ def train_centroids_from_parquet(
     return np.round(_local_kmeans(X, n_centroids, seed), 6)
 
 
+def _sq_dists_udf(centroids: np.ndarray):
+    """Arrow-batched pandas UDF: per row, the array of squared L2 distances
+    to every centroid.
+
+    The accumulation loops over the DIMENSION axis with scalar adds
+    (acc = acc + (x_j − c_j)²), preserving the SQL oracle's left-to-right
+    IEEE association (queries' unrolled `(v[1]-c1)*(v[1]-c1) + …`) so
+    nearest-cell assignment and probe order stay bit-identical across
+    engines — the same parity discipline as similarity._bucket_udf.  As
+    interpreted HOF expressions these dots cost ~1 µs/element and dominated
+    ivf_topk."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def sq_dists(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)          # (n, d)
+        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(C.shape[1]):                           # left-to-right
+            diff = X[:, j, None] - C[None, :, j]
+            acc = acc + diff * diff
+        return pd.Series(list(acc))
+
+    return sq_dists
+
+
 def _sq_dists(vec: Column, centroids: np.ndarray) -> Column:
-    """Array of squared L2 distances to every centroid, computed by ONE
-    transform lambda (summation order matches the SQL rendering)."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
-    )
-    return F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
-    )
+    """Array of squared L2 distances to every centroid (Arrow-vectorized —
+    see ``_sq_dists_udf`` for the oracle-parity contract)."""
+    return _sq_dists_udf(centroids)(vec)
 
 
 def ivf_assign_frame(
