@@ -1,0 +1,162 @@
+"""Training-data preparation operators.
+
+The last mile of an LLM data pipeline after dedup/quality filtering: split
+assignment, chunking long documents into token windows, PII redaction,
+packing documents into token-budget batches, and benchmark-contamination
+checks.  The reference has no counterpart (SURVEY §2.8 — the rebuild's
+north-star extension surface); every operator here is a pure DataFrame
+plan with engine-portable arithmetic so the DuckDB oracle replays it
+bit-for-bit.
+
+Scale shapes:
+- split/redact/chunk are zero-shuffle projections (chunking explodes to
+  ~n_tokens/stride rows per doc, still embarrassingly parallel);
+- pack_batches is one global window over a cumulative sum — at corpus scale
+  the same plan runs per shard key (partitionBy) so no single-task sort;
+- contamination is the inverted-index semi-join pattern from
+  dedup.ngram_jaccard_pairs with the probe side broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h32
+from .text import bpe_token_count, tokens, word_ngrams_of
+
+#: hash-bucket split boundaries (out of 100): [0, TRAIN) train,
+#: [TRAIN, TRAIN+VAL) val, rest test.
+SPLIT_TRAIN, SPLIT_VAL = 80, 10
+
+
+def split_assign(
+    df: DataFrame, id_col: str = "doc_id", train: int = SPLIT_TRAIN, val: int = SPLIT_VAL
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket.
+
+    ``bucket = md5-hash(id) mod 100`` — a pure function of the id, so the
+    assignment is reproducible across runs, engines, and cluster layouts
+    (unlike ``rand(seed)``, whose stream depends on partitioning).  This is
+    the standard leakage-safe split: a document can never migrate between
+    splits when the corpus is re-partitioned or re-sampled."""
+    bucket = h32(F.col(id_col)) % 100
+    return df.select(
+        id_col,
+        bucket.alias("bucket"),
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the training-sample
+    chunker): window w covers tokens [w·stride, w·stride + size) with
+    stride = size − overlap; the last window keeps its tail even when
+    shorter.  Zero shuffle — stage tokens, compute window starts with one
+    ``sequence``, explode."""
+    stride = size - overlap
+    toks = df.select(F.col(id_col).alias(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)).cast("int"), F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunked = toks.select(
+        id_col,
+        "_toks",
+        F.explode(F.transform(starts, lambda w: w * stride)).alias("_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return chunked.select(
+        id_col,
+        (F.col("_start") / stride).cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+#: Conservative, dialect-portable redaction patterns (identical semantics in
+#: Java regex and DuckDB's RE2): emails, and digit runs long enough to be
+#: identifiers (phone/SSN-like).  Real pipelines plug stronger recognizers
+#: into the same projection.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_DIGITS_RE = "[0-9]{9,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and long digit runs, keeping match counts for audit.
+    Pure projection — regexp_replace/count run inside codegen."""
+    email_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0))
+    digit_hits = F.size(F.regexp_extract_all(F.col(text_col), F.lit(LONG_DIGITS_RE), 0))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        LONG_DIGITS_RE,
+        "<NUMBER>",
+    )
+    return df.select(
+        id_col,
+        email_hits.cast("long").alias("n_emails"),
+        digit_hits.cast("long").alias("n_long_numbers"),
+        cleaned.alias("clean_text"),
+    )
+
+
+def pack_batches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign documents to token-budget batches in deterministic id order:
+    ``batch_id = floor(preceding_cumulative_tokens / budget)`` — the
+    streaming-order packing rule (a document may start a new batch slightly
+    over budget; boundaries are a pure function of the ordered token
+    counts).  One window over the ordered relation; at corpus scale the
+    identical plan runs under ``partitionBy(shard)`` so no global sort
+    bottleneck."""
+    sized = df.select(id_col, bpe_token_count(F.col(text_col)).cast("long").alias("n_tokens"))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        id_col,
+        "n_tokens",
+        F.floor(cum_before / budget).cast("long").alias("batch_id"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, the number
+    of distinct ``shingle_n``-gram shingles it shares with each probe
+    (evaluation-set) document.  Inverted-index equi-join — the probe side
+    is tiny and broadcast, so the corpus is scanned once with no shuffle of
+    its text."""
+    corpus_post = (
+        df.select(F.col(id_col).alias(id_col), tokens(F.col(text_col)).alias("_t"))
+        .select(id_col, word_ngrams_of(F.col("_t"), shingle_n).alias("_sh"))
+        .select(id_col, F.explode("_sh").alias("sh"))
+    )
+    probe_post = (
+        probe.select(F.col(id_col).alias("probe_id"), tokens(F.col(text_col)).alias("_t"))
+        .select("probe_id", word_ngrams_of(F.col("_t"), shingle_n).alias("_sh"))
+        .select("probe_id", F.explode("_sh").alias("sh"))
+    )
+    return (
+        corpus_post.join(F.broadcast(probe_post), "sh")
+        .groupBy(id_col, "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

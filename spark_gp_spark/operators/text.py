@@ -65,10 +65,14 @@ def word_ngrams_of(toks: Column, n: int = 3) -> Column:
     references ``toks`` n times per output element, so an inlined tokenizer
     would be re-evaluated O(n·n_tokens) times per row — the Catalyst
     re-inlining trap that made the unstaged pipeline ~5× slower."""
+    # F.get (0-based) returns NULL for out-of-range indexes even under ANSI
+    # mode — element_at THROWS there, which breaks the partial-gram tail of
+    # documents shorter than n tokens.  concat_ws drops the NULLs, matching
+    # the DuckDB rendering exactly.
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
         )
     )
 
@@ -163,8 +167,10 @@ def doc_fingerprints(
         id_col,
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0))),
+            # F.get: NULL (not an ANSI error) past the end — short docs keep
+            # the partial tail gram, same as word_ngrams_of
             lambda i: F.concat_ws(
-                " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)]
+                " ", *[F.get(F.col("_toks"), i + j) for j in range(k)]
             ),
         ).alias("_grams"),
     )
@@ -182,9 +188,10 @@ def doc_fingerprints(
                 F.transform(
                     F.sequence(F.lit(1), F.greatest(F.size("_h") - (window - 1), F.lit(1))),
                     # least() over w direct element accesses — no per-position
-                    # slice allocation; NULL tail elements are skipped, matching
-                    # list_min over a truncated slice in the oracle
-                    lambda i: F.least(*[F.element_at(F.col("_h"), i + j) for j in range(window)]),
+                    # slice allocation; NULL tail elements (F.get past the
+                    # end, ANSI-safe) are skipped, matching list_min over a
+                    # truncated slice in the oracle
+                    lambda i: F.least(*[F.get(F.col("_h"), i + j - 1) for j in range(window)]),
                 )
             )
         ).alias("fingerprint"),

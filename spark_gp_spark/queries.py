@@ -26,6 +26,7 @@ from .operators import similarity as S
 from .operators import text as T
 from .operators import asof as A
 from .operators import multimodal as M
+from .operators import prep as P
 from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_params
 from .sources.tables import load_table
 from .streaming.stateful import run_stateful_session_stats
@@ -375,6 +376,127 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# training-data preparation (operators/prep.py)
+# --------------------------------------------------------------------------
+
+
+def _sql_word_ngrams(n: int = 3) -> str:
+    """DuckDB rendering of text.word_ngrams: distinct word n-grams with the
+    same partial-gram tail semantics (concat_ws drops out-of-range nulls)."""
+    grams = ", ".join(f"toks[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
+        f"i -> concat_ws(' ', {grams})))"
+    )
+
+
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment (leakage-safe:
+    a pure function of doc_id, stable under repartitioning)."""
+    return P.split_assign(load_table(spark, sf_dir, "documents"))
+
+
+_SPLIT_ASSIGN_SQL = f"""
+WITH b AS (
+  SELECT doc_id, {h32_sql("doc_id::VARCHAR")} % 100 AS bucket FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < {P.SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {P.SPLIT_TRAIN + P.SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token training windows (stride 48) per document."""
+    return P.doc_chunks(load_table(spark, sf_dir, "documents"), size=64, overlap=16)
+
+
+_DOC_CHUNKS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         greatest(ceil((len(toks) - 16)::DOUBLE / 48)::INT, 1) AS n_chunks
+  FROM tok
+), ex AS (
+  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS w FROM base
+), sliced AS (
+  SELECT doc_id, (w * 48) AS start, toks[w * 48 + 1 : w * 48 + 64] AS piece FROM ex
+)
+SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+       len(piece)::BIGINT AS n_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM sliced
+"""
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email + long-digit-run redaction with audit counts (pure codegen
+    projection)."""
+    return P.redact_pii(load_table(spark, sf_dir, "documents"))
+
+
+_REDACT_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{P.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{P.LONG_DIGITS_RE}'))::BIGINT AS n_long_numbers,
+       regexp_replace(regexp_replace(text, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{P.LONG_DIGITS_RE}', '<NUMBER>', 'g') AS clean_text
+FROM documents
+"""
+
+
+def pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget batch assignment in deterministic doc order (2048-token
+    budget, streaming-order packing)."""
+    return P.pack_batches(load_table(spark, sf_dir, "documents"), budget=2048)
+
+
+_PACK_BATCHES_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 2048)::BIGINT AS batch_id
+FROM sized
+"""
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared distinct 8-gram counts between corpus docs (id ≥ 20) and a
+    probe/eval set (id < 20) — the benchmark-contamination scan as a
+    broadcast inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.contamination_check(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), shingle_n=8
+    )
+
+
+_CONTAMINATION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_word_ngrams(8)} AS shingles FROM tok
+), cp AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id >= 20
+), pp AS (
+  SELECT doc_id AS probe_id, unnest(shingles) AS sh FROM sh WHERE doc_id < 20
+)
+SELECT cp.doc_id, probe_id, count(*)::BIGINT AS n_shared
+FROM cp JOIN pp USING (sh)
+GROUP BY 1, 2
+"""
+
+
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -399,16 +521,6 @@ WITH keep AS (
 SELECT doc_id, md5(text) AS text_hash
 FROM documents JOIN keep ON doc_id = keep_id
 """
-
-
-def _sql_word_ngrams(n: int = 3) -> str:
-    """DuckDB rendering of text.word_ngrams: distinct word n-grams with the
-    same partial-gram tail semantics (concat_ws drops out-of-range nulls)."""
-    grams = ", ".join(f"toks[i + {j}]" for j in range(n))
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len(toks) - {n - 1}, 1) + 1), "
-        f"i -> concat_ws(' ', {grams})))"
-    )
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,6 +1352,11 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "token_budget": token_budget,
+    "split_assign": split_assign,
+    "doc_chunks": doc_chunks,
+    "redact_pii": redact_pii,
+    "pack_batches": pack_batches,
+    "contamination_check": contamination_check,
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
     "minhash_signatures": minhash_signatures,
@@ -1279,6 +1396,11 @@ ORACLE_SQL = {
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "token_budget": _TOKEN_BUDGET_SQL,
+    "split_assign": _SPLIT_ASSIGN_SQL,
+    "doc_chunks": _DOC_CHUNKS_SQL,
+    "redact_pii": _REDACT_SQL,
+    "pack_batches": _PACK_BATCHES_SQL,
+    "contamination_check": _CONTAMINATION_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,

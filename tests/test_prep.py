@@ -1,0 +1,76 @@
+"""Training-data preparation operators (operators/prep.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_gp_spark.operators import prep as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "contact me at jane.doe@example.com or 123456789012 thanks"),
+        (3, "short text"),
+        (4, " ".join(f"tok{i}" for i in range(150))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark, docs):
+    a = {(r.doc_id, r.bucket, r.split) for r in P.split_assign(docs).collect()}
+    b = {
+        (r.doc_id, r.bucket, r.split)
+        for r in P.split_assign(docs.repartition(7)).collect()
+    }
+    assert a == b and len(a) == 4
+    assert all(s in ("train", "val", "test") for _, _, s in a)
+
+
+def test_doc_chunks_cover_all_tokens_with_overlap(spark, docs):
+    out = P.doc_chunks(docs, size=64, overlap=16)
+    rows = {r.doc_id: sorted((c.chunk_id, c.n_tokens) for c in out.collect() if c.doc_id == r.doc_id)
+            for r in docs.collect()}
+    # 150 tokens, stride 48: windows at 0/48/96 → 64, 64, 54 tokens
+    assert rows[4] == [(0, 64), (1, 64), (2, 54)]
+    # short docs produce exactly one window with every token
+    assert rows[3] == [(0, 2)]
+    # reconstruction: stitching chunk w's first `stride` tokens + last tail
+    chunks4 = [r.chunk_text for r in out.filter(F.col("doc_id") == 4)
+               .orderBy("chunk_id").collect()]
+    toks = []
+    for i, c in enumerate(chunks4):
+        parts = c.split(" ")
+        toks.extend(parts if i == len(chunks4) - 1 else parts[:48])
+    assert toks == [f"tok{i}" for i in range(150)]
+
+
+def test_redact_pii(spark, docs):
+    out = {r.doc_id: r for r in P.redact_pii(docs).collect()}
+    assert out[2].n_emails == 1 and out[2].n_long_numbers == 1
+    assert "<EMAIL>" in out[2].clean_text and "<NUMBER>" in out[2].clean_text
+    assert "jane.doe" not in out[2].clean_text
+    assert out[1].clean_text == "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_pack_batches_order_and_budget(spark, docs):
+    out = sorted(
+        ((r.doc_id, r.n_tokens, r.batch_id) for r in P.pack_batches(docs, budget=100).collect())
+    )
+    # cumulative-before thresholds: batch changes once 100 tokens precede
+    cum = 0
+    for doc_id, n, batch in out:
+        assert batch == cum // 100
+        cum += n
+
+
+def test_contamination_check_detects_copies(spark, docs):
+    probe = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.union(
+        docs.filter(F.col("doc_id") == 1).select(F.lit(99).alias("doc_id"), "text")
+    ).filter(F.col("doc_id") != 1)
+    out = {(r.doc_id, r.probe_id): r.n_shared
+           for r in P.contamination_check(corpus, probe, shingle_n=8).collect()}
+    # doc 99 is a verbatim copy of probe 1 → shares its single 8-gram window set
+    assert out[(99, 1)] == 1
+    assert all(d == 99 for d, _ in out)
