@@ -604,12 +604,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation, with the hot-shingle posting cap engaged exactly as it
     would be at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, threshold=0.5, max_posting_size=1000)
+    return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-def _sql_ngram_jaccard_ctes(threshold: float = 0.5, cap: int = 1000) -> str:
-    """Flat CTE chain (usable inside WITH RECURSIVE) replaying the exact
-    posting-list Jaccard pipeline, ending in ``pairs``."""
+def _sql_ngram_jaccard_ctes(threshold: float = 0.5) -> str:
+    """Flat CTE chain (usable inside WITH RECURSIVE) stating the exact
+    all-pairs Jaccard relation, ending in ``pairs``.  The Spark side reaches
+    the same result through lossless prefix filtering — the oracle states
+    the SEMANTICS (full posting join), not the plan."""
     return f"""
 tok AS (
   SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
@@ -619,13 +621,9 @@ tok AS (
   SELECT doc_id, len(shingles) AS n FROM sh
 ), post AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
-), keep_sh AS (
-  SELECT s FROM post GROUP BY s HAVING count(*) <= {cap}
-), postf AS (
-  SELECT p.doc_id, p.s FROM post p JOIN keep_sh USING (s)
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM postf a JOIN postf b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ), pairs AS (
   SELECT id_a, id_b,
@@ -645,7 +643,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-Jaccard pair graph (min-label propagation, operators/dedup.py);
     every doc gets its canonical representative + component size."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.neardup_components(docs, threshold=0.5, max_posting_size=1000)
+    return D.neardup_components(docs, threshold=0.5)
 
 
 _NEARDUP_COMPONENTS_SQL = (

@@ -38,6 +38,18 @@ def test_exact_jaccard_values(spark, docs):
     assert not any(6 in p for p in out)
 
 
+def test_prefix_filter_is_lossless(spark, docs):
+    naive = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.4, prefix=True).collect()
+    }
+    assert naive == pref and len(naive) > 0
+
+
 def test_exact_superset_of_minhash(spark, docs):
     exact = {
         (r.id_a, r.id_b)
