@@ -1152,6 +1152,34 @@ QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
 """
 
 
+def event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: extract the JSON ``props.k`` field
+    (from_json with an explicit schema — JVM-side, no Python) and aggregate
+    per event type.  Demonstrates the JSON-function surface the reference
+    lacks entirely (SURVEY §2.8)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+_EVENT_PROPS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::INT)::BIGINT AS min_k,
+       max(json_extract_string(props, '$.k')::INT)::BIGINT AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup (dropDuplicatesWithinWatermark) on
     (user_id, event_type, hour bucket); emission projected to the key set so
@@ -1370,6 +1398,7 @@ QUERIES = {
     "asof_purchases_views": asof_purchases_views,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
+    "event_props_stats": event_props_stats,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
@@ -1414,6 +1443,7 @@ ORACLE_SQL = {
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
+    "event_props_stats": _EVENT_PROPS_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
