@@ -17,6 +17,7 @@ from .kernel import (
     ARDRBFKernel,
     EyeKernel,
     Kernel,
+    MaternKernel,
     RBFKernel,
     Scalar,
     white_noise_kernel,
@@ -31,6 +32,7 @@ __all__ = [
     "GaussianProcessRegression",
     "GaussianProcessRegressionModel",
     "Kernel",
+    "MaternKernel",
     "OneVsRestGP",
     "RBFKernel",
     "Scalar",

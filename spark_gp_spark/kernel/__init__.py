@@ -10,6 +10,7 @@ from .base import (
     TrainingVectorsNotInitializedException,
     white_noise_kernel,
 )
+from .matern import MaternKernel
 from .rbf import ARDRBFKernel, RBFKernel
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "ConstantTimesKernel",
     "EyeKernel",
     "Kernel",
+    "MaternKernel",
     "RBFKernel",
     "Scalar",
     "SumOfKernels",

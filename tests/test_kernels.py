@@ -138,3 +138,63 @@ def test_scalar_const_dsl():
 def test_double_times_kernel_dsl():
     k = 2.0 * RBFKernel(0.5)
     assert np.allclose(k.get_hyperparameters(), [2.0, 0.5])
+
+
+def test_matern_derivative_matches_finite_difference():
+    from spark_gp_spark.kernel import MaternKernel
+
+    for nu in (1.5, 2.5):
+        k = MaternKernel(0.7, nu=nu).set_training_vectors(DATASET)
+        _, dK = k.training_kernel_and_derivative()
+        h = 1e-4
+        left = MaternKernel(0.7 - h, nu=nu).set_training_vectors(DATASET)
+        right = MaternKernel(0.7 + h, nu=nu).set_training_vectors(DATASET)
+        fd = (right.training_kernel() - left.training_kernel()) / (2 * h)
+        assert np.all(np.abs(dK[0] - fd) < 1e-3)
+
+
+def test_matern_contract_and_composition():
+    from spark_gp_spark.kernel import MaternKernel
+
+    with pytest.raises(TrainingVectorsNotInitializedException):
+        MaternKernel().training_kernel()
+    with pytest.raises(ValueError):
+        MaternKernel(nu=2.0)
+    k = MaternKernel(1.3, nu=2.5).set_training_vectors(DATASET)
+    K = k.training_kernel()
+    assert np.allclose(np.diag(K), 1.0) and np.all(K <= 1.0) and np.all(K >= 0.0)
+    assert np.allclose(K, K.T)
+    assert np.allclose(k.training_kernel_diag(), 1.0)
+    assert np.allclose(k.cross_kernel(DATASET), K)
+    # composes with the DSL like any kernel
+    comp = (Scalar(2.0) * MaternKernel(1.0, nu=1.5) + white_noise_kernel(0.1, 0.0, 1.0)
+            ).set_training_vectors(DATASET)
+    assert comp.n_hyperparameters == 3
+    comp.training_kernel_and_derivative()
+
+
+def test_matern_gpr_end_to_end(spark):
+    import pyspark.sql.functions as F
+
+    from spark_gp_spark import GaussianProcessRegression, MaternKernel, Scalar
+
+    df = (
+        spark.range(2000)
+        .withColumn("x", F.rand(31) * 6.0)
+        .select("x", F.sin(F.col("x")).alias("label"), F.array("x").alias("features"))
+    )
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: Scalar(1.0) * MaternKernel(1.0, nu=2.5))
+        .setDatasetSizeForExpert(100)
+        .setActiveSetSize(100)
+        .setActiveSetProvider("random")
+        .setSeed(17)
+        .setSigma2(1e-3)
+        .setMaxIter(15)
+    )
+    pred = gp.fit(df).transform(df)
+    rmse = pred.select(
+        F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)).alias("rmse")
+    ).first().rmse
+    assert rmse < 0.11
