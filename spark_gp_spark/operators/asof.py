@@ -25,12 +25,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows enriched with the latest preceding right row's payload.
+    """Left rows enriched with the nearest right row's payload.
+
+    ``direction='backward'`` (default): latest right row with
+    ``right.ts <= left.ts`` — point-in-time enrichment.
+    ``direction='forward'``: earliest right row with ``right.ts >= left.ts``
+    — next-event attribution.  Both match ties (DuckDB ASOF ``>=`` / ``<=``).
 
     Output: all left columns + ``payload_cols`` (null when no right row
-    precedes).  Ties (equal timestamps) match, like DuckDB ASOF (>=).
+    qualifies).  One shuffle on the key either way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
         right.select(
@@ -50,25 +58,32 @@ def asof_join(
     unioned = lt.select(*left_cols, *payload_cols, "__ts", "__side").unionByName(
         rt.select(*left_cols, *payload_cols, "__ts", "__side")
     )
-    # Right rows sort before left rows at equal ts so a tie is matchable.
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # Tie ordering makes the equal-ts right row visible to the left row's
+    # window frame: backward scans the past (right first at equal ts),
+    # forward scans the future (right last at equal ts).
+    payload_struct = F.when(
+        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload_cols])
     )
     # Carry the matched right row as ONE struct (non-null for every right row
     # even when its payload fields are null), then project the fields.  A
     # per-column last(ignorenulls) would skip a matched row's NULL payload and
     # substitute an older row's value — diverging from true as-of semantics
     # (DuckDB ASOF returns the matched row's NULL).
-    payload_struct = F.when(
-        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload_cols])
-    )
-    filled = unioned.select(
-        *left_cols,
-        "__side",
-        F.last(payload_struct, ignorenulls=True).over(w).alias("__match"),
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        match = F.last(payload_struct, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        match = F.first(payload_struct, ignorenulls=True).over(w)
+    filled = unioned.select(*left_cols, "__side", match.alias("__match"))
     return filled.filter(F.col("__side") == 1).select(
         *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload_cols]
     )

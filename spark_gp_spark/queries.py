@@ -964,6 +964,44 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the EARLIEST view of the same user
+    at or after the purchase (next-event attribution) — the mirrored
+    direction of asof_purchases_views."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = A.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_event_id", "view_value"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+_ASOF_FWD_SQL = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       round(l.value, 6) AS value,
+       r.event_id AS view_event_id, round(r.value, 6) AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = A.session_stats(ev, key="user_id", ts="ts", gap_minutes=30)
@@ -1396,6 +1434,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
+    "asof_next_view": asof_next_view,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
@@ -1440,6 +1479,7 @@ ORACLE_SQL = {
     "lsh_topk": _LSH_TOPK_SQL,
     "embedding_neardup_pairs": _NEARDUP_SQL,
     "asof_purchases_views": _ASOF_SQL,
+    "asof_next_view": _ASOF_FWD_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
