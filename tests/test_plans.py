@@ -1,0 +1,66 @@
+"""Physical-plan audits: the plan properties the 100 TB design relies on,
+asserted against `.explain` output so regressions fail loudly.
+
+- dimension joins broadcast (no shuffle of the fact side for dims),
+- no cartesian/broadcast-nested-loop joins anywhere in the dedup or
+  similarity candidate generation (everything is equi-join bucketed),
+- pure-projection text operators compile to scan→project with no Exchange,
+- column pruning reaches the parquet scan (ReadSchema carries only the
+  referenced columns).
+"""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from spark_gp_spark.queries import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_in_dedup_and_similarity(spark):
+    from spark_gp_spark.queries import (
+        embedding_neardup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    for q in (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs, embedding_neardup_pairs):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+
+def test_text_stats_is_pure_projection(spark):
+    from spark_gp_spark.queries import text_stats
+
+    plan = _plan(text_stats(spark, SF))
+    # no aggregation, no join → the only acceptable exchange is the
+    # single-file parallelize repartition from the loader
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    from spark_gp_spark.queries import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF))
+    assert "l_partkey" not in plan  # unreferenced fact column never scanned
+    assert "ReadSchema" in plan
+
+
+def test_rollup_single_expand_pass(spark):
+    from spark_gp_spark.queries import revenue_rollup
+
+    plan = _plan(revenue_rollup(spark, SF))
+    assert plan.count("Expand") == 1  # all grouping sets in one pass
+    assert "BroadcastHashJoin" in plan
