@@ -964,6 +964,28 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, so the values hash-match exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: for every purchase, the EARLIEST view of the same user
     at or after the purchase (next-event attribution) — the mirrored
@@ -1438,6 +1460,7 @@ QUERIES = {
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
+    "event_value_percentiles": event_value_percentiles,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
@@ -1484,6 +1507,7 @@ ORACLE_SQL = {
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,
+    "event_value_percentiles": _PERCENTILES_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
