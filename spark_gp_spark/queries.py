@@ -149,6 +149,40 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def returnflag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (l_returnflag, l_linestatus): every grouping-set combination
+    including both marginals — the full grouping-sets lattice in one Expand
+    pass, with the same exact-decimal revenue discipline as revenue_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "revenue", "n_lineitems",
+            F.col("gid").cast("long").alias("gid"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 2) AS revenue,
+       count(*) AS n_lineitems,
+       (CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+        + CAST(GROUPING(l_linestatus) AS BIGINT)) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 _REVENUE_SQL = """
 SELECT r_name, n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -1433,6 +1467,7 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "part_type_revenue": part_type_revenue,
     "revenue_rollup": revenue_rollup,
+    "returnflag_status_cube": returnflag_status_cube,
     "text_stats": text_stats,
     "language_distribution": language_distribution,
     "doc_fingerprints": doc_fingerprints,
@@ -1480,6 +1515,7 @@ ORACLE_SQL = {
     "revenue_by_nation": _REVENUE_SQL,
     "part_type_revenue": _PART_TYPE_SQL,
     "revenue_rollup": _REVENUE_ROLLUP_SQL,
+    "returnflag_status_cube": _CUBE_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "language_distribution": _LANG_DIST_SQL,
     "doc_fingerprints": _DOC_FINGERPRINTS_SQL,

@@ -1,0 +1,58 @@
+"""GP model inference over a Structured Stream.
+
+The fitted model's transform is a pure projection (Arrow-batched predict
+UDF over broadcast active-set state), so it applies unchanged to a
+streaming DataFrame — the online-scoring deployment shape: fit offline,
+score an unbounded stream.  The test drives the same rows through the
+batch and streaming paths and requires identical predictions.
+"""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from spark_gp_spark import GaussianProcessRegression, RBFKernel, Scalar
+
+
+def test_gpr_model_scores_a_stream(spark):
+    df = (
+        spark.range(800)
+        .withColumn("x", F.rand(7) * 4.0)
+        .select("id", "x", F.sin(F.col("x")).alias("label"), F.array("x").alias("features"))
+    )
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(1.0))
+        .setDatasetSizeForExpert(100)
+        .setActiveSetSize(50)
+        .setActiveSetProvider("random")
+        .setSeed(3)
+        .setSigma2(1e-3)
+        .setMaxIter(10)
+    )
+    model = gp.fit(df)
+
+    batch = {r.id: r.prediction for r in model.transform(df).select("id", "prediction").collect()}
+
+    work = tempfile.mkdtemp(prefix="gp_stream_infer_")
+    src, sink, ckpt = (os.path.join(work, d) for d in ("src", "sink", "ckpt"))
+    df.select("id", "features").write.parquet(src)
+    stream = spark.readStream.schema("id bigint, features array<double>").parquet(src)
+    q = (
+        model.transform(stream)
+        .select("id", "prediction")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {r.id: r.prediction for r in spark.read.parquet(sink).collect()}
+
+    assert streamed.keys() == batch.keys()
+    assert all(abs(streamed[i] - batch[i]) < 1e-9 for i in batch)
