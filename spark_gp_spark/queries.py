@@ -998,6 +998,26 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def event_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation: distinct users and distinct active days
+    per event type (Spark expands distinct aggs into a two-phase plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT ts::DATE) AS n_days,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type — Spark's
     ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
@@ -1496,6 +1516,7 @@ QUERIES = {
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
     "event_value_percentiles": event_value_percentiles,
+    "event_distinct_users": event_distinct_users,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
@@ -1544,6 +1565,7 @@ ORACLE_SQL = {
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,
     "event_value_percentiles": _PERCENTILES_SQL,
+    "event_distinct_users": _DISTINCT_USERS_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
