@@ -18,6 +18,7 @@ from .kernel import (
     EyeKernel,
     Kernel,
     MaternKernel,
+    PeriodicKernel,
     RBFKernel,
     Scalar,
     white_noise_kernel,
@@ -33,6 +34,7 @@ __all__ = [
     "GaussianProcessRegressionModel",
     "Kernel",
     "MaternKernel",
+    "PeriodicKernel",
     "OneVsRestGP",
     "RBFKernel",
     "Scalar",

@@ -10,7 +10,7 @@ from .base import (
     TrainingVectorsNotInitializedException,
     white_noise_kernel,
 )
-from .matern import MaternKernel
+from .matern import MaternKernel, PeriodicKernel
 from .rbf import ARDRBFKernel, RBFKernel
 
 __all__ = [
@@ -19,6 +19,7 @@ __all__ = [
     "EyeKernel",
     "Kernel",
     "MaternKernel",
+    "PeriodicKernel",
     "RBFKernel",
     "Scalar",
     "SumOfKernels",

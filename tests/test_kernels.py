@@ -198,3 +198,21 @@ def test_matern_gpr_end_to_end(spark):
         F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)).alias("rmse")
     ).first().rmse
     assert rmse < 0.11
+
+
+def test_periodic_derivative_matches_finite_difference():
+    from spark_gp_spark.kernel import PeriodicKernel
+
+    base = (0.8, 1.3)
+    k = PeriodicKernel(*base).set_training_vectors(DATASET)
+    _, dK = k.training_kernel_and_derivative()
+    h = 1e-5
+    for i in range(2):
+        lo, hi = list(base), list(base)
+        lo[i] -= h
+        hi[i] += h
+        fd = (
+            PeriodicKernel(*hi).set_training_vectors(DATASET).training_kernel()
+            - PeriodicKernel(*lo).set_training_vectors(DATASET).training_kernel()
+        ) / (2 * h)
+        assert np.all(np.abs(dK[i] - fd) < 1e-3), i
