@@ -133,6 +133,30 @@ def pack_batches(
     )
 
 
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` rows per group: rank rows by a
+    seeded hash of their id and keep the first ``k``.
+
+    The hash order is a pure function of (id, seed) — unlike ``rand()``
+    sampling, the selected set is identical across runs, partitionings, and
+    engines (the md5 hash family is oracle-portable), which is what a
+    reproducible eval-subset or debugging sample needs.  One shuffle on the
+    group key; the window ranks within groups only."""
+    hv = h32(F.concat(F.lit(f"gs{seed}_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(hv.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+        .select(group_col, id_col, "sample_rank")
+    )
+
+
 def contamination_check(
     df: DataFrame,
     probe: DataFrame,

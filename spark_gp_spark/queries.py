@@ -505,6 +505,26 @@ FROM sized
 """
 
 
+def event_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 5-per-type event sample via seeded hash ranking —
+    partition- and engine-invariant, unlike rand() sampling."""
+    ev = load_table(spark, sf_dir, "events")
+    return P.group_sample(ev, group_col="event_type", id_col="event_id", k=5, seed=7)
+
+
+_GROUP_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY {h32_sql("'gs7_' || event_id::VARCHAR")}, event_id
+         )::BIGINT AS sample_rank
+  FROM events
+)
+SELECT event_type, event_id, sample_rank FROM ranked WHERE sample_rank <= 5
+"""
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared distinct 8-gram counts between corpus docs (id ≥ 20) and a
     probe/eval set (id < 20) — the benchmark-contamination scan as a
@@ -1498,6 +1518,7 @@ QUERIES = {
     "redact_pii": redact_pii,
     "pack_batches": pack_batches,
     "contamination_check": contamination_check,
+    "event_group_sample": event_group_sample,
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
     "minhash_signatures": minhash_signatures,
@@ -1547,6 +1568,7 @@ ORACLE_SQL = {
     "redact_pii": _REDACT_SQL,
     "pack_batches": _PACK_BATCHES_SQL,
     "contamination_check": _CONTAMINATION_SQL,
+    "event_group_sample": _GROUP_SAMPLE_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,
     "minhash_signatures": _MINHASH_SIG_SQL,

@@ -74,3 +74,11 @@ def test_contamination_check_detects_copies(spark, docs):
     # doc 99 is a verbatim copy of probe 1 → shares its single 8-gram window set
     assert out[(99, 1)] == 1
     assert all(d == 99 for d, _ in out)
+
+
+def test_group_sample_deterministic_and_partition_invariant(spark, docs):
+    out1 = {(r[0], r[1], r[2]) for r in P.group_sample(docs, "doc_id", "doc_id", k=1).collect()}
+    big = docs.union(docs.select(F.col("doc_id") + 100, "text"))
+    a = {tuple(r) for r in P.group_sample(big, "doc_id", "doc_id", k=1).collect()}
+    b = {tuple(r) for r in P.group_sample(big.repartition(13), "doc_id", "doc_id", k=1).collect()}
+    assert a == b and len(out1) == 4
