@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -52,11 +51,27 @@ def sniff_type(content: Column) -> Column:
     return expr
 
 
-def _fake_features(payload: bytes, dim: int) -> np.ndarray:
+def _portable_features(payload: bytes, dim: int, frame: int | None = None) -> list[float]:
     """Deterministic pseudo-embedding from the payload bytes (stands in for a
-    real image/audio encoder; stable across runs and engines)."""
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big") % (2**32)
-    return np.random.default_rng(seed).standard_normal(dim).astype(np.float64)
+    real image/audio encoder; stable across runs AND engines).
+
+    Component j is derived with the repo's portable md5 arithmetic
+    (operators/hashing.py contract):
+
+        k_j = uint32(first 8 hex digits of md5(payload [ || ':' || frame ] || ':' || j))
+        f_j = k_j / 2^32 * 2 - 1          -- exact: k_j / 2^31 - 1 in binary FP
+
+    so the DuckDB oracle replays the feature bit-for-bit as
+
+        ('0x' || substring(md5(text || ':' || j), 1, 8))::UBIGINT
+            / 4294967296.0 * 2 - 1
+    """
+    base = payload if frame is None else payload + b":" + str(frame).encode()
+    out = []
+    for j in range(dim):
+        k = int.from_bytes(hashlib.md5(base + b":" + str(j).encode()).digest()[:4], "big")
+        out.append(k / 4294967296.0 * 2.0 - 1.0)
+    return out
 
 
 def decode_features(
@@ -80,7 +95,7 @@ def decode_features(
                     "real image/audio decoding requires PIL/ffmpeg, not present "
                     "in this environment; pass fake=True for the deterministic stub"
                 )
-            feats = [list(_fake_features(bytes(b), dim)) for b in pdf[content_col]]
+            feats = [_portable_features(bytes(b), dim) for b in pdf[content_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(
@@ -119,7 +134,7 @@ def frame_sample(
                 for f_i in range(n_frames):
                     ids.append(i)
                     idxs.append(f_i)
-                    feats.append(list(_fake_features(payload + bytes([f_i]), dim)))
+                    feats.append(_portable_features(payload, dim, frame=f_i))
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "features": feats})
 
     return df.select(id_col, content_col).mapInPandas(

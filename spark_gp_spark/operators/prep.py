@@ -11,8 +11,9 @@ bit-for-bit.
 Scale shapes:
 - split/redact/chunk are zero-shuffle projections (chunking explodes to
   ~n_tokens/stride rows per doc, still embarrassingly parallel);
-- pack_batches is one global window over a cumulative sum — at corpus scale
-  the same plan runs per shard key (partitionBy) so no single-task sort;
+- pack_batches windows a cumulative sum per shard (partitionBy(shard_col)),
+  so packing parallelizes across shards with no single-task sort; the
+  unsharded variant exists only for small relations;
 - contamination is the inverted-index semi-join pattern from
   dedup.ngram_jaccard_pairs with the probe side broadcast.
 """
@@ -115,19 +116,37 @@ def pack_batches(
     text_col: str = "text",
     id_col: str = "doc_id",
     budget: int = 2048,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to token-budget batches in deterministic id order:
     ``batch_id = floor(preceding_cumulative_tokens / budget)`` — the
     streaming-order packing rule (a document may start a new batch slightly
     over budget; boundaries are a pure function of the ordered token
-    counts).  One window over the ordered relation; at corpus scale the
-    identical plan runs under ``partitionBy(shard)`` so no global sort
-    bottleneck."""
-    sized = df.select(id_col, bpe_token_count(F.col(text_col)).cast("long").alias("n_tokens"))
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    counts).
+
+    With ``shard_col`` (the 100 TB shape) the window is
+    ``PARTITION BY shard ORDER BY id`` — every shard packs independently and
+    in parallel, batch ids are per-shard, and ``(shard, batch_id)`` is the
+    globally unique batch key; the cumulative sum never serializes onto a
+    single task (plan-asserted: no ``Exchange SinglePartition``).  Without
+    ``shard_col`` the global-order variant remains for small relations —
+    that one IS a single-task sort and must not be used at corpus scale."""
+    sized_cols = [
+        F.col(id_col).alias(id_col),
+        bpe_token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ]
+    if shard_col is not None:
+        sized = df.select(F.col(shard_col).alias("shard"), *sized_cols)
+        w = Window.partitionBy("shard").orderBy(id_col)
+    else:
+        sized = df.select(*sized_cols)
+        w = Window.orderBy(id_col)
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    lead = ["shard", id_col] if shard_col is not None else [id_col]
     return sized.select(
-        id_col,
+        *lead,
         "n_tokens",
         F.floor(cum_before / budget).cast("long").alias("batch_id"),
     )

@@ -487,18 +487,22 @@ FROM documents
 
 def pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget batch assignment in deterministic doc order (2048-token
-    budget, streaming-order packing)."""
-    return P.pack_batches(load_table(spark, sf_dir, "documents"), budget=2048)
+    budget, streaming-order packing), sharded by ``source`` — each shard
+    packs independently in parallel, (shard, batch_id) is the batch key, and
+    the plan has no single-partition Exchange (tests/test_plans.py)."""
+    return P.pack_batches(
+        load_table(spark, sf_dir, "documents"), budget=2048, shard_col="source"
+    )
 
 
 _PACK_BATCHES_SQL = rf"""
 WITH sized AS (
-  SELECT doc_id,
+  SELECT source AS shard, doc_id,
          len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}'))::BIGINT AS n_tokens
   FROM documents
 )
-SELECT doc_id, n_tokens,
-       floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+SELECT shard, doc_id, n_tokens,
+       floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              / 2048)::BIGINT AS batch_id
 FROM sized
@@ -1391,8 +1395,9 @@ FROM documents
 
 
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas decode path with the deterministic fake
-    featurizer (decode libs are stubbed per the brief); rows-only check."""
+    """Arrow-batched mapInPandas decode path (decode libs are stubbed per
+    the brief) with the portable md5 featurizer — the stub feature math is
+    engine-portable, so the DuckDB oracle replays it bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     feats = M.decode_features(M.attach_binary(docs), dim=8, fake=True)
     return feats.select(
@@ -1400,10 +1405,20 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM_DECODE_SQL = """
+SELECT doc_id,
+       round((('0x' || substring(md5(text || ':0'), 1, 8))::UBIGINT
+              / 4294967296.0) * 2 - 1, 6) AS f0,
+       CAST(8 AS INTEGER) AS dim
+FROM documents
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per (doc, frame) with per-frame
-    features, exploded inside the Arrow batch (rows-only check — the
-    featurizer is the deterministic Python stub)."""
+    features, exploded inside the Arrow batch.  The per-frame feature hash
+    includes the frame index (md5(payload || ':' || frame || ':' || j)),
+    so the DuckDB oracle replays every frame's features exactly."""
     docs = load_table(spark, sf_dir, "documents")
     frames = M.frame_sample(M.attach_binary(docs), n_frames=4, dim=8, fake=True)
     return frames.select(
@@ -1412,6 +1427,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.size("features").alias("dim"),
     )
+
+
+_MM_FRAMES_SQL = """
+SELECT d.doc_id,
+       f.frame_idx::INTEGER AS frame_idx,
+       round((('0x' || substring(md5(d.text || ':' || f.frame_idx || ':0'), 1, 8))::UBIGINT
+              / 4294967296.0) * 2 - 1, 6) AS f0,
+       CAST(8 AS INTEGER) AS dim
+FROM documents d
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS frame_idx) f
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1596,6 +1622,9 @@ ORACLE_SQL = {
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
-    # gpr_lineitem / gpc_embeddings / multimodal_decode_features: iterative ML
-    # or Python-RNG featurization — not SQL-expressible, rows-only check.
+    "multimodal_decode_features": _MM_DECODE_SQL,
+    "multimodal_frame_sample": _MM_FRAMES_SQL,
+    # gpr_lineitem / gpc_embeddings: iterative ML (L-BFGS-B over a GP
+    # marginal likelihood) — not SQL-expressible, rows-only check; each is
+    # backed by pytest acceptance thresholds instead.
 }

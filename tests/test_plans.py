@@ -50,6 +50,16 @@ def test_text_stats_is_pure_projection(spark):
     assert "Join" not in plan
 
 
+def test_pack_batches_sharded_has_no_single_partition_exchange(spark):
+    # the registry query shards by `source`: the cumulative-sum window state
+    # must be hash-spread over shards, never funneled onto one task
+    from spark_gp_spark.queries import pack_batches
+
+    plan = _plan(pack_batches(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
 def test_q1_scan_prunes_columns(spark):
     from spark_gp_spark.queries import q1_pricing_summary
 

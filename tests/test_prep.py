@@ -64,6 +64,17 @@ def test_pack_batches_order_and_budget(spark, docs):
         cum += n
 
 
+def test_pack_batches_sharded_packs_each_shard_independently(spark, docs):
+    sharded = docs.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    out = P.pack_batches(sharded, budget=100, shard_col="src").collect()
+    cum_by_shard: dict[str, int] = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        cum = cum_by_shard.get(r.shard, 0)
+        assert r.batch_id == cum // 100, (r.shard, r.doc_id)
+        cum_by_shard[r.shard] = cum + r.n_tokens
+    assert len(cum_by_shard) == 2
+
+
 def test_contamination_check_detects_copies(spark, docs):
     probe = docs.filter(F.col("doc_id") == 1)
     corpus = docs.union(
