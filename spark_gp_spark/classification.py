@@ -7,11 +7,17 @@ Parity: classification/GaussianProcessClassifier.scala —
 - model emits rawPrediction [-f, f], probability [sigmoid(-f), 1-sigmoid(-f)],
   prediction = argmax (:137-162).
 
-Architectural divergence (SURVEY §2.3 "in-place mutation"): the reference
-warm-starts each expert's Newton solve from latent state mutated inside the
-cached RDD (:52-60).  Python workers are stateless, so each objective
-evaluation recomputes the mode from zero — the converged mode is identical;
-only constant-factor work differs.
+Latent warm start (SURVEY §2.3 "in-place mutation", reference :52-60): the
+reference warm-starts each expert's Newton solve from latent state mutated
+inside the cached RDD.  Python workers are stateless, so the rebuild carries
+the same state EXPLICITLY — a ``state array<double>`` column on the packed
+expert frame, read by every objective evaluation and rewritten once per
+accepted L-BFGS iterate (``Experts.update_states``).  Line-search candidates
+warm-start from the last accepted iterate's modes, collapsing the ~10-
+iteration cold Newton solve to 1-3 warm iterations; the converged mode is a
+pure function of (y, X, hypers), so results match the stateless path up to
+Newton tolerance.  Observability: ``_fit_stats['aux_total']`` accumulates
+Newton iterations summed over experts × evaluations.
 
 ``probabilityGaussHermite=True`` additionally calibrates probabilities with
 the predictive variance via Gauss-Hermite quadrature — the reference ships and
@@ -70,11 +76,18 @@ class GaussianProcessClassifier(GaussianProcessEstimatorBase, _GPCOutputParams):
             self._assert_labels_are_01(points)
             tol = self.getOrDefault(self.tol)
 
-            def objective(y, X, kernel, x, _tol=tol):
-                nll, ngrad, _f = gpc_laplace(y, X, kernel, x, _tol)
-                return nll, ngrad
+            def objective(y, X, kernel, x, state, _tol=tol):
+                # warm-start Newton from this expert's carried mode; report
+                # the iteration count as an aux scalar for _fit_stats
+                nll, ngrad, _f, n_newton = gpc_laplace(y, X, kernel, x, _tol, f0=state)
+                return nll, ngrad, np.array([float(n_newton)])
 
-            x_opt = self._optimize_hypers(experts, objective)
+            def state_update(y, X, kernel, x, state, _tol=tol):
+                return gpc_laplace(y, X, kernel, x, _tol, f0=state)[2]
+
+            x_opt = self._optimize_hypers(
+                experts, objective, state_update_fn=state_update, aux_len=1
+            )
 
             def latent_mode(y, X, kernel, _x=x_opt, _tol=tol):
                 return gpc_laplace(y, X, kernel, _x, _tol)[2]

@@ -294,12 +294,24 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
         )
         return points, experts
 
-    def _optimize_hypers(self, experts: Experts, objective_fn) -> np.ndarray:
-        """objective_fn(y, X, factory, x) -> (lik, grad); returns optimal x.
+    def _optimize_hypers(
+        self, experts: Experts, objective_fn, state_update_fn=None, aux_len: int = 0
+    ) -> np.ndarray:
+        """objective_fn(y, X, kernel, x) -> (lik, grad); returns optimal x.
 
         Parity: optimizeHypers (GaussianProcessCommons.scala:66-92) — one
         distributed reduction per L-BFGS evaluation, memoized against line-
         search re-evaluations (util/DiffFunctionMemoized.scala:8-16).
+
+        ``state_update_fn(y, X, kernel, x, state) -> new_state`` switches the
+        loop to the stateful path: objective_fn then has signature
+        ``(y, X, kernel, x, state)``, each expert's carried state rides the
+        reduction read-only, and the state is rewritten at every accepted
+        L-BFGS iterate (``Experts.update_states``) — the explicit-state
+        rendering of the reference's in-place latent mutation
+        (GaussianProcessClassifier.scala:52-60).  ``aux_len`` extra trailing
+        scalars per evaluation (e.g. Newton-iteration counts) are summed
+        over experts into ``_fit_stats['aux_total']`` for observability.
         """
         factory = self._effective_kernel_factory()
         probe = factory()
@@ -320,7 +332,9 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
         # is per-evaluation (each reduction's cost ∝ N·n²); wall-clock to
         # convergence also depends on how many evaluations L-BFGS happens to
         # take, which varies with the data — bench.py normalizes by these.
-        self._fit_stats = {"reductions": 0, "evals": 0}
+        self._fit_stats = {"reductions": 0, "evals": 0, "aux_total": 0.0, "state_updates": 0}
+        stateful = state_update_fn is not None
+        seg_len = 1 + p + aux_len
 
         def _eval_many(xs: list[np.ndarray]) -> list[tuple[float, np.ndarray]]:
             xs = [np.asarray(x, dtype=np.float64) for x in xs]
@@ -332,20 +346,42 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                     misses.append(x)
                     seen.add(key)
             if misses:
-                def fn(y, X, _xs=tuple(misses), _factory=factory):
-                    segs = []
-                    for x in _xs:
-                        lik, grad = objective_fn(y, X, _factory(), x)
-                        segs.append(np.concatenate([[lik], grad]))
-                    return np.concatenate(segs)
+                if stateful:
+                    def fn(y, X, state, _xs=tuple(misses), _factory=factory):
+                        segs = []
+                        for x in _xs:
+                            out = objective_fn(y, X, _factory(), x, state)
+                            segs.append(np.concatenate([[out[0]], out[1], *out[2:]]))
+                        return np.concatenate(segs)
+                else:
+                    def fn(y, X, _xs=tuple(misses), _factory=factory):
+                        segs = []
+                        for x in _xs:
+                            out = objective_fn(y, X, _factory(), x)
+                            segs.append(np.concatenate([[out[0]], out[1], *out[2:]]))
+                        return np.concatenate(segs)
 
                 self._fit_stats["reductions"] += 1
                 self._fit_stats["evals"] += len(misses)
-                flat = experts.sum_over_experts(fn, len(misses) * (1 + p))
+                if stateful:
+                    flat = experts.sum_over_experts_stateful(fn, len(misses) * seg_len)
+                else:
+                    flat = experts.sum_over_experts(fn, len(misses) * seg_len)
                 for i, x in enumerate(misses):
-                    seg = flat[i * (1 + p) : (i + 1) * (1 + p)]
-                    cache[x.tobytes()] = (float(seg[0]), seg[1:].copy())
+                    seg = flat[i * seg_len : (i + 1) * seg_len]
+                    cache[x.tobytes()] = (float(seg[0]), seg[1 : 1 + p].copy())
+                    if aux_len:
+                        self._fit_stats["aux_total"] += float(seg[1 + p :].sum())
             return [cache[x.tobytes()] for x in xs]
+
+        def _accept_state(x: np.ndarray) -> None:
+            # refresh each expert's carried state at the accepted iterate —
+            # one extra pass per outer iteration, not per evaluation
+            def upd(y, X, state, _x=x, _factory=factory):
+                return state_update_fn(y, X, _factory(), _x, state)
+
+            experts.update_states(upd)
+            self._fit_stats["state_updates"] += 1
 
         def objective(x: np.ndarray) -> tuple[float, np.ndarray]:
             return _eval_many([x])[0]
@@ -393,7 +429,11 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                     return [(f, g * x) for (f, g), x in zip(_eval_many(exps), exps)]
 
                 return minimize_lbfgsb(
-                    zobj, zs, z_lo, z_hi, max_iter=iters, tol=tol, fun_batch=zobj_batch
+                    zobj, zs, z_lo, z_hi, max_iter=iters, tol=tol, fun_batch=zobj_batch,
+                    on_accept=(
+                        (lambda z: _accept_state(np.clip(np.exp(z), lower, upper)))
+                        if stateful else None
+                    ),
                 )
 
             def to_search(x: np.ndarray) -> np.ndarray:
@@ -408,6 +448,7 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                 return minimize_lbfgsb(
                     objective, xs, lower, upper, max_iter=iters, tol=tol,
                     fun_batch=_eval_many,
+                    on_accept=_accept_state if stateful else None,
                 )
 
             def to_search(x: np.ndarray) -> np.ndarray:

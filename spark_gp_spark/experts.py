@@ -139,10 +139,43 @@ ExpertFn = Callable[[np.ndarray, np.ndarray], np.ndarray]
 """Per-expert payload: (y (n,), X (n, d)) -> flat float64 array."""
 
 
+def _iter_packed_rows(pdf: pd.DataFrame):
+    """(y, X, state|None) triples from a packed-expert Arrow batch.
+
+    Module-level (not a method) so worker closures don't capture the
+    Experts instance — and with it an unpicklable DataFrame."""
+    states = pdf["state"] if "state" in pdf.columns else [None] * len(pdf)
+    for y, xs, n, d, st in zip(pdf["y"], pdf["xs"], pdf["n"], pdf["d"], states):
+        yv = np.asarray(y, dtype=np.float64)
+        X = np.asarray(xs, dtype=np.float64).reshape(int(n), int(d))
+        stv = None if st is None else np.asarray(st, dtype=np.float64)
+        yield yv, X, stv
+
+
 class Experts:
     """Reduction interface over the expert set."""
 
     def sum_over_experts(self, fn: ExpertFn, out_len: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def sum_over_experts_stateful(
+        self, fn: "Callable[[np.ndarray, np.ndarray, np.ndarray | None], np.ndarray]", out_len: int
+    ) -> np.ndarray:
+        """Like ``sum_over_experts`` but ``fn(y, X, state)`` also reads this
+        expert's latent state (None until the first ``update_states``)."""
+        raise NotImplementedError
+
+    def update_states(
+        self, fn: "Callable[[np.ndarray, np.ndarray, np.ndarray | None], np.ndarray]"
+    ) -> None:
+        """Rewrite every expert's latent state to ``fn(y, X, state)``.
+
+        This is the Spark-native rendering of the reference's in-place
+        mutation of latent state inside the cached RDD
+        (GaussianProcessClassifier.scala:52-60): state lives as an explicit
+        ``state array<double>`` column of the packed expert frame and is
+        rewritten wholesale — once per accepted optimizer iterate, not per
+        evaluation — so workers stay stateless."""
         raise NotImplementedError
 
     def max_over_experts(self, fn: "Callable[[np.ndarray, np.ndarray], tuple[float, np.ndarray]]"):
@@ -200,13 +233,14 @@ class DistributedExperts(Experts):
         return partials
 
     def sum_over_experts(self, fn: ExpertFn, out_len: int) -> np.ndarray:
+        return self.sum_over_experts_stateful(lambda y, X, _st: fn(y, X), out_len)
+
+    def sum_over_experts_stateful(self, fn, out_len: int) -> np.ndarray:
         def partial(iterator):
             for pdf in iterator:
                 acc = np.zeros(out_len)
-                for y, xs, n, d in zip(pdf["y"], pdf["xs"], pdf["n"], pdf["d"]):
-                    yv = np.asarray(y, dtype=np.float64)
-                    X = np.asarray(xs, dtype=np.float64).reshape(int(n), int(d))
-                    acc += fn(yv, X)
+                for yv, X, stv in _iter_packed_rows(pdf):
+                    acc += fn(yv, X, stv)
                 yield pd.DataFrame({"part": [acc]})
 
         partials = self.frame.mapInPandas(partial, schema="part array<double>")
@@ -215,6 +249,35 @@ class DistributedExperts(Experts):
         for row in rows:
             result += np.asarray(row["part"], dtype=np.float64)
         return result
+
+    #: state-frame rewrites between lineage truncations — each update_states
+    #: chains a mapInPandas on the previous cached frame; localCheckpoint
+    #: every few rewrites keeps recomputation depth bounded if a cached
+    #: partition is evicted mid-fit.
+    _CHECKPOINT_EVERY = 8
+
+    def update_states(self, fn) -> None:
+        def rewrite(iterator):
+            for pdf in iterator:
+                new_states = [
+                    np.asarray(fn(yv, X, stv), dtype=np.float64)
+                    for yv, X, stv in _iter_packed_rows(pdf)
+                ]
+                out = pdf[["y", "xs", "n", "d"]].copy()
+                out["state"] = new_states
+                yield out
+
+        new_frame = self.frame.mapInPandas(
+            rewrite, schema=PACKED_SCHEMA + ", state array<double>"
+        ).persist()
+        self._state_rewrites = getattr(self, "_state_rewrites", 0) + 1
+        if self._state_rewrites % self._CHECKPOINT_EVERY == 0:
+            new_frame = new_frame.localCheckpoint(eager=True)
+        else:
+            new_frame.count()  # materialize before releasing the parent
+        old = self.frame
+        self.frame = new_frame
+        old.unpersist()
 
     def max_over_experts(self, fn):
         def partial(iterator):
@@ -244,6 +307,7 @@ class LocalExperts(Experts):
 
     def __init__(self, chunks: list[tuple[np.ndarray, np.ndarray]]) -> None:
         self.chunks = chunks
+        self.states: list[np.ndarray | None] = [None] * len(chunks)
 
     @classmethod
     def from_frame(cls, frame: DataFrame) -> "LocalExperts":
@@ -262,6 +326,18 @@ class LocalExperts(Experts):
         for y, X in self.chunks:
             acc += fn(y, X)
         return acc
+
+    def sum_over_experts_stateful(self, fn, out_len: int) -> np.ndarray:
+        acc = np.zeros(out_len)
+        for (y, X), st in zip(self.chunks, self.states):
+            acc += fn(y, X, st)
+        return acc
+
+    def update_states(self, fn) -> None:
+        self.states = [
+            np.asarray(fn(y, X, st), dtype=np.float64)
+            for (y, X), st in zip(self.chunks, self.states)
+        ]
 
     def max_over_experts(self, fn):
         best_score, best_payload = -np.inf, None

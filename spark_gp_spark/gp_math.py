@@ -58,17 +58,20 @@ def gpc_laplace(
     x: np.ndarray,
     tol: float = 1e-6,
     f0: np.ndarray | None = None,
-) -> tuple[float, np.ndarray, np.ndarray]:
-    """Laplace-approximated (-logZ, -grad logZ, posterior mode f) for one
-    expert chunk; labels y in {0,1}.
+) -> tuple[float, np.ndarray, np.ndarray, int]:
+    """Laplace-approximated (-logZ, -grad logZ, posterior mode f, #Newton
+    iterations) for one expert chunk; labels y in {0,1}.
 
     Newton iteration with step-halving for the posterior mode (R&W alg. 3.1,
     GaussianProcessClassifier.scala:91-111), then the marginal likelihood and
     its hyperparameter gradient including the third-derivative correction
-    (R&W alg. 5.1, GaussianProcessClassifier.scala:113-128).  Unlike the
-    reference, the mode is recomputed from ``f0`` (default zeros) on every
-    call instead of warm-starting from mutated executor state — Python workers
-    are stateless, and the converged mode is identical.
+    (R&W alg. 5.1, GaussianProcessClassifier.scala:113-128).  ``f0`` is the
+    Newton warm start: the classifier threads each expert's converged mode
+    back in across optimizer evaluations (explicit per-expert state — the
+    Spark-native rendering of the reference's in-place RDD mutation,
+    GaussianProcessClassifier.scala:52-60), collapsing the ~10-iteration
+    cold solve to 1-3 warm iterations.  The converged mode is a function of
+    (y, X, x) only, so results are identical either way up to ``tol``.
     """
     kernel.set_hyperparameters(np.asarray(x, dtype=np.float64))
     kernel.set_training_vectors(X)
@@ -77,17 +80,30 @@ def gpc_laplace(
     f = np.zeros(n) if f0 is None else np.asarray(f0, dtype=np.float64).copy()
     y_pm1 = 2.0 * y - 1.0
 
+    # At extreme hyperparameters (the optimizer's speculative line-search
+    # probes can double amplitudes far past any sane value) the kernel Gram
+    # loses numerical PSD-ness and the Cholesky throws — that candidate is
+    # unusable, not fatal: report +inf so the line search rejects it
+    # (lbfgsb.py requires np.isfinite before accepting any step).
+    def _rejected():
+        return np.inf, np.zeros(len(dK)), np.zeros(n) if f0 is None else np.asarray(f0, dtype=np.float64), n_newton
+
     old_obj, new_obj = -np.inf, -np.finfo(np.float64).max
     step = 1.0
+    n_newton = 0
     # Newton loop with step halving on non-improvement.
     for _ in range(200):
         if not (abs(old_obj - new_obj) > tol and step > tol):
             break
+        n_newton += 1
         pi = _sigmoid(f)
         w = pi * (1.0 - pi)
         sqrt_w = np.sqrt(w)
         B = np.eye(n) + sqrt_w[:, None] * K * sqrt_w[None, :]
-        L = np.linalg.cholesky(B)
+        try:
+            L = np.linalg.cholesky(B)
+        except np.linalg.LinAlgError:
+            return _rejected()
         grad_log_p = y - pi
         b = w * f + grad_log_p
         a = b - sqrt_w * np.linalg.solve(L.T, np.linalg.solve(L, sqrt_w * (K @ b)))
@@ -104,7 +120,10 @@ def gpc_laplace(
     w = pi * (1.0 - pi)
     sqrt_w = np.sqrt(w)
     B = np.eye(n) + sqrt_w[:, None] * K * sqrt_w[None, :]
-    L = np.linalg.cholesky(B)
+    try:
+        L = np.linalg.cholesky(B)
+    except np.linalg.LinAlgError:
+        return _rejected()
     grad_log_p = y - pi
     b = w * f + grad_log_p
     a = b - sqrt_w * np.linalg.solve(L.T, np.linalg.solve(L, sqrt_w * (K @ b)))
@@ -127,7 +146,7 @@ def gpc_laplace(
         s3 = bj - K @ (R @ bj)
         grads[j] = s1 + float(s2 @ s3)
 
-    return -log_z, -grads, f
+    return -log_z, -grads, f, n_newton
 
 
 def expert_gram(

@@ -163,6 +163,8 @@ def lsh_bucket_frame(
 
 
 def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Fallback dimension probe — costs one Spark job (first()); callers on
+    the hot path should pass ``dim`` explicitly instead."""
     return len(df.select(vec_col).first()[0])
 
 
@@ -173,6 +175,7 @@ def lsh_candidate_pairs(
     bits: int = 6,
     tables: int = 8,
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """Candidate id pairs (id_a < id_b) colliding in ≥1 of ``tables`` sign-LSH
     tables — the scale path for near-duplicate detection.
@@ -184,7 +187,7 @@ def lsh_candidate_pairs(
     (1 − θ/π)^bits, so recall at cosine ≥ 0.9 with the defaults (6 bits ×
     8 tables) is ≈ 0.98; low-similarity pairs are pruned, which is the point.
     """
-    dim = _vector_dim(df, vec_col)
+    dim = dim if dim is not None else _vector_dim(df, vec_col)
     planes_by_table = hyperplane_tables(dim, bits, tables, seed)
     bucketed = lsh_bucket_frame(
         df, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table, "_id"
@@ -208,6 +211,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: rank only within the query's LSH buckets, unioned
     over ``tables`` independent hyperplane tables.
@@ -218,7 +222,7 @@ def lsh_bucketed_topk(
     query ≈ tables · N / 2^bits, which is the knob that keeps this sub-scan
     at corpus scale.  Window ranking runs per query over candidates only.
     """
-    dim = _vector_dim(corpus, vec_col)
+    dim = dim if dim is not None else _vector_dim(corpus, vec_col)
     planes_by_table = hyperplane_tables(dim, bits, tables, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -24,6 +24,16 @@ from pyspark.sql import functions as F
 from .hashing import h32
 
 
+#: join types for which salting preserves fact.join(dim, key, how) exactly:
+#: the dimension side is replicated once per salt, so any variant that can
+#: emit UNMATCHED dim rows (right/full outer) would emit them n_salts times.
+_IDENTITY_SAFE_HOW = {
+    "inner", "left", "left_outer", "leftouter",
+    "left_semi", "leftsemi", "semi",
+    "left_anti", "leftanti", "anti",
+}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -34,7 +44,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the dimension replicated per salt; result is identical
     to ``fact.join(dim, key, how)`` for row-level semantics (the salt is an
-    internal column, dropped before return)."""
+    internal column, dropped before return).
+
+    Only fact-preserving join types are accepted: for right/full outer the
+    replicated dimension would emit every unmatched dim row ``n_salts``
+    times, silently diverging from the plain join — those raise."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _IDENTITY_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join(how={how!r}) is not identity-preserving: the dim "
+            "side is replicated per salt, so right/full outer joins would "
+            "duplicate unmatched dim rows. Use inner/left/left_semi/left_anti."
+        )
     salted_fact = fact.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -27,6 +27,7 @@ from .operators import text as T
 from .operators import asof as A
 from .operators import multimodal as M
 from .operators import prep as P
+from .operators import skew as SK
 from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_params
 from .sources.tables import load_table
 from .streaming.stateful import run_stateful_session_stats
@@ -659,8 +660,9 @@ _MINHASH_PAIRS_SQL = _sql_minhash_pairs()
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via inverted-index equi-join
     (operators/dedup.py) — the no-miss complement to the MinHash LSH
-    approximation, with the hot-shingle posting cap engaged exactly as it
-    would be at corpus scale."""
+    approximation.  Runs UNCAPPED (matching the oracle's full relation);
+    at boilerplate-heavy corpus scale pass ``max_posting_size`` or
+    ``prefix=True`` for the hot-shingle-safe plans."""
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
@@ -924,7 +926,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups; no cross join anywhere.  The oracle replays the hyperplane
     bucketing verbatim, so both engines prune identically."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(emb, threshold=0.45, bits=6, tables=8, seed=11)
+    return D.embedding_neardup_pairs(
+        emb, threshold=0.45, bits=6, tables=8, seed=11, dim=64
+    )
 
 
 _NEARDUP_SQL = f"""
@@ -949,7 +953,7 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py measures recall against the exact baseline."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
-    out = S.lsh_bucketed_topk(emb, queries, k=5, bits=8, tables=4, seed=11)
+    out = S.lsh_bucketed_topk(emb, queries, k=5, bits=8, tables=4, seed=11, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1039,6 +1043,81 @@ SELECT event_type,
        count(DISTINCT ts::DATE) AS n_days,
        count(*) AS n_events
 FROM events GROUP BY event_type
+"""
+
+
+def event_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type computed through the
+    SALTED two-level aggregation (operators/skew.py): distinct values are
+    sharded across 8 salts by a portable hash of the VALUE, each
+    (type, salt) cell counts its own disjoint set, totals are summed —
+    exact by disjointness, with the distinct-state spread over salts
+    instead of concentrating a hot event type on one reducer.  Oracle =
+    plain COUNT(DISTINCT): the salting must be invisible in the result."""
+    ev = load_table(spark, sf_dir, "events")
+    return SK.salted_count_distinct(
+        ev, group_col="event_type", distinct_col="user_id", n_salts=8, out_col="n_users"
+    )
+
+
+_DISTINCT_USERS_SALTED_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def order_segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders⋈customer through the SALTED join (operators/skew.py): the fact
+    side carries a uniform salt, the dimension is replicated per salt, the
+    hot-key rows spread over 8 reducers.  Oracle = the plain join — salting
+    must be row-level invisible."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = SK.salted_join(orders, cust, key="o_custkey", n_salts=8, how="inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+_ORDER_SEGMENT_SALTED_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink round-trip (sources/sinks.py end-to-end): orders and lineitem
+    are WRITTEN as co-bucketed, bucket-sorted catalog tables, read back, and
+    joined on the bucket key — a join that runs with no Exchange on either
+    side (asserted in tests/test_sinks.py / test_plans.py); the aggregate is
+    hash-checked against the oracle's join of the ORIGINAL parquet, so the
+    write→read→join path must be value-lossless."""
+    from .sources.sinks import read_bucketed, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(orders, "rt_orders_bkt", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(items, "rt_lineitem_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    joined = read_bucketed(spark, "rt_orders_bkt").join(
+        read_bucketed(spark, "rt_lineitem_bkt"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("rev"),
+    )
+
+
+_BUCKETED_ROUNDTRIP_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS rev
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
 """
 
 
@@ -1564,6 +1643,9 @@ QUERIES = {
     "event_props_stats": event_props_stats,
     "event_value_percentiles": event_value_percentiles,
     "event_distinct_users": event_distinct_users,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_sessions": streaming_sessions,
@@ -1614,6 +1696,9 @@ ORACLE_SQL = {
     "event_props_stats": _EVENT_PROPS_SQL,
     "event_value_percentiles": _PERCENTILES_SQL,
     "event_distinct_users": _DISTINCT_USERS_SQL,
+    "event_distinct_users_salted": _DISTINCT_USERS_SALTED_SQL,
+    "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,
+    "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,

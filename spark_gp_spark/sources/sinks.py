@@ -38,7 +38,21 @@ def write_bucketed(
 
     Choose ``n_buckets`` so one bucket ≈ 100-500 MB at the target scale; all
     tables that will be joined on ``bucket_cols`` must use the SAME count.
+
+    ``mode="overwrite"`` is idempotent ACROSS sessions: a fresh in-memory
+    catalog does not know about a previous session's managed table, so the
+    orphaned warehouse location is removed explicitly before the write
+    (otherwise saveAsTable fails with LOCATION_ALREADY_EXISTS).
     """
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        jvm = spark.sparkContext._jvm
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
+        fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -87,7 +87,7 @@ def run_streaming_window_counts_append(
     sf_dir: str,
     window: str = "1 hour",
     query_name: str = "gp_stream_counts_append",
-    n_files: int = 4,
+    n_files: int = 2,
 ) -> DataFrame:
     """Production-shaped streaming: APPEND mode + watermark + parquet file
     sink — bounded state, incremental emission of CLOSED windows only (the
@@ -97,7 +97,11 @@ def run_streaming_window_counts_append(
     The single-file test corpus is re-written as ``n_files`` time-ranged
     chunks whose ARRIVAL is driven explicitly (each chunk is copied into the
     source directory and fully processed before the next appears), so the
-    watermark genuinely advances batch over batch.  A final sentinel file
+    watermark genuinely advances batch over batch.  Two chunks are the
+    minimum that still exercises cross-batch watermark advancement; the
+    emitted set is a pure cutoff predicate on the data, so chunk count
+    never changes the result — only the micro-batch machinery cost (each
+    batch pays per-partition state-store commits).  A final sentinel file
     repeats the max-ts event: it pushes the watermark to max(ts) − 1h —
     flushing every closed window — while its own window's end exceeds the
     final watermark and therefore can never be emitted, so the sentinel
@@ -199,7 +203,7 @@ def run_streaming_sessions_append(
     sf_dir: str,
     gap: str = "30 minutes",
     query_name: str = "gp_stream_sessions_append",
-    n_files: int = 4,
+    n_files: int = 2,
 ) -> DataFrame:
     """APPEND-mode gap sessions through ``session_window`` + watermark into a
     parquet sink — bounded state, only CLOSED sessions emitted.  Same
@@ -292,7 +296,7 @@ def run_streaming_interval_join(
     lower: str = "30 minutes",
     delay: str = "2 hours",
     query_name: str = "gp_stream_interval_join",
-    n_files: int = 4,
+    n_files: int = 2,
 ) -> DataFrame:
     """Stream-stream INNER interval join: each purchase matched to the same
     user's views in the preceding ``lower`` window — the streaming form of
@@ -340,6 +344,9 @@ def run_streaming_interval_join(
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         F.unix_micros("v_ts").alias("view_ts_us"),
     )
+    # a stream-stream join keeps 4 state stores PER SIDE per partition, but
+    # at sf0.1 the join's shuffle parallelism dominates the fixed commit
+    # cost: 8 partitions measured ~2× faster than 4 (A/B at sf0.1)
     with _state_partitions(spark):
         q = (
             joined.writeStream.outputMode("append")

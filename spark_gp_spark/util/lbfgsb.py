@@ -70,6 +70,7 @@ def minimize_lbfgsb(
     memory: int = 10,
     max_ls: int = 30,
     fun_batch: "Callable[[list[np.ndarray]], list[tuple[float, np.ndarray]]] | None" = None,
+    on_accept: "Callable[[np.ndarray], None] | None" = None,
 ) -> np.ndarray:
     """Minimize ``fun`` (returning (value, gradient)) subject to
     ``lower <= x <= upper``.  Returns the best x found.
@@ -81,6 +82,10 @@ def minimize_lbfgsb(
     decisions are made in the same order as the sequential scan, so the
     iterate sequence — and the result — is unchanged; extra speculative
     evaluations are pure overlap (and memoized by the caller).
+
+    ``on_accept(x)`` fires once per accepted iterate — the hook stateful
+    objectives (the GPC's per-expert Laplace warm start) use to refresh
+    their carried state at the new point.
     """
     lower = np.asarray(lower, dtype=np.float64)
     upper = np.asarray(upper, dtype=np.float64)
@@ -218,6 +223,8 @@ def minimize_lbfgsb(
         x, f, g = _project(x_new, lower, upper), f_new, g_new
         if f < best_f:
             best_x, best_f = x.copy(), f
+        if on_accept is not None:
+            on_accept(x)
 
         tiny_step = moved < tol and f_delta < tol * max(1.0, abs(f))
         if tiny_step and new_pg_norm >= tol:

@@ -59,6 +59,28 @@ def test_tree_merge_reduces_driver_rows(spark):
         ex.unpersist()
 
 
+def test_distributed_state_roundtrip(spark):
+    """update_states writes per-expert latent state that subsequent stateful
+    reductions and updates read back — the GPC warm-start contract."""
+    points = _points(spark)
+    frame = build_expert_frame(points, 50, "chunk")
+    ex = DistributedExperts(frame, aggregation_depth=2)
+    try:
+        # before any update the state is None
+        n_none = ex.sum_over_experts_stateful(
+            lambda y, X, st: np.array([1.0 if st is None else 0.0]), 1
+        )
+        ex.update_states(lambda y, X, st: y * 2.0)
+        total = ex.sum_over_experts_stateful(lambda y, X, st: np.array([st.sum()]), 1)
+        ex.update_states(lambda y, X, st: st + 1.0)  # reads the previous state
+        total2 = ex.sum_over_experts_stateful(lambda y, X, st: np.array([st.sum()]), 1)
+    finally:
+        ex.unpersist()
+    assert n_none[0] > 0
+    assert total[0] == 2.0 * sum(i % 7 for i in range(2000))
+    assert total2[0] == total[0] + 2000.0
+
+
 def test_distributed_fit_with_tree_depth(spark):
     """End-to-end: a distributed GPR fit at aggregationDepth=3 still learns."""
     from spark_gp_spark import GaussianProcessRegression, RBFKernel, Scalar

@@ -44,21 +44,21 @@ def test_gpr_gradient_finite_difference():
 
 def test_gpc_gradient_finite_difference():
     x0 = np.array([1.1, 0.6])
-    nll, ngrad, f = gpc_laplace(Y_CLS, X, _make_kernel(), x0, tol=1e-10)
+    nll, ngrad, f, _ = gpc_laplace(Y_CLS, X, _make_kernel(), x0, tol=1e-10)
     h = 1e-5
     for i in range(len(x0)):
         xp, xm = x0.copy(), x0.copy()
         xp[i] += h
         xm[i] -= h
-        fp, _, _ = gpc_laplace(Y_CLS, X, _make_kernel(), xp, tol=1e-10)
-        fm, _, _ = gpc_laplace(Y_CLS, X, _make_kernel(), xm, tol=1e-10)
+        fp, _, _, _ = gpc_laplace(Y_CLS, X, _make_kernel(), xp, tol=1e-10)
+        fm, _, _, _ = gpc_laplace(Y_CLS, X, _make_kernel(), xm, tol=1e-10)
         fd = (fp - fm) / (2 * h)
         assert ngrad[i] == pytest.approx(fd, rel=1e-3, abs=1e-5)
 
 
 def test_gpc_mode_maximizes_posterior():
     kernel = _make_kernel()
-    _, _, f = gpc_laplace(Y_CLS, X, kernel, np.array([1.0, 0.5]), tol=1e-12)
+    _, _, f, _ = gpc_laplace(Y_CLS, X, kernel, np.array([1.0, 0.5]), tol=1e-12)
     K = kernel.training_kernel()
 
     def obj(fv):
@@ -114,3 +114,16 @@ def test_gpr_fit_quality_small_local():
     mean, _ = GaussianProjectedProcessRawPredictor(mv, mm, kernel).predict(X)
     rmse = float(np.sqrt(np.mean((mean - Y_REG) ** 2)))
     assert rmse < 0.15
+
+
+def test_gpc_laplace_warm_start_matches_cold_and_cuts_newton():
+    """Warm-starting Newton from the converged mode must reproduce the cold
+    result (mode is a pure function of (y, X, hypers)) in strictly fewer
+    iterations — the contract the GPC's carried expert state relies on."""
+    x0 = np.array([1.1, 0.6])
+    nll_c, g_c, f_c, it_c = gpc_laplace(Y_CLS, X, _make_kernel(), x0, tol=1e-10)
+    nll_w, g_w, f_w, it_w = gpc_laplace(Y_CLS, X, _make_kernel(), x0, tol=1e-10, f0=f_c)
+    assert nll_w == pytest.approx(nll_c, rel=1e-8, abs=1e-10)
+    assert np.allclose(g_w, g_c, atol=1e-7)
+    assert np.allclose(f_w, f_c, atol=1e-6)
+    assert it_w < it_c

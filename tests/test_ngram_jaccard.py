@@ -94,3 +94,34 @@ def test_components_on_chain_graph(spark):
     comp = D.connected_components(edges, nodes)
     got = {r.doc_id: r.component for r in comp.collect()}
     assert got == {i: 10 for i in range(10, 16)} | {16: 16}
+
+
+def test_propagation_warns_on_max_iter_exhaustion(spark):
+    # diameter 5 chain with a 3-round budget: labels are partial → must warn
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long"
+    )
+    nodes = spark.range(10, 17).select(F.col("id").alias("doc_id"))
+    with pytest.warns(UserWarning, match="did not converge"):
+        D.connected_components(edges, nodes, max_iter=3).collect()
+
+
+def test_star_components_on_planted_chain(spark):
+    """200-node chain (diameter 199): large-star/small-star must label it in
+    O(log² n) alternation rounds where propagation would need ~200."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.range(n + 3).select(F.col("id").alias("doc_id"))  # +3 singletons
+    comp = D.connected_components_star(edges, nodes, max_iter=20)
+    got = {r.doc_id: r.component for r in comp.collect()}
+    assert got == {i: 0 for i in range(n)} | {n: n, n + 1: n + 1, n + 2: n + 2}
+
+
+def test_star_components_match_propagation_on_neardup_graph(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_posting_size=None)
+    nodes = docs.select("doc_id")
+    a = {r.doc_id: r.component for r in D.connected_components(pairs, nodes).collect()}
+    b = {r.doc_id: r.component for r in D.connected_components_star(pairs, nodes).collect()}
+    assert a == b

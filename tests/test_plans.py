@@ -68,6 +68,23 @@ def test_q1_scan_prunes_columns(spark):
     assert "ReadSchema" in plan
 
 
+def test_bucketed_roundtrip_join_has_no_exchange(spark):
+    # the registry sink round-trip: the co-bucketed join must not shuffle —
+    # the only Exchange allowed is the final groupBy's
+    from spark_gp_spark.queries import bucketed_join_roundtrip
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_join_roundtrip(spark, SF))
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_part, join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS rt_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS rt_lineitem_bkt")
+
+
 def test_rollup_single_expand_pass(spark):
     from spark_gp_spark.queries import revenue_rollup
 

@@ -104,3 +104,19 @@ def test_lsh_topk_matches_exact_on_candidates(spark, planted):
     ap = lsh_bucketed_topk(df, queries, k=5, bits=6, tables=6).collect()
     for r in ap:
         assert ex[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_lsh_dim_param_skips_probe_job(spark, monkeypatch):
+    """With dim passed explicitly, building the LSH plan must not launch the
+    one-row dimension-probe Spark job (a needless job per call at scale)."""
+    from spark_gp_spark.operators import similarity as S
+
+    def _boom(*a, **k):
+        raise AssertionError("dimension probe job launched despite explicit dim")
+
+    monkeypatch.setattr(S, "_vector_dim", _boom)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = S.lsh_candidate_pairs(emb, dim=64)
+    assert pairs.columns == ["id_a", "id_b"]
+    topk = S.lsh_bucketed_topk(emb, emb.limit(3), k=2, dim=64)
+    assert "rank" in topk.columns

@@ -34,3 +34,27 @@ def test_salted_count_distinct_exact(spark):
         df.select("g", (F.col("v") % 8).alias("s")).distinct().count()
     )
     assert cells > len(plain)  # more cells than groups → state is sharded
+
+
+def test_salted_join_rejects_non_identity_how(spark):
+    import pytest
+
+    fact = spark.range(10).select(F.col("id").alias("k"))
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    for how in ("right", "full", "outer", "right_outer", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="not identity-preserving"):
+            K.salted_join(fact, dim, "k", how=how)
+    # left family still accepted
+    assert K.salted_join(fact, dim, "k", how="left_semi").count() == 10
+
+
+def test_salted_distinct_plan_spreads_state(spark):
+    from spark_gp_spark.queries import event_distinct_users_salted
+
+    plan = (
+        event_distinct_users_salted(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the first-level distinct state must be hash-spread over (type, salt)
+    assert "__salt" in plan
+    assert "hashpartitioning(event_type" in plan
