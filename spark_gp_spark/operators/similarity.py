@@ -260,3 +260,26 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid of an embedding column, emitted as one row per
+    (label, component position) — the class-prototype operator (nearest-
+    centroid classification, cluster drift monitoring, IVF seeding).
+
+    ``posexplode → groupBy(label, pos) → avg`` is ONE shuffle of thin
+    (label, pos, value) rows with map-side partial averages; no executor
+    ever materializes a full matrix and the driver sees nothing, so the
+    same plan runs at any corpus size (vs. collecting vectors per label,
+    which dies at the first hot label)."""
+    ex = df.select(
+        label_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v"),
+    )
+    return ex.groupBy(label_col, "pos").agg(
+        F.round(F.avg("_v"), 6).alias("value")
+    )

@@ -244,3 +244,64 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(quality, 6).alias("quality"),
         lang_expr.alias("lang_pred"),
     )
+
+
+def token_cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_docs: int = 5,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Co-occurring token pairs ranked by pointwise mutual information — the
+    phrase-mining / collocation operator of an LLM corpus pipeline.
+
+    ``pmi(a, b) = ln( co(a, b) · N / (df(a) · df(b)) )`` over document-level
+    co-occurrence of DISTINCT tokens; output (tok_a < tok_b, co_docs, pmi).
+
+    Plan shape (the posting-list discipline shared with ngram_jaccard):
+    tokens staged once and exploded to a (doc, token) posting frame; ``min_df``
+    drops hapax noise and ``max_df`` drops stopword-grade tokens BEFORE the
+    self-join — the hot-token guard: a token present in every document would
+    otherwise contribute O(N²) pair rows, exactly like a hot shingle.  The
+    per-document pair generation is an equi-join on the doc id; document
+    frequencies re-join on the pair counts (two thin shuffles).  N comes from
+    one count() — a metadata-cheap scalar even at corpus scale.
+    """
+    toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
+    post = toks.select("_id", F.explode(F.array_distinct("_t")).alias("tok"))
+    n_docs = df.count()
+    dfreq = post.groupBy("tok").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    kept = post.join(dfreq.select("tok"), "tok", "left_semi")
+    a = kept.select("_id", F.col("tok").alias("tok_a"))
+    b = kept.select("_id", F.col("tok").alias("tok_b"))
+    co = (
+        a.join(b, "_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("co_docs"))
+        .filter(F.col("co_docs") >= min_pair_docs)
+    )
+    da = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("_dfa"))
+    db = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("_dfb"))
+    return (
+        co.join(da, "tok_a")
+        .join(db, "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "co_docs",
+            F.round(
+                F.log(
+                    F.col("co_docs") * F.lit(float(n_docs))
+                    / (F.col("_dfa") * F.col("_dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1046,6 +1046,80 @@ FROM events GROUP BY event_type
 """
 
 
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level token co-occurrence pairs scored
+    by PMI (operators/text.py), with the min-df floor and df-cap hot-token
+    guard engaged — the posting-list plan that survives stopword-grade
+    tokens at corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_cooccurrence_pmi(
+        docs, min_pair_docs=5, min_df=2, max_df=150
+    )
+
+
+_TOKEN_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), post AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok
+), dfreq AS (
+  SELECT tok, count(*)::BIGINT AS df FROM post GROUP BY tok
+  HAVING count(*) >= 2 AND count(*) <= 150
+), kept AS (
+  SELECT p.doc_id, p.tok FROM post p JOIN dfreq USING (tok)
+), n AS (
+  SELECT count(*) AS n FROM documents
+), co AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS co_docs
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT tok_a, tok_b, co_docs,
+       round(ln(co_docs * n::DOUBLE / (da.df * db.df)), 6) AS pmi
+FROM co
+JOIN dfreq da ON da.tok = co.tok_a
+JOIN dfreq db ON db.tok = co.tok_b
+CROSS JOIN n
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, pos, value) component rows
+    (operators/similarity.py) — posexplode + one thin shuffle with map-side
+    partial averages; nothing ever materializes a full matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_centroids(emb)
+
+
+_LABEL_CENTROIDS_SQL = """
+SELECT label, i::INTEGER AS pos, round(avg(embedding[i + 1]), 6) AS value
+FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+GROUP BY label, i
+"""
+
+
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language — the per-group top-k window
+    shape (best-of-n sample selection); state is one per-group heap, never
+    a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+_TOP_DOCS_SQL = """
+SELECT lang, doc_id, n_chars, rank FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)::BIGINT AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
 def event_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-user counts per event type computed through the
     SALTED two-level aggregation (operators/skew.py): distinct values are
@@ -1643,6 +1717,9 @@ QUERIES = {
     "event_props_stats": event_props_stats,
     "event_value_percentiles": event_value_percentiles,
     "event_distinct_users": event_distinct_users,
+    "token_pmi_pairs": token_pmi_pairs,
+    "embedding_label_centroids": embedding_label_centroids,
+    "top_docs_per_lang": top_docs_per_lang,
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
@@ -1696,6 +1773,9 @@ ORACLE_SQL = {
     "event_props_stats": _EVENT_PROPS_SQL,
     "event_value_percentiles": _PERCENTILES_SQL,
     "event_distinct_users": _DISTINCT_USERS_SQL,
+    "token_pmi_pairs": _TOKEN_PMI_SQL,
+    "embedding_label_centroids": _LABEL_CENTROIDS_SQL,
+    "top_docs_per_lang": _TOP_DOCS_SQL,
     "event_distinct_users_salted": _DISTINCT_USERS_SALTED_SQL,
     "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,

@@ -1,0 +1,44 @@
+"""Collocation (PMI) and embedding-centroid operators."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_gp_spark.operators.similarity import label_centroids
+from spark_gp_spark.operators.text import token_cooccurrence_pmi
+
+
+def test_token_pmi_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.tok_a, r.tok_b): (r.co_docs, r.pmi)
+        for r in token_cooccurrence_pmi(docs, min_pair_docs=1, min_df=1).collect()
+    }
+    # df(a)=3, df(b)=3, df(c)=2, N=4
+    assert out[("a", "b")][0] == 2
+    assert out[("a", "b")][1] == pytest.approx(math.log(2 * 4 / 9), abs=1e-6)
+    assert out[("a", "c")][0] == 1
+    assert out[("a", "c")][1] == pytest.approx(math.log(1 * 4 / 6), abs=1e-6)
+
+
+def test_token_pmi_max_df_drops_stopword_grade_tokens(spark):
+    # "the" in every doc: with max_df below N it must vanish from all pairs
+    docs = spark.createDataFrame(
+        [(i, f"the word{i % 2}") for i in range(10)], "doc_id long, text string"
+    )
+    out = token_cooccurrence_pmi(docs, min_pair_docs=1, min_df=1, max_df=9).collect()
+    assert all("the" not in (r.tok_a, r.tok_b) for r in out)
+
+
+def test_label_centroids_exact_means(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {(r.label, r.pos): r.value for r in label_centroids(emb).collect()}
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 3.0
+    assert out[(1, 0)] == 10.0 and out[(1, 1)] == 20.0
