@@ -346,6 +346,17 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                     misses.append(x)
                     seen.add(key)
             if misses:
+                if stateful and pending_accept:
+                    # deferred: rewrite expert state at the last accepted
+                    # iterate only when another evaluation actually reads it
+                    # (the final accept of a run pays nothing)
+                    x_acc = pending_accept.pop()
+
+                    def upd(y, X, state, _x=x_acc, _factory=factory):
+                        return state_update_fn(y, X, _factory(), _x, state)
+
+                    experts.update_states(upd)
+                    self._fit_stats["state_updates"] += 1
                 if stateful:
                     def fn(y, X, state, _xs=tuple(misses), _factory=factory):
                         segs = []
@@ -374,14 +385,14 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                         self._fit_stats["aux_total"] += float(seg[1 + p :].sum())
             return [cache[x.tobytes()] for x in xs]
 
-        def _accept_state(x: np.ndarray) -> None:
-            # refresh each expert's carried state at the accepted iterate —
-            # one extra pass per outer iteration, not per evaluation
-            def upd(y, X, state, _x=x, _factory=factory):
-                return state_update_fn(y, X, _factory(), _x, state)
+        pending_accept: list[np.ndarray] = []
 
-            experts.update_states(upd)
-            self._fit_stats["state_updates"] += 1
+        def _accept_state(x: np.ndarray) -> None:
+            # mark the accepted iterate; the state pass runs lazily inside
+            # the next _eval_many — one extra pass per outer iteration that
+            # actually evaluates again, zero for the final accept
+            pending_accept.clear()
+            pending_accept.append(np.asarray(x, dtype=np.float64))
 
         def objective(x: np.ndarray) -> tuple[float, np.ndarray]:
             return _eval_many([x])[0]

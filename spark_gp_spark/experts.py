@@ -205,10 +205,26 @@ class DistributedExperts(Experts):
     _MERGE_FLOOR = 16
 
     def __init__(self, frame: DataFrame, aggregation_depth: int = 2) -> None:
-        self.frame = frame.persist()
+        frame = frame.persist()
+        # one count per fit: materializes the cache before the optimizer loop
+        # AND tells us the expert count for partition right-sizing
+        n_experts = frame.count()
+        n_parts = frame.rdd.getNumPartitions()
+        if 0 < n_experts < n_parts:
+            # Fewer experts than partitions (small forced-distributed fits):
+            # every reduction would launch (parts − experts) EMPTY
+            # Python-worker tasks — pure scheduling + Arrow-roundtrip tax,
+            # ~15 ms each, paid on every one of the optimizer's ~40 jobs.
+            # Coalesce (no shuffle) so each task carries an expert.  At scale
+            # experts ≫ partitions and this branch never fires.
+            packed = frame.coalesce(int(n_experts)).persist()
+            packed.count()
+            frame.unpersist()
+            frame, n_parts = packed, int(n_experts)
+        self.frame = frame
         self.aggregation_depth = max(2, aggregation_depth)
-        # one JVM-side partition-count probe per fit, not per reduction
-        self._n_parts = frame.rdd.getNumPartitions()
+        # JVM-side partition-count probe once per fit, not per reduction
+        self._n_parts = n_parts
 
     def _tree_merge(self, partials: DataFrame, out_len: int) -> DataFrame:
         """Insert ``aggregation_depth - 2`` executor-side combine rounds."""
