@@ -19,6 +19,7 @@ from .kernel import (
     Kernel,
     MaternKernel,
     PeriodicKernel,
+    RationalQuadraticKernel,
     RBFKernel,
     Scalar,
     white_noise_kernel,
@@ -35,6 +36,7 @@ __all__ = [
     "Kernel",
     "MaternKernel",
     "PeriodicKernel",
+    "RationalQuadraticKernel",
     "OneVsRestGP",
     "RBFKernel",
     "Scalar",

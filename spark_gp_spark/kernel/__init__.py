@@ -10,7 +10,7 @@ from .base import (
     TrainingVectorsNotInitializedException,
     white_noise_kernel,
 )
-from .matern import MaternKernel, PeriodicKernel
+from .matern import MaternKernel, PeriodicKernel, RationalQuadraticKernel
 from .rbf import ARDRBFKernel, RBFKernel
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "Kernel",
     "MaternKernel",
     "PeriodicKernel",
+    "RationalQuadraticKernel",
     "RBFKernel",
     "Scalar",
     "SumOfKernels",

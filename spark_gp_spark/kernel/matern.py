@@ -115,12 +115,23 @@ class MaternKernel(_TrainDataBearing):
 
 
 class PeriodicKernel(_TrainDataBearing):
-    """Exp-sine-squared periodic covariance:
-    ``k = exp(−2 sin²(π r / p) / ℓ²)`` with trainable (lengthscale ℓ,
+    """Exp-sine-squared periodic covariance in PER-DIMENSION product form:
+    ``k = exp(−2 Σ_j sin²(π Δ_j / p) / ℓ²)`` with trainable (lengthscale ℓ,
     period p) — the standard kernel for seasonal/cyclic structure, absent
-    from the reference's family.  Analytic derivatives (FD-checked):
-    ``dk/dℓ = 4 sin²(π r/p) / ℓ³ · k`` and
-    ``dk/dp = (4π r)/(ℓ² p²) · sin(π r/p) cos(π r/p) · k``.
+    from the reference's family.
+
+    The per-dimension form (a product of valid 1-D periodic kernels) is PSD
+    for ANY input dimension; the tempting isotropic shortcut
+    ``sin²(π‖x−y‖/p)`` is NOT a valid kernel for d ≥ 2 — a hypothesis
+    property test surfaced Gram matrices with eigenvalues as low as −1.6
+    (tests/test_properties.py).  For d = 1 the two coincide (sin² is even).
+
+    Analytic derivatives (FD-checked), with S = Σ_j sin²(π Δ_j / p):
+    ``dk/dℓ = 4 S / ℓ³ · k`` and
+    ``dk/dp = (2π)/(ℓ² p²) · Σ_j Δ_j sin(2π Δ_j / p) · k``.
+
+    The (n, n, d) pairwise-difference tensor is cached per data slice —
+    experts are chunk-sized (n ≈ 10²–10³, small d), so this stays a few MB.
     """
 
     def __init__(
@@ -135,7 +146,7 @@ class PeriodicKernel(_TrainDataBearing):
         self.period = float(period)
         self.lower = float(lower)
         self.upper = float(upper)
-        self._r: np.ndarray | None = None
+        self._delta: np.ndarray | None = None
 
     def get_hyperparameters(self) -> np.ndarray:
         return np.array([self.lengthscale, self.period])
@@ -152,40 +163,44 @@ class PeriodicKernel(_TrainDataBearing):
     def hyperparameter_bounds(self) -> tuple[np.ndarray, np.ndarray]:
         return np.array([self.lower, self.lower]), np.array([self.upper, self.upper])
 
+    @staticmethod
+    def _pairwise_delta(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        return A[:, None, :] - B[None, :, :]  # (nA, nB, d)
+
     def set_training_vectors(self, X) -> "PeriodicKernel":
         super().set_training_vectors(X)
         X = self.get_training_vectors()
-        self._r = np.sqrt(_sq_dists(X, X))
+        self._delta = self._pairwise_delta(X, X)
         return self
 
-    def _r_or_raise(self) -> np.ndarray:
+    def _delta_or_raise(self) -> np.ndarray:
         self.get_training_vectors()
-        assert self._r is not None
-        return self._r
+        assert self._delta is not None
+        return self._delta
 
-    def _k_of_r(self, r: np.ndarray) -> np.ndarray:
-        sin2 = np.sin(np.pi * r / self.period) ** 2
-        return np.exp(-2.0 * sin2 / self.lengthscale**2)
+    def _k_of_delta(self, delta: np.ndarray) -> np.ndarray:
+        S = np.sum(np.sin(np.pi * delta / self.period) ** 2, axis=-1)
+        return np.exp(-2.0 * S / self.lengthscale**2)
 
     def training_kernel(self) -> np.ndarray:
-        return self._k_of_r(self._r_or_raise())
+        return self._k_of_delta(self._delta_or_raise())
 
     def training_kernel_diag(self) -> np.ndarray:
         return np.ones(len(self.get_training_vectors()))
 
     def training_kernel_and_derivative(self) -> tuple[np.ndarray, np.ndarray]:
-        r = self._r_or_raise()
+        delta = self._delta_or_raise()
         ell, p = self.lengthscale, self.period
-        arg = np.pi * r / p
-        sin_, cos_ = np.sin(arg), np.cos(arg)
-        K = np.exp(-2.0 * sin_**2 / ell**2)
-        dK_ell = 4.0 * sin_**2 / ell**3 * K
-        dK_p = (4.0 * np.pi * r) / (ell**2 * p**2) * sin_ * cos_ * K
+        S = np.sum(np.sin(np.pi * delta / p) ** 2, axis=-1)
+        K = np.exp(-2.0 * S / ell**2)
+        dK_ell = 4.0 * S / ell**3 * K
+        T = np.sum(delta * np.sin(2.0 * np.pi * delta / p), axis=-1)
+        dK_p = (2.0 * np.pi) / (ell**2 * p**2) * T * K
         return K, np.stack([dK_ell, dK_p])
 
     def cross_kernel(self, test) -> np.ndarray:
         test = _as_matrix(test)
-        return self._k_of_r(np.sqrt(_sq_dists(test, self.get_training_vectors())))
+        return self._k_of_delta(self._pairwise_delta(test, self.get_training_vectors()))
 
     def self_kernel(self, test) -> np.ndarray:
         test = _as_matrix(test)
@@ -194,4 +209,88 @@ class PeriodicKernel(_TrainDataBearing):
     def __repr__(self) -> str:
         return (
             f"PeriodicKernel(lengthscale={self.lengthscale:.1e}, period={self.period:.1e})"
+        )
+
+
+class RationalQuadraticKernel(_TrainDataBearing):
+    """Rational-quadratic covariance — an infinite scale-mixture of RBFs:
+    ``k = (1 + r²/(2αℓ²))^(−α)`` with trainable (lengthscale ℓ, mixture
+    index α); α → ∞ recovers the RBF, small α models variation on many
+    lengthscales at once.  Analytic derivatives (FD-checked in
+    tests/test_kernels.py), with u = r²/(2αℓ²) and B = 1 + u:
+    ``dk/dℓ = B^(−α−1) · r²/ℓ³``  and  ``dk/dα = k · (u/B − ln B)``.
+    """
+
+    def __init__(
+        self,
+        lengthscale: float = 1.0,
+        alpha: float = 1.0,
+        lower: float = 1e-6,
+        upper: float = np.inf,
+    ) -> None:
+        super().__init__()
+        self.lengthscale = float(lengthscale)
+        self.alpha = float(alpha)
+        self.lower = float(lower)
+        self.upper = float(upper)
+        self._sq: np.ndarray | None = None
+
+    def get_hyperparameters(self) -> np.ndarray:
+        return np.array([self.lengthscale, self.alpha])
+
+    def set_hyperparameters(self, value: np.ndarray) -> "RationalQuadraticKernel":
+        v = np.asarray(value, dtype=np.float64).ravel()
+        self.lengthscale, self.alpha = float(v[0]), float(v[1])
+        return self
+
+    @property
+    def n_hyperparameters(self) -> int:
+        return 2
+
+    def hyperparameter_bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        return np.array([self.lower, self.lower]), np.array([self.upper, self.upper])
+
+    def set_training_vectors(self, X) -> "RationalQuadraticKernel":
+        super().set_training_vectors(X)
+        X = self.get_training_vectors()
+        self._sq = _sq_dists(X, X)  # hyperparameter-independent, cached
+        return self
+
+    def _sq_or_raise(self) -> np.ndarray:
+        self.get_training_vectors()
+        assert self._sq is not None
+        return self._sq
+
+    def _k_of_sq(self, sq: np.ndarray) -> np.ndarray:
+        u = sq / (2.0 * self.alpha * self.lengthscale**2)
+        return (1.0 + u) ** (-self.alpha)
+
+    def training_kernel(self) -> np.ndarray:
+        return self._k_of_sq(self._sq_or_raise())
+
+    def training_kernel_diag(self) -> np.ndarray:
+        return np.ones(len(self.get_training_vectors()))
+
+    def training_kernel_and_derivative(self) -> tuple[np.ndarray, np.ndarray]:
+        sq = self._sq_or_raise()
+        ell, a = self.lengthscale, self.alpha
+        u = sq / (2.0 * a * ell**2)
+        B = 1.0 + u
+        K = B ** (-a)
+        dK_ell = B ** (-a - 1.0) * sq / ell**3
+        dK_a = K * (u / B - np.log(B))
+        return K, np.stack([dK_ell, dK_a])
+
+    def cross_kernel(self, test) -> np.ndarray:
+        test = _as_matrix(test)
+        return self._k_of_sq(_sq_dists(test, self.get_training_vectors()))
+
+    def self_kernel(self, test) -> np.ndarray:
+        test = _as_matrix(test)
+        return np.ones(test.shape[0])
+
+    def __repr__(self) -> str:
+        return (
+            f"RationalQuadraticKernel(lengthscale={self.lengthscale:.1e}, "
+            f"alpha={self.alpha:.1e})"
         )

@@ -216,3 +216,45 @@ def test_periodic_derivative_matches_finite_difference():
             - PeriodicKernel(*lo).set_training_vectors(DATASET).training_kernel()
         ) / (2 * h)
         assert np.all(np.abs(dK[i] - fd) < 1e-3), i
+
+
+def test_rational_quadratic_derivative_matches_finite_difference():
+    from spark_gp_spark.kernel import RationalQuadraticKernel
+
+    base = (0.9, 1.7)
+    k = RationalQuadraticKernel(*base).set_training_vectors(DATASET)
+    _, dK = k.training_kernel_and_derivative()
+    h = 1e-5
+    for i in range(2):
+        lo, hi = list(base), list(base)
+        lo[i] -= h
+        hi[i] += h
+        fd = (
+            RationalQuadraticKernel(*hi).set_training_vectors(DATASET).training_kernel()
+            - RationalQuadraticKernel(*lo).set_training_vectors(DATASET).training_kernel()
+        ) / (2 * h)
+        assert np.all(np.abs(dK[i] - fd) < 1e-3), i
+
+
+def test_rational_quadratic_limits_and_composition():
+    from spark_gp_spark.kernel import RationalQuadraticKernel
+    from spark_gp_spark.kernel import RBFKernel as _RBF
+
+    # alpha -> large recovers the RBF with the same lengthscale
+    ell = 0.7
+    rq = RationalQuadraticKernel(ell, 1e6).set_training_vectors(DATASET)
+    rbf = _RBF(1.0 / ell).set_training_vectors(DATASET)  # RBF takes beta = 1/ell
+    K_rq = rq.training_kernel()
+    # compare against exp(-r^2 / (2 ell^2)) directly (RBF conventions differ)
+    from spark_gp_spark.kernel.rbf import _sq_dists
+
+    K_ref = np.exp(-_sq_dists(DATASET, DATASET) / (2 * ell * ell))
+    assert np.allclose(K_rq, K_ref, atol=1e-4)
+    # composes through the DSL like every other kernel
+    from spark_gp_spark.kernel import Scalar, white_noise_kernel
+
+    comp = Scalar(2.0) * RationalQuadraticKernel() + white_noise_kernel(0.1, 1e-6, 10.0)
+    comp.set_training_vectors(DATASET)
+    K, dK = comp.training_kernel_and_derivative()
+    assert K.shape == (len(DATASET), len(DATASET))
+    assert len(dK) == comp.n_hyperparameters

@@ -32,9 +32,16 @@ def test_no_cartesian_in_dedup_and_similarity(spark):
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_pairs,
+        token_pmi_pairs,
     )
 
-    for q in (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs, embedding_neardup_pairs):
+    for q in (
+        minhash_lsh_pairs,
+        simhash_pairs,
+        ngram_jaccard_pairs,
+        embedding_neardup_pairs,
+        token_pmi_pairs,
+    ):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the numeric core — no Spark session,
+so these run fast and explore the input space the example-based tests pin.
+
+Properties:
+- every kernel's training matrix is PSD (+ jitter) for arbitrary data and
+  hyperparameters in bounds — the contract the Cholesky-based GP math relies on;
+- the self-contained L-BFGS-B finds the box-projected optimum of random
+  convex quadratics — the optimizer correctness property;
+- the Laplace mode is start-point independent (warm == cold) — the warm-start
+  soundness property.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_gp_spark.gp_math import gpc_laplace
+from spark_gp_spark.kernel import (
+    MaternKernel,
+    PeriodicKernel,
+    RationalQuadraticKernel,
+    RBFKernel,
+    Scalar,
+)
+from spark_gp_spark.util.lbfgsb import minimize_lbfgsb
+
+_hyper = st.floats(min_value=0.05, max_value=5.0)
+
+
+def _dataset(seed: int, n: int, d: int) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(n, d))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(3, 25),
+    d=st.integers(1, 4),
+    h1=_hyper,
+    h2=_hyper,
+    kind=st.sampled_from(["rbf", "matern15", "matern25", "periodic", "rq"]),
+)
+def test_kernel_matrices_are_psd(seed, n, d, h1, h2, kind):
+    X = _dataset(seed, n, d)
+    k = {
+        "rbf": lambda: RBFKernel(h1),
+        "matern15": lambda: MaternKernel(h1, 1.5),
+        "matern25": lambda: MaternKernel(h1, 2.5),
+        "periodic": lambda: PeriodicKernel(h1, h2),
+        "rq": lambda: RationalQuadraticKernel(h1, h2),
+    }[kind]()
+    k.set_training_vectors(X)
+    K = k.training_kernel()
+    assert K.shape == (n, n)
+    assert np.allclose(K, K.T, atol=1e-12)
+    # PSD up to jitter: Cholesky of K + 1e-8 I must succeed
+    np.linalg.cholesky(K + 1e-8 * np.eye(n))
+    # diag contract: unit variance for all stationary kernels here
+    assert np.allclose(np.diag(K), k.training_kernel_diag(), atol=1e-12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    p=st.integers(1, 5),
+)
+def test_lbfgsb_solves_box_constrained_quadratics(seed, p):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(p, p))
+    H = A @ A.T + np.eye(p)  # SPD Hessian
+    target = rng.normal(size=p, scale=2.0)
+    lower, upper = -np.ones(p), np.ones(p)
+
+    def fun(x):
+        g = H @ (x - target)
+        return 0.5 * float((x - target) @ g), g
+
+    x = minimize_lbfgsb(fun, np.zeros(p), lower, upper, max_iter=200, tol=1e-10)
+    # KKT: the projected gradient at the solution vanishes
+    g = H @ (x - target)
+    pg = x - np.clip(x - g, lower, upper)
+    assert float(np.max(np.abs(pg))) < 1e-5
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(5, 30))
+def test_laplace_mode_is_start_point_independent(seed, n):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 2))
+    y = (rng.random(n) > 0.5).astype(np.float64)
+    x0 = np.array([1.0, 0.7])
+
+    def make():
+        return (Scalar(1.0) * RBFKernel(1.0)).set_hyperparameters(x0)
+
+    nll_c, g_c, f_c, _ = gpc_laplace(y, X, make(), x0, tol=1e-12)
+    warm_start = rng.normal(size=n)  # arbitrary (not even a converged mode)
+    nll_w, g_w, f_w, _ = gpc_laplace(y, X, make(), x0, tol=1e-12, f0=warm_start)
+    assert nll_w == pytest.approx(nll_c, rel=1e-6, abs=1e-8)
+    assert np.allclose(f_w, f_c, atol=1e-5)
