@@ -1345,6 +1345,37 @@ GROUP BY 1, 2
 """
 
 
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (dimension lookup on a stream —
+    stateless join, no stream-stream state) feeding an APPEND windowed agg
+    of weighted values; closed-window cutoff oracle with the dimension
+    restated as inline VALUES."""
+    from .streaming.events import run_streaming_static_enrich
+
+    out = run_streaming_static_enrich(spark, sf_dir, window="1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "weighted_value",
+    )
+
+
+_STREAM_ENRICH_SQL = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+         ('signup', 5.0), ('error', 0.1)
+)
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value * coalesce(d.weight, 1.0)), 6) AS weighted_value
+FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+GROUP BY 1, 2
+"""
+
+
 def streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows via Spark's native session_window stateful
     operator, driven through readStream; oracle = batch lag/gap SQL."""
@@ -1725,6 +1756,7 @@ QUERIES = {
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
+    "streaming_static_enrich": streaming_static_enrich,
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
     "streaming_stateful_sessions": streaming_stateful_sessions,
@@ -1781,6 +1813,7 @@ ORACLE_SQL = {
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
+    "streaming_static_enrich": _STREAM_ENRICH_SQL,
     "streaming_sessions": _STREAM_SESSION_SQL,
     "streaming_sessions_append": _STREAM_SESSION_APPEND_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,

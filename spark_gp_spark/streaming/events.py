@@ -360,6 +360,67 @@ def run_streaming_interval_join(
     return spark.read.parquet(sink)
 
 
+#: static event-type dimension for the stream-static enrichment join —
+#: deterministic literals, restatable inline by the SQL oracle.
+EVENT_TYPE_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 10.0),
+    ("signup", 5.0),
+    ("error", 0.1),
+]
+
+
+def run_streaming_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    query_name: str = "gp_stream_enrich",
+    n_files: int = 2,
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed aggregation into an APPEND
+    parquet sink — the production dimension-lookup shape: the static side is
+    broadcast into every micro-batch (stateless join, unlike stream-stream),
+    then the weighted values aggregate per closed window.
+
+    A LEFT join with a coalesced default keeps unknown event types flowing
+    (dimension gaps must never drop fact rows in a pipeline).  Same staged-
+    arrival + max-ts sentinel protocol as the other append harnesses: the
+    sink holds exactly the windows with end ≤ max(ts) − 1h — a pure-data
+    cutoff the batch oracle restates with an inline VALUES dimension."""
+    work = tempfile.mkdtemp(prefix="gp_stream_enrich_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files)
+
+    dim = F.broadcast(
+        spark.createDataFrame(EVENT_TYPE_WEIGHTS, "event_type string, weight double")
+    )
+    stream = normalize_event_ts(spark, spark.readStream.schema(schema).parquet(src))
+    enriched = stream.join(dim, "event_type", "left").withColumn(
+        "weighted", F.col("value") * F.coalesce("weight", F.lit(1.0))
+    )
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("weighted"), 6).alias("weighted_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "weighted_value")
+    )
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    return spark.read.parquet(sink)
+
+
 def streaming_sessionization(
     spark: SparkSession,
     sf_dir: str,
