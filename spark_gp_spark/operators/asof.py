@@ -26,6 +26,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left rows enriched with the nearest right row's payload.
 
@@ -33,6 +34,12 @@ def asof_join(
     ``right.ts <= left.ts`` — point-in-time enrichment.
     ``direction='forward'``: earliest right row with ``right.ts >= left.ts``
     — next-event attribution.  Both match ties (DuckDB ASOF ``>=`` / ``<=``).
+
+    ``tolerance_seconds`` (pandas ``merge_asof``-style): the match is
+    nulled when the nearest qualifying row is farther than the tolerance —
+    since "nearest" is already the extremal qualifying row, this is exactly
+    "nearest within tolerance".  Stale point-in-time data is often worse
+    than no data (feature stores cap lookback for this reason).
 
     Output: all left columns + ``payload_cols`` (null when no right row
     qualifies).  One shuffle on the key either way.
@@ -62,7 +69,8 @@ def asof_join(
     # window frame: backward scans the past (right first at equal ts),
     # forward scans the future (right last at equal ts).
     payload_struct = F.when(
-        F.col("__side") == 0, F.struct(*[F.col(c) for c in payload_cols])
+        F.col("__side") == 0,
+        F.struct(F.col("__ts").alias("__mts"), *[F.col(c) for c in payload_cols]),
     )
     # Carry the matched right row as ONE struct (non-null for every right row
     # even when its payload fields are null), then project the fields.  A
@@ -84,8 +92,16 @@ def asof_join(
         )
         match = F.first(payload_struct, ignorenulls=True).over(w)
     filled = unioned.select(*left_cols, "__side", match.alias("__match"))
+    if tolerance_seconds is None:
+        in_tol = F.lit(True)
+    else:
+        delta = F.abs(
+            F.col(left_ts).cast("double") - F.col("__match.__mts").cast("double")
+        )
+        in_tol = delta <= F.lit(float(tolerance_seconds))
     return filled.filter(F.col("__side") == 1).select(
-        *left_cols, *[F.col(f"__match.{c}").alias(c) for c in payload_cols]
+        *left_cols,
+        *[F.when(in_tol, F.col(f"__match.{c}")).alias(c) for c in payload_cols],
     )
 
 

@@ -1016,6 +1016,45 @@ def asof_purchases_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_purchases_views_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment with a lookback CAP (merge_asof tolerance):
+    the matched view is nulled when it is older than 10 minutes — stale
+    features are worse than missing ones, so feature stores bound lookback."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = A.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_event_id", "view_value"], tolerance_seconds=600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+_ASOF_TOL_SQL = """
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       round(l.value, 6) AS value,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 600 THEN r.event_id END AS view_event_id,
+       CASE WHEN epoch(l.ts) - epoch(r.ts) <= 600 THEN round(r.value, 6) END AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 _ASOF_SQL = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        round(l.value, 6) AS value,
@@ -1742,6 +1781,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
+    "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
     "asof_next_view": asof_next_view,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
@@ -1798,6 +1838,7 @@ ORACLE_SQL = {
     "lsh_topk": _LSH_TOPK_SQL,
     "embedding_neardup_pairs": _NEARDUP_SQL,
     "asof_purchases_views": _ASOF_SQL,
+    "asof_purchases_views_tolerance": _ASOF_TOL_SQL,
     "asof_next_view": _ASOF_FWD_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,

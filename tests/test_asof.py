@@ -60,3 +60,24 @@ def test_asof_tie_matches_equal_timestamp(spark):
         payload_cols=["view_value"],
     ).collect()
     assert out[0]["view_value"] == 5.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from spark_gp_spark.operators.asof import asof_join
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(9), "near"), (1, t(5), "far")], "k long, rts timestamp, tag string"
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload_cols=["tag"], tolerance_seconds=120,
+    )
+    got = {r.ts.minute: r.tag for r in out.collect()}
+    # ts=10 matches rts=9 (60s <= 120s); ts=30's nearest is rts=9 (21 min) -> null
+    assert got[10] == "near"
+    assert got[30] is None
