@@ -89,10 +89,15 @@ class GaussianProcessClassifier(GaussianProcessEstimatorBase, _GPCOutputParams):
                 experts, objective, state_update_fn=state_update, aux_len=1
             )
 
-            def latent_mode(y, X, kernel, _x=x_opt, _tol=tol):
-                return gpc_laplace(y, X, kernel, _x, _tol)[2]
+            def latent_mode(y, X, kernel, state, _x=x_opt, _tol=tol):
+                # warm-start the final mode solve at x_opt from the carried
+                # expert state (mode is start-point independent — the
+                # property tests/test_properties.py pins)
+                return gpc_laplace(y, X, kernel, _x, _tol, f0=state)[2]
 
-            raw_predictor = self._projected_process(points, experts, x_opt, targets_fn=latent_mode)
+            raw_predictor = self._projected_process(
+                points, experts, x_opt, targets_fn=latent_mode, targets_use_state=True
+            )
         finally:
             points.unpersist()
             experts.unpersist()

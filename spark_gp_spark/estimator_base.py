@@ -357,27 +357,20 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
 
                     experts.update_states(upd)
                     self._fit_stats["state_updates"] += 1
-                if stateful:
-                    def fn(y, X, state, _xs=tuple(misses), _factory=factory):
-                        segs = []
-                        for x in _xs:
-                            out = objective_fn(y, X, _factory(), x, state)
-                            segs.append(np.concatenate([[out[0]], out[1], *out[2:]]))
-                        return np.concatenate(segs)
-                else:
-                    def fn(y, X, _xs=tuple(misses), _factory=factory):
-                        segs = []
-                        for x in _xs:
-                            out = objective_fn(y, X, _factory(), x)
-                            segs.append(np.concatenate([[out[0]], out[1], *out[2:]]))
-                        return np.concatenate(segs)
+                def fn(y, X, state, _xs=tuple(misses), _factory=factory):
+                    segs = []
+                    for x in _xs:
+                        out = (
+                            objective_fn(y, X, _factory(), x, state)
+                            if stateful
+                            else objective_fn(y, X, _factory(), x)
+                        )
+                        segs.append(np.concatenate([[out[0]], out[1], *out[2:]]))
+                    return np.concatenate(segs)
 
                 self._fit_stats["reductions"] += 1
                 self._fit_stats["evals"] += len(misses)
-                if stateful:
-                    flat = experts.sum_over_experts_stateful(fn, len(misses) * seg_len)
-                else:
-                    flat = experts.sum_over_experts(fn, len(misses) * seg_len)
+                flat = experts.sum_over_experts_stateful(fn, len(misses) * seg_len)
                 for i, x in enumerate(misses):
                     seg = flat[i * seg_len : (i + 1) * seg_len]
                     cache[x.tobytes()] = (float(seg[0]), seg[1 : 1 + p].copy())
@@ -492,13 +485,18 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
         experts: Experts,
         x_opt: np.ndarray,
         targets_fn=None,
+        targets_use_state: bool = False,
     ):
         """Active set selection + distributed Gram + driver PPA solve.
 
         Parity: projectedProcess (GaussianProcessCommons.scala:40-59).
         ``targets_fn(y, X, kernel) -> ndarray`` substitutes the regression
         targets (the classifier projects the latent mode f instead of y,
-        GaussianProcessClassifier.scala:62-65).
+        GaussianProcessClassifier.scala:62-65).  With ``targets_use_state``
+        the signature becomes ``targets_fn(y, X, kernel, state)`` and each
+        expert's carried latent state rides into the final pass — the GPC's
+        mode recomputation at x_opt then warm-starts instead of re-running
+        the cold Newton solve over the whole expert set.
         """
         factory = self._effective_kernel_factory()
         ctx = ActiveSetContext(
@@ -513,13 +511,22 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
         active_set = provider(ctx)
         m = len(active_set)
 
-        def gram_fn(y, X, _factory=factory, _x=x_opt, _act=active_set, _tf=targets_fn):
+        def gram_fn(
+            y, X, state,
+            _factory=factory, _x=x_opt, _act=active_set,
+            _tf=targets_fn, _use_state=targets_use_state,
+        ):
             k = _factory().set_hyperparameters(_x).set_training_vectors(X)
-            t = y if _tf is None else _tf(y, X, k)
+            if _tf is None:
+                t = y
+            elif _use_state:
+                t = _tf(y, X, k, state)
+            else:
+                t = _tf(y, X, k)
             g, v = expert_gram(t, X, k, _act)
             return np.concatenate([g.ravel(), v])
 
-        flat = experts.sum_over_experts(gram_fn, m * m + m)
+        flat = experts.sum_over_experts_stateful(gram_fn, m * m + m)
         kmn_knm = flat[: m * m].reshape(m, m)
         kmny = flat[m * m :]
 

@@ -283,13 +283,16 @@ class DistributedExperts(Experts):
                 out["state"] = new_states
                 yield out
 
-        new_frame = self.frame.mapInPandas(
+        rewritten = self.frame.mapInPandas(
             rewrite, schema=PACKED_SCHEMA + ", state array<double>"
-        ).persist()
+        )
         self._state_rewrites = getattr(self, "_state_rewrites", 0) + 1
         if self._state_rewrites % self._CHECKPOINT_EVERY == 0:
-            new_frame = new_frame.localCheckpoint(eager=True)
+            # checkpoint stores its own blocks — persisting first would
+            # strand a cached copy of the whole packed frame per checkpoint
+            new_frame = rewritten.localCheckpoint(eager=True)
         else:
+            new_frame = rewritten.persist()
             new_frame.count()  # materialize before releasing the parent
         old = self.frame
         self.frame = new_frame

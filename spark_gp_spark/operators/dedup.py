@@ -52,11 +52,11 @@ def _retire_shingle_caches(new: list[DataFrame]) -> None:
     # retire entries whose plan differs from every new one.
     for old in _LIVE_SHINGLE_CACHES:
         try:
-            shared = any(old.sameSemantics(nw) for nw in new)
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
         except Exception:
-            shared = False
-        if not shared:
-            old.unpersist()
+            # a stale handle from a stopped SparkSession: nothing to free
+            pass
     _LIVE_SHINGLE_CACHES.clear()
     _LIVE_SHINGLE_CACHES.extend(new)
 
@@ -574,8 +574,8 @@ def connected_components_star(
 
     cur = (
         edges.select(
-            F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("u"),
-            F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("v"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("u"),
+            F.least(F.col("id_a"), F.col("id_b")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -601,8 +601,11 @@ def connected_components_star(
         nxt = (
             small.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
         )
-        # fixed point: identical edge sets (both are deduped canonical pairs)
-        delta = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        # fixed point: identical edge sets (both are deduped canonical
+        # pairs); symmetric difference probed in ONE job, not two
+        delta = (
+            nxt.exceptAll(cur).union(cur.exceptAll(nxt)).limit(1).count()
+        )
         cur = nxt
         if delta == 0:
             converged = True
@@ -614,7 +617,7 @@ def connected_components_star(
         )
     labels = cur.groupBy("u").agg(F.min("v").alias("component"))
     return (
-        nodes.select(F.col(id_col).cast("long").alias("u"))
+        nodes.select(F.col(id_col).alias("u"))
         .join(labels, "u", "left")
         .select(
             F.col("u").alias(id_col),

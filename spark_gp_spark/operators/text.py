@@ -266,12 +266,14 @@ def token_cooccurrence_pmi(
     self-join — the hot-token guard: a token present in every document would
     otherwise contribute O(N²) pair rows, exactly like a hot shingle.  The
     per-document pair generation is an equi-join on the doc id; document
-    frequencies re-join on the pair counts (two thin shuffles).  N comes from
-    one count() — a metadata-cheap scalar even at corpus scale.
+    frequencies re-join on the pair counts (two thin shuffles).  N rides a
+    broadcast single-row cross join — the operator stays fully lazy (no
+    Spark job at plan-construction time), mirroring the oracle's
+    ``CROSS JOIN n``.
     """
     toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
     post = toks.select("_id", F.explode(F.array_distinct("_t")).alias("tok"))
-    n_docs = df.count()
+    n_docs = df.agg(F.count("*").alias("_n"))
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df")).filter(
         F.col("df") >= min_df
     )
@@ -289,16 +291,20 @@ def token_cooccurrence_pmi(
     )
     da = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("_dfa"))
     db = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("_dfb"))
+    # N attaches via a broadcast 1-row cross join — this compiles to a
+    # BroadcastNestedLoopJoin of cardinality |pairs| × 1, which is a scalar
+    # attach, not a pair explosion (the plan suite allows exactly this one)
     return (
         co.join(da, "tok_a")
         .join(db, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "tok_a",
             "tok_b",
             "co_docs",
             F.round(
                 F.log(
-                    F.col("co_docs") * F.lit(float(n_docs))
+                    F.col("co_docs") * F.col("_n").cast("double")
                     / (F.col("_dfa") * F.col("_dfb"))
                 ),
                 6,

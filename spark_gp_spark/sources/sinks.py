@@ -49,7 +49,11 @@ def write_bucketed(
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         jvm = spark.sparkContext._jvm
         wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
+        parts = table.lower().split(".")
+        # managed-table layout: warehouse/<db>.db/<tbl> for qualified names,
+        # warehouse/<tbl> for the default database
+        rel = f"{parts[-2]}.db/{parts[-1]}" if len(parts) > 1 else parts[-1]
+        loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + rel)
         fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)

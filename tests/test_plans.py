@@ -35,16 +35,15 @@ def test_no_cartesian_in_dedup_and_similarity(spark):
         token_pmi_pairs,
     )
 
-    for q in (
-        minhash_lsh_pairs,
-        simhash_pairs,
-        ngram_jaccard_pairs,
-        embedding_neardup_pairs,
-        token_pmi_pairs,
-    ):
+    for q in (minhash_lsh_pairs, simhash_pairs, ngram_jaccard_pairs, embedding_neardup_pairs):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+    # token_pmi's pair generation must stay an equi-join; the ONE allowed
+    # nested-loop join is the broadcast 1-row corpus-count attach (|pairs|×1)
+    plan = _plan(token_pmi_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_text_stats_is_pure_projection(spark):
