@@ -311,3 +311,33 @@ def token_cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def word_ngrams_all_of(toks: Column, n: int = 3) -> Column:
+    """Word n-grams of a STAGED token-array column with duplicates KEPT —
+    the multiset counterpart of ``word_ngrams_of`` (same windows, same
+    partial-gram tail), for within-document repetition measurement."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Within-document repetition: total vs distinct n-gram counts and the
+    duplicate fraction ``1 − distinct/total`` — the standard boilerplate /
+    degenerate-generation quality filter (docs dominated by repeated
+    n-grams get filtered or down-weighted before training).  Staged pure
+    projection, zero shuffle."""
+    toks = df.select(F.col(id_col).alias(id_col), tokens(F.col(text_col)).alias("_toks"))
+    staged = toks.select(id_col, word_ngrams_all_of(F.col("_toks"), n).alias("_g"))
+    total = F.size("_g")
+    distinct = F.size(F.array_distinct("_g"))
+    return staged.select(
+        id_col,
+        total.cast("long").alias("n_ngrams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.round(F.lit(1.0) - distinct / F.greatest(total, F.lit(1)), 6).alias("rep_ratio"),
+    )

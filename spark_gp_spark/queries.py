@@ -1085,6 +1085,30 @@ FROM events GROUP BY event_type
 """
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition stats (operators/text.py): total vs
+    distinct 3-gram counts + duplicate fraction — the boilerplate /
+    degenerate-text quality filter, a zero-shuffle staged projection."""
+    return T.repetition_stats(load_table(spark, sf_dir, "documents"), n=3)
+
+
+_DOC_REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                        i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])) AS grams
+  FROM tok
+)
+SELECT doc_id,
+       len(grams)::BIGINT AS n_ngrams,
+       len(list_distinct(grams))::BIGINT AS n_distinct,
+       round(1.0 - len(list_distinct(grams)) / greatest(len(grams), 1), 6) AS rep_ratio
+FROM g
+"""
+
+
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: document-level token co-occurrence pairs scored
     by PMI (operators/text.py), with the min-df floor and df-cap hot-token
@@ -1788,6 +1812,7 @@ QUERIES = {
     "event_props_stats": event_props_stats,
     "event_value_percentiles": event_value_percentiles,
     "event_distinct_users": event_distinct_users,
+    "doc_repetition": doc_repetition,
     "token_pmi_pairs": token_pmi_pairs,
     "embedding_label_centroids": embedding_label_centroids,
     "top_docs_per_lang": top_docs_per_lang,
@@ -1846,6 +1871,7 @@ ORACLE_SQL = {
     "event_props_stats": _EVENT_PROPS_SQL,
     "event_value_percentiles": _PERCENTILES_SQL,
     "event_distinct_users": _DISTINCT_USERS_SQL,
+    "doc_repetition": _DOC_REPETITION_SQL,
     "token_pmi_pairs": _TOKEN_PMI_SQL,
     "embedding_label_centroids": _LABEL_CENTROIDS_SQL,
     "top_docs_per_lang": _TOP_DOCS_SQL,

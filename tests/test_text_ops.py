@@ -42,3 +42,20 @@ def test_label_centroids_exact_means(spark):
     out = {(r.label, r.pos): r.value for r in label_centroids(emb).collect()}
     assert out[(0, 0)] == 2.0 and out[(0, 1)] == 3.0
     assert out[(1, 0)] == 10.0 and out[(1, 1)] == 20.0
+
+
+def test_repetition_stats_counts_duplicates(spark):
+    from spark_gp_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # "a b c" repeated: 7 grams, 3 distinct
+            (2, "one two three four"),  # no repetition: 2 grams, 2 distinct
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, n=3).collect()}
+    assert (out[1].n_ngrams, out[1].n_distinct) == (7, 3)
+    assert out[1].rep_ratio == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert (out[2].n_ngrams, out[2].n_distinct) == (2, 2)
+    assert out[2].rep_ratio == 0.0
