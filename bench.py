@@ -197,6 +197,8 @@ def main() -> None:
         "text_stats",
         "tfidf_top_terms",
         "doc_fingerprints",
+        "doc_repetition",
+        "token_pmi_pairs",
         "exact_dedup",
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
