@@ -148,6 +148,27 @@ def minhash_signatures(
     return staged.select(F.col("_id").alias(id_col), F.col("sig").alias("signature"))
 
 
+def minhash_band_struct(sig_col: Column, num_hashes: int, bands: int) -> Column:
+    """Exploded (band, key) structs of a MinHash signature column — the LSH
+    banding projection, shared by the batch pair join and the streaming
+    near-dup operator (both sides must band identically)."""
+    rows_per_band = num_hashes // bands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[sig_col[bi * rows_per_band + r] for r in range(rows_per_band)],
+                    ).alias("key"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) array columns."""
     inter = F.size(F.array_intersect(a, b))
@@ -173,7 +194,6 @@ def minhash_lsh_pairs(
     shingle sets) — the skew guard that keeps the band join from exploding
     at corpus scale; pass None to disable.
     """
-    rows_per_band = num_hashes // bands
     # The md5-chain signature + shingle set is the expensive part — persist it
     # so the band-size guard and the two candidate-join sides read it once
     # instead of recomputing it three times.
@@ -183,20 +203,7 @@ def minhash_lsh_pairs(
     # through the band shuffle (at corpus scale the candidate set is orders
     # of magnitude smaller than banded x banded).
     banded = sigs.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col("sig")[bi * rows_per_band + r] for r in range(rows_per_band)]
-                        ).alias("key"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "_id", minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk")
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_band_size is not None:

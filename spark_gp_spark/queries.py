@@ -657,6 +657,44 @@ WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
 _MINHASH_PAIRS_SQL = _sql_minhash_pairs()
 
 
+def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection (streaming/neardup.py): MinHash-LSH
+    banding over an id-ordered document STREAM with a custom
+    applyInPandasWithState bucket-min state machine; output per document =
+    earliest prior document sharing ≥ 1 LSH band.  Oracle = the same banding
+    CTEs as minhash_lsh_pairs, min(partner < doc) per doc."""
+    from .streaming.neardup import run_streaming_neardup
+
+    return run_streaming_neardup(spark, sf_dir)
+
+
+def _sql_streaming_neardup(bands: int = 4, rows_per_band: int = 4) -> str:
+    band_structs = ", ".join(
+        "("
+        + str(bi)
+        + ", concat_ws('_', "
+        + ", ".join(f"sig[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for bi in range(bands)
+    )
+    return (
+        _sql_minhash_sig()
+        + f""",
+banded AS (
+  SELECT doc_id, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {band_structs}) v(band, key)) b
+)
+SELECT r.doc_id, min(l.doc_id) AS dup_of
+FROM banded l
+JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+GROUP BY r.doc_id
+"""
+    )
+
+
+_STREAM_NEARDUP_SQL = _sql_streaming_neardup()
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via inverted-index equi-join
     (operators/dedup.py) — the no-miss complement to the MinHash LSH
@@ -1825,6 +1863,7 @@ QUERIES = {
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
     "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_neardup": streaming_neardup,
     "streaming_dedup": streaming_dedup,
     "streaming_interval_join": streaming_interval_join,
     "multimodal_binary_stats": multimodal_binary_stats,
@@ -1884,6 +1923,7 @@ ORACLE_SQL = {
     "streaming_sessions": _STREAM_SESSION_SQL,
     "streaming_sessions_append": _STREAM_SESSION_APPEND_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,
+    "streaming_neardup": _STREAM_NEARDUP_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
