@@ -129,6 +129,14 @@ def run_streaming_window_counts_append(
     return spark.read.parquet(sink)
 
 
+#: memoized staged-chunk sets, keyed by (sf_dir, n_files, sentinel).  The
+#: chunk files are immutable once written, so every streaming query in a
+#: session reuses them — only the per-query arrival dir / sink / checkpoint
+#: are fresh.  Saves one repartitionByRange write (+ sentinel job) per
+#: streaming query after the first (~2 s each across the 8-query gate).
+_STAGED_CACHE: dict[tuple, tuple[list, object]] = {}
+
+
 def _staged_arrivals(
     spark: SparkSession, sf_dir: str, work: str, n_files: int, sentinel: bool = True
 ):
@@ -143,12 +151,16 @@ def _staged_arrivals(
     that emit ON ARRIVAL rather than on watermark flush (streaming dedup,
     inner stream-stream joins) must pass ``sentinel=False``: they need no
     flush, and the duplicated event row would land in their sink as data."""
-    src, staged, sentinel_dir = (
-        os.path.join(work, d) for d in ("src", "staged", "sentinel")
-    )
+    src = os.path.join(work, "src")
     os.makedirs(src)
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cache_key = (sf_dir, n_files, sentinel, id(spark.sparkContext))
+    if cache_key in _STAGED_CACHE:
+        arrivals, schema = _STAGED_CACHE[cache_key]
+        if all(os.path.exists(p) for p in arrivals):
+            return src, list(arrivals), schema
+    staged, sentinel_dir = os.path.join(work, "staged"), os.path.join(work, "sentinel")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartitionByRange(n_files, "ts").write.parquet(staged)
     chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
@@ -157,7 +169,9 @@ def _staged_arrivals(
         raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
         sent = next(f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet"))
         arrivals.append(os.path.join(sentinel_dir, sent))
-    return src, arrivals, spark.read.parquet(staged).schema
+    schema = spark.read.parquet(staged).schema
+    _STAGED_CACHE[cache_key] = (list(arrivals), schema)
+    return src, arrivals, schema
 
 
 def _drive_append_query(q, src: str, arrivals) -> None:

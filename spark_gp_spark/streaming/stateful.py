@@ -168,7 +168,7 @@ def run_stateful_session_stats(
     sf_dir: str,
     gap: str = "30 minutes",
     query_name: str = "gp_stream_stateful_sessions",
-    n_files: int = 4,
+    n_files: int = 2,
 ) -> DataFrame:
     """Drive the events parquet through the custom stateful operator with the
     staged-arrival + sentinel protocol (events.py) into a parquet sink."""
