@@ -640,17 +640,28 @@ def neardup_components(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_posting_size: int | None = None,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(id, component, component_size) over the exact n-gram-Jaccard
     near-duplicate graph — the end-to-end 'collapse near-dups' operator a
     training pipeline runs: docs in the same component are mutual
     near-duplicates (transitively), and ``component`` (min doc id) is the
-    canonical survivor."""
+    canonical survivor.
+
+    ``algorithm``: 'propagation' (min-label, diameter rounds — right for
+    clique-like dup graphs) or 'star' (large-star/small-star, O(log² n)
+    rounds on any diameter — the safe choice when chained boilerplate can
+    string documents into long paths)."""
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, threshold=threshold, shingle_n=shingle_n,
         max_posting_size=max_posting_size,
     )
-    comp = connected_components(pairs, df.select(id_col))
+    if algorithm == "star":
+        comp = connected_components_star(pairs, df.select(id_col))
+    elif algorithm == "propagation":
+        comp = connected_components(pairs, df.select(id_col))
+    else:
+        raise ValueError(f"algorithm must be 'propagation' or 'star', got {algorithm!r}")
     sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
     return comp.join(sizes, "component").select(id_col, "component", "component_size")
 

@@ -766,6 +766,15 @@ FROM comp c JOIN csize s USING (component)"""
 )
 
 
+def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup collapse through the large-star/small-star path
+    (O(log² n) rounds regardless of graph diameter — the safe plan when
+    boilerplate chains documents into long paths); must produce the exact
+    same components as propagation, so it shares the recursive-CTE oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.neardup_components(docs, threshold=0.5, algorithm="star")
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.simhash64_frame(docs).select(
@@ -1836,6 +1845,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "neardup_components": neardup_components,
+    "neardup_components_star": neardup_components_star,
     "simhash_signatures": simhash_signatures,
     "simhash_pairs": simhash_pairs,
     "cosine_topk": cosine_topk,
@@ -1896,6 +1906,7 @@ ORACLE_SQL = {
     "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "neardup_components": _NEARDUP_COMPONENTS_SQL,
+    "neardup_components_star": _NEARDUP_COMPONENTS_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
