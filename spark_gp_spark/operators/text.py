@@ -65,16 +65,7 @@ def word_ngrams_of(toks: Column, n: int = 3) -> Column:
     references ``toks`` n times per output element, so an inlined tokenizer
     would be re-evaluated O(n·n_tokens) times per row — the Catalyst
     re-inlining trap that made the unstaged pipeline ~5× slower."""
-    # F.get (0-based) returns NULL for out-of-range indexes even under ANSI
-    # mode — element_at THROWS there, which breaks the partial-gram tail of
-    # documents shorter than n tokens.  concat_ws drops the NULLs, matching
-    # the DuckDB rendering exactly.
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
-        )
-    )
+    return F.array_distinct(word_ngrams_all_of(toks, n))
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
@@ -315,8 +306,13 @@ def token_cooccurrence_pmi(
 
 def word_ngrams_all_of(toks: Column, n: int = 3) -> Column:
     """Word n-grams of a STAGED token-array column with duplicates KEPT —
-    the multiset counterpart of ``word_ngrams_of`` (same windows, same
-    partial-gram tail), for within-document repetition measurement."""
+    the multiset counterpart of ``word_ngrams_of`` (which is exactly
+    ``array_distinct`` of this), for within-document repetition measurement.
+
+    F.get (0-based) returns NULL for out-of-range indexes even under ANSI
+    mode — element_at THROWS there, which breaks the partial-gram tail of
+    documents shorter than n tokens.  concat_ws drops the NULLs, matching
+    the DuckDB rendering exactly."""
     return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),

@@ -129,44 +129,60 @@ def run_streaming_window_counts_append(
     return spark.read.parquet(sink)
 
 
-#: memoized staged-chunk sets, keyed by (sf_dir, n_files, sentinel).  The
-#: chunk files are immutable once written, so every streaming query in a
-#: session reuses them — only the per-query arrival dir / sink / checkpoint
-#: are fresh.  Saves one repartitionByRange write (+ sentinel job) per
-#: streaming query after the first (~2 s each across the 8-query gate).
+#: memoized staged-chunk sets, keyed by (source path, file mtime+size,
+#: n_files, sentinel, order column).  The chunk files are immutable once
+#: written, so every streaming query in a session reuses them — only the
+#: per-query arrival dir / sink / checkpoint are fresh.  Saves one
+#: repartitionByRange write (+ sentinel job) per streaming query after the
+#: first (~2 s each across the streaming gate).  The mtime+size component
+#: invalidates the cache when the source parquet is rewritten in place.
 _STAGED_CACHE: dict[tuple, tuple[list, object]] = {}
 
 
 def _staged_arrivals(
-    spark: SparkSession, sf_dir: str, work: str, n_files: int, sentinel: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    n_files: int,
+    sentinel: bool = True,
+    table: str = "events",
+    order_col: str = "ts",
 ):
-    """Split the events parquet into ``n_files`` ts-ranged chunks (plus, by
-    default, a max-ts sentinel file); returns (src_dir, ordered arrival
-    paths, schema).  ``ts`` keeps the file's native encoding (raw nanos-long
-    or timestamp) — the returned schema is what the re-staged chunks carry,
-    and callers normalize after the readStream.
+    """Split ``<sf_dir>/<table>.parquet`` into ``n_files`` range-ordered
+    chunks on ``order_col`` (plus, by default for the events table, a max-ts
+    sentinel file); returns (src_dir, ordered arrival paths, schema).
+    ``ts`` keeps the file's native encoding (raw nanos-long or timestamp) —
+    the returned schema is what the re-staged chunks carry, and callers
+    normalize after the readStream.
 
     The sentinel repeats the max-ts event to push the final watermark to
     max(ts) − delay, flushing closed windows/sessions/timeouts.  Operators
     that emit ON ARRIVAL rather than on watermark flush (streaming dedup,
-    inner stream-stream joins) must pass ``sentinel=False``: they need no
-    flush, and the duplicated event row would land in their sink as data."""
+    inner stream-stream joins, the near-dup bucket-min machine) must pass
+    ``sentinel=False``: they need no flush, and the duplicated row would
+    land in their sink as data."""
     src = os.path.join(work, "src")
     os.makedirs(src)
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    cache_key = (sf_dir, n_files, sentinel, id(spark.sparkContext))
+    source = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(source)
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:  # directory-style parquet: fall back to path-only key
+        fingerprint = None
+    cache_key = (source, fingerprint, n_files, sentinel, order_col)
     if cache_key in _STAGED_CACHE:
         arrivals, schema = _STAGED_CACHE[cache_key]
         if all(os.path.exists(p) for p in arrivals):
             return src, list(arrivals), schema
     staged, sentinel_dir = os.path.join(work, "staged"), os.path.join(work, "sentinel")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    raw.repartitionByRange(n_files, "ts").write.parquet(staged)
+    raw = spark.read.parquet(source)
+    raw.repartitionByRange(n_files, order_col).write.parquet(staged)
     chunks = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
     arrivals = [os.path.join(staged, f) for f in chunks]
     if sentinel:
-        raw.orderBy(F.desc("ts")).limit(1).coalesce(1).write.parquet(sentinel_dir)
+        raw.orderBy(F.desc(order_col)).limit(1).coalesce(1).write.parquet(sentinel_dir)
         sent = next(f for f in sorted(os.listdir(sentinel_dir)) if f.endswith(".parquet"))
         arrivals.append(os.path.join(sentinel_dir, sent))
     schema = spark.read.parquet(staged).schema

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_band_struct, minhash_signature
-from .events import _drive_append_query, _state_partitions
+from .events import _drive_append_query, _staged_arrivals, _state_partitions
 
 NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
 NEARDUP_STATE_SCHEMA = "min_id bigint"
@@ -72,10 +72,16 @@ def streaming_neardup_matches(
 ) -> DataFrame:
     """Per-band match log over a (streaming) documents frame: one
     (doc_id, dup_of) row per band collision with an earlier document."""
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
-    banded = docs.select(
+    # STAGE the signature as its own projection before banding: the band
+    # struct references the signature 16 times, and Catalyst inlines (and
+    # re-evaluates) non-aliased higher-order aggregates per reference — the
+    # same re-inlining trap _minhash_staged documents for the batch path
+    staged = docs.select(
         F.col(id_col).alias("_id"),
-        minhash_band_struct(sig, num_hashes, bands).alias("bk"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
+    )
+    banded = staged.select(
+        "_id", minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk")
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     return banded.groupBy("band", "key").applyInPandasWithState(
         _neardup_state_func,
@@ -102,16 +108,10 @@ def run_streaming_neardup(
     then the batch min-per-doc summary of the log."""
     work = tempfile.mkdtemp(prefix="gp_stream_neardup_")
     sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
-    src, staged = os.path.join(work, "src"), os.path.join(work, "staged")
-    os.makedirs(src)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs.repartitionByRange(n_files, "doc_id").write.parquet(staged)
-    arrivals = [
-        os.path.join(staged, f)
-        for f in sorted(os.listdir(staged))
-        if f.endswith(".parquet")
-    ]
-    schema = spark.read.parquet(staged).schema
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="documents", order_col="doc_id",
+    )
 
     stream = spark.readStream.schema(schema).parquet(src)
     matches = streaming_neardup_matches(
@@ -127,5 +127,7 @@ def run_streaming_neardup(
             .start()
         )
     _drive_append_query(q, src, arrivals)
-    log = spark.read.parquet(sink)
+    # explicit schema: a collision-free corpus commits ZERO part files and a
+    # bare read would fail schema inference instead of returning 0 rows
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     return log.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
