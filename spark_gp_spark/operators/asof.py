@@ -105,6 +105,74 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """All (left, right) pairs with the same ``key`` and
+    ``right_ts - left_ts`` in ``[lower_seconds, upper_seconds]`` — the batch
+    twin of a stream-stream interval join (streaming/events.py).
+
+    A naive inequality join lowers to BroadcastNestedLoopJoin / cartesian —
+    a non-starter at corpus scale.  This lowers to one EQUI-join instead:
+    bucket time by ``W = upper - lower`` (right rows into bucket
+    ``floor(ts/W)``, each left row into the ≤2 distinct buckets covering
+    ``[ts+lower, ts+upper]``), shuffle both sides on ``(key, bucket)``, then
+    apply the exact interval predicate.  Candidate blowup is ≤2× the left
+    side regardless of data; tests/test_asof.py asserts the physical plan
+    contains no nested-loop join.
+
+    Output: ``left_cols + right_cols + secs_between``, one row per
+    qualifying pair (bucket candidates are distinct, so no dedup needed).
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper_seconds must exceed lower_seconds")
+    # All arithmetic in integer MICROseconds: exact (no double-epoch rounding
+    # at the interval boundary, where `cast(ts as double)` is inexact).
+    lo_us = int(round(lower_seconds * 1_000_000))
+    hi_us = int(round(upper_seconds * 1_000_000))
+    w_us = hi_us - lo_us
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    lt = left.select(
+        F.col(key),
+        *[F.col(c) for c in left_cols],
+        l_us.alias("__lus"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((l_us + F.lit(lo_us)) / F.lit(w_us)),
+                    F.floor((l_us + F.lit(hi_us)) / F.lit(w_us)),
+                )
+            )
+        ).alias("__bucket"),
+    )
+    rt = right.select(
+        F.col(key),
+        *[F.col(c) for c in right_cols],
+        r_us.alias("__rus"),
+        F.floor(r_us / F.lit(w_us)).alias("__bucket"),
+    )
+    delta_us = F.col("__rus") - F.col("__lus")
+    return (
+        lt.join(rt, [key, "__bucket"])
+        .filter((delta_us >= F.lit(lo_us)) & (delta_us <= F.lit(hi_us)))
+        .select(
+            key,
+            *left_cols,
+            *right_cols,
+            delta_us.alias("us_between"),
+        )
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",

@@ -35,6 +35,23 @@ def h32_sql(expr: str) -> str:
     return f"(('0x' || substring(md5({expr}), 1, 8))::UBIGINT % {MERSENNE_P})::BIGINT"
 
 
+def h60(col: Column) -> Column:
+    """Portable 60-bit hash (first 15 hex digits of MD5) of a string column.
+
+    For corpus-cardinality keys (e.g. one row per distinct n-gram) where
+    32 bits would collide at 100 TB scale; 2^60 keeps the birthday bound
+    negligible while staying inside signed BIGINT for both engines.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL rendering of ``h60`` over an arbitrary expression."""
+    return f"(('0x' || substring(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
+
+
 def minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """(a_i, b_i) pairs for the universal hash family, deterministic in seed.
 

@@ -337,3 +337,38 @@ def repetition_stats(
         distinct.cast("long").alias("n_distinct"),
         F.round(F.lit(1.0) - distinct / F.greatest(total, F.lit(1)), 6).alias("rep_ratio"),
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """CROSS-document duplicated-n-gram fraction: per doc, the share of its
+    distinct word n-grams that occur in at least one OTHER document — the
+    n-gram-granularity analogue of substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), where
+    ``repetition_stats`` is the within-document signal.
+
+    Plan (all thin rows after the explode): stage tokens → distinct
+    (doc, 60-bit gram hash) pairs → gram document-frequency (one shuffle on
+    the hash) → equi-join back (AQE handles hot-gram skew) → per-doc
+    aggregate.  The gram STRING never shuffles — only its portable 60-bit
+    hash (operators/hashing.py:h60), which the DuckDB oracle reproduces
+    bit-for-bit.
+    """
+    from .hashing import h60
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    staged = toks.select(id_col, word_ngrams_of(F.col("_toks"), n).alias("_g"))
+    pairs = (
+        staged.select(id_col, F.explode("_g").alias("_gram"))
+        .select(id_col, h60(F.col("_gram")).alias("_gh"))
+        .distinct()
+    )
+    freq = pairs.groupBy("_gh").agg(F.count("*").alias("_df"))
+    joined = pairs.join(freq, "_gh")
+    dup = (F.col("_df") >= 2).cast("int")
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(dup).cast("long").alias("n_dup_grams"),
+        F.round(F.avg(dup), 6).alias("dup_fraction"),
+    )

@@ -28,7 +28,13 @@ from .operators import asof as A
 from .operators import multimodal as M
 from .operators import prep as P
 from .operators import skew as SK
-from .operators.hashing import MERSENNE_P, affine_hash_sql, h32_sql, minhash_params
+from .operators.hashing import (
+    MERSENNE_P,
+    affine_hash_sql,
+    h32_sql,
+    h60_sql,
+    minhash_params,
+)
 from .sources.tables import load_table
 from .streaming.stateful import run_stateful_session_stats
 from .streaming.events import (
@@ -1112,6 +1118,37 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def event_pair_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval self-join: every (view, purchase) pair of the same
+    user with the purchase at most 1 hour after the view — the batch twin of
+    `streaming_interval_join`.  Lowered to ONE equi-join by time-bucketing
+    (operators/asof.py:interval_join); a naive inequality join would be a
+    BroadcastNestedLoopJoin, a non-starter at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    out = A.interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        lower_seconds=0, upper_seconds=3600,
+        left_cols=["view_id"], right_cols=["purchase_id"],
+    )
+    return out.select("user_id", "view_id", "purchase_id", "us_between")
+
+
+_INTERVAL_PAIR_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS us_between
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 3600 SECONDS
+"""
+
+
 def event_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: distinct users and distinct active days
     per event type (Spark expands distinct aggs into a two-phase plan)."""
@@ -1156,6 +1193,34 @@ FROM g
 """
 
 
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document duplicated 5-gram fraction (operators/text.py:
+    dup_ngram_fraction) — the n-gram-granularity substring-dedup signal
+    (Lee et al. 2022).  Only portable 60-bit gram hashes shuffle; the
+    gram strings stay inside the scan projection."""
+    return T.dup_ngram_fraction(load_table(spark, sf_dir, "documents"), n=5)
+
+
+_DUP_NGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, {_sql_word_ngrams(5)} AS grams FROM tok
+), pairs AS (
+  SELECT DISTINCT doc_id, {h60_sql('u.gram')} AS gh
+  FROM g, unnest(g.grams) AS u(gram)
+), freq AS (
+  SELECT gh, count(*) AS df FROM pairs GROUP BY gh
+)
+SELECT p.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+       round(avg(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END), 6) AS dup_fraction
+FROM pairs p JOIN freq f USING (gh)
+GROUP BY p.doc_id
+"""
+
+
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: document-level token co-occurrence pairs scored
     by PMI (operators/text.py), with the min-df floor and df-cap hot-token
@@ -1190,6 +1255,49 @@ FROM co
 JOIN dfreq da ON da.tok = co.tok_a
 JOIN dfreq db ON db.tok = co.tok_b
 CROSS JOIN n
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8-style scalar quantization of the embedding corpus
+    with reconstruction error (operators/quantize.py) — the standard 4×
+    vector-store compression at 100 TB.  One tiny stats aggregate, then a
+    zero-shuffle codegen projection; codes match the oracle bit-for-bit
+    because min/max calibration is summation-order-insensitive."""
+    from .operators.quantize import scalar_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = scalar_quantize(emb, levels=255, dim=64)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec"),
+        "mse",
+        "max_abs_err",
+    )
+
+
+_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN range(1, 65) t(i)
+), stats AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM ex GROUP BY i
+), q AS (
+  SELECT vec_id, i, x, mn,
+         CASE WHEN mx > mn THEN (mx - mn) / 255 ELSE 0.0 END AS sc
+  FROM ex JOIN stats USING (i)
+), c AS (
+  SELECT vec_id, i, x, mn, sc,
+         (CASE WHEN sc > 0 THEN floor((x - mn) / sc + 0.5) ELSE 0 END)::INT AS code
+  FROM q
+), err AS (
+  SELECT vec_id, i, code, x - (mn + code::DOUBLE * sc) AS e FROM c
+)
+SELECT vec_id,
+       array_to_string(list(code ORDER BY i), ',') AS qvec,
+       round(sum(e * e) / 64, 9) AS mse,
+       round(max(abs(e)), 9) AS max_abs_err
+FROM err GROUP BY vec_id
 """
 
 
@@ -1855,14 +1963,17 @@ QUERIES = {
     "asof_purchases_views": asof_purchases_views,
     "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
     "asof_next_view": asof_next_view,
+    "event_pair_interval_join": event_pair_interval_join,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
     "event_value_percentiles": event_value_percentiles,
     "event_distinct_users": event_distinct_users,
     "doc_repetition": doc_repetition,
+    "dup_ngram_fraction": dup_ngram_fraction,
     "token_pmi_pairs": token_pmi_pairs,
     "embedding_label_centroids": embedding_label_centroids,
+    "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
@@ -1915,6 +2026,7 @@ ORACLE_SQL = {
     "asof_purchases_views": _ASOF_SQL,
     "asof_purchases_views_tolerance": _ASOF_TOL_SQL,
     "asof_next_view": _ASOF_FWD_SQL,
+    "event_pair_interval_join": _INTERVAL_PAIR_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
@@ -1922,8 +2034,10 @@ ORACLE_SQL = {
     "event_value_percentiles": _PERCENTILES_SQL,
     "event_distinct_users": _DISTINCT_USERS_SQL,
     "doc_repetition": _DOC_REPETITION_SQL,
+    "dup_ngram_fraction": _DUP_NGRAM_SQL,
     "token_pmi_pairs": _TOKEN_PMI_SQL,
     "embedding_label_centroids": _LABEL_CENTROIDS_SQL,
+    "embedding_quantize": _QUANTIZE_SQL,
     "top_docs_per_lang": _TOP_DOCS_SQL,
     "event_distinct_users_salted": _DISTINCT_USERS_SALTED_SQL,
     "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,

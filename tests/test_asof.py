@@ -81,3 +81,69 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     # ts=10 matches rts=9 (60s <= 120s); ts=30's nearest is rts=9 (21 min) -> null
     assert got[10] == "near"
     assert got[30] is None
+
+
+# ---------------------------------------------------------------------------
+# interval_join (batch bucketed interval self-join)
+
+
+def test_interval_join_matches_naive_inequality_join(spark):
+    rows = [
+        # user 1: views at 10:00, 10:30; purchases at 10:20, 11:05, 12:30
+        (1, 10, _ts("2024-01-01 10:00:00"), "view"),
+        (2, 10, _ts("2024-01-01 10:30:00"), "view"),
+        (3, 10, _ts("2024-01-01 10:20:00"), "purchase"),
+        (4, 10, _ts("2024-01-01 11:05:00"), "purchase"),
+        (5, 10, _ts("2024-01-01 12:30:00"), "purchase"),
+        # user 2: boundary case — purchase exactly 1h after the view
+        (6, 20, _ts("2024-01-01 09:00:00"), "view"),
+        (7, 20, _ts("2024-01-01 10:00:00"), "purchase"),
+        # user 3: purchase before the view (no match)
+        (8, 30, _ts("2024-01-01 09:00:00"), "view"),
+        (9, 30, _ts("2024-01-01 08:59:00"), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, event_type string"
+    )
+    from spark_gp_spark.operators.asof import interval_join
+
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", ev.event_id.alias("view_id"), ev.ts.alias("v_ts")
+    )
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", ev.event_id.alias("purchase_id"), ev.ts.alias("p_ts")
+    )
+    out = interval_join(
+        views, purch, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        lower_seconds=0, upper_seconds=3600,
+        left_cols=["view_id"], right_cols=["purchase_id"],
+    )
+    got = {(r.view_id, r.purchase_id, r.us_between) for r in out.collect()}
+    naive = (
+        views.join(purch, "user_id")
+        .filter("p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 3600 SECONDS")
+        .selectExpr("view_id", "purchase_id", "unix_micros(p_ts) - unix_micros(v_ts) AS us")
+    )
+    want = {(r.view_id, r.purchase_id, r.us) for r in naive.collect()}
+    assert got == want
+    # the 1h-boundary pair must be included (closed interval)
+    assert (6, 7, 3600 * 1_000_000) in got
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    from spark_gp_spark.operators.asof import interval_join
+
+    ev = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    out = interval_join(
+        ev.selectExpr("user_id", "event_id AS view_id", "ts AS v_ts"),
+        ev.selectExpr("user_id", "event_id AS purchase_id", "ts AS p_ts"),
+        key="user_id", left_ts="v_ts", right_ts="p_ts",
+        lower_seconds=0, upper_seconds=3600,
+        left_cols=["view_id"], right_cols=["purchase_id"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -59,3 +59,22 @@ def test_repetition_stats_counts_duplicates(spark):
     assert out[1].rep_ratio == pytest.approx(1 - 3 / 7, abs=1e-6)
     assert (out[2].n_ngrams, out[2].n_distinct) == (2, 2)
     assert out[2].rep_ratio == 0.0
+
+
+def test_dup_ngram_fraction_cross_document(spark):
+    from spark_gp_spark.operators.text import dup_ngram_fraction
+
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, shared by docs 1+2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " zeta"),          # grams: 2 (one shared, one unique)
+            (2, shared),                    # grams: 1 (shared)
+            (3, "one two three four five"), # grams: 1, unique corpus-wide
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(docs, n=5).collect()}
+    assert out[1].n_grams == 2 and out[1].n_dup_grams == 1
+    assert abs(out[1].dup_fraction - 0.5) < 1e-9
+    assert out[2].n_grams == 1 and out[2].n_dup_grams == 1
+    assert out[3].n_grams == 1 and out[3].n_dup_grams == 0
