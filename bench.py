@@ -198,6 +198,7 @@ def main() -> None:
         "tfidf_top_terms",
         "doc_fingerprints",
         "doc_repetition",
+        "dup_ngram_fraction",
         "token_pmi_pairs",
         "exact_dedup",
         "minhash_lsh_pairs",
@@ -208,7 +209,9 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "embedding_neardup_pairs",
+        "embedding_quantize",
         "asof_purchases_views",
+        "event_pair_interval_join",
         "session_stats",
         "event_window_agg",
         "event_distinct_users_salted",

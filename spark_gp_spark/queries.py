@@ -1149,6 +1149,47 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+def user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compression of the event change log (operators/scd.py): per
+    user, consecutive same-type events collapse into one validity interval
+    with version numbers — the lakehouse CDC → dimension-history pattern.
+    One shuffle on the key; both window passes share its partitioning."""
+    from .operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_history(
+        ev, key="user_id", ts="ts", attr_cols=["event_type"], tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "version",
+        "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), comp AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       (row_number() OVER w)::BIGINT AS version,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM comp
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def event_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: distinct users and distinct active days
     per event type (Spark expands distinct aggs into a two-phase plan)."""
@@ -1964,6 +2005,7 @@ QUERIES = {
     "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
     "asof_next_view": asof_next_view,
     "event_pair_interval_join": event_pair_interval_join,
+    "user_status_history": user_status_history,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
@@ -2027,6 +2069,7 @@ ORACLE_SQL = {
     "asof_purchases_views_tolerance": _ASOF_TOL_SQL,
     "asof_next_view": _ASOF_FWD_SQL,
     "event_pair_interval_join": _INTERVAL_PAIR_SQL,
+    "user_status_history": _SCD2_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
