@@ -1,0 +1,212 @@
+"""Product quantization (PQ): codebook training, encoding, and ADC top-k.
+
+The second rung of the vector-compression ladder after scalar quantization
+(operators/quantize.py): split each d-dim vector into ``m`` subvectors,
+k-means each subspace into ``k`` centroids, and store one small code per
+subspace — d·4 bytes shrink to m·log2(k) bits (64-dim float32 → 8 bytes at
+m=8, k=16, a 32× cut), the layout FAISS's IVFADC popularized (Jégou et al.
+2011, "Product Quantization for Nearest Neighbor Search").  Search uses
+asymmetric distance computation (ADC): per query, an (m × k) lookup table of
+subspace distances is built once, and each corpus point scores as m table
+lookups — no float vector ever read at scan time.
+
+No reference counterpart (the reference is a GP library, /root/reference);
+this extends the north-star similarity surface.
+
+Spark shape (the 100 TB plan):
+- codebooks are trained driver-side on a deterministic sample (same
+  discipline as ivf.train_centroids_from_parquet — reproducible OUTSIDE
+  Spark so the DuckDB oracle derives identical codebooks);
+- encoding is one Arrow-batched pandas UDF per corpus pass — a pure
+  projection, zero shuffle; codes thereafter are the only thing stored;
+- ADC scan is corpus-codes × broadcast query LUTs: the scored relation is
+  O(N·Q) rows of m integer lookups (pure codegen, no Python), with the
+  fixed query set keeping Q constant at any scale; compose with
+  operators/ivf.py cell pruning for sublinear scans.
+
+Oracle-parity contract: centroids round to 6 decimals; distance sums
+accumulate LEFT-TO-RIGHT over dimensions (scalar adds, matching the SQL
+rendering's unrolled `(v[1]-c)*(v[1]-c) + …`); argmin tie-breaks on the
+first minimal index in both engines; ADC sums fold subspaces in order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def train_pq_codebooks_from_parquet(
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 5,
+    sample_rows: int = 4000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, k, d/m) codebooks: driver-side k-means per subspace over the
+    first ``sample_rows`` of a parquet file (pyarrow + numpy, no Spark job —
+    must be reproducible outside Spark for the correctness oracle)."""
+    import pyarrow.parquet as pq
+
+    from ..active_set import _local_kmeans
+
+    table = pq.read_table(path, columns=[vec_col])
+    X = np.asarray(table.column(vec_col).to_pylist()[:sample_rows], dtype=np.float64)
+    return train_pq_codebooks(X, m, k, seed)
+
+
+def train_pq_codebooks(
+    X: np.ndarray, m: int = 8, k: int = 16, seed: int = 5
+) -> np.ndarray:
+    """(m, k, d/m) codebooks from an in-memory (n, d) sample."""
+    from ..active_set import _local_kmeans
+
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    ds = d // m
+    books = np.empty((m, k, ds), dtype=np.float64)
+    for s in range(m):
+        books[s] = _local_kmeans(X[:, s * ds : (s + 1) * ds], k, seed + s)
+    return np.round(books, 6)
+
+
+def _encode_udf(codebooks: np.ndarray):
+    """Arrow-batched pandas UDF: per vector, struct of (codes array<int>,
+    reconstruction mse double).  Dimension accumulation is left-to-right
+    scalar adds — the oracle-parity association (see module docstring)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    m, k, ds = B.shape
+    out_type = StructType(
+        [
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("mse", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def encode(v: pd.Series) -> pd.DataFrame:
+        X = np.asarray(v.tolist(), dtype=np.float64)  # (n, d)
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        sq = np.zeros(n, dtype=np.float64)
+        for s in range(m):
+            sub = X[:, s * ds : (s + 1) * ds]  # (n, ds)
+            acc = np.zeros((n, k), dtype=np.float64)
+            for j in range(ds):  # left-to-right over dims
+                diff = sub[:, j, None] - B[None, s, :, j]
+                acc = acc + diff * diff
+            cs = np.argmin(acc, axis=1)  # first-min ties, like SQL's (d, i) sort
+            codes[:, s] = cs
+            recon = B[s, cs]  # (n, ds)
+            for j in range(ds):  # same order as the SQL unrolled sum
+                e = sub[:, j] - recon[:, j]
+                sq = sq + e * e
+        return pd.DataFrame({"codes": list(codes), "mse": sq / (m * ds)})
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>, mse) — the stored PQ representation plus
+    reconstruction error.  Pure projection, zero shuffle."""
+    enc = _encode_udf(codebooks)(F.col(vec_col).cast("array<double>"))
+    return df.select(
+        F.col(id_col),
+        enc.alias("_e"),
+    ).select(
+        id_col,
+        F.col("_e.codes").alias("codes"),
+        F.round(F.col("_e.mse"), 9).alias("mse"),
+    )
+
+
+def read_query_vectors(
+    path: str, max_id: int = 20, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[tuple[int, np.ndarray]]:
+    """The fixed query set (id < max_id) as driver-side vectors, read via
+    pyarrow so the correctness oracle can derive identical ADC tables."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=[id_col, vec_col])
+    ids = table.column(id_col).to_pylist()
+    vecs = table.column(vec_col).to_pylist()
+    out = [
+        (int(i), np.asarray(v, dtype=np.float64))
+        for i, v in zip(ids, vecs)
+        if i < max_id
+    ]
+    return sorted(out, key=lambda t: t[0])
+
+
+def adc_luts(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(Q, m, k) asymmetric-distance lookup tables: squared L2 between each
+    query subvector and every centroid.  Tiny (Q·m·k doubles) — these are
+    baked as literals on BOTH engines, so their own summation order is
+    irrelevant to parity."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, k, ds = B.shape
+    Q = np.asarray(queries, dtype=np.float64)
+    luts = np.empty((Q.shape[0], m, k), dtype=np.float64)
+    for s in range(m):
+        sub = Q[:, s * ds : (s + 1) * ds]  # (q, ds)
+        diff = sub[:, None, :] - B[None, s]  # (q, k, ds)
+        luts[:, s, :] = np.einsum("qkd,qkd->qk", diff, diff)
+    return luts
+
+
+def pq_topk(
+    codes: DataFrame,
+    query_luts: list[tuple[int, list[list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over encoded corpus ``codes`` (id, codes array<int>).
+
+    ``query_luts``: [(query_id, (m × k) lut), ...] — small, broadcast.
+    Output: (query_id, neighbor_id, adc_dist, rank) with rank ascending by
+    (distance, neighbor_id); m integer lookups per scored pair, all
+    whole-stage codegen.
+    """
+    spark = codes.sparkSession
+    m = len(query_luts[0][1])
+    luts_df = spark.createDataFrame(
+        [(int(q), lut) for q, lut in query_luts],
+        "query_id bigint, lut array<array<double>>",
+    )
+    scored = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes")
+    ).crossJoin(F.broadcast(luts_df)).filter(F.col("neighbor_id") != F.col("query_id"))
+    dist: Column = F.lit(0.0)
+    for s in range(m):  # left-to-right fold over subspaces
+        dist = dist + F.get(F.col("lut").getItem(s), F.get("codes", s))
+    # rank on the RAW double (bit-identical across engines); round only the
+    # emitted column, so a rounding-tie can never reorder ranks differently
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_d", dist)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_d", 6).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -973,6 +973,174 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 _IVF_TOPK_SQL = _sql_ivf_topk()
 
 
+# --------------------------------------------------------------------------
+# product quantization (operators/pq.py)
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE = 8, 16, 5, 4000
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the embedding corpus (operators/pq.py): 8 subspaces × 16
+    centroids → 8 nibble codes per 64-dim vector (a 32× storage cut) plus
+    reconstruction MSE.  Codebooks train driver-side on a deterministic
+    sample; encoding is one zero-shuffle Arrow projection."""
+    from .operators.pq import pq_encode as _pq_encode
+    from .operators.pq import train_pq_codebooks_from_parquet
+
+    books = train_pq_codebooks_from_parquet(
+        f"{sf_dir}/embeddings.parquet", _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _pq_encode(emb, books)
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+        "mse",
+    )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric-distance) top-k through the PQ codes: per fixed
+    query, an (m × k) lookup table is baked driver-side and each corpus
+    point scores as m integer lookups — no float vector read at scan time.
+    Compose with ivf cells for sublinear scans; recall vs the exact L2
+    baseline is measured in tests/test_pq.py."""
+    from .operators.pq import (
+        adc_luts,
+        pq_encode as _pq_encode,
+        pq_topk as _pq_topk,
+        read_query_vectors,
+        train_pq_codebooks_from_parquet,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    books = train_pq_codebooks_from_parquet(path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE)
+    qs = read_query_vectors(path, max_id=20)
+    import numpy as np
+
+    luts = adc_luts(np.stack([v for _, v in qs]), books)
+    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_encode(emb, books).select("vec_id", "codes")
+    return _pq_topk(codes, query_luts, k=5)
+
+
+def _sql_pq_codes_cte() -> str | None:
+    """CTEs (e, c, d) computing PQ codes c0..c7 and error terms e1..e64 in
+    DuckDB, replaying the Spark encoder bit-for-bit (left-to-right dim
+    sums, first-min argmin).  None when testdata is unavailable."""
+    try:
+        from .operators.pq import train_pq_codebooks_from_parquet
+
+        books = train_pq_codebooks_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE,
+        )
+    except Exception:
+        return None
+    m, k, ds = books.shape
+
+    def dist(s: int, j: int) -> str:
+        # squared L2 between subvector s and centroid j, left-to-right
+        terms = "".join(
+            f" + (v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+            f"*(v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+            for t in range(ds)
+        )
+        return f"(0.0{terms})"
+
+    code_cols = ", ".join(
+        f"(list_position({'[' + ', '.join(dist(s, j) for j in range(k)) + ']'}, "
+        f"list_min({'[' + ', '.join(dist(s, j) for j in range(k)) + ']'})) - 1) AS c{s}"
+        for s in range(m)
+    )
+    err_cols = ", ".join(
+        f"(v[{s * ds + t + 1}] - "
+        f"([{', '.join(repr(books[s, j, t]) for j in range(k))}])[c{s} + 1]) "
+        f"AS e{s * ds + t + 1}"
+        for s in range(m)
+        for t in range(ds)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c AS (
+  SELECT vec_id, v, {code_cols} FROM e
+), d AS (
+  SELECT *, {err_cols} FROM c
+)"""
+
+
+def _sql_pq_encode() -> str | None:
+    ctes = _sql_pq_codes_cte()
+    if ctes is None:
+        return None
+    m, ds = _PQ_M, 64 // _PQ_M
+    mse = "".join(f" + e{i}*e{i}" for i in range(1, m * ds + 1))
+    codes = ", ".join(f"c{s}" for s in range(m))
+    return (
+        ctes
+        + f"""
+SELECT vec_id, array_to_string([{codes}], ',') AS codes,
+       round((0.0{mse}) / {m * ds}, 9) AS mse
+FROM d"""
+    )
+
+
+def _sql_pq_topk() -> str | None:
+    ctes = _sql_pq_codes_cte()
+    if ctes is None:
+        return None
+    try:
+        import numpy as np
+
+        from .operators.pq import (
+            adc_luts,
+            read_query_vectors,
+            train_pq_codebooks_from_parquet,
+        )
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        books = train_pq_codebooks_from_parquet(
+            path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+        )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(np.stack([v for _, v in qs]), books)
+    except Exception:
+        return None
+    values = ",\n         ".join(
+        "({}, [{}])".format(
+            qid,
+            ", ".join(
+                "[" + ", ".join(repr(x) for x in luts[i, s]) + "]"
+                for s in range(_PQ_M)
+            ),
+        )
+        for i, (qid, _) in enumerate(qs)
+    )
+    dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(_PQ_M))
+    return (
+        ctes
+        + f""", q(query_id, lut) AS (
+  VALUES {values}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, (0.0{dist}) AS dd
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, dd,
+         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(dd, 6) AS adc_dist, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5"""
+    )
+
+
+_PQ_ENCODE_SQL = _sql_pq_encode()
+_PQ_TOPK_SQL = _sql_pq_topk()
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via sign-LSH candidates + exact cosine verify —
     the 100 TB shape: the only joins are (table, bucket) equi-joins and id
@@ -2000,6 +2168,8 @@ QUERIES = {
     "cosine_topk": cosine_topk,
     "lsh_topk": lsh_topk,
     "ivf_topk": ivf_topk,
+    "pq_encode": pq_encode,
+    "pq_topk": pq_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
     "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
@@ -2071,6 +2241,8 @@ ORACLE_SQL = {
     "event_pair_interval_join": _INTERVAL_PAIR_SQL,
     "user_status_history": _SCD2_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
+    **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
+    **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,

@@ -1,0 +1,82 @@
+"""Product quantization: encoding invariants and ADC recall on planted
+near-duplicates (random vectors are PQ's worst case — see
+tests/test_similarity.py's rationale for planting)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from spark_gp_spark.operators.pq import (
+    adc_luts,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+DIM = 32
+M, K = 4, 16
+N_BASE = 150
+N_DUP = 20
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(N_BASE, DIM))
+    dups = base[:N_DUP] + 0.03 * rng.normal(size=(N_DUP, DIM))
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = train_pq_codebooks(vecs, m=M, k=K, seed=5)
+    return df, vecs, books
+
+
+def test_pq_encode_invariants(spark, corpus):
+    df, vecs, books = corpus
+    out = pq_encode(df, books).collect()
+    assert len(out) == len(vecs)
+    for r in out:
+        assert len(r.codes) == M
+        assert all(0 <= c < K for c in r.codes)
+        assert r.mse >= 0.0
+    # codes match a direct numpy argmin (first-min ties)
+    ds = DIM // M
+    by_id = {r.vec_id: list(r.codes) for r in out}
+    for i in (0, 57, N_BASE + 3):
+        want = [
+            int(np.argmin(((vecs[i, s * ds : (s + 1) * ds] - books[s]) ** 2).sum(1)))
+            for s in range(M)
+        ]
+        assert by_id[i] == want
+
+
+def test_pq_adc_recall_on_planted_dups(spark, corpus):
+    """Each planted dup, used as a query, must place its base vector in the
+    ADC top-5 — quantization noise is far smaller than the inter-point
+    distances that matter at dedup scale."""
+    df, vecs, books = corpus
+    codes = pq_encode(df, books).select("vec_id", "codes")
+    qids = list(range(N_BASE, N_BASE + N_DUP))
+    luts = adc_luts(vecs[qids], books)
+    query_luts = [(qid, luts[i].tolist()) for i, qid in enumerate(qids)]
+    out = pq_topk(codes, query_luts, k=5)
+    top = {}
+    for r in out.collect():
+        top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for i, qid in enumerate(qids) if (qid - N_BASE) in top[qid])
+    recall = hits / N_DUP
+    assert recall >= 0.9, f"planted-dup ADC recall {recall:.2f} < 0.9"
+
+
+def test_pq_topk_rank_determinism(spark, corpus):
+    df, vecs, books = corpus
+    codes = pq_encode(df, books).select("vec_id", "codes")
+    luts = adc_luts(vecs[:2], books)
+    query_luts = [(0, luts[0].tolist()), (1, luts[1].tolist())]
+    a = pq_topk(codes, query_luts, k=5).collect()
+    b = pq_topk(codes, query_luts, k=5).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id, r.adc_dist) for r in rows)
+    assert key(a) == key(b)
+    for r in a:
+        assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
