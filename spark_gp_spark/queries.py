@@ -1358,6 +1358,44 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def event_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, event day) — the
+    multi-dimension clustering key behind Delta/Iceberg OPTIMIZE ZORDER,
+    as pure bitwise codegen (sources/sinks.py:zorder_key).  Sorting writes
+    by this key makes row-group min/max stats prunable on EITHER dimension;
+    tests/test_sinks.py asserts disjoint per-file key ranges."""
+    from .sources.sinks import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    z = zorder_key(
+        [
+            F.pmod(F.col("user_id"), F.lit(1 << 16)),
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))),
+        ],
+        bits=16,
+    )
+    return ev.select("event_id", z.alias("zkey"))
+
+
+def _sql_zorder_2d(a: str, b: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+_ZORDER_SQL = f"""
+WITH n AS (
+  SELECT event_id,
+         (user_id % {1 << 16})::BIGINT AS a,
+         date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS b
+  FROM events
+)
+SELECT event_id, {_sql_zorder_2d('a', 'b')}::BIGINT AS zkey FROM n
+"""
+
+
 def event_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: distinct users and distinct active days
     per event type (Spark expands distinct aggs into a two-phase plan)."""
@@ -2190,6 +2228,7 @@ QUERIES = {
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    "event_zorder_key": event_zorder_key,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_static_enrich": streaming_static_enrich,
@@ -2257,6 +2296,7 @@ ORACLE_SQL = {
     "event_distinct_users_salted": _DISTINCT_USERS_SALTED_SQL,
     "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
+    "event_zorder_key": _ZORDER_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_static_enrich": _STREAM_ENRICH_SQL,

@@ -82,3 +82,56 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a table written by ``write_bucketed`` with bucketing metadata
     intact (plain ``spark.table``; the catalog carries the bucket spec)."""
     return spark.table(table)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Z-order (Morton) sort key: interleave the low ``bits`` bits of each
+    integer column so multidimensional locality becomes 1-D locality.
+
+    Sorting by this key before writing clusters rows that are close in ALL
+    key dimensions into the same parquet row groups, so min/max row-group
+    statistics prune scans filtered on ANY subset of the dimensions — the
+    layout trick behind Delta/Iceberg OPTIMIZE ZORDER, as a plain column
+    expression.  Callers normalize each column to a non-negative int below
+    ``2^bits`` first (e.g. ``pmod(hash-free key, 1 << bits)`` or a
+    range-rank); total key width is ``bits * len(cols)`` ≤ 63.
+
+    Pure bitwise codegen (shiftleft/shiftright/AND/OR) — reproducible in
+    ANSI SQL, zero shuffle beyond the final sort.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"bits*len(cols) = {bits * n} exceeds signed-long range")
+    cs = [c.cast("long") for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as parquet range-partitioned and sorted by a z-order
+    key: ``repartitionByRange`` puts disjoint key ranges into each of
+    ``n_files`` files and ``sortWithinPartitions`` orders rows inside, so
+    every file (and row group) covers a tight hyper-rectangle of the key
+    dimensions — the scan-pruning layout for multi-dimension filters."""
+    (
+        df.withColumn("__z", zcol)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format("parquet")
+        .mode(mode)
+        .save(path)
+    )

@@ -90,3 +90,54 @@ def test_partitioned_write_prunes_at_scan(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(out).count()
     n_one = one.count()
     assert 0 < n_one < n_all
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+
+
+def test_zorder_key_is_bijective_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.sources.sinks import zorder_key
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 3, 128, 65535)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    out = df.select(
+        "a", "b", zorder_key([F.col("a"), F.col("b")], bits=16).alias("z")
+    ).collect()
+    for r in out:
+        # de-interleave: even bit positions rebuild a, odd rebuild b
+        a = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)
+    zs = {r.z for r in out}
+    assert len(zs) == len(rows)  # injective on the grid
+
+
+def test_write_zordered_files_cover_disjoint_key_ranges(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.sources.sinks import write_zordered, zorder_key
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1 << 12), rng.randrange(1 << 12)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "row_id bigint, x bigint, y bigint")
+    zc = zorder_key([F.col("x"), F.col("y")], bits=12)
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, zc, n_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    spans = (
+        back.withColumn("z", zorder_key([F.col("x"), F.col("y")], bits=12))
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(spans) == 8
+    ordered = sorted((r.lo, r.hi) for r in spans)
+    for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
+        assert hi1 <= lo2  # range partitioning: files are disjoint in z
