@@ -363,7 +363,17 @@ def dup_ngram_fraction(
         staged.select(id_col, F.explode("_g").alias("_gram"))
         .select(id_col, h60(F.col("_gram")).alias("_gh"))
         .distinct()
+        # persisted: the pairs relation feeds BOTH the gram-frequency agg and
+        # the join back, and the two branches' partitionings differ, so
+        # exchange reuse does NOT fire — without the cache the corpus would
+        # be tokenized + shingled + hashed TWICE (measured: 2 FileScans in
+        # the adaptive plan).  Thin (id, hash) rows spill-safely at scale;
+        # the session-scoped retirement discipline is dedup.py's.
+        .persist()
     )
+    from .dedup import _retire_shingle_caches
+
+    _retire_shingle_caches([pairs])
     freq = pairs.groupBy("_gh").agg(F.count("*").alias("_df"))
     joined = pairs.join(freq, "_gh")
     dup = (F.col("_df") >= 2).cast("int")

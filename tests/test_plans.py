@@ -97,3 +97,26 @@ def test_rollup_single_expand_pass(spark):
     plan = _plan(revenue_rollup(spark, SF))
     assert plan.count("Expand") == 1  # all grouping sets in one pass
     assert "BroadcastHashJoin" in plan
+
+
+def test_dup_ngram_fraction_scans_corpus_once(spark):
+    """The (id, gram-hash) pairs relation feeds both the frequency agg and
+    the join back; it must come from ONE persisted build of the shingle
+    pipeline, not two corpus scans."""
+    from spark_gp_spark.queries import dup_ngram_fraction
+
+    plan = _plan(dup_ngram_fraction(spark, SF))
+    assert plan.count("InMemoryTableScan") == 2
+
+
+def test_pq_and_interval_join_plan_shapes(spark):
+    from spark_gp_spark.queries import event_pair_interval_join, pq_topk
+
+    plan = _plan(event_pair_interval_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # ADC scan is the ONE intended broadcast nested-loop: corpus codes x
+    # fixed 20-query lut table (linear in N, Q constant)
+    plan = _plan(pq_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
