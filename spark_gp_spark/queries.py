@@ -1358,6 +1358,103 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (operators/merge.py): a deterministic change set —
+    status updates (key % 100 == 0), deletes (key % 97 == 0), inserts
+    (shifted keys, key % 89 == 0) — upserted onto orders in ONE full-outer
+    equi-join; bucketing both sides on the key would remove even that
+    exchange.  The Delta/Iceberg MERGE INTO verb, relationally."""
+    from .operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_custkey", "o_orderstatus")
+    k = F.col("o_orderkey")
+    mods = o.filter((k % 100 == 0) & (k % 97 != 0)).select(
+        "o_orderkey", "o_custkey", F.lit("X").alias("o_orderstatus"),
+        F.lit(False).alias("dead"),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", F.lit(True).alias("dead")
+    )
+    ins = o.filter(k % 89 == 0).select(
+        (k + 1_000_000_000).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), F.lit(False).alias("dead"),
+    )
+    updates = mods.unionByName(dels).unionByName(ins)
+    return merge_upsert(base, updates, key="o_orderkey", tombstone_col="dead")
+
+
+_MERGE_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, FALSE AS dead
+  FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, TRUE AS dead
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_custkey, 'N', FALSE
+  FROM orders WHERE o_orderkey % 89 = 0
+)
+SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE b.o_custkey END AS o_custkey,
+       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus
+FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+WHERE u.dead IS NULL OR NOT u.dead
+"""
+
+
+def viewers_without_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join verb: users who viewed but never purchased inside the
+    first-3-days window (the un-sliced variant is vacuously empty on the
+    saturated test stream), plus their view count — LEFT ANTI with the
+    time filter pushed to the scan, one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_views"))
+    )
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.join(purchasers, "user_id", "left_anti")
+
+
+_ANTI_JOIN_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_views
+FROM events v
+WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                    AND p.ts < TIMESTAMP '2024-01-03 00:00:00')
+GROUP BY user_id
+"""
+
+
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot verb: per-user event-type counts as columns.  The pivot VALUES
+    are explicit, so Spark skips the extra distinct-values job a blind
+    ``pivot(col)`` pays — the scale discipline for wide pivots."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM events GROUP BY user_id
+"""
+
+
 def event_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout key over (user_id, event day) — the
     multi-dimension clustering key behind Delta/Iceberg OPTIMIZE ZORDER,
@@ -2229,6 +2326,9 @@ QUERIES = {
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
     "event_zorder_key": event_zorder_key,
+    "orders_upsert_merge": orders_upsert_merge,
+    "viewers_without_purchase": viewers_without_purchase,
+    "event_type_pivot": event_type_pivot,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_static_enrich": streaming_static_enrich,
@@ -2297,6 +2397,9 @@ ORACLE_SQL = {
     "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
     "event_zorder_key": _ZORDER_SQL,
+    "orders_upsert_merge": _MERGE_SQL,
+    "viewers_without_purchase": _ANTI_JOIN_SQL,
+    "event_type_pivot": _PIVOT_SQL,
     "streaming_window_counts": _WINDOW_SQL,
     "streaming_window_counts_append": _WINDOW_APPEND_SQL,
     "streaming_static_enrich": _STREAM_ENRICH_SQL,
