@@ -358,22 +358,28 @@ def dup_ngram_fraction(
     from .hashing import h60
 
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    staged = toks.select(id_col, word_ngrams_of(F.col("_toks"), n).alias("_g"))
+    # staged + PERSISTED before the explode: CollapseProject would otherwise
+    # re-inline the tokenizer into the generate path, where (unlike Project,
+    # which CSEs it) each of the n F.get references re-runs the whitespace
+    # split per output gram — measured 13.9 s vs 3.3 s for one clean pass at
+    # sf0.1.  Same discipline as ngram_jaccard_pairs (dedup.py:197).
+    staged = toks.select(
+        id_col, word_ngrams_of(F.col("_toks"), n).alias("_g")
+    ).persist()
     pairs = (
         staged.select(id_col, F.explode("_g").alias("_gram"))
         .select(id_col, h60(F.col("_gram")).alias("_gh"))
         .distinct()
-        # persisted: the pairs relation feeds BOTH the gram-frequency agg and
-        # the join back, and the two branches' partitionings differ, so
-        # exchange reuse does NOT fire — without the cache the corpus would
-        # be tokenized + shingled + hashed TWICE (measured: 2 FileScans in
-        # the adaptive plan).  Thin (id, hash) rows spill-safely at scale;
-        # the session-scoped retirement discipline is dedup.py's.
+        # also persisted: pairs feeds BOTH the gram-frequency agg and the
+        # join back, and the branches' partitionings differ, so exchange
+        # reuse does not fire — without this the explode+hash+distinct runs
+        # twice.  Thin (id, hash) rows spill-safely at scale; session-scoped
+        # retirement discipline is dedup.py's.
         .persist()
     )
     from .dedup import _retire_shingle_caches
 
-    _retire_shingle_caches([pairs])
+    _retire_shingle_caches([staged, pairs])
     freq = pairs.groupBy("_gh").agg(F.count("*").alias("_df"))
     joined = pairs.join(freq, "_gh")
     dup = (F.col("_df") >= 2).cast("int")
