@@ -208,6 +208,7 @@ def main() -> None:
         "cosine_topk",
         "lsh_topk",
         "ivf_topk",
+        "pq_topk",
         "embedding_neardup_pairs",
         "embedding_quantize",
         "asof_purchases_views",
@@ -216,6 +217,7 @@ def main() -> None:
         "event_window_agg",
         "event_distinct_users_salted",
         "order_segment_revenue_salted",
+        "orders_upsert_merge",
         "bucketed_join_roundtrip",
         "streaming_window_counts",
         "streaming_window_counts_append",

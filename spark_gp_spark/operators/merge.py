@@ -32,6 +32,11 @@ def merge_upsert(
     update row replaces its base row WHOLESALE (``WHEN MATCHED THEN UPDATE
     SET *`` semantics — update NULLs win, they are not coalesced away);
     unmatched update rows insert; untouched base rows pass through.
+
+    ``updates`` must be unique per ``key`` (the MERGE precondition engines
+    enforce with "multiple source rows matched" errors) — deduplicate
+    upstream (e.g. latest-wins via dedup_keep_first / a window) first;
+    duplicate update keys here would fan out the join.
     """
     cols = [c for c in base.columns if c != key]
     u = updates

@@ -41,6 +41,7 @@ from .streaming.events import (
     run_streaming_dedup,
     run_streaming_interval_join,
     run_streaming_sessions_append,
+    run_streaming_upsert,
     run_streaming_window_counts,
     run_streaming_window_counts_append,
     streaming_sessionization,
@@ -2126,6 +2127,31 @@ FROM sessioned GROUP BY user_id, session_seq
 # --------------------------------------------------------------------------
 
 
+def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink (streaming/events.py:run_streaming_upsert):
+    foreachBatch reduces each micro-batch to latest-per-user updates and
+    upserts them into a versioned parquet table via operators/merge.py —
+    the lakehouse streaming-CDC write path.  The final table is exactly
+    each user's last event (the batch window oracle)."""
+    out = run_streaming_upsert(spark, sf_dir)
+    return out.select(
+        "user_id",
+        "last_type",
+        F.unix_micros("last_ts").alias("last_ts_us"),
+        F.round("last_value", 6).alias("last_value"),
+    )
+
+
+_STREAM_UPSERT_SQL = """
+SELECT user_id, event_type AS last_type, epoch_us(ts) AS last_ts_us,
+       round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.binary_stats(M.attach_binary(docs))
@@ -2338,6 +2364,7 @@ QUERIES = {
     "streaming_neardup": streaming_neardup,
     "streaming_dedup": streaming_dedup,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_upsert": streaming_upsert,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -2409,6 +2436,7 @@ ORACLE_SQL = {
     "streaming_neardup": _STREAM_NEARDUP_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
+    "streaming_upsert": _STREAM_UPSERT_SQL,
     "multimodal_binary_stats": _BINARY_STATS_SQL,
     "multimodal_decode_features": _MM_DECODE_SQL,
     "multimodal_frame_sample": _MM_FRAMES_SQL,

@@ -484,3 +484,68 @@ def streaming_sessionization(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+def run_streaming_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "gp_stream_upsert",
+    n_files: int = 4,
+) -> DataFrame:
+    """Streaming MERGE sink (``foreachBatch`` + operators/merge.py): each
+    micro-batch of events is reduced to latest-per-user updates and upserted
+    into a versioned parquet table — the lakehouse streaming-CDC write path
+    (what Delta's ``foreachBatch`` + ``MERGE INTO`` idiom does), with the
+    table swap done by version directory since plain parquet cannot be
+    rewritten in place while being read.
+
+    Determinism contract for the oracle: arrivals are range-staged by ts, so
+    later batches carry strictly later time ranges; within a batch the
+    update set is latest-wins per user ordered by (ts, event_id).  The final
+    table is therefore exactly "each user's last event" — a plain batch
+    window query, which is the DuckDB oracle.
+    """
+    work = tempfile.mkdtemp(prefix="gp_stream_upsert_")
+    ckpt = os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(spark, sf_dir, work, n_files, sentinel=False)
+
+    from pyspark.sql import Window
+
+    from ..operators.merge import merge_upsert
+
+    state: dict[str, str | None] = {"cur": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        updates = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").alias("last_value"),
+            )
+        )
+        if state["cur"] is None:
+            merged = updates
+        else:
+            base = batch_df.sparkSession.read.parquet(state["cur"])
+            merged = merge_upsert(base, updates, key="user_id")
+        nxt = os.path.join(work, f"table_v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    stream = normalize_event_ts(spark, spark.readStream.schema(schema).parquet(src))
+    with _state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    assert state["cur"] is not None, "no micro-batch ran"
+    return spark.read.parquet(state["cur"])
