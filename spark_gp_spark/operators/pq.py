@@ -210,3 +210,55 @@ def pq_topk(
             "rank",
         )
     )
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries_probe: DataFrame,
+    codes: DataFrame,
+    query_luts: list[tuple[int, list[list[float]]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-pruned ADC top-k (the FAISS ``IVF…,PQ…`` composition, minus
+    residual encoding — codes are over raw vectors so the same codebooks
+    and oracle rendering serve both the flat ADC scan and this pruned one;
+    residual PQ is the noted next refinement).
+
+    Inputs: ``codes`` = pq_encode output (id, codes); ``queries_probe`` =
+    ivf.ivf_probe_frame output (query_id, cell) — nprobe rows per query;
+    ``corpus`` = ivf.ivf_assign_frame output (id, cell).  Candidates per
+    query ≈ nprobe·N/n_cells, each scored as m integer LUT lookups — the
+    sublinear-scan shape; the flat ``pq_topk`` is the recall ceiling.
+    """
+    spark = codes.sparkSession
+    m = len(query_luts[0][1])
+    luts_df = spark.createDataFrame(
+        [(int(q), lut) for q, lut in query_luts],
+        "query_id bigint, lut array<array<double>>",
+    )
+    cand = (
+        corpus.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(queries_probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.join(
+        codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+    ).join(F.broadcast(luts_df), "query_id")
+    dist: Column = F.lit(0.0)
+    for s in range(m):  # left-to-right fold over subspaces
+        dist = dist + F.get(F.col("lut").getItem(s), F.get("codes", s))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_d", dist)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_d", 6).alias("adc_dist"),
+            "rank",
+        )
+    )

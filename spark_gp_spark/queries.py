@@ -1138,8 +1138,135 @@ FROM ranked WHERE rank <= 5"""
     )
 
 
+def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ADC top-k (operators/pq.py:ivfadc_topk): coarse k-means
+    cells prune candidates to ≈ nprobe·N/cells, then each candidate scores
+    as m integer LUT lookups — the FAISS IVF+PQ composition, the sublinear
+    sketch-scan shape for 100 TB ANN.  Flat pq_topk is the recall ceiling;
+    tests/test_pq.py measures overlap."""
+    import numpy as np
+
+    from .operators.ivf import (
+        ivf_assign_frame,
+        ivf_probe_frame,
+        train_centroids_from_parquet,
+    )
+    from .operators.pq import (
+        adc_luts,
+        ivfadc_topk as _ivfadc_topk,
+        pq_encode as _pq_encode,
+        read_query_vectors,
+        train_pq_codebooks_from_parquet,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
+    books = train_pq_codebooks_from_parquet(path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE)
+    qs = read_query_vectors(path, max_id=20)
+    luts = adc_luts(np.stack([v for _, v in qs]), books)
+    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cells = ivf_assign_frame(emb, F.col("vec_id"), vec, cents, "vec_id")
+    probes = ivf_probe_frame(
+        emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
+        _IVF_NPROBE, "query_id",
+    )
+    codes = _pq_encode(emb, books).select("vec_id", "codes")
+    return _ivfadc_topk(cells, probes, codes, query_luts, k=5)
+
+
+def _sql_ivfadc_topk() -> str | None:
+    """Oracle: the IVF probe/assign CTEs (same centroids as ivf_topk) glued
+    to the PQ code CTE and baked ADC LUTs — candidates via the cell
+    equi-join, then the same left-to-right lookup sum as pq_topk."""
+    try:
+        import numpy as np
+
+        from .operators.ivf import train_centroids_from_parquet
+        from .operators.pq import (
+            adc_luts,
+            read_query_vectors,
+            train_pq_codebooks_from_parquet,
+        )
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
+        books = train_pq_codebooks_from_parquet(
+            path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+        )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(np.stack([v for _, v in qs]), books)
+    except Exception:
+        return None
+    m, k, ds = books.shape
+
+    def cdist(c) -> str:
+        return "(0.0" + "".join(
+            f" + (v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+        ) + ")"
+
+    coarse = "[" + ", ".join(cdist(c) for c in cents) + "]"
+
+    def sdist(s: int, j: int) -> str:
+        terms = "".join(
+            f" + (v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+            f"*(v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+            for t in range(ds)
+        )
+        return f"(0.0{terms})"
+
+    code_cols = ", ".join(
+        f"(list_position({'[' + ', '.join(sdist(s, j) for j in range(k)) + ']'}, "
+        f"list_min({'[' + ', '.join(sdist(s, j) for j in range(k)) + ']'})) - 1) AS c{s}"
+        for s in range(m)
+    )
+    values = ",\n         ".join(
+        "({}, [{}])".format(
+            qid,
+            ", ".join(
+                "[" + ", ".join(repr(x) for x in luts[i, s]) + "]" for s in range(m)
+            ),
+        )
+        for i, (qid, _) in enumerate(qs)
+    )
+    dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ad AS (
+  SELECT vec_id, {coarse} AS dsl FROM e
+), cb AS (
+  SELECT vec_id AS neighbor_id, list_position(dsl, list_min(dsl)) AS cell FROM ad
+), qb AS (
+  SELECT vec_id AS query_id,
+         unnest(list_transform(
+           list_sort(list_transform(range(1, {_IVF_K} + 1),
+                                    i -> {{'d': dsl[i], 'i': i}}))[1:{_IVF_NPROBE}],
+           s -> s.i)) AS cell
+  FROM ad WHERE vec_id < 20
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (cell) WHERE query_id <> neighbor_id
+), c AS (
+  SELECT vec_id AS neighbor_id, {code_cols} FROM e
+), q(query_id, lut) AS (
+  VALUES {values}
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id, (0.0{dist}) AS dd
+  FROM cand JOIN c USING (neighbor_id) JOIN q USING (query_id)
+), ranked AS (
+  SELECT query_id, neighbor_id, dd,
+         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(dd, 6) AS adc_dist, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5"""
+
+
 _PQ_ENCODE_SQL = _sql_pq_encode()
 _PQ_TOPK_SQL = _sql_pq_topk()
+_IVFADC_TOPK_SQL = _sql_ivfadc_topk()
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2331,6 +2458,7 @@ QUERIES = {
     "ivf_topk": ivf_topk,
     "pq_encode": pq_encode,
     "pq_topk": pq_topk,
+    "ivfadc_topk": ivfadc_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
     "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
@@ -2409,6 +2537,7 @@ ORACLE_SQL = {
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),
+    **({"ivfadc_topk": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,

@@ -80,3 +80,41 @@ def test_pq_topk_rank_determinism(spark, corpus):
     assert key(a) == key(b)
     for r in a:
         assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
+
+
+def test_ivfadc_recall_on_planted_dups(spark, corpus):
+    """IVF pruning (4/16 cells probed) must not lose the planted base
+    vectors: a near-dup query lands in (or probes) its base's cell."""
+    from spark_gp_spark.operators.ivf import ivf_assign_frame, ivf_probe_frame
+    from spark_gp_spark.operators.pq import ivfadc_topk
+    from spark_gp_spark.active_set import _local_kmeans
+    import numpy as np
+
+    df, vecs, books = corpus
+    cents = np.round(_local_kmeans(vecs, 16, 5), 6)
+    vec = F_col_array()
+    cells = ivf_assign_frame(df, vec("vec_id"), vec("embedding"), cents, "vec_id")
+    qids = list(range(N_BASE, N_BASE + N_DUP))
+    probes = ivf_probe_frame(
+        df.filter(vec("vec_id") < N_BASE + N_DUP).filter(vec("vec_id") >= N_BASE),
+        vec("vec_id"), vec("embedding"), cents, 4, "query_id",
+    )
+    codes = pq_encode(df, books).select("vec_id", "codes")
+    luts = adc_luts(vecs[qids], books)
+    query_luts = [(qid, luts[i].tolist()) for i, qid in enumerate(qids)]
+    out = ivfadc_topk(cells, probes, codes, query_luts, k=5)
+    top = {}
+    for r in out.collect():
+        top.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for qid in qids if (qid - N_BASE) in top.get(qid, set()))
+    assert hits / N_DUP >= 0.9, f"ivfadc planted recall {hits / N_DUP:.2f} < 0.9"
+
+
+def F_col_array():
+    from pyspark.sql import functions as F
+
+    def _c(name):
+        col = F.col(name)
+        return col.cast("array<double>") if name == "embedding" else col
+
+    return _c
