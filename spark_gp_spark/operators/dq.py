@@ -1,0 +1,133 @@
+"""Data-quality operators: declarative constraint checks and table profiling.
+
+The expectations/ANALYZE surface of a production pipeline (what Deequ /
+Great Expectations / ``ANALYZE TABLE`` provide), expressed so every check
+compiles into at most one aggregate pass plus one anti-join per
+referential rule:
+
+- row-level rules (not-null, range, set-membership, regex) become CASE
+  counts inside ONE global aggregate over a single scan — adding a rule
+  adds an expression, not a pass;
+- ``unique`` compiles to ``count(*) − count(DISTINCT col)`` in the same
+  aggregate;
+- ``foreign_key`` is a LEFT ANTI join against the (broadcastable) dimension
+  keyset — the only rule that shuffles.
+
+Output is long-format ``(rule, violations)`` so reports union cleanly and
+the DuckDB oracle restates each rule verbatim.
+
+No reference counterpart (the reference is a GP library, /root/reference).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """A named data-quality rule; ``violation`` is a boolean Column that is
+    TRUE for a violating row (row-level rules only)."""
+
+    name: str
+    violation: Column | None = None
+    kind: str = "row"  # row | unique | fk
+    col: str | None = None
+    fk_dim: DataFrame | None = field(default=None, compare=False)
+    fk_col: str | None = None
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", F.col(col).isNull())
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"in_range({col},{lo},{hi})", c.isNull() | (c < F.lit(lo)) | (c > F.lit(hi))
+    )
+
+
+def in_set(col: str, values: list) -> Rule:
+    c = F.col(col)
+    return Rule(f"in_set({col})", c.isNull() | ~c.isin(values))
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(f"matches({col})", c.isNull() | ~c.rlike(pattern))
+
+
+def unique(col: str) -> Rule:
+    return Rule(f"unique({col})", kind="unique", col=col)
+
+
+def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
+    return Rule(f"foreign_key({col})", kind="fk", col=col, fk_dim=dim, fk_col=dim_col)
+
+
+def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """(rule, violations) — one aggregate pass for all row-level + unique
+    rules, one anti-join per foreign-key rule, unioned."""
+    agg_rules = [r for r in rules if r.kind in ("row", "unique")]
+    fk_rules = [r for r in rules if r.kind == "fk"]
+    parts: list[DataFrame] = []
+    if agg_rules:
+        exprs = []
+        for r in agg_rules:
+            if r.kind == "row":
+                exprs.append(
+                    F.sum(r.violation.cast("long")).alias(r.name)
+                )
+            else:  # unique: extra rows beyond one per distinct value
+                exprs.append(
+                    (F.count(r.col) - F.countDistinct(r.col)).alias(r.name)
+                )
+        one = df.agg(*exprs)
+        stack = ", ".join(
+            "'{}', `{}`".format(r.name.replace("'", ""), r.name) for r in agg_rules
+        )
+        parts.append(
+            one.selectExpr(
+                f"stack({len(agg_rules)}, {stack}) AS (rule, violations)"
+            )
+        )
+    for r in fk_rules:
+        keys = r.fk_dim.select(F.col(r.fk_col).alias(r.col)).distinct()
+        orphans = (
+            df.filter(F.col(r.col).isNotNull())
+            .join(F.broadcast(keys), r.col, "left_anti")
+            .agg(F.count("*").alias("violations"))
+            .select(F.lit(r.name).alias("rule"), "violations")
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format column profile: per column, row count, null count,
+    exact distinct count, and min/max (as strings, type-agnostic) — the
+    ANALYZE TABLE statistics pass, one aggregate over one scan."""
+    exprs = []
+    for c in cols:
+        exprs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*exprs)
+    stack = ", ".join(
+        f"'{c}', `{c}__rows`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

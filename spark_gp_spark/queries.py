@@ -1486,6 +1486,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/dq.py): six rules over
+    orders — all row-level + uniqueness rules fused into ONE aggregate pass,
+    plus one broadcast anti-join for the customer foreign key.  The rule mix
+    is deliberately non-vacuous ('P' status, >200k prices, 4-/5- priorities
+    violate) so the report proves it counts, not just zeros."""
+    from .operators import dq
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        dq.not_null("o_custkey"),
+        dq.in_range("o_totalprice", 0.0, 200000.0),
+        dq.in_set("o_orderstatus", ["O", "F"]),
+        dq.matches("o_orderpriority", "^[1-3]-"),
+        dq.unique("o_orderkey"),
+        dq.foreign_key("o_custkey", cust, "c_custkey"),
+    ]
+    out = dq.dq_report(o, rules)
+    return out.select("rule", F.col("violations").cast("long").alias("violations"))
+
+
+_DQ_REPORT_SQL = """
+SELECT 'not_null(o_custkey)' AS rule,
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS violations FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice,0.0,200000.0)',
+       sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 200000.0
+                THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'in_set(o_orderstatus)',
+       sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O', 'F')
+                THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'matches(o_orderpriority)',
+       sum(CASE WHEN o_orderpriority IS NULL OR NOT regexp_matches(o_orderpriority, '^[1-3]-')
+                THEN 1 ELSE 0 END)::BIGINT FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       (count(o_orderkey) - count(DISTINCT o_orderkey))::BIGINT FROM orders
+UNION ALL
+SELECT 'foreign_key(o_custkey)',
+       (SELECT count(*) FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+"""
+
+
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (operators/dq.py:profile_table): per
+    column, rows / nulls / exact distinct / min / max in ONE aggregate over
+    one scan (long format so any width unions cleanly)."""
+    from .operators.dq import profile_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    out = profile_table(o, cols)
+    return out.select(
+        "col",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val FROM orders"""
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+)
+
+
 def orders_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE (operators/merge.py): a deterministic change set —
     status updates (key % 100 == 0), deletes (key % 97 == 0), inserts
@@ -2481,6 +2557,8 @@ QUERIES = {
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
     "event_zorder_key": event_zorder_key,
     "orders_upsert_merge": orders_upsert_merge,
+    "orders_dq_report": orders_dq_report,
+    "orders_profile": orders_profile,
     "viewers_without_purchase": viewers_without_purchase,
     "event_type_pivot": event_type_pivot,
     "streaming_window_counts": streaming_window_counts,
@@ -2554,6 +2632,8 @@ ORACLE_SQL = {
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
     "event_zorder_key": _ZORDER_SQL,
     "orders_upsert_merge": _MERGE_SQL,
+    "orders_dq_report": _DQ_REPORT_SQL,
+    "orders_profile": _PROFILE_SQL,
     "viewers_without_purchase": _ANTI_JOIN_SQL,
     "event_type_pivot": _PIVOT_SQL,
     "streaming_window_counts": _WINDOW_SQL,
