@@ -207,3 +207,60 @@ def session_stats(
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Time-bucketed gap filling with last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` verb.
+
+    Per key, a dense spine of buckets spans that key's [min, max] bucket
+    (sequence + explode — per-key bounds keep the spine linear in observed
+    span, not global range × keys); observed buckets left-join on, empty
+    buckets get ``n_events = 0``, and ``filled_value`` carries the last
+    observed per-bucket mean forward.  Two shuffles on the key (bounds agg +
+    join; the final window reuses the join's partitioning).
+
+    Output: (key, bucket_start, n_events, bucket_value, filled_value) where
+    bucket_value is NULL on gap rows and filled_value is LOCF.
+    """
+    b = F.date_trunc("hour", F.col(ts)) if bucket == "1 hour" else F.window(
+        F.col(ts), bucket
+    )["start"]
+    observed = (
+        events.select(F.col(key), b.alias("bucket_start"), F.col(value))
+        .groupBy(key, "bucket_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(value), 6).alias("bucket_value"),
+        )
+    )
+    step = F.expr(f"INTERVAL {bucket}")
+    spine = (
+        observed.groupBy(key)
+        .agg(F.min("bucket_start").alias("_lo"), F.max("bucket_start").alias("_hi"))
+        .select(
+            key,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+                "bucket_start"
+            ),
+        )
+    )
+    joined = spine.join(observed, [key, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key,
+        "bucket_start",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "bucket_value",
+        F.last("bucket_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

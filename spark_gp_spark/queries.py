@@ -2021,6 +2021,41 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed gap filling with LOCF (operators/asof.py:gap_fill) —
+    the TimescaleDB time_bucket_gapfill verb: per-user dense hour spine,
+    zero-filled counts, last-observed mean carried forward across gaps."""
+    ev = load_table(spark, sf_dir, "events")
+    out = A.gap_fill(ev, key="user_id", ts="ts", value="value", bucket="1 hour")
+    return out.select(
+        "user_id",
+        F.unix_micros("bucket_start").alias("bucket_start_us"),
+        "n_events",
+        "bucket_value",
+        "filled_value",
+    )
+
+
+_GAP_FILL_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS b, count(*)::BIGINT AS n_events,
+         round(avg(value), 6) AS bucket_value
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+), bounds AS (
+  SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b FROM bounds
+)
+SELECT s.user_id, epoch_us(s.b) AS bucket_start_us,
+       coalesce(o.n_events, 0)::BIGINT AS n_events,
+       o.bucket_value,
+       last_value(o.bucket_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.b ROWS UNBOUNDED PRECEDING)
+         AS filled_value
+FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+"""
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = A.session_stats(ev, key="user_id", ts="ts", gap_minutes=30)
@@ -2541,6 +2576,7 @@ QUERIES = {
     "asof_next_view": asof_next_view,
     "event_pair_interval_join": event_pair_interval_join,
     "user_status_history": user_status_history,
+    "event_gap_fill": event_gap_fill,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
@@ -2612,6 +2648,7 @@ ORACLE_SQL = {
     "asof_next_view": _ASOF_FWD_SQL,
     "event_pair_interval_join": _INTERVAL_PAIR_SQL,
     "user_status_history": _SCD2_SQL,
+    "event_gap_fill": _GAP_FILL_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),

@@ -147,3 +147,31 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# gap_fill (dense spine + LOCF)
+
+
+def test_gap_fill_spine_zero_fill_and_locf(spark):
+    from spark_gp_spark.operators.asof import gap_fill
+
+    rows = [
+        (1, 10, _ts("2024-01-01 10:15:00"), 4.0),
+        (2, 10, _ts("2024-01-01 10:45:00"), 6.0),   # hour 10: avg 5.0
+        (3, 10, _ts("2024-01-01 13:30:00"), 9.0),   # hours 11, 12 are gaps
+        (4, 20, _ts("2024-01-01 09:00:00"), 1.0),   # single-bucket key
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {
+        (r.user_id, r.bucket_start.hour): (r.n_events, r.bucket_value, r.filled_value)
+        for r in gap_fill(ev).collect()
+    }
+    assert len(out) == 5  # hours 10-13 for user 10, hour 9 for user 20
+    assert out[(10, 10)] == (2, 5.0, 5.0)
+    assert out[(10, 11)] == (0, None, 5.0)  # gap: zero events, LOCF value
+    assert out[(10, 12)] == (0, None, 5.0)
+    assert out[(10, 13)] == (1, 9.0, 9.0)
+    assert out[(20, 9)] == (1, 1.0, 1.0)
