@@ -213,6 +213,8 @@ def main() -> None:
         "embedding_quantize",
         "asof_purchases_views",
         "event_pair_interval_join",
+        "event_gap_fill",
+        "orders_dq_report",
         "session_stats",
         "event_window_agg",
         "event_distinct_users_salted",
