@@ -51,8 +51,6 @@ def train_pq_codebooks_from_parquet(
     must be reproducible outside Spark for the correctness oracle)."""
     import pyarrow.parquet as pq
 
-    from ..active_set import _local_kmeans
-
     table = pq.read_table(path, columns=[vec_col])
     X = np.asarray(table.column(vec_col).to_pylist()[:sample_rows], dtype=np.float64)
     return train_pq_codebooks(X, m, k, seed)

@@ -2056,6 +2056,39 @@ FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
 """
 
 
+def event_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 24-hour ROLLING window over event time (purchases only):
+    trailing count and value sum at every purchase — the time-RANGE frame
+    (rangeBetween on epoch seconds) Spark evaluates in one pass per key
+    after a single shuffle, vs the self-join a naive implementation pays."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))  # integer micros: exact frame bounds
+        .rangeBetween(-86400 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count("*").over(w).cast("long").alias("n_24h"),
+        F.round(F.sum("value").over(w), 6).alias("value_24h"),
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w::BIGINT AS n_24h,
+       round(sum(value) OVER w, 6) AS value_24h
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+"""
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = A.session_stats(ev, key="user_id", ts="ts", gap_minutes=30)
@@ -2390,6 +2423,43 @@ WHERE rn = 1
 """
 
 
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: events written as JSON-lines and read back
+    with an explicit schema must reproduce the parquet relation bit-for-bit
+    (timestamps ride as integer epoch-micros — the lossless JSON encoding);
+    the emitted per-type aggregate hash-matches the oracle computed on the
+    ORIGINAL parquet, proving the round trip, not just the write."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="gp_jsonl_")
+    path = f"{work}/events_jsonl"
+    ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    ).write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, ts_us bigint, value double"
+    ).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+    )
+
+
+_JSONL_ROUNDTRIP_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value,
+       min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+FROM events GROUP BY event_type
+"""
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.binary_stats(M.attach_binary(docs))
@@ -2577,6 +2647,7 @@ QUERIES = {
     "event_pair_interval_join": event_pair_interval_join,
     "user_status_history": user_status_history,
     "event_gap_fill": event_gap_fill,
+    "event_rolling_24h": event_rolling_24h,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
     "event_props_stats": event_props_stats,
@@ -2591,6 +2662,7 @@ QUERIES = {
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    "jsonl_roundtrip": jsonl_roundtrip,
     "event_zorder_key": event_zorder_key,
     "orders_upsert_merge": orders_upsert_merge,
     "orders_dq_report": orders_dq_report,
@@ -2649,6 +2721,7 @@ ORACLE_SQL = {
     "event_pair_interval_join": _INTERVAL_PAIR_SQL,
     "user_status_history": _SCD2_SQL,
     "event_gap_fill": _GAP_FILL_SQL,
+    "event_rolling_24h": _ROLLING_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),
@@ -2667,6 +2740,7 @@ ORACLE_SQL = {
     "event_distinct_users_salted": _DISTINCT_USERS_SALTED_SQL,
     "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
+    "jsonl_roundtrip": _JSONL_ROUNDTRIP_SQL,
     "event_zorder_key": _ZORDER_SQL,
     "orders_upsert_merge": _MERGE_SQL,
     "orders_dq_report": _DQ_REPORT_SQL,
