@@ -129,8 +129,9 @@ def interval_join(
     side regardless of data; tests/test_asof.py asserts the physical plan
     contains no nested-loop join.
 
-    Output: ``left_cols + right_cols + secs_between``, one row per
-    qualifying pair (bucket candidates are distinct, so no dedup needed).
+    Output: ``key, left_cols, right_cols, us_between`` (integer
+    microseconds), one row per qualifying pair (bucket candidates are
+    distinct, so no dedup needed).
     """
     if upper_seconds <= lower_seconds:
         raise ValueError("upper_seconds must exceed lower_seconds")

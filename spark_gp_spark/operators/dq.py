@@ -72,6 +72,8 @@ def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
 def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """(rule, violations) — one aggregate pass for all row-level + unique
     rules, one anti-join per foreign-key rule, unioned."""
+    if not rules:
+        raise ValueError("dq_report requires at least one rule")
     agg_rules = [r for r in rules if r.kind in ("row", "unique")]
     fk_rules = [r for r in rules if r.kind == "fk"]
     parts: list[DataFrame] = []
@@ -114,6 +116,8 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
     """Long-format column profile: per column, row count, null count,
     exact distinct count, and min/max (as strings, type-agnostic) — the
     ANALYZE TABLE statistics pass, one aggregate over one scan."""
+    if not cols:
+        raise ValueError("profile_table requires at least one column")
     exprs = []
     for c in cols:
         exprs += [

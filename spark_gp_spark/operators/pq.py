@@ -169,6 +169,39 @@ def adc_luts(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return luts
 
 
+def _luts_frame(codes: DataFrame, query_luts: list[tuple[int, list[list[float]]]]):
+    """Broadcastable (query_id, lut) frame + subspace count m."""
+    spark = codes.sparkSession
+    m = len(query_luts[0][1])
+    luts_df = spark.createDataFrame(
+        [(int(q), lut) for q, lut in query_luts],
+        "query_id bigint, lut array<array<double>>",
+    )
+    return luts_df, m
+
+
+def _adc_rank(scored: DataFrame, m: int, k: int) -> DataFrame:
+    """Shared ADC tail for pq_topk / ivfadc_topk: the left-to-right LUT
+    distance fold, then rank on the RAW double (bit-identical across
+    engines — rounding only the emitted column means a rounding-tie can
+    never reorder ranks differently between engines)."""
+    dist: Column = F.lit(0.0)
+    for s in range(m):  # left-to-right fold over subspaces
+        dist = dist + F.get(F.col("lut").getItem(s), F.get("codes", s))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_d", dist)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_d", 6).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     query_luts: list[tuple[int, list[list[float]]]],
@@ -182,32 +215,11 @@ def pq_topk(
     (distance, neighbor_id); m integer lookups per scored pair, all
     whole-stage codegen.
     """
-    spark = codes.sparkSession
-    m = len(query_luts[0][1])
-    luts_df = spark.createDataFrame(
-        [(int(q), lut) for q, lut in query_luts],
-        "query_id bigint, lut array<array<double>>",
-    )
+    luts_df, m = _luts_frame(codes, query_luts)
     scored = codes.select(
         F.col(id_col).alias("neighbor_id"), F.col("codes")
     ).crossJoin(F.broadcast(luts_df)).filter(F.col("neighbor_id") != F.col("query_id"))
-    dist: Column = F.lit(0.0)
-    for s in range(m):  # left-to-right fold over subspaces
-        dist = dist + F.get(F.col("lut").getItem(s), F.get("codes", s))
-    # rank on the RAW double (bit-identical across engines); round only the
-    # emitted column, so a rounding-tie can never reorder ranks differently
-    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("_d", dist)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("_d", 6).alias("adc_dist"),
-            "rank",
-        )
-    )
+    return _adc_rank(scored, m, k)
 
 
 def ivfadc_topk(
@@ -229,12 +241,7 @@ def ivfadc_topk(
     query ≈ nprobe·N/n_cells, each scored as m integer LUT lookups — the
     sublinear-scan shape; the flat ``pq_topk`` is the recall ceiling.
     """
-    spark = codes.sparkSession
-    m = len(query_luts[0][1])
-    luts_df = spark.createDataFrame(
-        [(int(q), lut) for q, lut in query_luts],
-        "query_id bigint, lut array<array<double>>",
-    )
+    luts_df, m = _luts_frame(codes, query_luts)
     cand = (
         corpus.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(queries_probe), "cell")
@@ -245,18 +252,4 @@ def ivfadc_topk(
     scored = cand.join(
         codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
     ).join(F.broadcast(luts_df), "query_id")
-    dist: Column = F.lit(0.0)
-    for s in range(m):  # left-to-right fold over subspaces
-        dist = dist + F.get(F.col("lut").getItem(s), F.get("codes", s))
-    w = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("_d", dist)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("_d", 6).alias("adc_dist"),
-            "rank",
-        )
-    )
+    return _adc_rank(scored, m, k)

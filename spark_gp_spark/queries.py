@@ -1027,35 +1027,86 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_topk(codes, query_luts, k=5)
 
 
-def _sql_pq_codes_cte() -> str | None:
-    """CTEs (e, c, d) computing PQ codes c0..c7 and error terms e1..e64 in
-    DuckDB, replaying the Spark encoder bit-for-bit (left-to-right dim
-    sums, first-min argmin).  None when testdata is unavailable."""
+def _pq_oracle_artifacts():
+    """(codebooks, query vectors, ADC LUTs) for the sf0.01 oracle path —
+    trained ONCE per process and shared by every PQ/IVFADC oracle builder
+    (each previously retrained identical k-means at import time).  Returns
+    None when testdata is unavailable (those queries then get the weaker
+    rows-only check)."""
+    global _PQ_ARTIFACTS
+    if _PQ_ARTIFACTS != "unset":
+        return _PQ_ARTIFACTS
     try:
-        from .operators.pq import train_pq_codebooks_from_parquet
+        import numpy as np
 
+        from .operators.pq import (
+            adc_luts,
+            read_query_vectors,
+            train_pq_codebooks_from_parquet,
+        )
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
         books = train_pq_codebooks_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet",
-            _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE,
+            path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
         )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(np.stack([v for _, v in qs]), books)
+        _PQ_ARTIFACTS = (books, qs, luts)
     except Exception:
-        return None
-    m, k, ds = books.shape
+        _PQ_ARTIFACTS = None
+    return _PQ_ARTIFACTS
 
-    def dist(s: int, j: int) -> str:
-        # squared L2 between subvector s and centroid j, left-to-right
-        terms = "".join(
-            f" + (v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
-            f"*(v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
-            for t in range(ds)
+
+_PQ_ARTIFACTS: object = "unset"
+
+
+def _sql_pq_sdist(books, s: int, j: int) -> str:
+    """Squared L2 between subvector s and centroid j, left-to-right."""
+    ds = books.shape[2]
+    terms = "".join(
+        f" + (v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+        f"*(v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+        for t in range(ds)
+    )
+    return f"(0.0{terms})"
+
+
+def _sql_adc_values(qs, luts) -> str:
+    """VALUES rows (query_id, [[lut row per subspace]])."""
+    m = luts.shape[1]
+    return ",\n         ".join(
+        "({}, [{}])".format(
+            qid,
+            ", ".join(
+                "[" + ", ".join(repr(x) for x in luts[i, s]) + "]" for s in range(m)
+            ),
         )
-        return f"(0.0{terms})"
+        for i, (qid, _) in enumerate(qs)
+    )
 
-    code_cols = ", ".join(
-        f"(list_position({'[' + ', '.join(dist(s, j) for j in range(k)) + ']'}, "
-        f"list_min({'[' + ', '.join(dist(s, j) for j in range(k)) + ']'})) - 1) AS c{s}"
+
+def _sql_adc_dist(m: int) -> str:
+    return "(0.0" + "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(m)) + ")"
+
+
+def _sql_pq_code_cols(books) -> str:
+    """c0..c{m-1} code expressions replaying the Spark encoder bit-for-bit
+    (left-to-right dim sums, first-min argmin via list_position/list_min)."""
+    m, k, _ = books.shape
+    return ", ".join(
+        f"(list_position({'[' + ', '.join(_sql_pq_sdist(books, s, j) for j in range(k)) + ']'}, "
+        f"list_min({'[' + ', '.join(_sql_pq_sdist(books, s, j) for j in range(k)) + ']'})) - 1) AS c{s}"
         for s in range(m)
     )
+
+
+def _sql_pq_codes_cte() -> str | None:
+    """CTEs (e, c, d) computing PQ codes c0..c7 and error terms e1..e64."""
+    art = _pq_oracle_artifacts()
+    if art is None:
+        return None
+    books, _, _ = art
+    m, k, ds = books.shape
     err_cols = ", ".join(
         f"(v[{s * ds + t + 1}] - "
         f"([{', '.join(repr(books[s, j, t]) for j in range(k))}])[c{s} + 1]) "
@@ -1067,7 +1118,7 @@ def _sql_pq_codes_cte() -> str | None:
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c AS (
-  SELECT vec_id, v, {code_cols} FROM e
+  SELECT vec_id, v, {_sql_pq_code_cols(books)} FROM e
 ), d AS (
   SELECT *, {err_cols} FROM c
 )"""
@@ -1091,42 +1142,16 @@ FROM d"""
 
 def _sql_pq_topk() -> str | None:
     ctes = _sql_pq_codes_cte()
-    if ctes is None:
+    art = _pq_oracle_artifacts()
+    if ctes is None or art is None:
         return None
-    try:
-        import numpy as np
-
-        from .operators.pq import (
-            adc_luts,
-            read_query_vectors,
-            train_pq_codebooks_from_parquet,
-        )
-
-        path = "/root/testdata/sf0.01/embeddings.parquet"
-        books = train_pq_codebooks_from_parquet(
-            path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
-        )
-        qs = read_query_vectors(path, max_id=20)
-        luts = adc_luts(np.stack([v for _, v in qs]), books)
-    except Exception:
-        return None
-    values = ",\n         ".join(
-        "({}, [{}])".format(
-            qid,
-            ", ".join(
-                "[" + ", ".join(repr(x) for x in luts[i, s]) + "]"
-                for s in range(_PQ_M)
-            ),
-        )
-        for i, (qid, _) in enumerate(qs)
-    )
-    dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(_PQ_M))
+    _, qs, luts = art
     return (
         ctes
         + f""", q(query_id, lut) AS (
-  VALUES {values}
+  VALUES {_sql_adc_values(qs, luts)}
 ), scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id, (0.0{dist}) AS dd
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_sql_adc_dist(_PQ_M)} AS dd
   FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, dd,
@@ -1180,26 +1205,19 @@ def _sql_ivfadc_topk() -> str | None:
     """Oracle: the IVF probe/assign CTEs (same centroids as ivf_topk) glued
     to the PQ code CTE and baked ADC LUTs — candidates via the cell
     equi-join, then the same left-to-right lookup sum as pq_topk."""
+    art = _pq_oracle_artifacts()
+    if art is None:
+        return None
     try:
-        import numpy as np
-
         from .operators.ivf import train_centroids_from_parquet
-        from .operators.pq import (
-            adc_luts,
-            read_query_vectors,
-            train_pq_codebooks_from_parquet,
-        )
 
-        path = "/root/testdata/sf0.01/embeddings.parquet"
-        cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
-        books = train_pq_codebooks_from_parquet(
-            path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+        cents = train_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            _IVF_K, _IVF_SEED, _IVF_SAMPLE,
         )
-        qs = read_query_vectors(path, max_id=20)
-        luts = adc_luts(np.stack([v for _, v in qs]), books)
     except Exception:
         return None
-    m, k, ds = books.shape
+    books, qs, luts = art
 
     def cdist(c) -> str:
         return "(0.0" + "".join(
@@ -1207,30 +1225,9 @@ def _sql_ivfadc_topk() -> str | None:
         ) + ")"
 
     coarse = "[" + ", ".join(cdist(c) for c in cents) + "]"
-
-    def sdist(s: int, j: int) -> str:
-        terms = "".join(
-            f" + (v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
-            f"*(v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
-            for t in range(ds)
-        )
-        return f"(0.0{terms})"
-
-    code_cols = ", ".join(
-        f"(list_position({'[' + ', '.join(sdist(s, j) for j in range(k)) + ']'}, "
-        f"list_min({'[' + ', '.join(sdist(s, j) for j in range(k)) + ']'})) - 1) AS c{s}"
-        for s in range(m)
-    )
-    values = ",\n         ".join(
-        "({}, [{}])".format(
-            qid,
-            ", ".join(
-                "[" + ", ".join(repr(x) for x in luts[i, s]) + "]" for s in range(m)
-            ),
-        )
-        for i, (qid, _) in enumerate(qs)
-    )
-    dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(m))
+    code_cols = _sql_pq_code_cols(books)
+    values = _sql_adc_values(qs, luts)
+    dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(_PQ_M))
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1469,12 +1466,18 @@ def user_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_SQL = """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS obs_rn
   FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), comp AS (
+  -- first observation always opens a version; afterwards NULL-safe change
+  -- detection (IS DISTINCT FROM), so a run of NULL attributes compresses
+  -- exactly like the operator's eqNullSafe (a bare `prev IS NULL` test
+  -- would wrongly keep every row of a NULL run)
   SELECT user_id, event_type, ts, event_id
   FROM ordered
-  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type
+  WHERE obs_rn = 1 OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id, event_type,
        epoch_us(ts) AS valid_from_us,
@@ -1843,7 +1846,10 @@ WITH ex AS (
 )
 SELECT vec_id,
        array_to_string(list(code ORDER BY i), ',') AS qvec,
-       round(sum(e * e) / 64, 9) AS mse,
+       -- ordered left-to-right fold, replaying Spark's F.aggregate
+       -- association exactly (list_reduce seeds with e1*e1 == 0.0 + e1*e1);
+       -- a bare sum(e*e) has engine-dependent accumulation order
+       round(list_reduce(list(e * e ORDER BY i), (a, b) -> a + b) / 64, 9) AS mse,
        round(max(abs(e)), 9) AS max_abs_err
 FROM err GROUP BY vec_id
 """
@@ -2423,24 +2429,40 @@ WHERE rn = 1
 """
 
 
+#: one JSONL copy per (source path, file fingerprint) per session — repeated
+#: harness/bench invocations reuse the immutable copy instead of leaking a
+#: fresh tempdir + full-table write each call (same discipline as the
+#: streaming staged-arrival cache).
+_JSONL_CACHE: dict[tuple, str] = {}
+
+
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format breadth: events written as JSON-lines and read back
     with an explicit schema must reproduce the parquet relation bit-for-bit
     (timestamps ride as integer epoch-micros — the lossless JSON encoding);
     the emitted per-type aggregate hash-matches the oracle computed on the
     ORIGINAL parquet, proving the round trip, not just the write."""
+    import os
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    work = tempfile.mkdtemp(prefix="gp_jsonl_")
-    path = f"{work}/events_jsonl"
-    ev.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("ts_us"),
-        "value",
-    ).write.mode("overwrite").json(path)
+    source = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(source)
+        key = (source, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (source, None, None)
+    path = _JSONL_CACHE.get(key)
+    if path is None or not os.path.exists(path):
+        path = f"{tempfile.mkdtemp(prefix='gp_jsonl_')}/events_jsonl"
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        ).write.mode("overwrite").json(path)
+        _JSONL_CACHE[key] = path
     back = spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, ts_us bigint, value double"
     ).json(path)
