@@ -1700,6 +1700,45 @@ SELECT event_id, {_sql_zorder_2d('a', 'b')}::BIGINT AS zkey FROM n
 """
 
 
+def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window verbs: per-customer order revenue ranked into
+    quartiles (ntile) with exact cumulative distribution (cume_dist) inside
+    each market segment — one shuffle on the segment, one sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue"), F.asc("o_custkey")
+    )
+    return rev.select(
+        F.col("o_custkey").alias("custkey"),
+        "c_mktsegment",
+        "revenue",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_share"),
+    )
+
+
+_QUARTILES_SQL = """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey, c_mktsegment, revenue,
+       ntile(4) OVER w::BIGINT AS quartile,
+       round(cume_dist() OVER w, 6) AS cum_share
+FROM rev JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY revenue DESC, o_custkey)
+"""
+
+
 def event_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: distinct users and distinct active days
     per event type (Spark expands distinct aggs into a two-phase plan)."""
@@ -2681,6 +2720,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
@@ -2759,6 +2799,7 @@ ORACLE_SQL = {
     "embedding_label_centroids": _LABEL_CENTROIDS_SQL,
     "embedding_quantize": _QUANTIZE_SQL,
     "top_docs_per_lang": _TOP_DOCS_SQL,
+    "customer_revenue_quartiles": _QUARTILES_SQL,
     "event_distinct_users_salted": _DISTINCT_USERS_SALTED_SQL,
     "order_segment_revenue_salted": _ORDER_SEGMENT_SALTED_SQL,
     "bucketed_join_roundtrip": _BUCKETED_ROUNDTRIP_SQL,
