@@ -2669,7 +2669,41 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+# Ordering contract: the driver's correctness gate records the FIRST 50 keys
+# of this dict.  Round 4's file covered the first 50 of the old ordering, so
+# the 26 entries that were appended later (streaming, multimodal, merge/DQ/
+# salted/pivot/zorder, GP fits) had no official green row.  Round 5 therefore
+# leads with exactly those 26 (plus any new round-5 queries), followed by the
+# 50 already recorded in CORRECTNESS_r04 — the union of r04+r05 covers all.
 QUERIES = {
+    # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "event_zorder_key": event_zorder_key,
+    "orders_upsert_merge": orders_upsert_merge,
+    "orders_dq_report": orders_dq_report,
+    "orders_profile": orders_profile,
+    "viewers_without_purchase": viewers_without_purchase,
+    "event_type_pivot": event_type_pivot,
+    "streaming_window_counts": streaming_window_counts,
+    "streaming_window_counts_append": streaming_window_counts_append,
+    "streaming_static_enrich": streaming_static_enrich,
+    "streaming_sessions": streaming_sessions,
+    "streaming_sessions_append": streaming_sessions_append,
+    "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_neardup": streaming_neardup,
+    "streaming_dedup": streaming_dedup,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_upsert": streaming_upsert,
+    "multimodal_binary_stats": multimodal_binary_stats,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "gpr_lineitem": gpr_lineitem,
+    "gpc_embeddings": gpc_embeddings,
+    # --- already green in CORRECTNESS_r04 (original order) ---
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "part_type_revenue": part_type_revenue,
@@ -2720,32 +2754,6 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
-    "customer_revenue_quartiles": customer_revenue_quartiles,
-    "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    "jsonl_roundtrip": jsonl_roundtrip,
-    "event_zorder_key": event_zorder_key,
-    "orders_upsert_merge": orders_upsert_merge,
-    "orders_dq_report": orders_dq_report,
-    "orders_profile": orders_profile,
-    "viewers_without_purchase": viewers_without_purchase,
-    "event_type_pivot": event_type_pivot,
-    "streaming_window_counts": streaming_window_counts,
-    "streaming_window_counts_append": streaming_window_counts_append,
-    "streaming_static_enrich": streaming_static_enrich,
-    "streaming_sessions": streaming_sessions,
-    "streaming_sessions_append": streaming_sessions_append,
-    "streaming_stateful_sessions": streaming_stateful_sessions,
-    "streaming_neardup": streaming_neardup,
-    "streaming_dedup": streaming_dedup,
-    "streaming_interval_join": streaming_interval_join,
-    "streaming_upsert": streaming_upsert,
-    "multimodal_binary_stats": multimodal_binary_stats,
-    "multimodal_decode_features": multimodal_decode_features,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "gpr_lineitem": gpr_lineitem,
-    "gpc_embeddings": gpc_embeddings,
 }
 
 ORACLE_SQL = {
