@@ -229,7 +229,17 @@ def gap_fill(
 
     Output: (key, bucket_start, n_events, bucket_value, filled_value) where
     bucket_value is NULL on gap rows and filled_value is LOCF.
+
+    ``bucket`` must be a simple ``"<n> <unit>"`` duration (seconds/minutes/
+    hours/days) — validated before it reaches ``F.expr``, since the string
+    is interpolated into the INTERVAL step expression.
     """
+    import re
+
+    if not re.fullmatch(r"\d+ (?:second|minute|hour|day)s?", bucket):
+        raise ValueError(
+            f"bucket {bucket!r} must look like '30 minutes' / '1 hour' / '2 days'"
+        )
     b = F.date_trunc("hour", F.col(ts)) if bucket == "1 hour" else F.window(
         F.col(ts), bucket
     )["start"]

@@ -27,10 +27,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Rule:
     """A named data-quality rule; ``violation`` is a boolean Column that is
-    TRUE for a violating row (row-level rules only)."""
+    TRUE for a violating row (row-level rules only).
+
+    ``eq=False``: ``violation`` is a pyspark Column, whose ``__eq__`` builds
+    an expression (and which is unhashable) — a generated ``__eq__/__hash__``
+    would raise the moment Rules were compared or put in a set."""
 
     name: str
     violation: Column | None = None
@@ -112,18 +116,35 @@ def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return out
 
 
-def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str], exact: bool = False, rsd: float = 0.05
+) -> DataFrame:
     """Long-format column profile: per column, row count, null count,
-    exact distinct count, and min/max (as strings, type-agnostic) — the
-    ANALYZE TABLE statistics pass, one aggregate over one scan."""
+    distinct count, and min/max (as strings, type-agnostic) — the
+    ANALYZE TABLE statistics pass, one aggregate over one scan.
+
+    ``exact=False`` (the default, the 100 TB path) estimates distincts with
+    ``approx_count_distinct`` (HyperLogLog++, relative error ``rsd``): every
+    per-column sketch folds inside ONE partial-aggregated pass over one
+    scan.  ``exact=True`` switches to ``count(DISTINCT col)`` — bit-exact
+    (what the DuckDB-oracle registry query uses), but multiple exact
+    distincts compile to an Expand that re-reads the scan once per column
+    and wide-shuffles each; reserve it for small profiling inputs.
+    """
     if not cols:
         raise ValueError("profile_table requires at least one column")
+
+    def distinct_agg(c: str):
+        if exact:
+            return F.countDistinct(c)
+        return F.approx_count_distinct(c, rsd)
+
     exprs = []
     for c in cols:
         exprs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            distinct_agg(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]

@@ -40,18 +40,28 @@ def dim_min_max(
 ) -> tuple[list[float], list[float]]:
     """Per-dimension (min, max) over the corpus as two driver-side lists.
 
-    One job: 2·d min/max aggregates, partially aggregated on the map side,
-    single-row result.  d is assumed driver-small (embedding dims are
-    O(100-1000)); the corpus itself never leaves the executors.
+    One job, O(1) plan expressions at ANY dimension: ``Summarizer`` folds
+    the whole vector per row into one (min, max) vector pair with map-side
+    partial aggregation.  (The previous 2·d named-aggregate form compiled
+    thousands of expressions at modern embedding dims of 1-4k.)  min/max
+    are summation-order-insensitive, so the DuckDB-oracle parity of the
+    downstream integer codes is unaffected.  ``dim`` is accepted for API
+    compatibility; the vector width is discovered by the aggregate itself.
     """
-    dim = dim if dim is not None else vector_dim(df, vec_col)
-    v = F.col(vec_col)
-    row = df.agg(
-        *[F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)],
-    ).first()
-    mins = [float(row[f"mn{i}"]) for i in range(dim)]
-    maxs = [float(row[f"mx{i}"]) for i in range(dim)]
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.stat import Summarizer
+
+    v = array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+    row = (
+        df.select(v.alias("_v"))
+        .select(Summarizer.metrics("min", "max").summary(F.col("_v")).alias("s"))
+        .select(F.col("s.min").alias("mn"), F.col("s.max").alias("mx"))
+        .first()
+    )
+    mins = [float(x) for x in row["mn"]]
+    maxs = [float(x) for x in row["mx"]]
+    if dim is not None and len(mins) != dim:
+        raise ValueError(f"vector width {len(mins)} != declared dim {dim}")
     return mins, maxs
 
 

@@ -881,8 +881,15 @@ _EMB_DIM = 64  # embeddings.parquet vector width (FIXTURES.md)
 def _sql_lsh_dot(plane) -> str:
     """Unrolled ⟨v, plane⟩ with the same left-to-right association as the
     Spark-side ``aggregate(zip_with(...))``, so the double-precision sum —
-    and therefore the sign — is bit-identical across engines."""
-    return "(0.0" + "".join(f" + v[{j + 1}]*({v!r})" for j, v in enumerate(plane)) + ")"
+    and therefore the sign — is bit-identical across engines.
+
+    All scalar bakes in these SQL builders go through ``float(...)`` first:
+    numpy >= 2.0 reprs np.float64(0.5) as 'np.float64(0.5)', which would
+    render invalid SQL (and, because the builders catch Exception and fall
+    back to rows-only, silently disable the oracle)."""
+    return "(0.0" + "".join(
+        f" + v[{j + 1}]*({float(v)!r})" for j, v in enumerate(plane)
+    ) + ")"
 
 
 def _sql_lsh_buckets(bits: int, tables: int, seed: int, src: str = "e") -> str:
@@ -935,7 +942,8 @@ def _sql_ivf_topk() -> str | None:
 
     def dist(c) -> str:
         return "(0.0" + "".join(
-            f" + (v[{j + 1}]-({v!r}))*(v[{j + 1}]-({v!r}))" for j, v in enumerate(c)
+            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
+            for j, v in enumerate(c)
         ) + ")"
 
     ds = "[" + ", ".join(dist(c) for c in cents) + "]"
@@ -1064,8 +1072,8 @@ def _sql_pq_sdist(books, s: int, j: int) -> str:
     """Squared L2 between subvector s and centroid j, left-to-right."""
     ds = books.shape[2]
     terms = "".join(
-        f" + (v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
-        f"*(v[{s * ds + t + 1}]-({books[s, j, t]!r}))"
+        f" + (v[{s * ds + t + 1}]-({float(books[s, j, t])!r}))"
+        f"*(v[{s * ds + t + 1}]-({float(books[s, j, t])!r}))"
         for t in range(ds)
     )
     return f"(0.0{terms})"
@@ -1078,7 +1086,8 @@ def _sql_adc_values(qs, luts) -> str:
         "({}, [{}])".format(
             qid,
             ", ".join(
-                "[" + ", ".join(repr(x) for x in luts[i, s]) + "]" for s in range(m)
+                "[" + ", ".join(repr(float(x)) for x in luts[i, s]) + "]"
+                for s in range(m)
             ),
         )
         for i, (qid, _) in enumerate(qs)
@@ -1109,7 +1118,7 @@ def _sql_pq_codes_cte() -> str | None:
     m, k, ds = books.shape
     err_cols = ", ".join(
         f"(v[{s * ds + t + 1}] - "
-        f"([{', '.join(repr(books[s, j, t]) for j in range(k))}])[c{s} + 1]) "
+        f"([{', '.join(repr(float(books[s, j, t])) for j in range(k))}])[c{s} + 1]) "
         f"AS e{s * ds + t + 1}"
         for s in range(m)
         for t in range(ds)
@@ -1221,7 +1230,8 @@ def _sql_ivfadc_topk() -> str | None:
 
     def cdist(c) -> str:
         return "(0.0" + "".join(
-            f" + (v[{j + 1}]-({x!r}))*(v[{j + 1}]-({x!r}))" for j, x in enumerate(c)
+            f" + (v[{j + 1}]-({float(x)!r}))*(v[{j + 1}]-({float(x)!r}))"
+            for j, x in enumerate(c)
         ) + ")"
 
     coarse = "[" + ", ".join(cdist(c) for c in cents) + "]"
@@ -1540,12 +1550,15 @@ SELECT 'foreign_key(o_custkey)',
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style column profile (operators/dq.py:profile_table): per
     column, rows / nulls / exact distinct / min / max in ONE aggregate over
-    one scan (long format so any width unions cleanly)."""
+    one scan (long format so any width unions cleanly).  ``exact=True``
+    here because the DuckDB oracle restates count(DISTINCT); production
+    profiling defaults to the approx_count_distinct (HLL++) path, which
+    folds every sketch into one partial-aggregated pass."""
     from .operators.dq import profile_table
 
     o = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    out = profile_table(o, cols)
+    out = profile_table(o, cols, exact=True)
     return out.select(
         "col",
         F.col("n_rows").cast("long").alias("n_rows"),
@@ -1671,10 +1684,17 @@ def event_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.sinks import zorder_key
 
     ev = load_table(spark, sf_dir, "events")
+    # pmod-normalize BOTH dimensions (not just user_id): a ts before the
+    # epoch date would otherwise be negative, and although zorder_key now
+    # masks inputs defensively, the oracle-parity contract is that both
+    # engines see the identical pre-normalized value
     z = zorder_key(
         [
             F.pmod(F.col("user_id"), F.lit(1 << 16)),
-            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))),
+            F.pmod(
+                F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01"))),
+                F.lit(1 << 16),
+            ),
         ],
         bits=16,
     )
@@ -1692,8 +1712,9 @@ def _sql_zorder_2d(a: str, b: str, bits: int = 16) -> str:
 _ZORDER_SQL = f"""
 WITH n AS (
   SELECT event_id,
-         (user_id % {1 << 16})::BIGINT AS a,
-         date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS b
+         (((user_id % {1 << 16}) + {1 << 16}) % {1 << 16})::BIGINT AS a,
+         (((date_diff('day', DATE '2024-01-01', ts::DATE) % {1 << 16})
+           + {1 << 16}) % {1 << 16})::BIGINT AS b
   FROM events
 )
 SELECT event_id, {_sql_zorder_2d('a', 'b')}::BIGINT AS zkey FROM n

@@ -96,6 +96,13 @@ def zorder_key(cols, bits: int = 16):
     ``2^bits`` first (e.g. ``pmod(hash-free key, 1 << bits)`` or a
     range-rank); total key width is ``bits * len(cols)`` ≤ 63.
 
+    Each input is defensively masked with ``& (2^bits − 1)`` before
+    interleaving: a negative or out-of-range input then aliases into the
+    valid range (two's-complement low bits) instead of silently corrupting
+    the key via sign-extending shifts.  Aliasing degrades CLUSTERING
+    quality only — the key stays a pure deterministic function, so scans
+    remain correct; fix the caller's normalization if it fires.
+
     Pure bitwise codegen (shiftleft/shiftright/AND/OR) — reproducible in
     ANSI SQL, zero shuffle beyond the final sort.
     """
@@ -104,7 +111,8 @@ def zorder_key(cols, bits: int = 16):
     n = len(cols)
     if bits * n > 63:
         raise ValueError(f"bits*len(cols) = {bits * n} exceeds signed-long range")
-    cs = [c.cast("long") for c in cols]
+    mask = F.lit((1 << bits) - 1).cast("long")
+    cs = [c.cast("long").bitwiseAND(mask) for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cs):

@@ -175,3 +175,40 @@ def test_gap_fill_spine_zero_fill_and_locf(spark):
     assert out[(10, 12)] == (0, None, 5.0)
     assert out[(10, 13)] == (1, 9.0, 9.0)
     assert out[(20, 9)] == (1, 1.0, 1.0)
+
+
+def test_gap_fill_non_hour_bucket(spark):
+    # exercises the F.window + INTERVAL-step branch (the '1 hour' fast path
+    # uses date_trunc instead)
+    from spark_gp_spark.operators.asof import gap_fill
+
+    rows = [
+        (1, 10, _ts("2024-01-01 10:05:00"), 4.0),   # bucket 10:00
+        (2, 10, _ts("2024-01-01 11:40:00"), 8.0),   # bucket 11:30; 3 gaps between
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp, value double"
+    )
+    out = {
+        (r.bucket_start.hour, r.bucket_start.minute): (r.n_events, r.filled_value)
+        for r in gap_fill(ev, bucket="30 minutes").collect()
+    }
+    assert out == {
+        (10, 0): (1, 4.0),
+        (10, 30): (0, 4.0),
+        (11, 0): (0, 4.0),
+        (11, 30): (1, 8.0),
+    }
+
+
+def test_gap_fill_rejects_malformed_bucket(spark):
+    import pytest
+
+    from spark_gp_spark.operators.asof import gap_fill
+
+    ev = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"), 1.0)],
+        "event_id bigint, user_id bigint, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        gap_fill(ev, bucket="1 hour); DROP TABLE x; --")

@@ -45,7 +45,35 @@ def test_profile_table(spark):
     df = spark.createDataFrame(
         [(1, "x"), (2, None), (2, "y")], "k bigint, s string"
     )
-    out = {r.col: r for r in dq.profile_table(df, ["k", "s"]).collect()}
+    out = {r.col: r for r in dq.profile_table(df, ["k", "s"], exact=True).collect()}
     assert out["k"].n_rows == 3 and out["k"].n_nulls == 0 and out["k"].n_distinct == 2
     assert out["k"].min_val == "1" and out["k"].max_val == "2"
     assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+
+
+def test_profile_table_approx_default(spark):
+    # HLL++ is exact at tiny cardinalities; the point here is the API default
+    # and that the approx plan has NO Expand node (exact multi-distinct
+    # multiplies the scan by the number of distinct aggregates)
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}") for i in range(100)], "k bigint, s string"
+    )
+    prof = dq.profile_table(df, ["k", "s"])  # exact defaults to False
+    out = {r.col: r for r in prof.collect()}
+    assert out["k"].n_rows == 100
+    assert abs(out["k"].n_distinct - 100) <= 5  # rsd=0.05
+    assert abs(out["s"].n_distinct - 7) <= 1
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        dq.profile_table(df, ["k", "s"], exact=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # documents exactly what approx avoids
+
+
+def test_rule_no_generated_eq():
+    # eq=False: a generated __eq__/__hash__ over the Column field would raise
+    r1, r2 = dq.not_null("a"), dq.not_null("a")
+    assert (r1 == r2) is False and (r1 == r1) is True  # identity, not field eq
+    assert len({r1, r2}) == 2  # hashable
