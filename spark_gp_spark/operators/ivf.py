@@ -32,22 +32,48 @@ from .similarity import norm, paired_cosine
 
 
 
+def hash_sample_vectors(
+    path: str,
+    sample_rows: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Deterministic UNBIASED training sample: the ``sample_rows`` rows with
+    the smallest Knuth multiplicative hash of their id (ties broken on id),
+    read via pyarrow — no Spark job.
+
+    'First N rows of one parquet file' is biased at corpus scale (files are
+    written in ingest/partition order, so a head sample over-represents one
+    shard or time range); hashing the id decouples selection from physical
+    layout while staying a pure function of the data, so the DuckDB-oracle
+    builders derive the IDENTICAL sample from the same file.  Rows are
+    returned in (hash, id) order — a deterministic order is required because
+    k-means seeding indexes into the sample."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=[id_col, vec_col])
+    ids = np.asarray(table.column(id_col).to_pylist(), dtype=np.int64)
+    h = ids.astype(np.uint64) * np.uint64(2654435761) % np.uint64(1 << 32)
+    order = np.lexsort((ids, h))[:sample_rows]
+    X = np.asarray(table.column(vec_col).to_pylist(), dtype=np.float64)
+    return X[order]
+
+
 def train_centroids_from_parquet(
     path: str, n_centroids: int = 16, seed: int = 5, sample_rows: int = 4000,
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Driver-side coarse quantizer: k-means over the first ``sample_rows``
-    of a parquet file via pyarrow + numpy (no Spark job — the sample is tiny
-    and the result must be reproducible OUTSIDE Spark so the correctness
-    oracle can derive the identical centroids).  Production-scale users with
-    evolving corpora can instead pass centroids from pyspark.ml KMeans; the
-    operator only needs the (k, d) array."""
-    import pyarrow.parquet as pq
-
+    """Driver-side coarse quantizer: k-means over a deterministic
+    hash-sample of a parquet file via pyarrow + numpy (no Spark job — the
+    sample is tiny and the result must be reproducible OUTSIDE Spark so the
+    correctness oracle can derive the identical centroids; see
+    ``hash_sample_vectors`` for why the sample is hash-selected rather than
+    a file-head slice).  Production-scale users with evolving corpora can
+    instead pass centroids from pyspark.ml KMeans; the operator only needs
+    the (k, d) array."""
     from ..active_set import _local_kmeans
 
-    table = pq.read_table(path, columns=[vec_col])
-    X = np.asarray(table.column(vec_col).to_pylist()[:sample_rows], dtype=np.float64)
+    X = hash_sample_vectors(path, sample_rows, vec_col)
     return np.round(_local_kmeans(X, n_centroids, seed), 6)
 
 

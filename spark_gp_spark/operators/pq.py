@@ -46,13 +46,13 @@ def train_pq_codebooks_from_parquet(
     sample_rows: int = 4000,
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """(m, k, d/m) codebooks: driver-side k-means per subspace over the
-    first ``sample_rows`` of a parquet file (pyarrow + numpy, no Spark job —
-    must be reproducible outside Spark for the correctness oracle)."""
-    import pyarrow.parquet as pq
+    """(m, k, d/m) codebooks: driver-side k-means per subspace over a
+    deterministic hash-sample of a parquet file (pyarrow + numpy, no Spark
+    job — must be reproducible outside Spark for the correctness oracle;
+    see ivf.hash_sample_vectors for the unbiased-sampling rationale)."""
+    from .ivf import hash_sample_vectors
 
-    table = pq.read_table(path, columns=[vec_col])
-    X = np.asarray(table.column(vec_col).to_pylist()[:sample_rows], dtype=np.float64)
+    X = hash_sample_vectors(path, sample_rows, vec_col)
     return train_pq_codebooks(X, m, k, seed)
 
 

@@ -120,3 +120,27 @@ def test_lsh_dim_param_skips_probe_job(spark, monkeypatch):
     assert pairs.columns == ["id_a", "id_b"]
     topk = S.lsh_bucketed_topk(emb, emb.limit(3), k=2, dim=64)
     assert "rank" in topk.columns
+
+
+def test_hash_sample_is_layout_independent(tmp_path):
+    # the training sample must be a pure function of the DATA, not of the
+    # file's physical row order (a head-slice sample is not)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_gp_spark.operators.ivf import hash_sample_vectors
+
+    rng = np.random.default_rng(0)
+    ids = np.arange(100, dtype=np.int64)
+    vecs = rng.normal(size=(100, 4))
+    perm = rng.permutation(100)
+    for name, order in [("a.parquet", np.arange(100)), ("b.parquet", perm)]:
+        t = pa.table(
+            {"vec_id": ids[order], "embedding": list(vecs[order])}
+        )
+        pq.write_table(t, str(tmp_path / name))
+    sa = hash_sample_vectors(str(tmp_path / "a.parquet"), 10)
+    sb = hash_sample_vectors(str(tmp_path / "b.parquet"), 10)
+    assert np.array_equal(sa, sb)
+    assert sa.shape == (10, 4)
