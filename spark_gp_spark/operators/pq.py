@@ -72,6 +72,60 @@ def train_pq_codebooks(
     return np.round(books, 6)
 
 
+def assign_cells_np(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """0-based nearest-centroid assignment replicating ivf._sq_dists_udf's
+    left-to-right dimension accumulation and first-min tie-break, so a
+    driver-side sample lands in the SAME cells Spark assigns (1-based cells
+    in ivf_assign_frame are this + 1)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[1]):  # left-to-right over dims
+        diff = X[:, j, None] - C[None, :, j]
+        acc = acc + diff * diff
+    return np.argmin(acc, axis=1)
+
+
+def probe_cells_np(X: np.ndarray, centroids: np.ndarray, nprobe: int) -> list[list[int]]:
+    """Per row, the 1-based ids of the ``nprobe`` nearest cells ordered by
+    (distance, cell index) — replicates ivf.ivf_probe_frame's array_sort of
+    (d, i) structs so driver-baked per-cell LUTs cover exactly the cells the
+    Spark probe join will produce."""
+    C = np.asarray(centroids, dtype=np.float64)
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for j in range(C.shape[1]):  # left-to-right over dims
+        diff = X[:, j, None] - C[None, :, j]
+        acc = acc + diff * diff
+    out = []
+    for r in range(X.shape[0]):
+        order = sorted(range(C.shape[0]), key=lambda i: (acc[r, i], i))[:nprobe]
+        out.append([i + 1 for i in order])
+    return out
+
+
+def train_pq_codebooks_residual_from_parquet(
+    path: str,
+    centroids: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 5,
+    sample_rows: int = 4000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, k, d/m) codebooks over RESIDUALS (vector − assigned coarse
+    centroid) — the encoding that makes IVFADC recall hold at high
+    compression (Jégou et al. 2011 §IV): residuals concentrate near zero,
+    so the same k centroids per subspace cover them far more densely than
+    they cover raw vectors.  Same deterministic hash-sample as the raw
+    trainer; reproducible outside Spark for the correctness oracle."""
+    from .ivf import hash_sample_vectors
+
+    X = hash_sample_vectors(path, sample_rows, vec_col)
+    cells = assign_cells_np(X, centroids)
+    R = X - np.asarray(centroids, dtype=np.float64)[cells]
+    return train_pq_codebooks(R, m, k, seed)
+
+
 def _encode_udf(codebooks: np.ndarray):
     """Arrow-batched pandas UDF: per vector, struct of (codes array<int>,
     reconstruction mse double).  Dimension accumulation is left-to-right
@@ -96,24 +150,96 @@ def _encode_udf(codebooks: np.ndarray):
     @F.pandas_udf(out_type)
     def encode(v: pd.Series) -> pd.DataFrame:
         X = np.asarray(v.tolist(), dtype=np.float64)  # (n, d)
-        n = X.shape[0]
-        codes = np.empty((n, m), dtype=np.int32)
-        sq = np.zeros(n, dtype=np.float64)
-        for s in range(m):
-            sub = X[:, s * ds : (s + 1) * ds]  # (n, ds)
-            acc = np.zeros((n, k), dtype=np.float64)
-            for j in range(ds):  # left-to-right over dims
-                diff = sub[:, j, None] - B[None, s, :, j]
-                acc = acc + diff * diff
-            cs = np.argmin(acc, axis=1)  # first-min ties, like SQL's (d, i) sort
-            codes[:, s] = cs
-            recon = B[s, cs]  # (n, ds)
-            for j in range(ds):  # same order as the SQL unrolled sum
-                e = sub[:, j] - recon[:, j]
-                sq = sq + e * e
+        codes, sq = _encode_batch(X, B)
         return pd.DataFrame({"codes": list(codes), "mse": sq / (m * ds)})
 
     return encode
+
+
+def _encode_batch(X: np.ndarray, B: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared encoding kernel: per row, subspace codes (first-min argmin over
+    left-to-right dim sums) and the summed squared reconstruction error —
+    the oracle-parity association (module docstring)."""
+    m, k, ds = B.shape
+    n = X.shape[0]
+    codes = np.empty((n, m), dtype=np.int32)
+    sq = np.zeros(n, dtype=np.float64)
+    for s in range(m):
+        sub = X[:, s * ds : (s + 1) * ds]  # (n, ds)
+        acc = np.zeros((n, k), dtype=np.float64)
+        for j in range(ds):  # left-to-right over dims
+            diff = sub[:, j, None] - B[None, s, :, j]
+            acc = acc + diff * diff
+        cs = np.argmin(acc, axis=1)  # first-min ties, like SQL's (d, i) sort
+        codes[:, s] = cs
+        recon = B[s, cs]  # (n, ds)
+        for j in range(ds):  # same order as the SQL unrolled sum
+            e = sub[:, j] - recon[:, j]
+            sq = sq + e * e
+    return codes, sq
+
+
+def _encode_residual_udf(codebooks: np.ndarray, centroids: np.ndarray):
+    """Arrow-batched pandas UDF for residual PQ: per vector, struct of
+    (cell int 1-based, codes array<int>, mse double).  The coarse
+    assignment uses the same left-to-right accumulation as ivf's
+    _sq_dists_udf, so the emitted cell matches ivf_assign_frame row for
+    row; codes then encode (vector − centroid[cell])."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    B = np.asarray(codebooks, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    m, k, ds = B.shape
+    out_type = StructType(
+        [
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("mse", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def encode(v: pd.Series) -> pd.DataFrame:
+        X = np.asarray(v.tolist(), dtype=np.float64)  # (n, d)
+        cells = assign_cells_np(X, C)
+        R = X - C[cells]
+        codes, sq = _encode_batch(R, B)
+        return pd.DataFrame(
+            {
+                "cell": (cells + 1).astype(np.int32),
+                "codes": list(codes),
+                "mse": sq / (m * ds),
+            }
+        )
+
+    return encode
+
+
+def pq_encode_residual(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell, codes array<int>, mse) — the IVFADC stored representation:
+    coarse cell plus PQ codes of the residual.  Pure projection, zero
+    shuffle; the cell column doubles as the inverted-file key."""
+    enc = _encode_residual_udf(codebooks, centroids)(
+        F.col(vec_col).cast("array<double>")
+    )
+    return df.select(F.col(id_col), enc.alias("_e")).select(
+        id_col,
+        F.col("_e.cell").alias("cell"),
+        F.col("_e.codes").alias("codes"),
+        F.round(F.col("_e.mse"), 9).alias("mse"),
+    )
 
 
 def pq_encode(
@@ -167,6 +293,27 @@ def adc_luts(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
         diff = sub[:, None, :] - B[None, s]  # (q, k, ds)
         luts[:, s, :] = np.einsum("qkd,qkd->qk", diff, diff)
     return luts
+
+
+def adc_luts_residual(
+    queries: np.ndarray,
+    probe_lists: list[list[int]],
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> list[tuple[int, list[list[float]]]]:
+    """Per (query row, probed cell) ADC lookup tables over the query
+    RESIDUAL (q − centroid[cell]): [(cell_1based, (m × k) lut), ...] per
+    query, flattened as [(row_index, cell, lut)].  Only probed cells get a
+    LUT — Q·nprobe tables, each m·k doubles; baked as literals on both
+    engines, so their internal summation order is parity-irrelevant."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    out = []
+    for r, cells in enumerate(probe_lists):
+        for cell in cells:
+            lut = adc_luts((Q[r] - C[cell - 1])[None, :], codebooks)[0]
+            out.append((r, cell, lut.tolist()))
+    return out
 
 
 def _luts_frame(codes: DataFrame, query_luts: list[tuple[int, list[list[float]]]]):
@@ -223,33 +370,40 @@ def pq_topk(
 
 
 def ivfadc_topk(
-    corpus: DataFrame,
-    queries_probe: DataFrame,
     codes: DataFrame,
-    query_luts: list[tuple[int, list[list[float]]]],
+    queries_probe: DataFrame,
+    query_cell_luts: list[tuple[int, int, list[list[float]]]],
     k: int = 5,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """IVF-pruned ADC top-k (the FAISS ``IVF…,PQ…`` composition, minus
-    residual encoding — codes are over raw vectors so the same codebooks
-    and oracle rendering serve both the flat ADC scan and this pruned one;
-    residual PQ is the noted next refinement).
+    """IVF-pruned ADC top-k with RESIDUAL encoding — the full FAISS
+    ``IVF…,PQ…`` composition (Jégou et al. 2011 §IV): corpus codes quantize
+    (vector − assigned centroid), and each probed (query, cell) pair gets
+    its own LUT over the query's residual against THAT cell's centroid.
 
-    Inputs: ``codes`` = pq_encode output (id, codes); ``queries_probe`` =
-    ivf.ivf_probe_frame output (query_id, cell) — nprobe rows per query;
-    ``corpus`` = ivf.ivf_assign_frame output (id, cell).  Candidates per
-    query ≈ nprobe·N/n_cells, each scored as m integer LUT lookups — the
-    sublinear-scan shape; the flat ``pq_topk`` is the recall ceiling.
+    Inputs: ``codes`` = pq_encode_residual output (id, cell, codes) — the
+    cell column doubles as the inverted file; ``queries_probe`` =
+    ivf.ivf_probe_frame output (query_id, cell), nprobe rows per query;
+    ``query_cell_luts`` = adc_luts_residual output [(query_id, cell, lut)].
+    Candidates per query ≈ nprobe·N/n_cells, each scored as m integer LUT
+    lookups joined on (query_id, cell) — still one equi-join plus a
+    broadcast, no Python at scan time; the flat ``pq_topk`` is the recall
+    ceiling (gated in tests/test_pq.py).
     """
-    luts_df, m = _luts_frame(codes, query_luts)
-    cand = (
-        corpus.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(queries_probe), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    spark = codes.sparkSession
+    m = len(query_cell_luts[0][2])
+    luts_df = spark.createDataFrame(
+        [(int(q), int(c), lut) for q, c, lut in query_cell_luts],
+        "query_id bigint, cell int, lut array<array<double>>",
     )
-    scored = cand.join(
-        codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
-    ).join(F.broadcast(luts_df), "query_id")
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(luts_df), "cell")  # inverted-file probe + LUT in one join
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    # queries_probe is implied by luts_df (same (query, cell) pairs); accept
+    # it for callers that probe with ivf_probe_frame and want the plan to
+    # assert agreement — join keeps only pairs present in BOTH
+    if queries_probe is not None:
+        scored = scored.join(F.broadcast(queries_probe), ["query_id", "cell"])
     return _adc_rank(scored, m, k)

@@ -1068,12 +1068,14 @@ def _pq_oracle_artifacts():
 _PQ_ARTIFACTS: object = "unset"
 
 
-def _sql_pq_sdist(books, s: int, j: int) -> str:
-    """Squared L2 between subvector s and centroid j, left-to-right."""
+def _sql_pq_sdist(books, s: int, j: int, var: str = "v") -> str:
+    """Squared L2 between subvector s and centroid j, left-to-right.
+    ``var`` is the SQL array the subvector indexes into (raw vector for
+    flat PQ, the residual array for IVFADC)."""
     ds = books.shape[2]
     terms = "".join(
-        f" + (v[{s * ds + t + 1}]-({float(books[s, j, t])!r}))"
-        f"*(v[{s * ds + t + 1}]-({float(books[s, j, t])!r}))"
+        f" + ({var}[{s * ds + t + 1}]-({float(books[s, j, t])!r}))"
+        f"*({var}[{s * ds + t + 1}]-({float(books[s, j, t])!r}))"
         for t in range(ds)
     )
     return f"(0.0{terms})"
@@ -1098,13 +1100,13 @@ def _sql_adc_dist(m: int) -> str:
     return "(0.0" + "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(m)) + ")"
 
 
-def _sql_pq_code_cols(books) -> str:
+def _sql_pq_code_cols(books, var: str = "v") -> str:
     """c0..c{m-1} code expressions replaying the Spark encoder bit-for-bit
     (left-to-right dim sums, first-min argmin via list_position/list_min)."""
     m, k, _ = books.shape
     return ", ".join(
-        f"(list_position({'[' + ', '.join(_sql_pq_sdist(books, s, j) for j in range(k)) + ']'}, "
-        f"list_min({'[' + ', '.join(_sql_pq_sdist(books, s, j) for j in range(k)) + ']'})) - 1) AS c{s}"
+        f"(list_position({'[' + ', '.join(_sql_pq_sdist(books, s, j, var) for j in range(k)) + ']'}, "
+        f"list_min({'[' + ', '.join(_sql_pq_sdist(books, s, j, var) for j in range(k)) + ']'})) - 1) AS c{s}"
         for s in range(m)
     )
 
@@ -1173,60 +1175,74 @@ FROM ranked WHERE rank <= 5"""
 
 
 def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ADC top-k (operators/pq.py:ivfadc_topk): coarse k-means
-    cells prune candidates to ≈ nprobe·N/cells, then each candidate scores
-    as m integer LUT lookups — the FAISS IVF+PQ composition, the sublinear
-    sketch-scan shape for 100 TB ANN.  Flat pq_topk is the recall ceiling;
-    tests/test_pq.py measures overlap."""
+    """IVF-pruned ADC top-k with RESIDUAL encoding (operators/pq.py:
+    ivfadc_topk): coarse k-means cells prune candidates to ≈ nprobe·N/cells;
+    corpus codes quantize (vector − assigned centroid), and each probed
+    (query, cell) pair scores through its own residual LUT as m integer
+    lookups — the full FAISS IVF+PQ composition (Jégou 2011 §IV), the
+    sublinear sketch-scan shape for 100 TB ANN.  Flat pq_topk is the recall
+    ceiling; tests/test_pq.py gates recall ≥ 0.9 against exact L2."""
     import numpy as np
 
-    from .operators.ivf import (
-        ivf_assign_frame,
-        ivf_probe_frame,
-        train_centroids_from_parquet,
-    )
+    from .operators.ivf import ivf_probe_frame, train_centroids_from_parquet
     from .operators.pq import (
-        adc_luts,
+        adc_luts_residual,
         ivfadc_topk as _ivfadc_topk,
-        pq_encode as _pq_encode,
+        pq_encode_residual,
+        probe_cells_np,
         read_query_vectors,
-        train_pq_codebooks_from_parquet,
+        train_pq_codebooks_residual_from_parquet,
     )
 
     path = f"{sf_dir}/embeddings.parquet"
     cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
-    books = train_pq_codebooks_from_parquet(path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE)
+    books = train_pq_codebooks_residual_from_parquet(
+        path, cents, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+    )
     qs = read_query_vectors(path, max_id=20)
-    luts = adc_luts(np.stack([v for _, v in qs]), books)
-    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+    Q = np.stack([v for _, v in qs])
+    probe_lists = probe_cells_np(Q, cents, _IVF_NPROBE)
+    luts = adc_luts_residual(Q, probe_lists, cents, books)
+    query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    cells = ivf_assign_frame(emb, F.col("vec_id"), vec, cents, "vec_id")
     probes = ivf_probe_frame(
         emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
         _IVF_NPROBE, "query_id",
     )
-    codes = _pq_encode(emb, books).select("vec_id", "codes")
-    return _ivfadc_topk(cells, probes, codes, query_luts, k=5)
+    codes = pq_encode_residual(emb, books, cents)
+    return _ivfadc_topk(codes, probes, query_cell_luts, k=5)
 
 
 def _sql_ivfadc_topk() -> str | None:
-    """Oracle: the IVF probe/assign CTEs (same centroids as ivf_topk) glued
-    to the PQ code CTE and baked ADC LUTs — candidates via the cell
-    equi-join, then the same left-to-right lookup sum as pq_topk."""
-    art = _pq_oracle_artifacts()
-    if art is None:
-        return None
+    """Oracle for RESIDUAL IVFADC: the IVF assign CTE (same centroids as
+    ivf_topk) feeds a residual array (v − centroid[cell], elementwise — the
+    identical single subtraction Spark's encode UDF performs), the PQ code
+    CTE encodes the residual, and the baked per-(query, cell) residual LUTs
+    join on (query_id, cell) — then the same left-to-right lookup sum as
+    pq_topk."""
     try:
-        from .operators.ivf import train_centroids_from_parquet
+        import numpy as np
 
-        cents = train_centroids_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet",
-            _IVF_K, _IVF_SEED, _IVF_SAMPLE,
+        from .operators.ivf import train_centroids_from_parquet
+        from .operators.pq import (
+            adc_luts_residual,
+            probe_cells_np,
+            read_query_vectors,
+            train_pq_codebooks_residual_from_parquet,
         )
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
+        books = train_pq_codebooks_residual_from_parquet(
+            path, cents, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+        )
+        qs = read_query_vectors(path, max_id=20)
+        Q = np.stack([v for _, v in qs])
+        probe_lists = probe_cells_np(Q, cents, _IVF_NPROBE)
+        luts = adc_luts_residual(Q, probe_lists, cents, books)
     except Exception:
         return None
-    books, qs, luts = art
 
     def cdist(c) -> str:
         return "(0.0" + "".join(
@@ -1235,33 +1251,40 @@ def _sql_ivfadc_topk() -> str | None:
         ) + ")"
 
     coarse = "[" + ", ".join(cdist(c) for c in cents) + "]"
-    code_cols = _sql_pq_code_cols(books)
-    values = _sql_adc_values(qs, luts)
+    cc = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+    ) + "]::DOUBLE[][]"
+    code_cols = _sql_pq_code_cols(books, var="r")
+    values = ",\n         ".join(
+        "({}, {}, [{}])".format(
+            int(qs[r][0]),
+            int(cell),
+            ", ".join(
+                "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in lut
+            ),
+        )
+        for r, cell, lut in luts
+    )
     dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(_PQ_M))
+    d = books.shape[0] * books.shape[2]
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), ad AS (
-  SELECT vec_id, {coarse} AS dsl FROM e
-), cb AS (
-  SELECT vec_id AS neighbor_id, list_position(dsl, list_min(dsl)) AS cell FROM ad
-), qb AS (
-  SELECT vec_id AS query_id,
-         unnest(list_transform(
-           list_sort(list_transform(range(1, {_IVF_K} + 1),
-                                    i -> {{'d': dsl[i], 'i': i}}))[1:{_IVF_NPROBE}],
-           s -> s.i)) AS cell
-  FROM ad WHERE vec_id < 20
-), cand AS (
-  SELECT DISTINCT query_id, neighbor_id
-  FROM qb JOIN cb USING (cell) WHERE query_id <> neighbor_id
+  SELECT vec_id, v, {coarse} AS dsl FROM e
+), ac AS (
+  SELECT vec_id, v, list_position(dsl, list_min(dsl)) AS cell FROM ad
+), rc AS (
+  SELECT vec_id AS neighbor_id, cell,
+         list_transform(range(1, {d + 1}), i -> v[i] - ({cc})[cell][i]) AS r
+  FROM ac
 ), c AS (
-  SELECT vec_id AS neighbor_id, {code_cols} FROM e
-), q(query_id, lut) AS (
+  SELECT neighbor_id, cell, {code_cols} FROM rc
+), q(query_id, cell, lut) AS (
   VALUES {values}
 ), scored AS (
-  SELECT cand.query_id, cand.neighbor_id, (0.0{dist}) AS dd
-  FROM cand JOIN c USING (neighbor_id) JOIN q USING (query_id)
+  SELECT q.query_id, c.neighbor_id, (0.0{dist}) AS dd
+  FROM c JOIN q USING (cell) WHERE c.neighbor_id <> q.query_id
 ), ranked AS (
   SELECT query_id, neighbor_id, dd,
          row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rank

@@ -82,32 +82,70 @@ def test_pq_topk_rank_determinism(spark, corpus):
         assert 1 <= r.rank <= 5 and r.neighbor_id != r.query_id
 
 
-def test_ivfadc_recall_on_planted_dups(spark, corpus):
-    """IVF pruning (4/16 cells probed) must not lose the planted base
-    vectors: a near-dup query lands in (or probes) its base's cell."""
-    from spark_gp_spark.operators.ivf import ivf_assign_frame, ivf_probe_frame
-    from spark_gp_spark.operators.pq import ivfadc_topk
+@pytest.fixture(scope="module")
+def residual_index(corpus):
+    """Coarse centroids + residual codebooks over the planted corpus."""
     from spark_gp_spark.active_set import _local_kmeans
-    import numpy as np
+    from spark_gp_spark.operators.pq import assign_cells_np
 
-    df, vecs, books = corpus
+    _, vecs, _ = corpus
     cents = np.round(_local_kmeans(vecs, 16, 5), 6)
+    R = vecs - cents[assign_cells_np(vecs, cents)]
+    books = train_pq_codebooks(R, m=M, k=K, seed=5)
+    return cents, books
+
+
+def test_ivfadc_residual_recall_on_planted_dups(spark, corpus, residual_index):
+    """Residual IVFADC (4/16 cells probed) must keep each planted base
+    vector in its near-dup query's top-5: IVF pruning must not lose the
+    base's cell, and residual quantization noise must stay far below the
+    planted 0.03σ perturbation."""
+    from spark_gp_spark.operators.ivf import ivf_probe_frame
+    from spark_gp_spark.operators.pq import (
+        adc_luts_residual,
+        ivfadc_topk,
+        pq_encode_residual,
+        probe_cells_np,
+    )
+
+    df, vecs, _ = corpus
+    cents, books = residual_index
     vec = F_col_array()
-    cells = ivf_assign_frame(df, vec("vec_id"), vec("embedding"), cents, "vec_id")
     qids = list(range(N_BASE, N_BASE + N_DUP))
+    probe_lists = probe_cells_np(vecs[qids], cents, 4)
+    luts = adc_luts_residual(vecs[qids], probe_lists, cents, books)
+    query_cell_luts = [(qids[r], cell, lut) for r, cell, lut in luts]
     probes = ivf_probe_frame(
         df.filter(vec("vec_id") < N_BASE + N_DUP).filter(vec("vec_id") >= N_BASE),
         vec("vec_id"), vec("embedding"), cents, 4, "query_id",
     )
-    codes = pq_encode(df, books).select("vec_id", "codes")
-    luts = adc_luts(vecs[qids], books)
-    query_luts = [(qid, luts[i].tolist()) for i, qid in enumerate(qids)]
-    out = ivfadc_topk(cells, probes, codes, query_luts, k=5)
+    codes = pq_encode_residual(df, books, cents)
+    out = ivfadc_topk(codes, probes, query_cell_luts, k=5)
     top = {}
     for r in out.collect():
         top.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(1 for qid in qids if (qid - N_BASE) in top.get(qid, set()))
     assert hits / N_DUP >= 0.9, f"ivfadc planted recall {hits / N_DUP:.2f} < 0.9"
+
+
+def test_residual_encoding_cuts_reconstruction_error(spark, corpus, residual_index):
+    """The point of residual PQ: quantizing (v − centroid[cell]) with the
+    same (m, k) budget reconstructs strictly better than quantizing raw
+    vectors, because residuals concentrate near zero (Jégou 2011 §IV)."""
+    from spark_gp_spark.operators.pq import pq_encode_residual
+
+    df, vecs, books_raw = corpus
+    cents, books_res = residual_index
+    raw_mse = (
+        pq_encode(df, books_raw).agg({"mse": "avg"}).first()[0]
+    )
+    res_mse = (
+        pq_encode_residual(df, books_res, cents).agg({"mse": "avg"}).first()[0]
+    )
+    assert res_mse < raw_mse, f"residual mse {res_mse:.5f} !< raw {raw_mse:.5f}"
+    # cells are 1-based and every row gets one
+    cells = [r.cell for r in pq_encode_residual(df, books_res, cents).collect()]
+    assert min(cells) >= 1 and max(cells) <= 16
 
 
 def F_col_array():
