@@ -1522,6 +1522,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def event_status_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 × as-of composition — the stated purpose of scd2_history
+    (operators/scd.py:6-7): purchase events enriched point-in-time against
+    the validity intervals of the user's NON-purchase activity state, i.e.
+    "what state was this user in when they bought".  The history build is
+    one shuffle on user_id (both window passes share it); the as-of join is
+    one more — the same plan a feature-store online-lookup backfill runs.
+
+    Zero-duration guard: if two versions ever opened at the same instant
+    (possible under ts ties), only the highest version is valid AT that
+    instant, so the history is deduped to max(version) per (user,
+    valid_from) before the join — making the as-of match deterministic by
+    construction rather than by data accident."""
+    from .operators.asof import asof_join
+    from .operators.scd import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") != "purchase")
+    hist = scd2_history(
+        changes, key="user_id", ts="ts", attr_cols=["event_type"],
+        tiebreak="event_id",
+    )
+    wv = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("version"))
+    hist1 = (
+        hist.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "valid_from",
+            "version",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, hist1, key="user_id", left_ts="ts", right_ts="valid_from",
+        payload_cols=["status", "version"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "status",
+        F.col("version").cast("long").alias("status_version"),
+    )
+
+
+_EVENT_STATUS_ASOF_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev,
+         row_number() OVER w AS obs_rn
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), comp AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM ordered
+  WHERE obs_rn = 1 OR prev IS DISTINCT FROM event_type
+), hist AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+           AS version
+  FROM comp
+), hist1 AS (
+  SELECT user_id, status, valid_from, version FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, valid_from ORDER BY version DESC) AS rn
+    FROM hist
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       h.status, h.version AS status_version
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN hist1 h ON p.user_id = h.user_id AND p.ts >= h.valid_from
+"""
+
+
 def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/dq.py): six rules over
     orders — all row-level + uniqueness rules fused into ONE aggregate pass,
@@ -2720,6 +2799,8 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leads with exactly those 26 (plus any new round-5 queries), followed by the
 # 50 already recorded in CORRECTNESS_r04 — the union of r04+r05 covers all.
 QUERIES = {
+    # --- new in round 5 ---
+    "event_status_asof": event_status_asof,
     # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
@@ -2834,6 +2915,7 @@ ORACLE_SQL = {
     "asof_next_view": _ASOF_FWD_SQL,
     "event_pair_interval_join": _INTERVAL_PAIR_SQL,
     "user_status_history": _SCD2_SQL,
+    "event_status_asof": _EVENT_STATUS_ASOF_SQL,
     "event_gap_fill": _GAP_FILL_SQL,
     "event_rolling_24h": _ROLLING_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),

@@ -23,9 +23,11 @@ which the batch oracle states over the same banding CTEs the
 
 Scale shape: one shuffle on (band, key); state is one long per DISTINCT
 bucket — orders of magnitude smaller than the corpus.  On an unbounded
-stream, bucket-count growth is bounded with a processing-time TTL on cold
-buckets (a recall trade documented here, not wired in the test harness,
-which replays a finite corpus).
+stream, bucket-count growth is bounded by passing ``ttl_ms``: a
+processing-time timeout drops buckets that have gone cold for that long
+(an explicit recall trade — a duplicate arriving later than the TTL after
+its original is no longer detected).  The finite-corpus harness runs
+without a TTL; tests/test_streaming_neardup.py exercises expiry.
 """
 
 from __future__ import annotations
@@ -45,20 +47,36 @@ NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
 NEARDUP_STATE_SCHEMA = "min_id bigint"
 
 
-def _neardup_state_func(
-    key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
-) -> Iterator[pd.DataFrame]:
-    """Per-(band, key) state machine: emit (doc, bucket-min-so-far) for every
-    doc with an earlier collider; carry the running min doc id."""
-    cur = int(state.get[0]) if state.exists else None
-    pdf = pd.concat(list(pdf_iter), ignore_index=True)
-    out: list[tuple[int, int]] = []
-    for d in sorted(int(x) for x in pdf["_id"]):
-        if cur is not None and cur < d:
-            out.append((d, cur))
-        cur = d if cur is None else min(cur, d)
-    state.update((int(cur),))
-    yield pd.DataFrame(out, columns=["doc_id", "dup_of"]).astype("int64")
+def _make_neardup_state_func(ttl_ms: int | None):
+    """Per-(band, key) state machine factory: emit (doc, bucket-min-so-far)
+    for every doc with an earlier collider; carry the running min doc id.
+    With ``ttl_ms``, a bucket whose group saw no data for that long is
+    dropped on the next micro-batch (hasTimedOut), bounding state on
+    unbounded streams."""
+
+    def func(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "dup_of": pd.Series(dtype="int64")}
+            )
+            return
+        cur = int(state.get[0]) if state.exists else None
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        out: list[tuple[int, int]] = []
+        for d in sorted(int(x) for x in pdf["_id"]):
+            if cur is not None and cur < d:
+                out.append((d, cur))
+            cur = d if cur is None else min(cur, d)
+        state.update((int(cur),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["doc_id", "dup_of"]).astype("int64")
+
+    return func
 
 
 def streaming_neardup_matches(
@@ -69,9 +87,22 @@ def streaming_neardup_matches(
     bands: int = 4,
     shingle_n: int = 3,
     seed: int = 7,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Per-band match log over a (streaming) documents frame: one
-    (doc_id, dup_of) row per band collision with an earlier document."""
+    (doc_id, dup_of) row per band collision with an earlier document.
+    ``ttl_ms`` bounds state on unbounded streams by expiring buckets idle
+    for that long (processing-time timeout; trades recall for bounded
+    state — see module docstring).
+
+    Driving caveat with ``ttl_ms``: ProcessingTimeTimeout makes the
+    stateful operator report shouldRunAnotherBatch unconditionally, so
+    under the default ASAP trigger the engine runs continuous no-data
+    micro-batches (each a state-store commit cycle) and
+    ``processAllAvailable()`` never returns.  Production TTL streams
+    should use a processing-time trigger (e.g. ``trigger(processingTime=
+    '1 minute')``) sized to the TTL, and synchronize on progress, not on
+    processAllAvailable — see tests/test_streaming_neardup.py."""
     # STAGE the signature as its own projection before banding: the band
     # struct references the signature 16 times, and Catalyst inlines (and
     # re-evaluates) non-aliased higher-order aggregates per reference — the
@@ -84,11 +115,11 @@ def streaming_neardup_matches(
         "_id", minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk")
     ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     return banded.groupBy("band", "key").applyInPandasWithState(
-        _neardup_state_func,
+        _make_neardup_state_func(ttl_ms),
         outputStructType=NEARDUP_OUT_SCHEMA,
         stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
     )
 
 

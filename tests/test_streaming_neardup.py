@@ -27,3 +27,85 @@ def test_streaming_neardup_matches_within_and_across_batches(spark, tmp_path):
     assert got[5] == 0
     # non-duplicates never emit
     assert 1 not in got and 3 not in got and 0 not in got
+
+
+def test_streaming_neardup_ttl_expires_cold_buckets(spark, tmp_path):
+    """With a processing-time TTL, a bucket idle past the deadline is
+    dropped, so a later exact duplicate of an expired document emits
+    NOTHING — the bounded-state recall trade, exercised end to end.
+
+    Driving note: with ProcessingTimeTimeout the stateful operator reports
+    shouldRunAnotherBatch unconditionally, so the engine spins no-data
+    micro-batches and ``processAllAvailable`` never returns — progress is
+    polled via recentProgress instead (same caveat documented on
+    streaming_neardup_matches)."""
+    import os
+    import shutil
+    import time
+
+    from spark_gp_spark.streaming.events import _state_partitions
+    from spark_gp_spark.streaming.neardup import (
+        NEARDUP_OUT_SCHEMA,
+        streaming_neardup_matches,
+    )
+
+    t_dup = "the quick brown fox jumps over the lazy dog tonight"
+    batches = [
+        [(0, t_dup),
+         (1, "completely unrelated text about spark streaming state")],
+        # the TTL no-data batches fire the timeout for batch 0's cold
+        # buckets on their own; this batch just adds unrelated churn
+        [(2, "third distinct document mentioning entirely other things")],
+        # exact dup of 0 — its bucket state has expired, so no emission
+        [(3, t_dup)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    matches = streaming_neardup_matches(stream, ttl_ms=100)
+    with _state_partitions(spark):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def wait_input_rows(expected_total: int, timeout_s: float = 120.0) -> None:
+        # recentProgress can report the SAME batchId twice (an early 0-row
+        # snapshot, then the real one) — keep the max per batch
+        t0, per_batch = time.time(), {}
+        while time.time() - t0 < timeout_s:
+            for p in q.recentProgress:
+                b = p["batchId"]
+                per_batch[b] = max(per_batch.get(b, 0), p["numInputRows"])
+            total = sum(per_batch.values())
+            if total >= expected_total:
+                return
+            time.sleep(0.2)
+        raise AssertionError(
+            f"only {sum(per_batch.values())}/{expected_total} rows processed"
+        )
+
+    try:
+        fed = 0
+        for i, rows in enumerate(batches):
+            if i:
+                time.sleep(1.0)  # let the 100 ms TTL deadline pass
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            staged = str(tmp_path / f"b{i}")
+            df.coalesce(1).write.parquet(staged)
+            part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(staged, part),
+                os.path.join(src, f"arrival-{i:04d}.parquet"),
+            )
+            fed += len(rows)
+            wait_input_rows(fed)
+    finally:
+        q.stop()
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
+    got = {r.doc_id: r.dup_of for r in log.collect()}
+    assert got == {}, f"expired bucket still matched: {got}"
