@@ -346,17 +346,6 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                     misses.append(x)
                     seen.add(key)
             if misses:
-                if stateful and pending_accept:
-                    # deferred: rewrite expert state at the last accepted
-                    # iterate only when another evaluation actually reads it
-                    # (the final accept of a run pays nothing)
-                    x_acc = pending_accept.pop()
-
-                    def upd(y, X, state, _x=x_acc, _factory=factory):
-                        return state_update_fn(y, X, _factory(), _x, state)
-
-                    experts.update_states(upd)
-                    self._fit_stats["state_updates"] += 1
                 def fn(y, X, state, _xs=tuple(misses), _factory=factory):
                     segs = []
                     for x in _xs:
@@ -370,7 +359,23 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
 
                 self._fit_stats["reductions"] += 1
                 self._fit_stats["evals"] += len(misses)
-                flat = experts.sum_over_experts_stateful(fn, len(misses) * seg_len)
+                if stateful and pending_accept:
+                    # deferred: rewrite expert state at the last accepted
+                    # iterate only when another evaluation actually reads it
+                    # (the final accept of a run pays nothing) — FUSED with
+                    # that evaluation's reduction so the accept path costs
+                    # one Spark job, not two (Experts.eval_and_update_states)
+                    x_acc = pending_accept.pop()
+
+                    def upd(y, X, state, _x=x_acc, _factory=factory):
+                        return state_update_fn(y, X, _factory(), _x, state)
+
+                    self._fit_stats["state_updates"] += 1
+                    flat = experts.eval_and_update_states(
+                        upd, fn, len(misses) * seg_len
+                    )
+                else:
+                    flat = experts.sum_over_experts_stateful(fn, len(misses) * seg_len)
                 for i, x in enumerate(misses):
                     seg = flat[i * seg_len : (i + 1) * seg_len]
                     cache[x.tobytes()] = (float(seg[0]), seg[1 : 1 + p].copy())

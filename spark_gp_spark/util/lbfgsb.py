@@ -92,6 +92,18 @@ def minimize_lbfgsb(
     if fun_batch is None:
         def fun_batch(xs):
             return [fun(x) for x in xs]
+    # Every point ever submitted to fun_batch: the memoized caller answers
+    # repeats for free, so a probe whose key is in here decides WITHOUT a
+    # distributed job.  The expansion loop uses this to consume the
+    # speculated doublings (see below) one cached prefix at a time.
+    evaluated: set[bytes] = set()
+    raw_fun_batch = fun_batch
+
+    def fun_batch(xs):  # noqa: F811 — deliberate wrap
+        for c in xs:
+            evaluated.add(np.asarray(c, dtype=np.float64).tobytes())
+        return raw_fun_batch(xs)
+
     x = _project(np.asarray(x0, dtype=np.float64).copy(), lower, upper)
     f, g = fun(x)
     s_hist: list[np.ndarray] = []
@@ -149,7 +161,25 @@ def minimize_lbfgsb(
                 s *= 0.5
             if not cands:
                 break
-            results = fun_batch(cands)
+            # Speculative expansion: on the FIRST backtracking round, ride
+            # the doubled and quadrupled steps along in the same batch.  The
+            # common accept-at-first-try iteration previously paid a second
+            # distributed job just to have its expansion probe rejected;
+            # with the doublings pre-evaluated (and memoized), that decision
+            # is free.  Results beyond the ladder are dropped here — the
+            # expansion loop below reads them from the cache.
+            spec: list[np.ndarray] = []
+            if tried == 0:
+                s_up, prev_up = steps[0], dxs[0]
+                for _ in range(2):
+                    s_up *= 2.0
+                    cand_up = _project(x + s_up * d, lower, upper)
+                    dx_up = cand_up - x
+                    if float(np.max(np.abs(dx_up - prev_up))) == 0.0:
+                        break
+                    spec.append(cand_up)
+                    prev_up = dx_up
+            results = fun_batch(cands + spec)[: len(cands)]
             tried += len(cands)
             for s_i, cand, dx, (fc, gc) in zip(steps, cands, dxs, results):
                 gdx = float(g @ dx)
@@ -170,15 +200,24 @@ def minimize_lbfgsb(
             # three-ahead; decisions stop at the first rejection, so the
             # accepted sequence equals the sequential doubling loop's.
             while True:
+                # Build the next probe round: a run of already-evaluated
+                # (speculated) doublings forms a cached prefix that decides
+                # with NO distributed job; the first unevaluated probe opens
+                # a classic 3-ahead batch instead.
                 probes = []
+                round_has_new = False
                 s, prev_dx = step, dx_acc
-                for _ in range(3):
+                while len(probes) < 3:
                     s2 = s * 2.0
                     cand2 = _project(x + s2 * d, lower, upper)
                     dx2 = cand2 - x
                     if float(np.max(np.abs(dx2 - prev_dx))) == 0.0:
                         break
+                    is_new = cand2.tobytes() not in evaluated
+                    if is_new and probes and not round_has_new:
+                        break  # decide the cached prefix first
                     probes.append((s2, cand2, dx2))
+                    round_has_new = round_has_new or is_new
                     s, prev_dx = s2, dx2
                 if not probes:
                     break
