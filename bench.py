@@ -209,9 +209,11 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "pq_topk",
+        "ivfadc_topk",
         "embedding_neardup_pairs",
         "embedding_quantize",
         "asof_purchases_views",
+        "event_status_asof",
         "event_pair_interval_join",
         "event_gap_fill",
         "orders_dq_report",

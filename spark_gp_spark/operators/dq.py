@@ -116,6 +116,47 @@ def dq_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return out
 
 
+def approx_percentiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    accuracy: int = 10000,
+    exact: bool = False,
+) -> DataFrame:
+    """Percentiles of ``value_col`` (optionally per group): the scale twin
+    of an exact ``percentile`` aggregate.
+
+    ``exact=False`` (default, the 100 TB path) uses ``percentile_approx``
+    (Greenwald-Khanna sketch, rank error ≤ 1/accuracy): sketches merge in
+    the map-side partial aggregate, so memory is O(accuracy·log n) per
+    group instead of buffering every value for an exact sort.  ``exact=
+    True`` switches to the interpolated exact ``percentile`` — what the
+    oracle-gated ``event_value_percentiles`` registry query uses; reserve
+    it for small groups.
+
+    Output: group cols + ``p<prob>`` columns (``p50``, ``p99``, ...).
+    """
+    if not probs:
+        raise ValueError("approx_percentiles requires at least one probability")
+    fn = "percentile" if exact else "percentile_approx"
+
+    def name(p: float) -> str:
+        return "p" + (f"{p * 100:g}".replace(".", "_"))
+
+    aggs = [
+        F.expr(
+            f"{fn}({value_col}, {float(p)!r})"
+            if exact
+            else f"{fn}({value_col}, {float(p)!r}, {int(accuracy)})"
+        ).alias(name(p))
+        for p in probs
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def profile_table(
     df: DataFrame, cols: list[str], exact: bool = False, rsd: float = 0.05
 ) -> DataFrame:

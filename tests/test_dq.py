@@ -77,3 +77,27 @@ def test_rule_no_generated_eq():
     r1, r2 = dq.not_null("a"), dq.not_null("a")
     assert (r1 == r2) is False and (r1 == r1) is True  # identity, not field eq
     assert len({r1, r2}) == 2  # hashable
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(("a" if i % 2 else "b"), float(i)) for i in range(1000)], "g string, v double"
+    )
+    approx = {
+        r.g: (r.p50, r.p99)
+        for r in dq.approx_percentiles(df, "v", [0.5, 0.99], ["g"]).collect()
+    }
+    exact = {
+        r.g: (r.p50, r.p99)
+        for r in dq.approx_percentiles(df, "v", [0.5, 0.99], ["g"], exact=True).collect()
+    }
+    for g in ("a", "b"):
+        # GK with accuracy 10k on n=500 is rank-exact; exact is interpolated,
+        # so allow one inter-element step of slack
+        assert math.isclose(approx[g][0], exact[g][0], abs_tol=2.5)
+        assert math.isclose(approx[g][1], exact[g][1], abs_tol=2.5)
+    # ungrouped path + column naming
+    row = dq.approx_percentiles(df, "v", [0.25]).first()
+    assert abs(row.p25 - 249.75) < 3

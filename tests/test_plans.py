@@ -122,3 +122,28 @@ def test_pq_and_interval_join_plan_shapes(spark):
     plan = _plan(pq_topk(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_ivfadc_residual_plan_is_equijoin_broadcast(spark):
+    """Residual IVFADC must stay: codes equi-joined to the broadcast
+    per-(query, cell) LUT table on the cell key — no cartesian, no
+    nested-loop scan of the corpus."""
+    from spark_gp_spark.queries import ivfadc_topk
+
+    plan = _plan(ivfadc_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # luts/probes ride broadcasts
+
+
+def test_event_status_asof_single_key_shuffle_shape(spark):
+    """The SCD2 x as-of composition: everything partitions on user_id —
+    no cartesian/BNLJ, and no single-partition funnel (a global window
+    would be the classic mistake here)."""
+    from spark_gp_spark.queries import event_status_asof
+
+    plan = _plan(event_status_asof(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
