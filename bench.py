@@ -246,6 +246,27 @@ def main() -> None:
         _warm(F.col("id").cast("double")).alias("x")
     ).agg({"x": "sum"}).collect()
 
+    # Environment calibration: fixed-work probes reported alongside the
+    # timings so per-round numbers can be compared across VMs of different
+    # speed (round-5 measurement: an identical trivial mapInPandas job
+    # costs 2-4x more on some driver VMs than others; without this anchor a
+    # hardware change reads as a code regression).
+    import statistics
+
+    base = spark.range(1_000_000).select(F.col("id").cast("double").alias("x"))
+    jvm_t, py_t = [], []
+    for _ in range(5):
+        t0 = time.time()
+        base.agg({"x": "sum"}).collect()
+        jvm_t.append(time.time() - t0)
+        t0 = time.time()
+        base.select(_warm(F.col("x")).alias("y")).agg({"y": "sum"}).collect()
+        py_t.append(time.time() - t0)
+    calibration = {
+        "jvm_agg_ms": round(statistics.median(jvm_t) * 1000, 1),
+        "pandas_udf_job_ms": round(statistics.median(py_t) * 1000, 1),
+    }
+
     timings: dict[str, float] = {}
     for name in bench_queries:
         fn = QUERIES[name]
@@ -254,6 +275,13 @@ def main() -> None:
         # force full materialization without driver transfer
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Isolate queries from each other: staged caches a query builds for
+        # itself are retired by the operators, but partially-retained blocks
+        # accumulate over a 38-query session and inflate later entries
+        # (measured: neardup_components 20.2 s in-suite vs 6.8 s isolated on
+        # the same VM).  Each timing should be the query's own steady-state
+        # cost, so drop all cached blocks between timed queries.
+        spark.catalog.clearCache()
 
     # The GP fit runs in the SAME session as the query suite.  Round 1
     # isolated it in a fresh session to dodge an apparent ~10x per-job
@@ -279,6 +307,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": calibration,
     }
     if fit_matrix is not None:
         result["fit_matrix"] = fit_matrix
