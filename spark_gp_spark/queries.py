@@ -241,8 +241,11 @@ _SQL_SW_EN = (
 )
 
 
-def _sql_text_stats_cte() -> str:
-    """Shared CTE computing the text_stats relation in DuckDB."""
+def _sql_text_stats_cte(prefix: str = "") -> str:
+    """Shared CTE computing the text_stats relation in DuckDB.  ``prefix``
+    renames the chain's CTEs (tok/scored/lang/stats) so it can be glued
+    into statements whose other CTE families use the same names (the
+    n-gram-Jaccard chain also defines ``tok``)."""
     sw = {
         lang: "len(list_filter(toks, t -> list_contains(["
         + ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
@@ -255,10 +258,11 @@ def _sql_text_stats_cte() -> str:
         + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in T.STOPWORDS)
         + " ELSE 'und' END"
     )
+    p = prefix
     return f"""
-WITH tok AS (
+WITH {p}tok AS (
   SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
-), scored AS (
+), {p}scored AS (
   SELECT doc_id, text, toks,
          length(text) AS n_chars,
          len(toks)::BIGINT AS n_tokens,
@@ -267,10 +271,10 @@ WITH tok AS (
          length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
            / greatest(length(text), 1) AS alpha,
          {sw['en']} AS s_en, {sw['de']} AS s_de, {sw['es']} AS s_es, {sw['fr']} AS s_fr
-  FROM tok
-), lang AS (
-  SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM scored
-), stats AS (
+  FROM {p}tok
+), {p}lang AS (
+  SELECT *, greatest(s_en, s_de, s_es, s_fr) AS best FROM {p}scored
+), {p}stats AS (
   SELECT doc_id, n_chars, n_tokens,
          round(mwl, 6) AS mean_word_len,
          round(alpha, 6) AS alpha_ratio,
@@ -280,7 +284,7 @@ WITH tok AS (
            + alpha * 0.25
            + least(s_en::DOUBLE / greatest(n_tokens, 1) * 2.5, 1.0) * 0.25, 6) AS quality,
          {lang_case} AS lang_pred
-  FROM lang
+  FROM {p}lang
 )
 """
 
@@ -780,6 +784,117 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components as propagation, so it shares the recursive-CTE oracle."""
     docs = load_table(spark, sf_dir, "documents")
     return D.neardup_components(docs, threshold=0.5, algorithm="star")
+
+
+def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection — the pipeline step AFTER near-dup
+    clustering: per connected component, keep the highest-QUALITY member
+    (ties break on lowest doc_id), not just the lowest id.  Composes
+    operators/dedup.py:neardup_components with the text quality heuristic
+    (operators/text.py:quality_score); one extra shuffle on the component
+    key beyond the clustering itself.  Output: one row per component."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = D.neardup_components(docs, threshold=0.5)
+    quality = T.text_stats(docs).select("doc_id", "quality")
+    joined = comps.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("component_size").cast("long").alias("component_size"),
+            F.col("doc_id").alias("canonical_doc"),
+            "quality",
+        )
+    )
+
+
+def _sql_neardup_canonical() -> str:
+    """Components recursive CTE + the text-stats quality CTE chain, glued;
+    canonical = max quality then min doc_id per component (QUALIFY)."""
+    stats_ctes = _sql_text_stats_cte(prefix="q_").lstrip().removeprefix("WITH ")
+    return (
+        "WITH RECURSIVE "
+        + _sql_ngram_jaccard_ctes()
+        + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), csize AS (
+  SELECT component, count(*) AS component_size FROM comp GROUP BY component
+),
+"""
+        + stats_ctes
+        + """
+SELECT c.component, s.component_size::BIGINT AS component_size,
+       st.doc_id AS canonical_doc, st.quality
+FROM comp c JOIN csize s USING (component) JOIN q_stats st USING (doc_id)
+QUALIFY row_number() OVER (
+  PARTITION BY c.component ORDER BY st.quality DESC, st.doc_id) = 1"""
+    )
+
+
+_NEARDUP_CANONICAL_SQL = _sql_neardup_canonical()
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the classic growth-analytics verb: users
+    cohorted by the Monday week of their first event; per (cohort, week-N)
+    the distinct active users and the retention fraction of the cohort.
+    Two shuffles (user-week distinct, then the cohort join reuses the user
+    partitioning); cohort sizes ride a broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    joined = wk.join(first, "user_id").withColumn(
+        "week_n", (F.datediff("week", "cohort_week") / 7).cast("long")
+    )
+    agg = joined.groupBy("cohort_week", "week_n").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return agg.join(F.broadcast(sizes), "cohort_week").select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_n",
+        "n_active",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+_RETENTION_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+  FROM first GROUP BY cohort_week
+), joined AS (
+  SELECT f.cohort_week, w.week, w.user_id,
+         ((w.week - f.cohort_week) / 7)::BIGINT AS week_n
+  FROM wk w JOIN first f USING (user_id)
+), agg AS (
+  SELECT cohort_week, week_n, count(DISTINCT user_id)::BIGINT AS n_active
+  FROM joined GROUP BY cohort_week, week_n
+)
+SELECT a.cohort_week::VARCHAR AS cohort_week, a.week_n, a.n_active,
+       round(a.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM agg a JOIN sizes s USING (cohort_week)
+"""
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2851,6 +2966,8 @@ QUERIES = {
     # --- new in round 5 ---
     "event_status_asof": event_status_asof,
     "orc_roundtrip": orc_roundtrip,
+    "neardup_canonical": neardup_canonical,
+    "user_retention_cohorts": user_retention_cohorts,
     # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
@@ -2955,6 +3072,8 @@ ORACLE_SQL = {
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "neardup_components": _NEARDUP_COMPONENTS_SQL,
     "neardup_components_star": _NEARDUP_COMPONENTS_SQL,
+    "neardup_canonical": _NEARDUP_CANONICAL_SQL,
+    "user_retention_cohorts": _RETENTION_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
