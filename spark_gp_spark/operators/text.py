@@ -388,3 +388,76 @@ def dup_ngram_fraction(
         F.sum(dup).cast("long").alias("n_dup_grams"),
         F.round(F.avg(dup), 6).alias("dup_fraction"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity ≥ ``threshold`` —
+    SPARSE lexical similarity through an inverted-index equi-join, the
+    BM25-family retrieval shape (vs the dense-embedding cosine of
+    operators/similarity.py).
+
+    Weights: w(d, t) = tf(d, t) · ln(N / df(t)) over the vocabulary of
+    tokens appearing in at most ``max_df_frac · N`` documents — dropping
+    near-ubiquitous tokens is BOTH the classic stopword cut and the scale
+    guard: candidate pairs per token grow as df², so the posting join's
+    cost is bounded by the df cap, never by corpus size alone.  Norms are
+    computed over the same vocabulary, so sim is a true cosine in the
+    capped space.
+
+    Plan: one shuffle for per-doc term counts, one for document
+    frequencies, one posting equi-join on the token (id_a < id_b), one
+    pair-level sum; norms ride two small joins.  The (doc, token, weight)
+    relation is persisted once and feeds norms + both join sides
+    (session-scoped retirement discipline, dedup.py:_retire_shingle_caches).
+
+    Output: (id_a, id_b, cosine round 6), cosine compared AFTER rounding
+    so engine-side last-ulp sum differences cannot flip the threshold.
+    """
+    n_docs = df.count()
+    max_df = int(n_docs * max_df_frac)
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= F.lit(max_df)
+    )
+    w = (
+        tf.join(dfreq, "t")
+        .select(
+            "_id",
+            "t",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        )
+        .persist()
+    )
+    from .dedup import _retire_shingle_caches
+
+    _retire_shingle_caches([w])
+    norm = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("_id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = w.select(F.col("_id").alias("id_b"), "t", F.col("w").alias("wb"))
+    num = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("num"))
+    )
+    na = norm.select(F.col("_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norm.select(F.col("_id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        num.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("num") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )

@@ -786,6 +786,41 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_components(docs, threshold=0.5, algorithm="star")
 
 
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity (operators/text.py:tfidf_cosine_pairs):
+    document pairs with TF-IDF cosine ≥ 0.3 through an inverted-index
+    equi-join with a df cap — the BM25-family retrieval shape, complementing
+    the dense-embedding cosine/LSH/IVF/PQ family.  Candidates per token are
+    bounded by the df cap (the stopword cut doubles as the scale guard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.5)
+
+
+_TFIDF_COSINE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS _id, unnest({_SQL_TOKENS}) AS t FROM documents
+), tf AS (
+  SELECT _id, t, count(*) AS tf FROM tok GROUP BY _id, t
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+  HAVING count(*) <= (SELECT count(*) // 2 FROM documents)
+), w AS (
+  SELECT _id, t,
+         tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS w
+  FROM tf JOIN dfreq USING (t)
+), nrm AS (
+  SELECT _id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY _id
+), num AS (
+  SELECT a._id AS id_a, b._id AS id_b, sum(a.w * b.w) AS num
+  FROM w a JOIN w b ON a.t = b.t AND a._id < b._id
+  GROUP BY a._id, b._id
+)
+SELECT id_a, id_b, round(num / (na.nrm * nb.nrm), 6) AS cosine
+FROM num JOIN nrm na ON num.id_a = na._id JOIN nrm nb ON num.id_b = nb._id
+WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3
+"""
+
+
 def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection — the pipeline step AFTER near-dup
     clustering: per connected component, keep the highest-QUALITY member
@@ -2968,6 +3003,7 @@ QUERIES = {
     "orc_roundtrip": orc_roundtrip,
     "neardup_canonical": neardup_canonical,
     "user_retention_cohorts": user_retention_cohorts,
+    "tfidf_cosine_pairs": tfidf_cosine_pairs,
     # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
@@ -3074,6 +3110,7 @@ ORACLE_SQL = {
     "neardup_components_star": _NEARDUP_COMPONENTS_SQL,
     "neardup_canonical": _NEARDUP_CANONICAL_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
+    "tfidf_cosine_pairs": _TFIDF_COSINE_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,

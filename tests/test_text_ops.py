@@ -78,3 +78,29 @@ def test_dup_ngram_fraction_cross_document(spark):
     assert abs(out[1].dup_fraction - 0.5) < 1e-9
     assert out[2].n_grams == 1 and out[2].n_dup_grams == 1
     assert out[3].n_grams == 1 and out[3].n_dup_grams == 0
+
+
+def test_tfidf_cosine_pairs_planted(spark):
+    from spark_gp_spark.operators.text import tfidf_cosine_pairs
+
+    rows = [
+        (0, "machine learning systems at scale with spark"),
+        (1, "machine learning systems at scale with spark"),        # exact dup of 0
+        (2, "deep learning systems at massive scale with spark"),   # near-dup of 0
+        (3, "cooking pasta requires salted boiling water tonight"), # unrelated
+        (4, "gardening tips for growing tomatoes in summer heat"),  # unrelated
+        (5, "quarterly financial report shows revenue growth"),     # unrelated
+        (6, "hiking boots and trail maps for mountain weekends"),   # unrelated
+        (7, "jazz piano chord voicings for beginning players"),     # unrelated
+    ]  # 8 docs -> max_df = 4, so tokens shared by docs 0/1/2 (df = 3) stay in vocab
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.cosine for r in
+           tfidf_cosine_pairs(docs, threshold=0.3).collect()}
+    assert out[(0, 1)] == 1.0                 # identical docs: cosine exactly 1
+    assert (0, 2) in out and out[(0, 2)] > 0.3
+    assert not any({3, 4} & {a, b} for a, b in out)  # unrelated never pair
+    # plan shape: posting equi-join, never a cartesian
+    plan = (tfidf_cosine_pairs(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
