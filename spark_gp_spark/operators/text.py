@@ -461,3 +461,77 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    max_query_id: int = 5,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval: documents with id < ``max_query_id`` act as the
+    fixed query set (their DISTINCT tokens are the query terms, qtf = 1);
+    every other document scores as
+
+        Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+        idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)
+
+    — the Robertson/Sparck-Jones formulation Lucene uses.  This is the
+    query-driven complement to the pairwise ``tfidf_cosine_pairs``: one
+    posting equi-join of the (broadcastable, fixed-size) query-term
+    relation against corpus postings, so scan cost is linear in N with Q
+    constant — the same scale contract as the dense ANN operators.
+
+    avgdl is derived from INTEGER totals (Σdl / N) so both engines compute
+    the identical double; ranks order by (round(score, 6) DESC, doc_id) —
+    shuffle-order ulp noise in the float sum cannot flip a rank.
+
+    Output: (query_id, doc_id, score round 6, rank ≤ k).
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    tf = toks.groupBy("_id", "t").agg(F.count("*").alias("tf")).persist()
+    from .dedup import _retire_shingle_caches
+
+    _retire_shingle_caches([tf])
+    dl = tf.groupBy("_id").agg(F.sum("tf").alias("dl"))
+    total_dl = dl.agg(F.sum("dl")).first()[0]
+    avgdl = float(total_dl) / float(n_docs)  # exact: integer / integer
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    qterms = (
+        tf.filter(F.col("_id") < max_query_id)
+        .select(F.col("_id").alias("query_id"), "t")
+        .distinct()
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .filter(F.col("_id") != F.col("query_id"))
+        .join(dfreq, "t")
+        .join(dl, "_id")
+        .groupBy("query_id", F.col("_id").alias("doc_id"))
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * F.lit(k1 + 1.0) / denom), 6
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

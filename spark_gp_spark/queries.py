@@ -821,6 +821,52 @@ WHERE round(num / (na.nrm * nb.nrm), 6) >= 0.3
 """
 
 
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-driven lexical retrieval (operators/text.py:bm25_topk): docs
+    with id < 5 act as fixed queries; every other doc ranks by BM25
+    (Robertson idf, k1 = 1.2, b = 0.75).  One broadcast posting equi-join —
+    linear in N with the query set constant, the same scale contract as
+    the dense ANN top-k family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, max_query_id=5, k=5)
+
+
+_BM25_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS _id, unnest({_SQL_TOKENS}) AS t FROM documents
+), tf AS (
+  SELECT _id, t, count(*) AS tf FROM tok GROUP BY _id, t
+), dl AS (
+  SELECT _id, sum(tf)::BIGINT AS dl FROM tf GROUP BY _id
+), consts AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+), dfreq AS (
+  SELECT t, count(*) AS df FROM tf GROUP BY t
+), q AS (
+  SELECT DISTINCT _id AS query_id, t FROM tf WHERE _id < 5
+), scored AS (
+  SELECT q.query_id, c._id AS doc_id,
+         round(sum(
+           ln((consts.n - df + 0.5) / (df + 0.5) + 1.0)
+           * c.tf * (1.2 + 1.0)
+           / (c.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / consts.avgdl)))
+         ), 6) AS score
+  FROM q JOIN tf c ON q.t = c.t AND c._id <> q.query_id
+  JOIN dfreq ON dfreq.t = c.t
+  JOIN dl ON dl._id = c._id
+  CROSS JOIN consts
+  GROUP BY q.query_id, c._id
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, (row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id))::BIGINT AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 def neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document selection — the pipeline step AFTER near-dup
     clustering: per connected component, keep the highest-QUALITY member
@@ -3004,6 +3050,7 @@ QUERIES = {
     "neardup_canonical": neardup_canonical,
     "user_retention_cohorts": user_retention_cohorts,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
+    "bm25_topk": bm25_topk,
     # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
@@ -3111,6 +3158,7 @@ ORACLE_SQL = {
     "neardup_canonical": _NEARDUP_CANONICAL_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "tfidf_cosine_pairs": _TFIDF_COSINE_SQL,
+    "bm25_topk": _BM25_TOPK_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,

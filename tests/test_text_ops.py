@@ -104,3 +104,22 @@ def test_tfidf_cosine_pairs_planted(spark):
             .executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_topk_retrieves_planted_match(spark):
+    from spark_gp_spark.operators.text import bm25_topk
+
+    rows = [
+        (0, "machine learning systems at scale"),                    # the query
+        (5, "machine learning systems at scale in production"),      # best match
+        (6, "deep learning for computer vision research"),           # partial
+        (7, "cooking pasta requires salted boiling water"),          # unrelated
+        (8, "gardening tips for growing tomatoes in summer"),        # unrelated
+        (9, "jazz piano chord voicings for beginners"),              # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, max_query_id=1, k=3).collect()
+    by_rank = {r.rank: r for r in out if r.query_id == 0}
+    assert by_rank[1].doc_id == 5        # the near-verbatim doc wins
+    assert by_rank[1].score > by_rank[2].score
+    assert all(r.doc_id != 0 for r in out)  # query never retrieves itself
