@@ -2487,6 +2487,74 @@ FROM sessioned GROUP BY user_id, session_seq
 """
 
 
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase funnel conversion per session-length bucket — the
+    product-analytics verb composed from sessionize (operators/asof.py):
+    a session converts when some purchase happens AT or AFTER its first
+    view (max-purchase-ts ≥ first-view-ts ⇔ such a purchase exists, so
+    one aggregate pass per session suffices).  Two shuffles total: the
+    sessionize window and the per-session aggregate share the user_id
+    partitioning; the bucket rollup is a 5-row aggregate."""
+    from .operators.asof import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev)
+    per = s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("lp"),
+    )
+    marked = per.select(
+        F.least(F.col("n_events"), F.lit(5)).cast("long").alias("session_len_bucket"),
+        F.col("fv").isNotNull().cast("int").alias("has_view"),
+        (
+            F.col("fv").isNotNull()
+            & F.col("lp").isNotNull()
+            & (F.col("lp") >= F.col("fv"))
+        ).cast("int").alias("converted"),
+    )
+    return marked.groupBy("session_len_bucket").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("n_with_view"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted") / F.nullif(F.sum("has_view"), F.lit(0)), 6
+        ).alias("view_purchase_rate"),
+    )
+
+
+_SESSION_FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessioned AS (
+  SELECT user_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+  FROM flagged
+), per AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         max(CASE WHEN event_type = 'purchase' THEN ts END) AS lp
+  FROM sessioned GROUP BY user_id, session_seq
+), marked AS (
+  SELECT least(n_events, 5)::BIGINT AS session_len_bucket,
+         (fv IS NOT NULL)::INT AS has_view,
+         (fv IS NOT NULL AND lp IS NOT NULL AND lp >= fv)::INT AS converted
+  FROM per
+)
+SELECT session_len_bucket, count(*)::BIGINT AS n_sessions,
+       sum(has_view)::BIGINT AS n_with_view,
+       sum(converted)::BIGINT AS n_converted,
+       round(sum(converted)::DOUBLE / nullif(sum(has_view), 0), 6)
+         AS view_purchase_rate
+FROM marked GROUP BY session_len_bucket
+"""
+
+
 def event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = windowed_event_aggregation(ev, window="1 hour")
@@ -3051,6 +3119,7 @@ QUERIES = {
     "user_retention_cohorts": user_retention_cohorts,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "bm25_topk": bm25_topk,
+    "session_funnel": session_funnel,
     # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
     "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
@@ -3159,6 +3228,7 @@ ORACLE_SQL = {
     "user_retention_cohorts": _RETENTION_SQL,
     "tfidf_cosine_pairs": _TFIDF_COSINE_SQL,
     "bm25_topk": _BM25_TOPK_SQL,
+    "session_funnel": _SESSION_FUNNEL_SQL,
     "simhash_signatures": _SIMHASH_SIG_SQL,
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
