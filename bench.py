@@ -200,6 +200,8 @@ def main() -> None:
         "doc_repetition",
         "dup_ngram_fraction",
         "token_pmi_pairs",
+        "tfidf_cosine_pairs",
+        "bm25_topk",
         "exact_dedup",
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
@@ -218,6 +220,7 @@ def main() -> None:
         "event_gap_fill",
         "orders_dq_report",
         "session_stats",
+        "session_funnel",
         "event_window_agg",
         "event_distinct_users_salted",
         "order_segment_revenue_salted",
