@@ -42,3 +42,36 @@ def test_scalar_quantize_with_precomputed_stats_runs_one_job(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Aggregate" not in plan and "Exchange" not in plan
     assert out.count() == 2
+
+
+def test_scalar_quantize_error_bound_property(spark):
+    """Hypothesis: for ANY corpus, per-dimension reconstruction error is at
+    most half a quantization step — the floor(x+0.5) rounding contract."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(-100, 100, allow_nan=False, width=64),
+                min_size=3, max_size=3,
+            ),
+            min_size=2, max_size=12,
+        )
+    )
+    def check(vecs):
+        X = np.asarray(vecs, dtype=np.float64)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+            "vec_id bigint, embedding array<double>",
+        )
+        out = scalar_quantize(df, levels=255).collect()
+        worst_step = max(
+            (float(X[:, j].max()) - float(X[:, j].min())) / 255 for j in range(3)
+        )
+        for r in out:
+            assert r.max_abs_err <= worst_step / 2 + 1e-9
+            assert all(0 <= c <= 255 for c in r.qvec)
+
+    check()
