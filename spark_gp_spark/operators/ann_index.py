@@ -1,0 +1,119 @@
+"""Persisted ANN index artifacts: train once, save, reuse across processes.
+
+The IVF/PQ trainers (operators/ivf.py, operators/pq.py) are deterministic
+and process-cached, but a real 100 TB pipeline trains its coarse centroids
+and PQ codebooks ONCE, persists them next to the encoded corpus, and every
+later query/encode job loads the few-KB artifact instead of re-scanning for
+a training sample — the same train/save/load discipline the GP models get
+from their MLWriter surface (estimator_base.py:216-275).  No reference
+counterpart (the reference is a GP library, /root/reference); this
+completes the north-star ANN surface.
+
+Format: one parquet file (pyarrow, float64-exact — parquet doubles round-
+trip bit-for-bit) with rows (kind, i, j, vec):
+
+- kind='centroids': i = centroid row, vec = (d,) centroid — rebuilds (k, d)
+- kind='codebooks': i = subspace, j = codebook row, vec = (d/m,) centroid —
+  rebuilds (m, k, d/m)
+
+plus a JSON params blob in the parquet schema metadata.  A directory-of-
+parquet layout (vs npz/pickle) keeps the artifact readable by ANY engine —
+Spark, DuckDB, pandas — and safe to ship to executors as a broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+_META_KEY = b"spark_gp_ann_index"
+
+
+def save_ann_index(
+    path: str,
+    *,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    params: dict | None = None,
+) -> str:
+    """Write centroids (k, d) and/or codebooks (m, k, d/m) plus ``params``
+    to ``path`` (a parquet file; parent dirs created).  Returns ``path``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if centroids is None and codebooks is None:
+        raise ValueError("nothing to save: pass centroids and/or codebooks")
+    kinds: list[str] = []
+    i_idx: list[int] = []
+    j_idx: list[int] = []
+    vecs: list[list[float]] = []
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        if C.ndim != 2:
+            raise ValueError(f"centroids must be (k, d), got shape {C.shape}")
+        for i, row in enumerate(C):
+            kinds.append("centroids")
+            i_idx.append(i)
+            j_idx.append(0)
+            vecs.append([float(x) for x in row])
+    if codebooks is not None:
+        B = np.asarray(codebooks, dtype=np.float64)
+        if B.ndim != 3:
+            raise ValueError(f"codebooks must be (m, k, d/m), got shape {B.shape}")
+        for s in range(B.shape[0]):
+            for j in range(B.shape[1]):
+                kinds.append("codebooks")
+                i_idx.append(s)
+                j_idx.append(j)
+                vecs.append([float(x) for x in B[s, j]])
+    table = pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "i": pa.array(i_idx, pa.int32()),
+            "j": pa.array(j_idx, pa.int32()),
+            "vec": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    meta = dict(table.schema.metadata or {})
+    meta[_META_KEY] = json.dumps(params or {}).encode()
+    table = table.replace_schema_metadata(meta)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    pq.write_table(table, path)
+    return path
+
+
+def load_ann_index(path: str) -> dict:
+    """Read an index written by ``save_ann_index``: returns a dict with any
+    of 'centroids' ((k, d) float64), 'codebooks' ((m, k, d/m) float64), and
+    'params' (the saved dict)."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path)
+    out: dict = {}
+    meta = table.schema.metadata or {}
+    out["params"] = json.loads(meta.get(_META_KEY, b"{}").decode())
+    kinds = table.column("kind").to_pylist()
+    i_idx = table.column("i").to_pylist()
+    j_idx = table.column("j").to_pylist()
+    vecs = table.column("vec").to_pylist()
+    cent_rows = {i: v for k_, i, v in zip(kinds, i_idx, vecs) if k_ == "centroids"}
+    if cent_rows:
+        out["centroids"] = np.asarray(
+            [cent_rows[i] for i in range(len(cent_rows))], dtype=np.float64
+        )
+    book_rows = {
+        (i, j): v
+        for k_, i, j, v in zip(kinds, i_idx, j_idx, vecs)
+        if k_ == "codebooks"
+    }
+    if book_rows:
+        m = max(i for i, _ in book_rows) + 1
+        k = max(j for _, j in book_rows) + 1
+        out["codebooks"] = np.asarray(
+            [[book_rows[(s, j)] for j in range(k)] for s in range(m)],
+            dtype=np.float64,
+        )
+    return out

@@ -236,9 +236,13 @@ def gap_fill(
     """
     import re
 
-    if not re.fullmatch(r"\d+ (?:second|minute|hour|day)s?", bucket):
+    if not re.fullmatch(
+        r"\d+ (?:microsecond|millisecond|second|minute|hour|day|week)s?", bucket
+    ):
         raise ValueError(
-            f"bucket {bucket!r} must look like '30 minutes' / '1 hour' / '2 days'"
+            f"bucket {bucket!r} must be '<n> <unit>' with unit in microseconds/"
+            "milliseconds/seconds/minutes/hours/days/weeks (the F.window duration"
+            " grammar), e.g. '30 minutes' / '1 hour' / '2 days'"
         )
     b = F.date_trunc("hour", F.col(ts)) if bucket == "1 hour" else F.window(
         F.col(ts), bucket

@@ -49,11 +49,18 @@ def train_pq_codebooks_from_parquet(
     """(m, k, d/m) codebooks: driver-side k-means per subspace over a
     deterministic hash-sample of a parquet file (pyarrow + numpy, no Spark
     job — must be reproducible outside Spark for the correctness oracle;
-    see ivf.hash_sample_vectors for the unbiased-sampling rationale)."""
-    from .ivf import hash_sample_vectors
+    see ivf.hash_sample_vectors for the pushed-down unbiased sampling).
+    Trained once per (file fingerprint, params) per process; persistable
+    via operators/ann_index.py."""
+    from .ivf import _cached_artifact, _file_fingerprint, hash_sample_vectors
 
-    X = hash_sample_vectors(path, sample_rows, vec_col)
-    return train_pq_codebooks(X, m, k, seed)
+    key = ("pq_books", path, _file_fingerprint(path), m, k, seed, sample_rows, vec_col)
+    return _cached_artifact(
+        key,
+        lambda: train_pq_codebooks(
+            hash_sample_vectors(path, sample_rows, vec_col), m, k, seed
+        ),
+    )
 
 
 def train_pq_codebooks(
@@ -117,13 +124,21 @@ def train_pq_codebooks_residual_from_parquet(
     compression (Jégou et al. 2011 §IV): residuals concentrate near zero,
     so the same k centroids per subspace cover them far more densely than
     they cover raw vectors.  Same deterministic hash-sample as the raw
-    trainer; reproducible outside Spark for the correctness oracle."""
-    from .ivf import hash_sample_vectors
+    trainer; reproducible outside Spark for the correctness oracle.
+    Trained once per (file fingerprint, params, centroids) per process;
+    persistable via operators/ann_index.py."""
+    from .ivf import _cached_artifact, _file_fingerprint, hash_sample_vectors
 
-    X = hash_sample_vectors(path, sample_rows, vec_col)
-    cells = assign_cells_np(X, centroids)
-    R = X - np.asarray(centroids, dtype=np.float64)[cells]
-    return train_pq_codebooks(R, m, k, seed)
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def build() -> np.ndarray:
+        X = hash_sample_vectors(path, sample_rows, vec_col)
+        cells = assign_cells_np(X, C)
+        return train_pq_codebooks(X - C[cells], m, k, seed)
+
+    key = ("pq_books_residual", path, _file_fingerprint(path), m, k, seed,
+           sample_rows, vec_col, C.tobytes())
+    return _cached_artifact(key, build)
 
 
 def _encode_udf(codebooks: np.ndarray):
@@ -265,18 +280,28 @@ def read_query_vectors(
     path: str, max_id: int = 20, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[tuple[int, np.ndarray]]:
     """The fixed query set (id < max_id) as driver-side vectors, read via
-    pyarrow so the correctness oracle can derive identical ADC tables."""
-    import pyarrow.parquet as pq
+    pyarrow so the correctness oracle can derive identical ADC tables.
+    The id predicate is pushed into the scan (row-group statistics prune
+    whole groups), so the driver materializes max_id rows, not the corpus;
+    cached per (file fingerprint, max_id)."""
+    from .ivf import _cached_artifact, _file_fingerprint
 
-    table = pq.read_table(path, columns=[id_col, vec_col])
-    ids = table.column(id_col).to_pylist()
-    vecs = table.column(vec_col).to_pylist()
-    out = [
-        (int(i), np.asarray(v, dtype=np.float64))
-        for i, v in zip(ids, vecs)
-        if i < max_id
-    ]
-    return sorted(out, key=lambda t: t[0])
+    def build() -> list[tuple[int, np.ndarray]]:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            path, columns=[id_col, vec_col], filters=[(id_col, "<", max_id)]
+        )
+        out = [
+            (int(i), np.asarray(v, dtype=np.float64))
+            for i, v in zip(
+                table.column(id_col).to_pylist(), table.column(vec_col).to_pylist()
+            )
+        ]
+        return sorted(out, key=lambda t: t[0])
+
+    key = ("query_vectors", path, _file_fingerprint(path), max_id, vec_col, id_col)
+    return _cached_artifact(key, build)
 
 
 def adc_luts(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -300,12 +325,15 @@ def adc_luts_residual(
     probe_lists: list[list[int]],
     centroids: np.ndarray,
     codebooks: np.ndarray,
-) -> list[tuple[int, list[list[float]]]]:
+) -> list[tuple[int, int, list[list[float]]]]:
     """Per (query row, probed cell) ADC lookup tables over the query
-    RESIDUAL (q − centroid[cell]): [(cell_1based, (m × k) lut), ...] per
-    query, flattened as [(row_index, cell, lut)].  Only probed cells get a
-    LUT — Q·nprobe tables, each m·k doubles; baked as literals on both
-    engines, so their internal summation order is parity-irrelevant."""
+    RESIDUAL (q − centroid[cell]), flattened as [(row_index, cell_1based,
+    (m × k) lut), ...].  The FIRST element is the query's ROW index into
+    ``queries``/``probe_lists`` — NOT a query id; callers must map it to
+    their id space (queries.py:ivfadc_topk does ``qs[r][0]``).  Only probed
+    cells get a LUT — Q·nprobe tables, each m·k doubles; baked as literals
+    on both engines, so their internal summation order is
+    parity-irrelevant."""
     C = np.asarray(centroids, dtype=np.float64)
     Q = np.asarray(queries, dtype=np.float64)
     out = []
@@ -390,20 +418,39 @@ def ivfadc_topk(
     broadcast, no Python at scan time; the flat ``pq_topk`` is the recall
     ceiling (gated in tests/test_pq.py).
     """
+    if not query_cell_luts:
+        raise ValueError(
+            "query_cell_luts is empty — adc_luts_residual produced no "
+            "(query, cell) tables; check the query set and probe_lists"
+        )
     spark = codes.sparkSession
     m = len(query_cell_luts[0][2])
     luts_df = spark.createDataFrame(
         [(int(q), int(c), lut) for q, c, lut in query_cell_luts],
         "query_id bigint, cell int, lut array<array<double>>",
     )
+    # queries_probe is implied by luts_df (same (query, cell) pairs); when a
+    # caller supplies its ivf_probe_frame output anyway, VERIFY agreement
+    # eagerly — a silent intersection would drop candidates and degrade
+    # recall instead of failing loudly.  Both frames are Q·nprobe rows, so
+    # the symmetric anti-join probe is one tiny job at plan-build time.
+    if queries_probe is not None:
+        lut_pairs = luts_df.select("query_id", "cell")
+        missing = (
+            queries_probe.join(lut_pairs, ["query_id", "cell"], "left_anti")
+            .unionByName(lut_pairs.join(queries_probe, ["query_id", "cell"], "left_anti"))
+            .limit(1)
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                "queries_probe and query_cell_luts disagree on the probed "
+                "(query_id, cell) pairs — the LUTs were built from a "
+                "different probe list than the Spark-side ivf_probe_frame"
+            )
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(luts_df), "cell")  # inverted-file probe + LUT in one join
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    # queries_probe is implied by luts_df (same (query, cell) pairs); accept
-    # it for callers that probe with ivf_probe_frame and want the plan to
-    # assert agreement — join keeps only pairs present in BOTH
-    if queries_probe is not None:
-        scored = scored.join(F.broadcast(queries_probe), ["query_id", "cell"])
     return _adc_rank(scored, m, k)

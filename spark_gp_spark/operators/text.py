@@ -395,7 +395,8 @@ def tfidf_cosine_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.3,
-    max_df_frac: float = 0.5,
+    max_df: int = 1000,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine similarity ≥ ``threshold`` —
     SPARSE lexical similarity through an inverted-index equi-join, the
@@ -403,12 +404,19 @@ def tfidf_cosine_pairs(
     operators/similarity.py).
 
     Weights: w(d, t) = tf(d, t) · ln(N / df(t)) over the vocabulary of
-    tokens appearing in at most ``max_df_frac · N`` documents — dropping
-    near-ubiquitous tokens is BOTH the classic stopword cut and the scale
-    guard: candidate pairs per token grow as df², so the posting join's
-    cost is bounded by the df cap, never by corpus size alone.  Norms are
-    computed over the same vocabulary, so sim is a true cosine in the
-    capped space.
+    tokens appearing in at most ``max_df`` documents.  The cap is an
+    ABSOLUTE count, and it is the scale bound: the posting self-join emits
+    at most df(t)² pair rows per token, so total candidates are bounded by
+    Σ_capped df² ≤ |vocab| · max_df² — independent of corpus size.  (A
+    RELATIVE cap like 0.5·N is a stopword cut but NOT a scale bound: a
+    token in half the corpus still yields O(N²/4) pairs from one posting
+    list — the all-pairs-similarity literature caps absolutely for exactly
+    this reason, e.g. Bayardo et al. 2007, whose prefix-filtering
+    refinement ngram_jaccard_pairs(prefix=True) implements for set
+    similarity.)  ``max_df_frac``, when given, OVERRIDES ``max_df`` with
+    ceil(frac·N) — an explicit small-corpus convenience, not a scale
+    setting.  Norms are computed over the same capped vocabulary, so sim
+    is a true cosine in that space.
 
     Plan: one shuffle for per-doc term counts, one for document
     frequencies, one posting equi-join on the token (id_a < id_b), one
@@ -420,7 +428,10 @@ def tfidf_cosine_pairs(
     so engine-side last-ulp sum differences cannot flip the threshold.
     """
     n_docs = df.count()
-    max_df = int(n_docs * max_df_frac)
+    if max_df_frac is not None:
+        import math
+
+        max_df = int(math.ceil(n_docs * max_df_frac))
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("t")
     )

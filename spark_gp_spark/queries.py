@@ -706,6 +706,27 @@ GROUP BY r.doc_id
 _STREAM_NEARDUP_SQL = _sql_streaming_neardup()
 
 
+def streaming_neardup_event_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup through the EVENT-time TTL path (streaming/
+    neardup.py): each doc carries the synthetic event time _TS_EPOCH +
+    doc_id seconds, the stream is watermarked (0 delay), and bucket state
+    expires via EventTimeTimeout — the replayable production expiry for
+    unbounded streams (processing-time TTL depends on wall clock and spins
+    no-data batches; event time is a pure function of the data).  The TTL
+    here (2× the corpus id span) provably never fires — the watermark can
+    never reach last_ts + ttl — so the emitted relation equals the no-TTL
+    banding oracle while the watermark/timeout machinery runs end to end;
+    EXPIRY semantics are pytest-gated with controlled timestamps
+    (tests/test_streaming_neardup.py::test_streaming_neardup_event_time_
+    ttl_expiry)."""
+    from .streaming.neardup import run_streaming_neardup
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    return run_streaming_neardup(
+        spark, sf_dir, ttl_ms=2 * (n_docs + 1) * 1000, event_time=True
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via inverted-index equi-join
     (operators/dedup.py) — the no-miss complement to the MinHash LSH
@@ -786,14 +807,24 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_components(docs, threshold=0.5, algorithm="star")
 
 
+#: absolute document-frequency cap for the tfidf registry query: tokens in
+#: more than this many documents are cut from the vocabulary.  250 =
+#: 0.5·N at the sf0.01 oracle fixture (result-identical to the former
+#: relative cap there) while being a REAL scale bound: candidate pairs
+#: are ≤ |vocab|·250² at any corpus size.
+_TFIDF_MAX_DF = 250
+
+
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse lexical similarity (operators/text.py:tfidf_cosine_pairs):
     document pairs with TF-IDF cosine ≥ 0.3 through an inverted-index
-    equi-join with a df cap — the BM25-family retrieval shape, complementing
-    the dense-embedding cosine/LSH/IVF/PQ family.  Candidates per token are
-    bounded by the df cap (the stopword cut doubles as the scale guard)."""
+    equi-join with an ABSOLUTE df cap — the BM25-family retrieval shape,
+    complementing the dense-embedding cosine/LSH/IVF/PQ family.  Candidate
+    pairs per token are bounded by max_df² regardless of corpus size (the
+    stopword cut doubles as the scale guard; a relative cap would not
+    bound the posting join at 100×)."""
     docs = load_table(spark, sf_dir, "documents")
-    return T.tfidf_cosine_pairs(docs, threshold=0.3, max_df_frac=0.5)
+    return T.tfidf_cosine_pairs(docs, threshold=0.3, max_df=_TFIDF_MAX_DF)
 
 
 _TFIDF_COSINE_SQL = f"""
@@ -803,7 +834,7 @@ WITH tok AS (
   SELECT _id, t, count(*) AS tf FROM tok GROUP BY _id, t
 ), dfreq AS (
   SELECT t, count(*) AS df FROM tf GROUP BY t
-  HAVING count(*) <= (SELECT count(*) // 2 FROM documents)
+  HAVING count(*) <= {_TFIDF_MAX_DF}
 ), w AS (
   SELECT _id, t,
          tf * ln((SELECT count(*) FROM documents)::DOUBLE / df) AS w
@@ -2884,11 +2915,36 @@ WHERE rn = 1
 """
 
 
-#: one JSONL copy per (source path, file fingerprint) per session — repeated
-#: harness/bench invocations reuse the immutable copy instead of leaking a
-#: fresh tempdir + full-table write each call (same discipline as the
-#: streaming staged-arrival cache).
-_JSONL_CACHE: dict[tuple, str] = {}
+#: derived-copy staleness tracker: source path → (mtime, size) fingerprint of
+#: the parquet the copy was built from.  The copy itself lives at ONE
+#: deterministic location per (kind, source path), so repeated harness/bench
+#: invocations — and even fresh processes — reuse it; a changed fingerprint
+#: rewrites IN PLACE (mode("overwrite")) instead of leaking a new tempdir
+#: per key the way a mkdtemp-per-fingerprint cache did.
+_DERIVED_COPY_FPRINT: dict[tuple, tuple] = {}
+
+
+def _derived_copy_path(kind: str, source: str) -> tuple[str, bool]:
+    """(deterministic target dir, is_fresh) for a derived copy of ``source``.
+
+    ``is_fresh`` is True when the copy at the target is already built from
+    the CURRENT source fingerprint — callers skip the write; False means
+    write with mode("overwrite") (which also heals a partially-written or
+    externally-deleted target)."""
+    import hashlib
+    import os
+    import tempfile
+
+    try:
+        st = os.stat(source)
+        fprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fprint = (None, None)
+    tag = hashlib.md5(source.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"gp_{kind}_{tag}")
+    fresh = _DERIVED_COPY_FPRINT.get((kind, source)) == fprint and os.path.exists(path)
+    _DERIVED_COPY_FPRINT[(kind, source)] = fprint
+    return path, fresh
 
 
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2897,19 +2953,10 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (timestamps ride as integer epoch-micros — the lossless JSON encoding);
     the emitted per-type aggregate hash-matches the oracle computed on the
     ORIGINAL parquet, proving the round trip, not just the write."""
-    import os
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events")
     source = f"{sf_dir}/events.parquet"
-    try:
-        st = os.stat(source)
-        key = (source, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (source, None, None)
-    path = _JSONL_CACHE.get(key)
-    if path is None or not os.path.exists(path):
-        path = f"{tempfile.mkdtemp(prefix='gp_jsonl_')}/events_jsonl"
+    path, fresh = _derived_copy_path("jsonl", source)
+    if not fresh:
         ev.select(
             "event_id",
             "user_id",
@@ -2917,7 +2964,6 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
             "value",
         ).write.mode("overwrite").json(path)
-        _JSONL_CACHE[key] = path
     back = spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, ts_us bigint, value double"
     ).json(path)
@@ -2937,9 +2983,6 @@ FROM events GROUP BY event_type
 """
 
 
-_ORC_CACHE: dict[tuple, str] = {}
-
-
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-format breadth: orders written as ORC (zlib, Spark's native
     columnar alternative to parquet) and read back must reproduce the
@@ -2948,24 +2991,14 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals-as-doubles, and strings survive losslessly).  ORC rides the
     same vectorized reader/pushdown machinery as parquet, so downstream
     plans are unchanged."""
-    import os
-    import tempfile
-
     o = load_table(spark, sf_dir, "orders")
     source = f"{sf_dir}/orders.parquet"
-    try:
-        st = os.stat(source)
-        key = (source, st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (source, None, None)
-    path = _ORC_CACHE.get(key)
-    if path is None or not os.path.exists(path):
-        path = f"{tempfile.mkdtemp(prefix='gp_orc_')}/orders_orc"
+    path, fresh = _derived_copy_path("orc", source)
+    if not fresh:
         o.select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority",
         ).write.mode("overwrite").orc(path)
-        _ORC_CACHE[key] = path
     back = spark.read.orc(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
@@ -3141,6 +3174,8 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # leads with exactly those 26 (plus any new round-5 queries), followed by the
 # 50 already recorded in CORRECTNESS_r04 — the union of r04+r05 covers all.
 QUERIES = {
+    # --- new in round 6 ---
+    "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
     # --- new in round 5 ---
     "event_status_asof": event_status_asof,
     "orc_roundtrip": orc_roundtrip,
@@ -3307,6 +3342,7 @@ ORACLE_SQL = {
     "streaming_sessions_append": _STREAM_SESSION_APPEND_SQL,
     "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,
     "streaming_neardup": _STREAM_NEARDUP_SQL,
+    "streaming_neardup_event_ttl": _STREAM_NEARDUP_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "streaming_upsert": _STREAM_UPSERT_SQL,

@@ -47,12 +47,15 @@ NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
 NEARDUP_STATE_SCHEMA = "min_id bigint"
 
 
-def _make_neardup_state_func(ttl_ms: int | None):
+def _make_neardup_state_func(ttl_ms: int | None, event_time: bool = False):
     """Per-(band, key) state machine factory: emit (doc, bucket-min-so-far)
     for every doc with an earlier collider; carry the running min doc id.
-    With ``ttl_ms``, a bucket whose group saw no data for that long is
-    dropped on the next micro-batch (hasTimedOut), bounding state on
-    unbounded streams."""
+    With ``ttl_ms``, a cold bucket is dropped on timeout (hasTimedOut),
+    bounding state on unbounded streams; ``event_time`` switches the
+    deadline from a processing-time duration to an EVENT-time timestamp
+    (bucket's max event time + ttl), fired when the WATERMARK passes it —
+    the replayable, wall-clock-free expiry (see
+    streaming_neardup_matches)."""
 
     def func(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
@@ -73,7 +76,17 @@ def _make_neardup_state_func(ttl_ms: int | None):
             cur = d if cur is None else min(cur, d)
         state.update((int(cur),))
         if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+            if event_time:
+                # deadline = this bucket's max event time + TTL; the engine
+                # fires it when the watermark passes — clamped one ms above
+                # the current watermark so a bucket fed entirely by late
+                # data expires on the NEXT watermark advance instead of
+                # crashing setTimeoutTimestamp's timestamp<=watermark check
+                last_ms = int(pd.Series(pdf["_ts"]).max().value // 1_000_000)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "dup_of"]).astype("int64")
 
     return func
@@ -88,39 +101,69 @@ def streaming_neardup_matches(
     shingle_n: int = 3,
     seed: int = 7,
     ttl_ms: int | None = None,
+    ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Per-band match log over a (streaming) documents frame: one
     (doc_id, dup_of) row per band collision with an earlier document.
-    ``ttl_ms`` bounds state on unbounded streams by expiring buckets idle
-    for that long (processing-time timeout; trades recall for bounded
-    state — see module docstring).
+    ``ttl_ms`` bounds state on unbounded streams by expiring cold buckets
+    (trades recall for bounded state — see module docstring), in one of
+    two clocks:
 
-    Driving caveat with ``ttl_ms``: ProcessingTimeTimeout makes the
-    stateful operator report shouldRunAnotherBatch unconditionally, so
-    under the default ASAP trigger the engine runs continuous no-data
-    micro-batches (each a state-store commit cycle) and
-    ``processAllAvailable()`` never returns.  Production TTL streams
-    should use a processing-time trigger (e.g. ``trigger(processingTime=
-    '1 minute')``) sized to the TTL, and synchronize on progress, not on
-    processAllAvailable — see tests/test_streaming_neardup.py."""
+    - ``ts_col=None`` (processing time): a bucket idle for ``ttl_ms`` of
+      WALL time is dropped.  Driving caveat: ProcessingTimeTimeout makes
+      the stateful operator report shouldRunAnotherBatch unconditionally,
+      so under the default ASAP trigger the engine runs continuous no-data
+      micro-batches and ``processAllAvailable()`` never returns —
+      production streams should use a processing-time trigger sized to the
+      TTL and synchronize on progress (tests/test_streaming_neardup.py).
+    - ``ts_col`` given (EVENT time — the production-shaped choice for
+      replayable streams): the stream is watermarked on ``ts_col`` with
+      ``watermark_delay``, and a bucket expires when the watermark passes
+      its max event time + ``ttl_ms``.  Expiry is a pure function of the
+      DATA and the micro-batch boundaries — replays reproduce it, no
+      wall clock involved — and the engine only reruns batches while the
+      watermark advances, so ``processAllAvailable()`` terminates
+      normally (no recentProgress polling, no sleeps)."""
+    event_time = ts_col is not None
+    if event_time:
+        docs = docs.withWatermark(ts_col, watermark_delay)
     # STAGE the signature as its own projection before banding: the band
     # struct references the signature 16 times, and Catalyst inlines (and
     # re-evaluates) non-aliased higher-order aggregates per reference — the
     # same re-inlining trap _minhash_staged documents for the batch path
     staged = docs.select(
         F.col(id_col).alias("_id"),
+        *([F.col(ts_col).alias("_ts")] if event_time else []),
         minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
     )
     banded = staged.select(
-        "_id", minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk")
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "_id",
+        *(["_ts"] if event_time else []),
+        minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk"),
+    ).select(
+        "_id",
+        *(["_ts"] if event_time else []),
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    if event_time:
+        timeout_conf = "EventTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    else:
+        timeout_conf = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
     return banded.groupBy("band", "key").applyInPandasWithState(
-        _make_neardup_state_func(ttl_ms),
+        _make_neardup_state_func(ttl_ms, event_time=event_time),
         outputStructType=NEARDUP_OUT_SCHEMA,
         stateStructType=NEARDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout",
+        timeoutConf=timeout_conf,
     )
+
+
+#: epoch base for the synthesized per-doc event time in the event-time
+#: registry harness: ts(doc) = _TS_EPOCH + doc_id seconds — a pure function
+#: of the data both engines can state.
+_TS_EPOCH = 1_600_000_000
 
 
 def run_streaming_neardup(
@@ -132,11 +175,23 @@ def run_streaming_neardup(
     seed: int = 7,
     query_name: str = "gp_stream_neardup",
     n_files: int = 2,
+    ttl_ms: int | None = None,
+    event_time: bool = False,
 ) -> DataFrame:
     """Drive the documents parquet through the streaming near-dup operator:
     id-range staged arrivals (arrival order == id order, so 'earlier' is
     well-defined for the oracle), per-band match log into a parquet sink,
-    then the batch min-per-doc summary of the log."""
+    then the batch min-per-doc summary of the log.
+
+    ``event_time=True`` exercises the watermark/EventTimeTimeout path: each
+    doc gets the synthetic event time _TS_EPOCH + doc_id seconds (pure
+    function of the data), the stream is watermarked at 0 delay, and cold
+    buckets expire ``ttl_ms`` of EVENT time after their last member.  With
+    ``ttl_ms`` larger than the corpus's id span no bucket can expire (the
+    watermark never outruns last_ts + ttl), so the emitted relation equals
+    the no-TTL oracle while the full timeout machinery runs — expiry
+    behaviour itself is pytest-gated with controlled timestamps
+    (tests/test_streaming_neardup.py)."""
     work = tempfile.mkdtemp(prefix="gp_stream_neardup_")
     sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
     src, arrivals, schema = _staged_arrivals(
@@ -145,8 +200,15 @@ def run_streaming_neardup(
     )
 
     stream = spark.readStream.schema(schema).parquet(src)
+    ts_col = None
+    if event_time:
+        stream = stream.withColumn(
+            "_event_ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id"))
+        )
+        ts_col = "_event_ts"
     matches = streaming_neardup_matches(
-        stream, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, seed=seed
+        stream, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, seed=seed,
+        ttl_ms=ttl_ms, ts_col=ts_col,
     )
     with _state_partitions(spark):
         q = (

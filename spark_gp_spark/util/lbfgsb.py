@@ -81,7 +81,8 @@ def minimize_lbfgsb(
     per-candidate distributed jobs into one job per ladder.  Accept/reject
     decisions are made in the same order as the sequential scan, so the
     iterate sequence — and the result — is unchanged; extra speculative
-    evaluations are pure overlap (and memoized by the caller).
+    evaluations are pure overlap, memoized internally so they are never
+    re-evaluated (no caller-side memoization contract required).
 
     ``on_accept(x)`` fires once per accepted iterate — the hook stateful
     objectives (the GPC's per-expert Laplace warm start) use to refresh
@@ -92,17 +93,27 @@ def minimize_lbfgsb(
     if fun_batch is None:
         def fun_batch(xs):
             return [fun(x) for x in xs]
-    # Every point ever submitted to fun_batch: the memoized caller answers
-    # repeats for free, so a probe whose key is in here decides WITHOUT a
-    # distributed job.  The expansion loop uses this to consume the
-    # speculated doublings (see below) one cached prefix at a time.
-    evaluated: set[bytes] = set()
+    # Self-contained memo of every point ever evaluated: speculation (the
+    # line search rides expansion doublings along in the same batch and
+    # discards their results) re-reads them from here for free, so it never
+    # depends on the CALLER memoizing — a non-memoized fun_batch would
+    # otherwise evaluate each speculated point twice.  The expansion loop
+    # also probes membership to consume speculated doublings one cached
+    # prefix at a time.  Memory: a handful of (f, g) pairs per iteration
+    # over tiny hyperparameter vectors.
+    evaluated: dict[bytes, tuple[float, np.ndarray]] = {}
     raw_fun_batch = fun_batch
 
     def fun_batch(xs):  # noqa: F811 — deliberate wrap
-        for c in xs:
-            evaluated.add(np.asarray(c, dtype=np.float64).tobytes())
-        return raw_fun_batch(xs)
+        keys = [np.asarray(c, dtype=np.float64).tobytes() for c in xs]
+        fresh: dict[bytes, np.ndarray] = {}
+        for key, c in zip(keys, xs):
+            if key not in evaluated and key not in fresh:
+                fresh[key] = c
+        if fresh:
+            for key, res in zip(fresh, raw_fun_batch(list(fresh.values()))):
+                evaluated[key] = res
+        return [evaluated[key] for key in keys]
 
     x = _project(np.asarray(x0, dtype=np.float64).copy(), lower, upper)
     f, g = fun(x)
@@ -213,7 +224,7 @@ def minimize_lbfgsb(
                     dx2 = cand2 - x
                     if float(np.max(np.abs(dx2 - prev_dx))) == 0.0:
                         break
-                    is_new = cand2.tobytes() not in evaluated
+                    is_new = cand2.tobytes() not in evaluated  # dict of memoized (f, g)
                     if is_new and probes and not round_has_new:
                         break  # decide the cached prefix first
                     probes.append((s2, cand2, dx2))

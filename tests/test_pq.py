@@ -156,3 +156,53 @@ def F_col_array():
         return col.cast("array<double>") if name == "embedding" else col
 
     return _c
+
+
+def test_ann_index_save_load_roundtrip(tmp_path):
+    """Persisted index artifacts (operators/ann_index.py): centroids and
+    codebooks round-trip through the parquet artifact bit-for-bit (parquet
+    doubles are exact), params survive, and the trainers' process cache
+    returns the SAME object on a repeat call (train-once discipline)."""
+    import numpy as np
+
+    from spark_gp_spark.operators.ann_index import load_ann_index, save_ann_index
+    from spark_gp_spark.operators.ivf import train_centroids_from_parquet
+    from spark_gp_spark.operators.pq import train_pq_codebooks_residual_from_parquet
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    cents = train_centroids_from_parquet(path, 8, seed=5, sample_rows=200)
+    books = train_pq_codebooks_residual_from_parquet(
+        path, cents, m=8, k=8, seed=5, sample_rows=200
+    )
+    # repeat call hits the process cache: identical object, no retrain
+    assert train_centroids_from_parquet(path, 8, seed=5, sample_rows=200) is cents
+
+    art = str(tmp_path / "ann" / "index.parquet")
+    save_ann_index(
+        art, centroids=cents, codebooks=books, params={"nprobe": 4, "metric": "l2"}
+    )
+    loaded = load_ann_index(art)
+    np.testing.assert_array_equal(loaded["centroids"], cents)
+    np.testing.assert_array_equal(loaded["codebooks"], books)
+    assert loaded["params"] == {"nprobe": 4, "metric": "l2"}
+
+
+def test_hash_sample_pushdown_matches_global_selection():
+    """The pushed-down h(id) < T scan must select EXACTLY the global
+    sample_rows smallest (hash, id) rows — compare against a brute-force
+    full read."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from spark_gp_spark.operators.ivf import (
+        _hash_sample_vectors_scan,
+        sample_hash_np,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    got = _hash_sample_vectors_scan(path, 64, "embedding", "vec_id")
+    table = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.lexsort((ids, sample_hash_np(ids)))[:64]
+    np.testing.assert_array_equal(got, X[order])

@@ -109,3 +109,73 @@ def test_streaming_neardup_ttl_expires_cold_buckets(spark, tmp_path):
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     got = {r.doc_id: r.dup_of for r in log.collect()}
     assert got == {}, f"expired bucket still matched: {got}"
+
+
+def test_streaming_neardup_event_time_ttl_expiry(spark, tmp_path):
+    """EVENT-time TTL: a bucket expires when the WATERMARK passes its last
+    event time + ttl — a pure function of the data and batch boundaries,
+    so the test needs no wall-clock sleeps and no recentProgress polling:
+    EventTimeTimeout only reruns batches while the watermark advances, so
+    ``processAllAvailable`` terminates normally.
+
+    Scenario (ttl = 500 ms of EVENT time, watermark delay 0):
+    - batch 0: doc 0 (dup-bait, t=10 s), doc 1 (unrelated, t=11 s)
+    - batch 1: doc 2 (unrelated churn, t=11.4 s) → watermark advances to
+      11 s: bucket(doc 0) deadline 10.5 s < 11 s fires (expired); bucket
+      (doc 1) deadline 11.5 s survives
+    - batch 2: doc 3 = exact dup of doc 0 (t=30 s) → its bucket state is
+      GONE, no emission; doc 4 = exact dup of doc 1 (t=30 s) → bucket
+      alive, emits dup_of=1.
+    """
+    import os
+    import shutil
+
+    from spark_gp_spark.streaming.events import _state_partitions
+    from spark_gp_spark.streaming.neardup import (
+        NEARDUP_OUT_SCHEMA,
+        streaming_neardup_matches,
+    )
+
+    t_dup = "the quick brown fox jumps over the lazy dog tonight"
+    t_keep = "completely unrelated text about spark streaming state"
+    base = 1_700_000_000
+    batches = [
+        [(0, t_dup, base + 10.0), (1, t_keep, base + 11.0)],
+        [(2, "third distinct document mentioning entirely other things",
+          base + 11.4)],
+        [(3, t_dup, base + 30.0), (4, t_keep, base + 30.0)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    matches = streaming_neardup_matches(stream, ttl_ms=500, ts_col="ts")
+    with _state_partitions(spark):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                [(d, t, __import__("datetime").datetime.fromtimestamp(
+                    ts, __import__("datetime").timezone.utc)) for d, t, ts in rows],
+                schema,
+            )
+            staged = str(tmp_path / f"b{i}")
+            df.coalesce(1).write.parquet(staged)
+            part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(staged, part),
+                os.path.join(src, f"arrival-{i:04d}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
+    got = {r.doc_id: r.dup_of for r in log.collect()}
+    assert got == {4: 1}, f"expected only the surviving bucket to match: {got}"
