@@ -31,6 +31,21 @@ from .text import bpe_token_count, tokens, word_ngrams_of
 SPLIT_TRAIN, SPLIT_VAL = 80, 10
 
 
+def split_expr(
+    id_col: str = "doc_id", train: int = SPLIT_TRAIN, val: int = SPLIT_VAL
+) -> Column:
+    """The train/val/test label as a pure COLUMN expression over the id —
+    composable into any projection (the pipeline capstone attaches it with
+    withColumn instead of a join, so the assignment never duplicates its
+    input subtree in the plan)."""
+    bucket = h32(F.col(id_col)) % 100
+    return (
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+    )
+
+
 def split_assign(
     df: DataFrame, id_col: str = "doc_id", train: int = SPLIT_TRAIN, val: int = SPLIT_VAL
 ) -> DataFrame:
@@ -45,10 +60,7 @@ def split_assign(
     return df.select(
         id_col,
         bucket.alias("bucket"),
-        F.when(bucket < train, "train")
-        .when(bucket < train + val, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_expr(id_col, train, val).alias("split"),
     )
 
 

@@ -241,11 +241,12 @@ _SQL_SW_EN = (
 )
 
 
-def _sql_text_stats_cte(prefix: str = "") -> str:
+def _sql_text_stats_cte(prefix: str = "", src: str = "documents") -> str:
     """Shared CTE computing the text_stats relation in DuckDB.  ``prefix``
     renames the chain's CTEs (tok/scored/lang/stats) so it can be glued
     into statements whose other CTE families use the same names (the
-    n-gram-Jaccard chain also defines ``tok``)."""
+    n-gram-Jaccard chain also defines ``tok``); ``src`` swaps the source
+    relation (e.g. a filtered ``corpus`` CTE in the pipeline capstone)."""
     sw = {
         lang: "len(list_filter(toks, t -> list_contains(["
         + ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
@@ -261,7 +262,7 @@ def _sql_text_stats_cte(prefix: str = "") -> str:
     p = prefix
     return f"""
 WITH {p}tok AS (
-  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM {src}
 ), {p}scored AS (
   SELECT doc_id, text, toks,
          length(text) AS n_chars,
@@ -737,14 +738,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
-def _sql_ngram_jaccard_ctes(threshold: float = 0.5) -> str:
+def _sql_ngram_jaccard_ctes(threshold: float = 0.5, src: str = "documents") -> str:
     """Flat CTE chain (usable inside WITH RECURSIVE) stating the exact
     all-pairs Jaccard relation, ending in ``pairs``.  The Spark side reaches
     the same result through lossless prefix filtering — the oracle states
-    the SEMANTICS (full posting join), not the plan."""
+    the SEMANTICS (full posting join), not the plan.  ``src`` swaps the
+    source relation (the pipeline capstone runs it over a filtered
+    ``corpus`` CTE)."""
     return f"""
 tok AS (
-  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM {src}
 ), sh AS (
   SELECT doc_id, {_sql_word_ngrams(3)} AS shingles FROM tok
 ), sizes AS (
@@ -957,6 +960,167 @@ QUALIFY row_number() OVER (
 
 
 _NEARDUP_CANONICAL_SQL = _sql_neardup_canonical()
+
+
+#: pipeline capstone knobs: docs with id < _PIPE_PROBE_MAX are the held-out
+#: eval set (the contamination probe); canonical docs below _PIPE_QMIN
+#: quality are dropped; batches pack to _PIPE_BUDGET BPE tokens per split.
+_PIPE_PROBE_MAX, _PIPE_QMIN, _PIPE_BUDGET = 20, 0.76, 2048
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline capstone — the composition a real
+    100 TB corpus-prep run executes, as ONE dataflow:
+
+        near-dup clustering (exact n-gram Jaccard → connected components)
+        → canonical selection (highest-quality member per component)
+        → quality floor (quality ≥ 0.76) + benchmark-contamination filter
+          (drop canonicals sharing any 8-gram shingle with the held-out
+          probe set, docs id < 20)
+        → leakage-safe hash split (train/val/test)
+        → per-split token-budget batch packing.
+
+    This gates operator COMPOSITION — staging/cache-retirement across
+    operators, key co-partitioning between stages — not just the operators
+    (each is separately oracle-green).  Scale shape: the corpus relation is
+    persisted ONCE and feeds clustering, quality, contamination, and
+    packing (plan-asserted in tests/test_plans.py); the probe side of the
+    contamination join is broadcast; packing windows partition by split —
+    no single-task funnel.
+
+    Output: one row per surviving canonical doc
+    (doc_id, component, component_size, quality, split, n_tokens, batch_id).
+    """
+    from .operators.dedup import _retire_shingle_caches
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
+    probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
+    # stage 1-2: cluster + pick the best member per component
+    comps = D.neardup_components(corpus, threshold=0.5)
+    quality = T.text_stats(corpus).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    canonical = (
+        comps.join(quality, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # stage 3: quality floor + contamination screen (broadcast probe side)
+    contaminated = P.contamination_check(
+        corpus, probe, shingle_n=8
+    ).select("doc_id").distinct()
+    kept = canonical.filter(F.col("quality") >= _PIPE_QMIN).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    # stage 4: deterministic hash split — attached as a pure COLUMN
+    # expression (a join against split_assign would duplicate the whole
+    # canonical+contamination subtree per reference); kept is then
+    # PERSISTED: it feeds both the packing input and the final join, and
+    # without the cache each reference re-runs the contamination chain
+    # (plan-asserted: the probe relation is scanned exactly once)
+    kept = kept.withColumn("split", P.split_expr("doc_id")).persist()
+    # stage 5: pack each split independently (shard = split; the window
+    # partitions by it, so no Exchange SinglePartition)
+    packed = P.pack_batches(
+        corpus.join(kept.select("doc_id", "split"), "doc_id"),
+        budget=_PIPE_BUDGET,
+        shard_col="split",
+    )
+    # comps/pairs were materialized eagerly (localCheckpoint) during
+    # clustering, so the shingle caches are spent; hand the session cache
+    # registry the corpus + kept relations instead — the final plan's
+    # quality/contamination/packing branches all read them, and the NEXT
+    # registry query retires them.
+    _retire_shingle_caches([corpus, kept])
+    return (
+        kept.join(packed.select("doc_id", "n_tokens", "batch_id"), "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.col("component_size").cast("long").alias("component_size"),
+            "quality",
+            "split",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+        )
+    )
+
+
+def _sql_corpus_prep_pipeline() -> str:
+    """Oracle for the capstone: the components recursive CTE and the
+    text-stats chain over the SAME filtered ``corpus`` relation, the
+    contamination semi-join over 8-gram shingles (probe side = docs
+    id < 20), the md5 hash split, and the per-split cumulative-token pack
+    window — each fragment identical to its standalone query's oracle."""
+    stats_ctes = _sql_text_stats_cte(prefix="q_", src="corpus").lstrip().removeprefix(
+        "WITH "
+    )
+    return (
+        f"""
+WITH RECURSIVE corpus AS (
+  SELECT * FROM documents WHERE doc_id >= {_PIPE_PROBE_MAX}
+),
+"""
+        + _sql_ngram_jaccard_ctes(src="corpus")
+        + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), csize AS (
+  SELECT component, count(*) AS component_size FROM comp GROUP BY component
+),
+"""
+        + stats_ctes
+        + f""", canon AS (
+  SELECT c.doc_id, c.component, s.component_size, st.quality
+  FROM comp c JOIN csize s USING (component) JOIN q_stats st USING (doc_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY c.component ORDER BY st.quality DESC, st.doc_id) = 1
+), sh8 AS (
+  SELECT doc_id, unnest({_sql_word_ngrams(8)}) AS s8 FROM tok
+), ptok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  WHERE doc_id < {_PIPE_PROBE_MAX}
+), psh8 AS (
+  SELECT doc_id, unnest({_sql_word_ngrams(8)}) AS s8 FROM ptok
+), contam AS (
+  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN psh8 USING (s8)
+), kept AS (
+  SELECT * FROM canon
+  WHERE quality >= {_PIPE_QMIN}
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+), split AS (
+  SELECT doc_id,
+         CASE WHEN {h32_sql("doc_id::VARCHAR")} % 100 < {P.SPLIT_TRAIN} THEN 'train'
+              WHEN {h32_sql("doc_id::VARCHAR")} % 100 < {P.SPLIT_TRAIN + P.SPLIT_VAL}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+), sized AS (
+  SELECT k.doc_id, k.component, k.component_size, k.quality, s.split,
+         len(regexp_extract_all(c.text, '{T.BPE_TOKEN_PATTERN}'))::BIGINT
+           AS n_tokens
+  FROM kept k JOIN split s USING (doc_id) JOIN corpus c USING (doc_id)
+)
+SELECT doc_id, component, component_size::BIGINT AS component_size, quality,
+       split, n_tokens,
+       floor(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_PIPE_BUDGET})::BIGINT AS batch_id
+FROM sized
+"""
+    )
+
+
+_CORPUS_PREP_SQL = _sql_corpus_prep_pipeline()
 
 
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3175,6 +3339,7 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 50 already recorded in CORRECTNESS_r04 — the union of r04+r05 covers all.
 QUERIES = {
     # --- new in round 6 ---
+    "corpus_prep_pipeline": corpus_prep_pipeline,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
     # --- new in round 5 ---
     "event_status_asof": event_status_asof,
@@ -3290,6 +3455,7 @@ ORACLE_SQL = {
     "neardup_components": _NEARDUP_COMPONENTS_SQL,
     "neardup_components_star": _NEARDUP_COMPONENTS_SQL,
     "neardup_canonical": _NEARDUP_CANONICAL_SQL,
+    "corpus_prep_pipeline": _CORPUS_PREP_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "tfidf_cosine_pairs": _TFIDF_COSINE_SQL,
     "bm25_topk": _BM25_TOPK_SQL,

@@ -147,3 +147,27 @@ def test_event_status_asof_single_key_shuffle_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_corpus_prep_pipeline_scans_once_and_stays_bucketed(spark):
+    """The capstone composition (cluster -> canonical -> filter -> split ->
+    pack): the corpus and the kept-canonicals relations must each be
+    computed ONCE (persisted) — without the caches, every downstream
+    reference re-runs the whole contamination chain (measured: 4 duplicate
+    probe scans before the fix).  Asserted structurally: the optimized
+    plan's only leaves are cached/checkpointed relations (no direct
+    parquet scan survives at the top level), and the usual no-cartesian /
+    no-single-partition discipline holds with packing partitioned by
+    split."""
+    from spark_gp_spark.queries import corpus_prep_pipeline
+
+    df = corpus_prep_pipeline(spark, SF)
+    lp = df._jdf.queryExecution().optimizedPlan()
+    leaves = lp.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    assert all(n in ("InMemoryRelation", "LogicalRDD") for n in names), names
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
