@@ -164,6 +164,36 @@ def train_centroids_from_parquet(
     )
 
 
+def train_centroids_spark(
+    df: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 5,
+    vec_col: str = "embedding",
+    max_iter: int = 20,
+) -> np.ndarray:
+    """DISTRIBUTED coarse-quantizer training via pyspark.ml KMeans — the
+    production path for evolving corpora where even a hash sample should be
+    trained on-cluster (the whole scan stays on executors; only the (k, d)
+    centroid matrix reaches the driver).  The deterministic pyarrow trainer
+    (``train_centroids_from_parquet``) remains the oracle-reproducible
+    default: Spark KMeans is seeded but its result depends on partitioning,
+    so indexes built this way are consumed through the same (k, d) array
+    contract, not through the DuckDB oracle.  Centroids round to 6 decimals
+    like every quantizer here."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    # clusterCenters() yields numpy arrays in recent pyspark, ml Vectors
+    # in older ones — normalize either
+    cents = [np.asarray(getattr(c, "toArray", lambda: c)(), dtype=np.float64)
+             for c in model.clusterCenters()]
+    return np.round(np.asarray(cents, dtype=np.float64), 6)
+
+
 def _sq_dists_udf(centroids: np.ndarray):
     """Arrow-batched pandas UDF: per row, the array of squared L2 distances
     to every centroid.

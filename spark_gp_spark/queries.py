@@ -3337,85 +3337,61 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salted/pivot/zorder, GP fits) had no official green row.  Round 5 therefore
 # leads with exactly those 26 (plus any new round-5 queries), followed by the
 # 50 already recorded in CORRECTNESS_r04 — the union of r04+r05 covers all.
+# Registry ordering contract: the round driver records official correctness
+# rows for the FIRST 50 keys only.  Standing rule (VERDICT r5): any query
+# whose implementation changed since its last official row — plus anything
+# new — must sit inside that window.  Round-6 window: the 2 new queries,
+# everything the round-6 diff touched (PQ/IVF trainer family, tfidf df cap,
+# prep/asof/derived-copy/streaming-neardup edits and the shared SQL-CTE
+# builders), then the queries whose last official row predates r5 (they
+# passed the local r5 re-run but deserve fresh official rows), padded to 50
+# with two stable relational anchors.
 QUERIES = {
     # --- new in round 6 ---
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
-    # --- new in round 5 ---
-    "event_status_asof": event_status_asof,
-    "orc_roundtrip": orc_roundtrip,
-    "neardup_canonical": neardup_canonical,
-    "user_retention_cohorts": user_retention_cohorts,
+    # --- changed in round 6 (pushed-down hash sampling + artifact cache;
+    #     residual family unchanged since r5 but rewritten there with no
+    #     official row yet) ---
+    "pq_encode": pq_encode,
+    "pq_topk": pq_topk,
+    "ivf_topk": ivf_topk,
+    "ivfadc_topk": ivfadc_topk,
+    # --- changed in round 6 (absolute df cap / split_expr refactor /
+    #     derived-copy dirs / gap-fill unit grammar / neardup state func /
+    #     parametrized shared CTE builders) ---
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
-    "bm25_topk": bm25_topk,
-    "session_funnel": session_funnel,
-    "event_value_histogram": event_value_histogram,
-    # --- unrecorded in CORRECTNESS_r04 (driver window truncated at 50) ---
-    "customer_revenue_quartiles": customer_revenue_quartiles,
-    "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    "jsonl_roundtrip": jsonl_roundtrip,
-    "event_zorder_key": event_zorder_key,
-    "orders_upsert_merge": orders_upsert_merge,
-    "orders_dq_report": orders_dq_report,
-    "orders_profile": orders_profile,
-    "viewers_without_purchase": viewers_without_purchase,
-    "event_type_pivot": event_type_pivot,
-    "streaming_window_counts": streaming_window_counts,
-    "streaming_window_counts_append": streaming_window_counts_append,
-    "streaming_static_enrich": streaming_static_enrich,
-    "streaming_sessions": streaming_sessions,
-    "streaming_sessions_append": streaming_sessions_append,
-    "streaming_stateful_sessions": streaming_stateful_sessions,
-    "streaming_neardup": streaming_neardup,
-    "streaming_dedup": streaming_dedup,
-    "streaming_interval_join": streaming_interval_join,
-    "streaming_upsert": streaming_upsert,
-    "multimodal_binary_stats": multimodal_binary_stats,
-    "multimodal_decode_features": multimodal_decode_features,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "gpr_lineitem": gpr_lineitem,
-    "gpc_embeddings": gpc_embeddings,
-    # --- already green in CORRECTNESS_r04 (original order) ---
-    "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
-    "part_type_revenue": part_type_revenue,
-    "revenue_rollup": revenue_rollup,
-    "returnflag_status_cube": returnflag_status_cube,
-    "text_stats": text_stats,
-    "language_distribution": language_distribution,
-    "doc_fingerprints": doc_fingerprints,
-    "tfidf_top_terms": tfidf_top_terms,
-    "token_budget": token_budget,
     "split_assign": split_assign,
-    "doc_chunks": doc_chunks,
-    "redact_pii": redact_pii,
     "pack_batches": pack_batches,
     "contamination_check": contamination_check,
-    "event_group_sample": event_group_sample,
+    "orc_roundtrip": orc_roundtrip,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "event_gap_fill": event_gap_fill,
+    "streaming_neardup": streaming_neardup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "neardup_components": neardup_components,
+    "neardup_components_star": neardup_components_star,
+    "neardup_canonical": neardup_canonical,
+    "text_stats": text_stats,
+    "language_distribution": language_distribution,
+    "bm25_topk": bm25_topk,
+    "event_status_asof": event_status_asof,
+    # --- last official row r4 (re-verified locally in r5, window-rotated
+    #     out there) ---
     "exact_dedup": exact_dedup,
     "dedup_keep_first": dedup_keep_first,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "neardup_components": neardup_components,
-    "neardup_components_star": neardup_components_star,
     "simhash_signatures": simhash_signatures,
     "simhash_pairs": simhash_pairs,
     "cosine_topk": cosine_topk,
     "lsh_topk": lsh_topk,
-    "ivf_topk": ivf_topk,
-    "pq_encode": pq_encode,
-    "pq_topk": pq_topk,
-    "ivfadc_topk": ivfadc_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
     "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
     "asof_next_view": asof_next_view,
     "event_pair_interval_join": event_pair_interval_join,
     "user_status_history": user_status_history,
-    "event_gap_fill": event_gap_fill,
     "event_rolling_24h": event_rolling_24h,
     "session_stats": session_stats,
     "event_window_agg": event_window_agg,
@@ -3428,6 +3404,47 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
+    # --- stable anchors (window slots 49-50) ---
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    # ================= below the 50-key official window =================
+    # (all officially green in CORRECTNESS_r05 on code unchanged this round)
+    "user_retention_cohorts": user_retention_cohorts,
+    "session_funnel": session_funnel,
+    "event_value_histogram": event_value_histogram,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    "event_zorder_key": event_zorder_key,
+    "orders_upsert_merge": orders_upsert_merge,
+    "orders_dq_report": orders_dq_report,
+    "orders_profile": orders_profile,
+    "viewers_without_purchase": viewers_without_purchase,
+    "event_type_pivot": event_type_pivot,
+    "streaming_window_counts": streaming_window_counts,
+    "streaming_window_counts_append": streaming_window_counts_append,
+    "streaming_static_enrich": streaming_static_enrich,
+    "streaming_sessions": streaming_sessions,
+    "streaming_sessions_append": streaming_sessions_append,
+    "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_dedup": streaming_dedup,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_upsert": streaming_upsert,
+    "multimodal_binary_stats": multimodal_binary_stats,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "gpr_lineitem": gpr_lineitem,
+    "gpc_embeddings": gpc_embeddings,
+    "part_type_revenue": part_type_revenue,
+    "revenue_rollup": revenue_rollup,
+    "returnflag_status_cube": returnflag_status_cube,
+    "doc_fingerprints": doc_fingerprints,
+    "tfidf_top_terms": tfidf_top_terms,
+    "token_budget": token_budget,
+    "doc_chunks": doc_chunks,
+    "redact_pii": redact_pii,
+    "event_group_sample": event_group_sample,
 }
 
 ORACLE_SQL = {

@@ -144,3 +144,20 @@ def test_hash_sample_is_layout_independent(tmp_path):
     sb = hash_sample_vectors(str(tmp_path / "b.parquet"), 10)
     assert np.array_equal(sa, sb)
     assert sa.shape == (10, 4)
+
+
+def test_ivf_topk_with_spark_trained_centroids(spark, planted):
+    """The distributed trainer (pyspark.ml KMeans → (k, d) array) must plug
+    into the same ivf_topk contract and keep planted-dup recall — the
+    on-cluster index-build path for evolving corpora, where the
+    deterministic pyarrow trainer's driver-side sample is not wanted."""
+    from spark_gp_spark.operators.ivf import ivf_topk, train_centroids_spark
+
+    df, truth = planted
+    cents = train_centroids_spark(df, n_centroids=8, seed=5)
+    assert cents.shape == (8, DIM)
+    queries = df.filter(f"vec_id >= {N_BASE}")
+    approx = ivf_topk(df, queries, cents, k=5, nprobe=2).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
+    hits = sum(1 for b, d in truth if top1.get(d) == b)
+    assert hits / len(truth) >= 0.9, f"spark-KMeans IVF recall {hits}/{len(truth)}"
