@@ -188,6 +188,46 @@ def group_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-group (domain-mix) downsampling — the training-mix
+    verb: keep each row of group g with probability ``rates[g]``, decided
+    by a seeded hash of the row id, NOT rand().
+
+    keep(row) ⇔ h32("ss{seed}_" + id) mod 10000 < round(rates[g]·10000)
+
+    Properties a 100 TB mixing pass needs and rand() sampling lacks:
+    - reproducible: the kept set is a pure function of (id, seed, rates) —
+      identical across runs, partitionings, engines (md5 hash family);
+    - monotone in the rate: raising a domain's rate only ADDS documents
+      (the kept set at 0.25 is a subset of the kept set at 0.5), so mix
+      ratios can be tuned without churning the corpus;
+    - zero shuffle: the rate lookup is a broadcast literal map and the
+      predicate is pure codegen, evaluated at the scan.
+
+    Groups absent from ``rates`` are dropped (an explicit mix — silence
+    would make a typo'd domain name pass everything through).  Rates must
+    lie in [0, 1]."""
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for group {g!r} must be in [0, 1], got {r}")
+    mapping = F.create_map(
+        *[
+            lit
+            for g, r in sorted(rates.items())
+            for lit in (F.lit(g), F.lit(int(round(r * 10000))))
+        ]
+    )
+    hv = h32(F.concat(F.lit(f"ss{seed}_"), F.col(id_col).cast("string"))) % 10000
+    thresh = mapping[F.col(group_col)]
+    return df.filter(thresh.isNotNull() & (hv < thresh))
+
+
 def contamination_check(
     df: DataFrame,
     probe: DataFrame,

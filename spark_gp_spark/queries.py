@@ -542,6 +542,37 @@ SELECT event_type, event_id, sample_rank FROM ranked WHERE sample_rank <= 5
 """
 
 
+#: per-domain keep rates for the mixing query: src{K} keeps by K mod 4 —
+#: 1.0 / 0.5 / 0.25 / 0.1 (the 20 sources are fixed across SFs).
+_MIX_RATES = {
+    f"src{k}": {0: 1.0, 1: 0.5, 2: 0.25, 3: 0.1}[k % 4] for k in range(20)
+}
+
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix downsampling (operators/prep.py:
+    stratified_sample): per-source keep rates decided by a seeded id hash —
+    reproducible across runs/partitionings/engines, monotone in the rate
+    (raising a domain's share only adds documents), zero shuffle (broadcast
+    literal rate map + codegen predicate at the scan).  The training-mix
+    verb rand() sampling cannot provide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.stratified_sample(docs, _MIX_RATES).select("doc_id", "source")
+
+
+_MIX_SQL = (
+    "WITH rates(source, thresh) AS (VALUES "
+    + ", ".join(
+        f"('{g}', {int(round(r * 10000))})" for g, r in sorted(_MIX_RATES.items())
+    )
+    + f""")
+SELECT doc_id, source
+FROM documents JOIN rates USING (source)
+WHERE {h32_sql("'ss7_' || doc_id::VARCHAR")} % 10000 < thresh
+"""
+)
+
+
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared distinct 8-gram counts between corpus docs (id ≥ 20) and a
     probe/eval set (id < 20) — the benchmark-contamination scan as a
@@ -3350,6 +3381,7 @@ QUERIES = {
     # --- new in round 6 ---
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
+    "domain_mix_sample": domain_mix_sample,
     # --- changed in round 6 (pushed-down hash sampling + artifact cache;
     #     residual family unchanged since r5 but rewritten there with no
     #     official row yet) ---
@@ -3404,11 +3436,11 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
-    # --- stable anchors (window slots 49-50) ---
+    # --- stable anchor (window slot 50) ---
     "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r05 on code unchanged this round)
+    "revenue_by_nation": revenue_by_nation,
     "user_retention_cohorts": user_retention_cohorts,
     "session_funnel": session_funnel,
     "event_value_histogram": event_value_histogram,
@@ -3463,6 +3495,7 @@ ORACLE_SQL = {
     "redact_pii": _REDACT_SQL,
     "pack_batches": _PACK_BATCHES_SQL,
     "contamination_check": _CONTAMINATION_SQL,
+    "domain_mix_sample": _MIX_SQL,
     "event_group_sample": _GROUP_SAMPLE_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "dedup_keep_first": _DEDUP_KEEP_FIRST_SQL,

@@ -93,3 +93,29 @@ def test_group_sample_deterministic_and_partition_invariant(spark, docs):
     a = {tuple(r) for r in P.group_sample(big, "doc_id", "doc_id", k=1).collect()}
     b = {tuple(r) for r in P.group_sample(big.repartition(13), "doc_id", "doc_id", k=1).collect()}
     assert a == b and len(out1) == 4
+
+
+def test_stratified_sample_deterministic_monotone(spark):
+    """Domain-mix sampling contract: reproducible (pure function of id,
+    seed, rates), MONOTONE in the rate (raising a domain's share only adds
+    documents), unknown groups dropped, and rates out of [0,1] rejected."""
+    import pytest
+
+    from spark_gp_spark.operators.prep import stratified_sample
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    low = {"g0": 0.2, "g1": 0.5}            # g2 absent -> dropped
+    high = {"g0": 0.6, "g1": 0.5}
+    kept_low = {r.doc_id for r in stratified_sample(df, low).collect()}
+    kept_low2 = {r.doc_id for r in stratified_sample(df, low).collect()}
+    kept_high = {r.doc_id for r in stratified_sample(df, high).collect()}
+    assert kept_low == kept_low2                      # deterministic
+    assert kept_low <= kept_high                      # monotone in the rate
+    assert not any(i % 3 == 2 for i in kept_high)     # unknown group dropped
+    # rates land near target (hash uniformity; 100 rows/group)
+    n_g1 = sum(1 for i in kept_high if i % 3 == 1)
+    assert 35 <= n_g1 <= 65
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"g0": 1.5})
