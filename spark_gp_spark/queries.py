@@ -1636,6 +1636,58 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_topk(codes, probes, query_cell_luts, k=5)
 
 
+def ivfadc_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfadc_topk through the PERSISTED index artifact (operators/
+    ann_index.py): centroids + residual codebooks are trained (process-
+    cached), saved to one engine-portable parquet artifact, LOADED BACK,
+    and the whole query runs off the loaded arrays — the train-once/
+    save/load lifecycle a real 100 TB pipeline uses, proven end to end by
+    hash-matching the SAME oracle as ivfadc_topk (the round trip is
+    float64-exact, so results are identical by construction)."""
+    import numpy as np
+
+    from .operators.ann_index import load_ann_index, save_ann_index
+    from .operators.ivf import ivf_probe_frame, train_centroids_from_parquet
+    from .operators.pq import (
+        adc_luts_residual,
+        ivfadc_topk as _ivfadc_topk,
+        pq_encode_residual,
+        probe_cells_np,
+        read_query_vectors,
+        train_pq_codebooks_residual_from_parquet,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    art_path, fresh = _derived_copy_path("ann_index", path)
+    if not fresh:
+        cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
+        books = train_pq_codebooks_residual_from_parquet(
+            path, cents, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+        )
+        save_ann_index(
+            f"{art_path}/index.parquet",
+            centroids=cents,
+            codebooks=books,
+            params={"nprobe": _IVF_NPROBE, "k": 5, "encoding": "residual"},
+        )
+    idx = load_ann_index(f"{art_path}/index.parquet")
+    cents, books = idx["centroids"], idx["codebooks"]
+    nprobe = int(idx["params"]["nprobe"])
+    qs = read_query_vectors(path, max_id=20)
+    Q = np.stack([v for _, v in qs])
+    probe_lists = probe_cells_np(Q, cents, nprobe)
+    luts = adc_luts_residual(Q, probe_lists, cents, books)
+    query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    probes = ivf_probe_frame(
+        emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
+        nprobe, "query_id",
+    )
+    codes = pq_encode_residual(emb, books, cents)
+    return _ivfadc_topk(codes, probes, query_cell_luts, k=int(idx["params"]["k"]))
+
+
 def _sql_ivfadc_topk() -> str | None:
     """Oracle for RESIDUAL IVFADC: the IVF assign CTE (same centroids as
     ivf_topk) feeds a residual array (v − centroid[cell], elementwise — the
@@ -3382,6 +3434,7 @@ QUERIES = {
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
     "domain_mix_sample": domain_mix_sample,
+    "ivfadc_topk_persisted": ivfadc_topk_persisted,
     # --- changed in round 6 (pushed-down hash sampling + artifact cache;
     #     residual family unchanged since r5 but rewritten there with no
     #     official row yet) ---
@@ -3436,10 +3489,9 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
-    # --- stable anchor (window slot 50) ---
-    "q1_pricing_summary": q1_pricing_summary,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r05 on code unchanged this round)
+    "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "user_retention_cohorts": user_retention_cohorts,
     "session_funnel": session_funnel,
@@ -3528,6 +3580,7 @@ ORACLE_SQL = {
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),
     **({"ivfadc_topk": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
+    **({"ivfadc_topk_persisted": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,
