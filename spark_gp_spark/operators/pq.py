@@ -432,21 +432,19 @@ def ivfadc_topk(
     # queries_probe is implied by luts_df (same (query, cell) pairs); when a
     # caller supplies its ivf_probe_frame output anyway, VERIFY agreement
     # eagerly — a silent intersection would drop candidates and degrade
-    # recall instead of failing loudly.  Both frames are Q·nprobe rows, so
-    # the symmetric anti-join probe is one tiny job at plan-build time.
+    # recall instead of failing loudly.  The frame is Q·nprobe rows, so ONE
+    # collect at plan-build time settles the symmetric set comparison.
     if queries_probe is not None:
-        lut_pairs = luts_df.select("query_id", "cell")
-        missing = (
-            queries_probe.join(lut_pairs, ["query_id", "cell"], "left_anti")
-            .unionByName(lut_pairs.join(queries_probe, ["query_id", "cell"], "left_anti"))
-            .limit(1)
-            .count()
-        )
-        if missing:
+        got = {(int(r[0]), int(r[1]))
+               for r in queries_probe.select("query_id", "cell").collect()}
+        expected = {(int(q), int(c)) for q, c, _ in query_cell_luts}
+        if got != expected:
             raise ValueError(
                 "queries_probe and query_cell_luts disagree on the probed "
                 "(query_id, cell) pairs — the LUTs were built from a "
-                "different probe list than the Spark-side ivf_probe_frame"
+                f"different probe list than the Spark-side ivf_probe_frame "
+                f"(only-in-probe={sorted(got - expected)[:5]}, "
+                f"only-in-luts={sorted(expected - got)[:5]})"
             )
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")
