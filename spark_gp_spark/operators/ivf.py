@@ -164,6 +164,45 @@ def train_centroids_from_parquet(
     )
 
 
+def hash_sample_vectors_spark(
+    df: DataFrame,
+    sample_rows: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Cluster-side twin of ``hash_sample_vectors``: the IDENTICAL Knuth-
+    hash selection (same constants, same (hash, id) order) computed by
+    EXECUTORS — the scan parallelizes across the cluster and only
+    ~2·sample_rows candidate rows ever reach the driver, so this is the
+    path when even a single-process pyarrow pass over the corpus is too
+    slow (the pyarrow twin remains for oracle reproducibility outside
+    Spark; both return bit-identical samples, test-gated).  All arithmetic
+    stays in int64: (id & 2^30−1) · MULT < 2^62."""
+    n = df.count()
+    want = min(sample_rows, n)
+    full = _HASH_MASK + 1
+    threshold = full if n <= sample_rows else min(
+        full, int(2.0 * sample_rows / n * full) + 16
+    )
+    h = (
+        F.col("_id").bitwiseAND(F.lit(_HASH_MASK)) * F.lit(_HASH_MULT)
+    ).bitwiseAND(F.lit(_HASH_MASK))
+    while True:
+        rows = (
+            df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .withColumn("_h", h)
+            .filter(F.col("_h") < threshold)
+            .collect()
+        )
+        if len(rows) >= want or threshold >= full:
+            break
+        threshold = min(full, threshold * 2)
+    ids = np.asarray([r["_id"] for r in rows], dtype=np.int64)
+    order = np.lexsort((ids, sample_hash_np(ids)))[:sample_rows]
+    X = np.asarray([rows[i]["_v"] for i in order], dtype=np.float64)
+    return X
+
+
 def train_centroids_spark(
     df: DataFrame,
     n_centroids: int = 16,

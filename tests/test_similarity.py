@@ -161,3 +161,26 @@ def test_ivf_topk_with_spark_trained_centroids(spark, planted):
     top1 = {r["query_id"]: r["neighbor_id"] for r in approx if r["rank"] == 1}
     hits = sum(1 for b, d in truth if top1.get(d) == b)
     assert hits / len(truth) >= 0.9, f"spark-KMeans IVF recall {hits}/{len(truth)}"
+
+
+def test_hash_sample_spark_twin_matches_pyarrow(spark):
+    """The executor-side sampler must return the BIT-IDENTICAL sample as
+    the pyarrow trainer path — same Knuth-hash constants, same (hash, id)
+    order — so indexes trained either way are interchangeable and
+    oracle-reproducible."""
+    import numpy as np
+
+    from spark_gp_spark.operators.ivf import (
+        _hash_sample_vectors_scan,
+        hash_sample_vectors_spark,
+    )
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    df = spark.read.parquet(path)
+    got = hash_sample_vectors_spark(df, 64)
+    want = _hash_sample_vectors_scan(path, 64, "embedding", "vec_id")
+    np.testing.assert_array_equal(got, want)
+    # oversampled case too (sample_rows > n): full corpus in (h, id) order
+    got_all = hash_sample_vectors_spark(df, 10_000)
+    want_all = _hash_sample_vectors_scan(path, 10_000, "embedding", "vec_id")
+    np.testing.assert_array_equal(got_all, want_all)
