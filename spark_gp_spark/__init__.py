@@ -17,6 +17,7 @@ from .kernel import (
     ARDRBFKernel,
     EyeKernel,
     Kernel,
+    LinearKernel,
     MaternKernel,
     PeriodicKernel,
     RationalQuadraticKernel,
@@ -34,6 +35,7 @@ __all__ = [
     "GaussianProcessRegression",
     "GaussianProcessRegressionModel",
     "Kernel",
+    "LinearKernel",
     "MaternKernel",
     "PeriodicKernel",
     "RationalQuadraticKernel",

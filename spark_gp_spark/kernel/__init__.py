@@ -10,7 +10,12 @@ from .base import (
     TrainingVectorsNotInitializedException,
     white_noise_kernel,
 )
-from .matern import MaternKernel, PeriodicKernel, RationalQuadraticKernel
+from .matern import (
+    LinearKernel,
+    MaternKernel,
+    PeriodicKernel,
+    RationalQuadraticKernel,
+)
 from .rbf import ARDRBFKernel, RBFKernel
 
 __all__ = [
@@ -18,6 +23,7 @@ __all__ = [
     "ConstantTimesKernel",
     "EyeKernel",
     "Kernel",
+    "LinearKernel",
     "MaternKernel",
     "PeriodicKernel",
     "RationalQuadraticKernel",

@@ -294,3 +294,92 @@ class RationalQuadraticKernel(_TrainDataBearing):
             f"RationalQuadraticKernel(lengthscale={self.lengthscale:.1e}, "
             f"alpha={self.alpha:.1e})"
         )
+
+
+class LinearKernel(_TrainDataBearing):
+    """Dot-product (linear) covariance — Rasmussen & Williams §4.2.2:
+
+        k(x, y) = σ_b² + σ_v² · (x · y)
+
+    with trainable (σ_b, σ_v).  Bayesian linear regression as a GP: sample
+    paths are linear functions, so Sum-composing it with an RBF/Matérn
+    (``LinearKernel() + Scalar(1.0) * RBFKernel(...)``) models
+    trend + smooth-residual structure the stationary family alone cannot.
+    Absent from the reference's kernel family (SURVEY §2.4: RBF/ARD/Eye);
+    fits the same 10-method contract, so it composes with Sum/Scalar/
+    WhiteNoise and plugs into either estimator.
+
+    Analytic derivatives (FD-checked in tests/test_kernels.py):
+    ``dk/dσ_b = 2 σ_b`` (constant matrix), ``dk/dσ_v = 2 σ_v (x · y)``.
+    The Gram matrix X·Xᵀ is PSD but rank-≤ d; the estimators' σ²·Eye noise
+    injection keeps the factorization strictly PD, exactly as for the
+    reference's own noiseless-kernel configurations.  The Gram is
+    hyperparameter-independent and precomputed once per data slice, like
+    RBF's squared-distance cache.
+    """
+
+    def __init__(
+        self,
+        sigma_b: float = 1.0,
+        sigma_v: float = 1.0,
+        lower: float = 1e-6,
+        upper: float = np.inf,
+    ) -> None:
+        super().__init__()
+        self.sigma_b = float(sigma_b)
+        self.sigma_v = float(sigma_v)
+        self.lower = float(lower)
+        self.upper = float(upper)
+        self._gram: np.ndarray | None = None
+
+    def get_hyperparameters(self) -> np.ndarray:
+        return np.array([self.sigma_b, self.sigma_v])
+
+    def set_hyperparameters(self, value: np.ndarray) -> "LinearKernel":
+        v = np.asarray(value, dtype=np.float64).ravel()
+        self.sigma_b, self.sigma_v = float(v[0]), float(v[1])
+        return self
+
+    @property
+    def n_hyperparameters(self) -> int:
+        return 2
+
+    def hyperparameter_bounds(self) -> tuple[np.ndarray, np.ndarray]:
+        return np.array([self.lower] * 2), np.array([self.upper] * 2)
+
+    def set_training_vectors(self, X) -> "LinearKernel":
+        super().set_training_vectors(X)
+        X = self.get_training_vectors()
+        self._gram = X @ X.T
+        return self
+
+    def _gram_or_raise(self) -> np.ndarray:
+        self.get_training_vectors()
+        assert self._gram is not None
+        return self._gram
+
+    def training_kernel(self) -> np.ndarray:
+        return self.sigma_b**2 + self.sigma_v**2 * self._gram_or_raise()
+
+    def training_kernel_diag(self) -> np.ndarray:
+        return self.sigma_b**2 + self.sigma_v**2 * np.diag(self._gram_or_raise())
+
+    def training_kernel_and_derivative(self) -> tuple[np.ndarray, np.ndarray]:
+        G = self._gram_or_raise()
+        K = self.sigma_b**2 + self.sigma_v**2 * G
+        d_b = np.full_like(G, 2.0 * self.sigma_b)
+        d_v = 2.0 * self.sigma_v * G
+        return K, np.stack([d_b, d_v])
+
+    def cross_kernel(self, test) -> np.ndarray:
+        test = _as_matrix(test)
+        return self.sigma_b**2 + self.sigma_v**2 * (
+            test @ self.get_training_vectors().T
+        )
+
+    def self_kernel(self, test) -> np.ndarray:
+        test = _as_matrix(test)
+        return self.sigma_b**2 + self.sigma_v**2 * np.einsum("ij,ij->i", test, test)
+
+    def __repr__(self) -> str:
+        return f"LinearKernel(sigma_b={self.sigma_b:.1e}, sigma_v={self.sigma_v:.1e})"

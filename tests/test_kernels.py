@@ -258,3 +258,82 @@ def test_rational_quadratic_limits_and_composition():
     K, dK = comp.training_kernel_and_derivative()
     assert K.shape == (len(DATASET), len(DATASET))
     assert len(dK) == comp.n_hyperparameters
+
+
+def test_linear_kernel_derivative_matches_finite_difference():
+    from spark_gp_spark.kernel import LinearKernel
+
+    k = LinearKernel(0.7, 1.3).set_training_vectors(DATASET)
+    K, dK = k.training_kernel_and_derivative()
+    # golden: sigma_b^2 + sigma_v^2 * X X^T
+    assert np.allclose(K, 0.49 + 1.69 * (DATASET @ DATASET.T))
+    h = 1e-5
+    for p in range(2):
+        x = np.array([0.7, 1.3])
+        xl, xr = x.copy(), x.copy()
+        xl[p] -= h
+        xr[p] += h
+        left = LinearKernel(*xl).set_training_vectors(DATASET).training_kernel()
+        right = LinearKernel(*xr).set_training_vectors(DATASET).training_kernel()
+        fd = (right - left) / (2 * h)
+        assert np.all(np.abs(dK[p] - fd) < 1e-3), p
+
+
+def test_linear_kernel_contract_and_composition():
+    import pytest
+
+    from spark_gp_spark.kernel import (
+        LinearKernel,
+        RBFKernel,
+        Scalar,
+        TrainingVectorsNotInitializedException,
+    )
+
+    with pytest.raises(TrainingVectorsNotInitializedException):
+        LinearKernel().training_kernel()
+    k = LinearKernel(0.5, 2.0).set_training_vectors(DATASET)
+    # diag and self_kernel agree with the full matrix
+    assert np.allclose(np.diag(k.training_kernel()), k.training_kernel_diag())
+    assert np.allclose(k.self_kernel(DATASET), k.training_kernel_diag())
+    # cross kernel against itself equals the training kernel
+    assert np.allclose(k.cross_kernel(DATASET), k.training_kernel())
+    # composes through the DSL: trend + smooth residual
+    combo = (LinearKernel() + Scalar(1.0) * RBFKernel(1.0)).set_training_vectors(
+        DATASET
+    )
+    assert combo.n_hyperparameters == 4  # (sigma_b, sigma_v) + (scale, sigma)
+    K, dK = combo.training_kernel_and_derivative()
+    assert K.shape == (3, 3) and dK.shape == (4, 3, 3)
+
+
+def test_linear_gpr_learns_linear_trend(spark):
+    """A pure linear target: the LinearKernel GP must recover it essentially
+    exactly (Bayesian linear regression as a GP)."""
+    import pyspark.sql.functions as F
+
+    from spark_gp_spark import GaussianProcessRegression, LinearKernel
+
+    df = (
+        spark.range(2000)
+        .withColumn("x1", F.rand(41) * 4.0 - 2.0)
+        .withColumn("x2", F.rand(43) * 4.0 - 2.0)
+        .select(
+            (1.5 * F.col("x1") - 0.5 * F.col("x2") + 0.25).alias("label"),
+            F.array("x1", "x2").alias("features"),
+        )
+    )
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: LinearKernel(1.0, 1.0))
+        .setDatasetSizeForExpert(100)
+        .setActiveSetSize(100)
+        .setActiveSetProvider("random")
+        .setSeed(19)
+        .setSigma2(1e-3)
+        .setMaxIter(15)
+    )
+    pred = gp.fit(df).transform(df)
+    rmse = pred.select(
+        F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)).alias("rmse")
+    ).first().rmse
+    assert rmse < 0.05, rmse
