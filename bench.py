@@ -264,6 +264,7 @@ def main() -> None:
         "tfidf_cosine_pairs",
         "bm25_topk",
         "exact_dedup",
+        "domain_mix_sample",
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
         "neardup_components",
