@@ -3,7 +3,16 @@ $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "fit_matrix": {...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "fit_matrix": {...}, "sf": <sf>,
+   "calibration": {...}, "normalization": {...},
+   "value_normalized": <sec>, "queries_normalized": {...},
+   "agg_depth": {...}, "active_set_provider": {...}}
+
+Timings are reported RAW and NORMALIZED: round VMs vary 2-4x in Spark
+fixed costs, so each run measures two fixed-work probes (a JVM-side
+aggregate and a pandas-UDF job) and scales its timings by the ratio to
+the FIXED round-5 reference probe (REF_CALIBRATION) — normalized numbers
+compare across rounds; raw numbers describe this VM.
 
 GP fit entries port the reference's PerformanceBenchmark protocol
 (regression/benchmark/PerformanceBenchmark.scala:13-57): synthetic

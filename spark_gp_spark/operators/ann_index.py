@@ -101,6 +101,11 @@ def load_ann_index(path: str) -> dict:
     vecs = table.column("vec").to_pylist()
     cent_rows = {i: v for k_, i, v in zip(kinds, i_idx, vecs) if k_ == "centroids"}
     if cent_rows:
+        if set(cent_rows) != set(range(len(cent_rows))):
+            raise ValueError(
+                f"corrupt index at {path}: centroid rows are not contiguous "
+                f"0..{len(cent_rows) - 1}"
+            )
         out["centroids"] = np.asarray(
             [cent_rows[i] for i in range(len(cent_rows))], dtype=np.float64
         )
@@ -112,6 +117,11 @@ def load_ann_index(path: str) -> dict:
     if book_rows:
         m = max(i for i, _ in book_rows) + 1
         k = max(j for _, j in book_rows) + 1
+        if set(book_rows) != {(s, j) for s in range(m) for j in range(k)}:
+            raise ValueError(
+                f"corrupt index at {path}: codebook grid is not a full "
+                f"{m}x{k} (subspace, centroid) lattice"
+            )
         out["codebooks"] = np.asarray(
             [[book_rows[(s, j)] for j in range(k)] for s in range(m)],
             dtype=np.float64,
