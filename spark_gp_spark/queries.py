@@ -1017,7 +1017,13 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted ONCE and feeds clustering, quality, contamination, and
     packing (plan-asserted in tests/test_plans.py); the probe side of the
     contamination join is broadcast; packing windows partition by split —
-    no single-task funnel.
+    no single-task funnel.  Caching honesty at 100 TB: persist(corpus) is
+    the right call up to cluster-memory×spill scale; past that, drop it
+    and let each pass RE-SCAN parquet (columnar scans with pruning are
+    cheaper than caching the full corpus) — what must stay cached are the
+    NARROW relations: the kept-canonicals frame below (one row per
+    surviving doc; uncached, every reference re-runs the contamination
+    chain) and the shingle staging inside the clustering operator.
 
     Output: one row per surviving canonical doc
     (doc_id, component, component_size, quality, split, n_tokens, batch_id).
