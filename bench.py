@@ -235,8 +235,11 @@ def greedy_provider_bench(spark) -> dict:
     """The greedy forward-selection active-set provider (active_set.py:
     96-164) is the reference's known cost cliff: m SEQUENTIAL distributed
     jobs, one per selected point (ActiveSetProvider.scala:72-79 parity).
-    One 10k-row fit at m=64 documents the cost next to the random provider
-    on the identical data/config, so users can choose with numbers."""
+    One 10k-row fit at m=64 documents the cost AND the quality next to the
+    random provider on the identical data/config (probe RMSE per provider),
+    so users can weigh the trade with numbers."""
+    from pyspark.sql import functions as F
+
     df = _synthetic(spark, 10_000).persist()
     df.count()
     out = {}
@@ -247,8 +250,14 @@ def greedy_provider_bench(spark) -> dict:
             .setActiveSetSize(64)
         )
         t0 = time.time()
-        est.fit(df)
+        model = est.fit(df)
         out[f"fit_10k_m64_{provider}_sec"] = round(time.time() - t0, 3)
+        rmse = (
+            model.transform(df)
+            .select(F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)))
+            .first()[0]
+        )
+        out[f"fit_10k_m64_{provider}_rmse"] = float(f"{rmse:.3e}")
     df.unpersist()
     return out
 
