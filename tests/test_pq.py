@@ -206,3 +206,26 @@ def test_hash_sample_pushdown_matches_global_selection():
     X = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
     order = np.lexsort((ids, sample_hash_np(ids)))[:64]
     np.testing.assert_array_equal(got, X[order])
+
+
+def test_ann_index_load_rejects_corrupt_lattice(tmp_path):
+    """A hand-damaged artifact (missing codebook cell / gapped centroid
+    rows) must fail loudly, not KeyError or silently mis-shape."""
+    import numpy as np
+    import pyarrow.parquet as paq
+    import pytest
+
+    from spark_gp_spark.operators.ann_index import load_ann_index, save_ann_index
+
+    art = str(tmp_path / "index.parquet")
+    save_ann_index(
+        art,
+        centroids=np.arange(8.0).reshape(4, 2),
+        codebooks=np.arange(24.0).reshape(2, 3, 4),
+    )
+    table = paq.read_table(art)
+    # drop one codebook cell -> incomplete (subspace, centroid) lattice
+    damaged = table.slice(0, table.num_rows - 1)
+    paq.write_table(damaged, art)
+    with pytest.raises(ValueError, match="lattice"):
+        load_ann_index(art)
