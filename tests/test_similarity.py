@@ -184,3 +184,38 @@ def test_hash_sample_spark_twin_matches_pyarrow(spark):
     got_all = hash_sample_vectors_spark(df, 10_000)
     want_all = _hash_sample_vectors_scan(path, 10_000, "embedding", "vec_id")
     np.testing.assert_array_equal(got_all, want_all)
+
+
+def test_hash_sample_retry_on_adversarial_ids(tmp_path):
+    """The pushed-down threshold can undershoot when the id population's
+    hashes are skewed high; the doubling retry must still deliver EXACTLY
+    the global smallest-(hash, id) sample.  Ids here are chosen so every
+    hash sits in the top decile of the hash range — the initial ~2x-rate
+    threshold matches zero rows and the loop must double up to the full
+    range."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    from spark_gp_spark.operators.ivf import (
+        _HASH_MASK,
+        _hash_sample_vectors_scan,
+        sample_hash_np,
+    )
+
+    ids, i = [], 0
+    while len(ids) < 100:
+        if sample_hash_np(np.array([i]))[0] > 0.9 * _HASH_MASK:
+            ids.append(i)
+        i += 1
+    ids = np.asarray(ids, dtype=np.int64)
+    vecs = [[float(x), float(x) + 0.5] for x in ids]
+    path = str(tmp_path / "adversarial.parquet")
+    paq.write_table(
+        pa.table({"vec_id": ids, "embedding": pa.array(vecs, pa.list_(pa.float64()))}),
+        path,
+    )
+    got = _hash_sample_vectors_scan(path, 10, "embedding", "vec_id")
+    order = np.lexsort((ids, sample_hash_np(ids)))[:10]
+    want = np.asarray(vecs, dtype=np.float64)[order]
+    np.testing.assert_array_equal(got, want)
