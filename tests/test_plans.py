@@ -171,3 +171,25 @@ def test_corpus_prep_pipeline_scans_once_and_stays_bucketed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_domain_mix_sample_is_pure_scan_filter(spark):
+    """The mixing pass must stay a zero-shuffle projection: broadcast
+    literal rate map + codegen hash predicate at the scan — no Exchange
+    beyond the loader's single-file repartition, no join."""
+    from spark_gp_spark.queries import domain_mix_sample
+
+    plan = _plan(domain_mix_sample(spark, SF))
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
+
+
+def test_tfidf_cosine_absolute_cap_stays_equijoin(spark):
+    """The absolute-df-cap rewrite must not change the plan class: posting
+    equi-join candidates only, never a cartesian/nested-loop pairing."""
+    from spark_gp_spark.queries import tfidf_cosine_pairs
+
+    plan = _plan(tfidf_cosine_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
