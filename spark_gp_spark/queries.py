@@ -738,6 +738,20 @@ GROUP BY r.doc_id
 _STREAM_NEARDUP_SQL = _sql_streaming_neardup()
 
 
+def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DENSE-VECTOR near-dup (streaming/neardup.py:
+    streaming_embedding_neardup_matches): multi-table sign-LSH buckets
+    (same seeded hyperplanes as batch embedding_neardup_pairs) feed the
+    bucket-min applyInPandasWithState machine; per arriving vector the
+    output is the earliest prior vector sharing ≥ 1 (table, bucket) —
+    "have I already ingested an embedding like this?" at stream time,
+    the vector twin of the MinHash streaming near-dup.  Oracle = the same
+    baked-hyperplane bucket CTEs, min(partner < id) per id."""
+    from .streaming.neardup import run_streaming_embedding_neardup
+
+    return run_streaming_embedding_neardup(spark, sf_dir)
+
+
 def streaming_neardup_event_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup through the EVENT-time TTL path (streaming/
     neardup.py): each doc carries the synthetic event time _TS_EPOCH +
@@ -1802,6 +1816,22 @@ WITH e AS (
 SELECT id_a, id_b, round(list_cosine_similarity(a.v, bb.v), 6) AS cosine
 FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e bb ON cand.id_b = bb.vec_id
 WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.45
+"""
+
+
+#: oracle for the STREAMING vector near-dup: the same baked-hyperplane
+#: bucket CTE as _NEARDUP_SQL, reduced to min-earlier-collider per id —
+#: with id-ordered staged arrivals the emitted relation is this pure
+#: function of the data.
+_STREAM_VEC_NEARDUP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  {_sql_lsh_buckets(bits=6, tables=8, seed=11)}
+)
+SELECT r.vec_id, min(l.vec_id) AS dup_of
+FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+GROUP BY r.vec_id
 """
 
 
@@ -3441,6 +3471,7 @@ QUERIES = {
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
     "domain_mix_sample": domain_mix_sample,
     "ivfadc_topk_persisted": ivfadc_topk_persisted,
+    "streaming_embedding_neardup": streaming_embedding_neardup,
     # --- changed in round 6 (pushed-down hash sampling + artifact cache;
     #     residual family unchanged since r5 but rewritten there with no
     #     official row yet) ---
@@ -3464,7 +3495,6 @@ QUERIES = {
     "neardup_components_star": neardup_components_star,
     "neardup_canonical": neardup_canonical,
     "text_stats": text_stats,
-    "language_distribution": language_distribution,
     "bm25_topk": bm25_topk,
     "event_status_asof": event_status_asof,
     # --- last official row r4 (re-verified locally in r5, window-rotated
@@ -3499,6 +3529,7 @@ QUERIES = {
     # (all officially green in CORRECTNESS_r05 on code unchanged this round)
     "q1_pricing_summary": q1_pricing_summary,
     "revenue_by_nation": revenue_by_nation,
+    "language_distribution": language_distribution,
     "user_retention_cohorts": user_retention_cohorts,
     "session_funnel": session_funnel,
     "event_value_histogram": event_value_histogram,
@@ -3618,6 +3649,7 @@ ORACLE_SQL = {
     "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,
     "streaming_neardup": _STREAM_NEARDUP_SQL,
     "streaming_neardup_event_ttl": _STREAM_NEARDUP_SQL,
+    "streaming_embedding_neardup": _STREAM_VEC_NEARDUP_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "streaming_upsert": _STREAM_UPSERT_SQL,

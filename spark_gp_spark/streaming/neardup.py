@@ -160,6 +160,107 @@ def streaming_neardup_matches(
     )
 
 
+def streaming_embedding_neardup_matches(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+    dim: int = 64,
+    ttl_ms: int | None = None,
+    ts_col: str | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Per-table match log over a (streaming) VECTOR frame — the dense-
+    embedding twin of the MinHash path above: buckets come from multi-table
+    sign-LSH (the same seeded hyperplanes as batch
+    similarity.lsh_candidate_pairs, Arrow-batched projection), the stream
+    is keyed by (table, bucket), and the IDENTICAL bucket-min state
+    machine answers "have I already accepted an embedding that collides
+    with this one?" per arriving vector.  One (doc_id=vec id, dup_of) row
+    per colliding table; min-per-id over the log is the earliest prior
+    near-dup candidate:
+
+        dup_of(v) = min{ v' < v : v' shares ≥ 1 (table, bucket) with v }
+
+    — stated by the batch oracle over the same baked-hyperplane bucket
+    CTEs the ``embedding_neardup_pairs`` oracle uses.  Scale shape: only
+    (id, tbl, bucket) rides the shuffle (vectors never leave the
+    projection); state is one long per DISTINCT (table, bucket) —
+    tables·2^bits entries at most.  ``ttl_ms``/``ts_col`` select the same
+    processing-time or event-time expiry as the MinHash variant."""
+    event_time = ts_col is not None
+    if event_time:
+        vecs = vecs.withWatermark(ts_col, watermark_delay)
+    from ..operators.similarity import _bucket_udf, hyperplane_tables
+
+    udf = _bucket_udf(hyperplane_tables(dim, bits, tables, seed))
+    dotted = vecs.select(
+        F.col(id_col).alias("_id"),
+        *([F.col(ts_col).alias("_ts")] if event_time else []),
+        udf(F.col(vec_col).cast("array<double>")).alias("_b"),
+    )
+    banded = dotted.select(
+        "_id",
+        *(["_ts"] if event_time else []),
+        F.posexplode(F.col("_b")).alias("tbl", "bucket"),
+    )
+    if event_time:
+        timeout_conf = "EventTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    else:
+        timeout_conf = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    return banded.groupBy("tbl", "bucket").applyInPandasWithState(
+        _make_neardup_state_func(ttl_ms, event_time=event_time),
+        outputStructType=NEARDUP_OUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+def run_streaming_embedding_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+    dim: int = 64,
+    query_name: str = "gp_stream_vec_neardup",
+    n_files: int = 2,
+) -> DataFrame:
+    """Drive the embeddings parquet through the streaming vector near-dup
+    operator: id-range staged arrivals (arrival order == id order), per-
+    table match log into a parquet sink, then the batch min-per-id summary
+    (vec_id, dup_of)."""
+    work = tempfile.mkdtemp(prefix="gp_stream_vec_neardup_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="embeddings", order_col="vec_id",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    matches = streaming_embedding_neardup_matches(
+        stream, bits=bits, tables=tables, seed=seed, dim=dim
+    )
+    with _state_partitions(spark):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
+    return (
+        log.groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .select(F.col("doc_id").alias("vec_id"), "dup_of")
+    )
+
+
 #: epoch base for the synthesized per-doc event time in the event-time
 #: registry harness: ts(doc) = _TS_EPOCH + doc_id seconds — a pure function
 #: of the data both engines can state.

@@ -179,3 +179,33 @@ def test_streaming_neardup_event_time_ttl_expiry(spark, tmp_path):
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     got = {r.doc_id: r.dup_of for r in log.collect()}
     assert got == {4: 1}, f"expected only the surviving bucket to match: {got}"
+
+
+def test_streaming_embedding_neardup_across_batches(spark, tmp_path):
+    """Vector twin of the MinHash state machine: an exact-duplicate
+    embedding arriving in a LATER batch must match its earlier original
+    (state carries across micro-batches), and the emitted dup_of is the
+    EARLIEST collider."""
+    import numpy as np
+
+    from spark_gp_spark.streaming.neardup import run_streaming_embedding_neardup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(6, 16))
+    vecs = {i: base[i] for i in range(6)}
+    vecs[6] = base[2].copy()          # exact dup of 2, lands in file 2
+    vecs[7] = base[2].copy()          # second dup -> earliest collider still 2
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(src + "/embeddings.parquet")
+
+    # bits=12: a random pair collides in one table w.p. 0.5^12 (~0.2%
+    # across 8 tables), while the identical planted vectors share EVERY
+    # bucket — so the earliest collider is the planted original (seed
+    # fixed, fully deterministic)
+    out = run_streaming_embedding_neardup(spark, src, dim=16, bits=12, n_files=2)
+    got = {r.vec_id: r.dup_of for r in out.collect()}
+    assert got[6] == 2
+    assert got[7] == 2
+    assert 0 not in got and 1 not in got and 2 not in got
