@@ -4,7 +4,10 @@ Runs every ``queries()`` entry at the given scale factor and compares it with
 its ``oracle_sql()`` via DuckDB: row count, sorted-by-name schema, and
 order-insensitive value comparison.  Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [sf_dir] [query ...] [--window]
+
+``--window`` restricts to the first 50 registry keys — the exact slice the
+round driver records official rows for.
 """
 
 from __future__ import annotations
@@ -59,8 +62,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -82,6 +87,10 @@ def main() -> int:
     entry = importlib.import_module("__spark_entry__")
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if window_only:
+        # the round driver records official rows for the FIRST 50 registry
+        # keys only — --window replicates exactly that slice
+        queries = dict(list(queries.items())[:50])
 
     n_pass = n_fail = 0
     for name, fn in queries.items():
