@@ -209,3 +209,70 @@ def test_streaming_embedding_neardup_across_batches(spark, tmp_path):
     assert got[6] == 2
     assert got[7] == 2
     assert 0 not in got and 1 not in got and 2 not in got
+
+
+def test_streaming_embedding_neardup_event_time_ttl(spark, tmp_path):
+    """Event-time TTL on the VECTOR state machine: a bucket whose
+    watermark-relative deadline passes is dropped, so a later exact
+    duplicate of the expired vector emits nothing while a still-live
+    bucket matches — same contract as the MinHash variant, driven without
+    sleeps or polling."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import numpy as np
+
+    from spark_gp_spark.streaming.events import _state_partitions
+    from spark_gp_spark.streaming.neardup import (
+        NEARDUP_OUT_SCHEMA,
+        streaming_embedding_neardup_matches,
+    )
+
+    rng = np.random.default_rng(9)
+    v_expire = [float(x) for x in rng.normal(size=16)]
+    v_keep = [float(x) for x in rng.normal(size=16)]
+    v_churn = [float(x) for x in rng.normal(size=16)]
+    base = 1_700_000_000
+    batches = [
+        [(0, v_expire, base + 10.0), (1, v_keep, base + 11.0)],
+        [(2, v_churn, base + 11.4)],   # advances watermark to 11 s: bucket(0)
+                                       # deadline 10.5 s fires, bucket(1) lives
+        [(3, v_expire, base + 30.0), (4, v_keep, base + 30.0)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<double>, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(src)
+    matches = streaming_embedding_neardup_matches(
+        stream, dim=16, bits=12, ttl_ms=500, ts_col="ts"
+    )
+    with _state_partitions(spark):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    try:
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                [(d, v, dt.datetime.fromtimestamp(ts, dt.timezone.utc))
+                 for d, v, ts in rows],
+                schema,
+            )
+            staged = str(tmp_path / f"b{i}")
+            df.coalesce(1).write.parquet(staged)
+            part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+            shutil.copy(
+                os.path.join(staged, part),
+                os.path.join(src, f"arrival-{i:04d}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
+    got = {r.doc_id: r.dup_of for r in log.collect()}
+    assert got == {4: 1}, f"expected only the surviving bucket to match: {got}"
