@@ -193,3 +193,20 @@ def test_tfidf_cosine_absolute_cap_stays_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_similarity_topk_plan_shapes(spark):
+    """Top-k family plan classes: the exact baseline (cosine_topk) is the
+    ONE intended broadcast nested-loop — corpus x fixed query set, linear
+    in N with Q constant; the approximate paths (lsh/ivf) must be pure
+    bucket equi-joins with broadcast small sides, never a nested loop."""
+    from spark_gp_spark.queries import cosine_topk, ivf_topk, lsh_topk
+
+    plan = _plan(cosine_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    for q in (lsh_topk, ivf_topk):
+        plan = _plan(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        assert "BroadcastHashJoin" in plan, q.__name__
