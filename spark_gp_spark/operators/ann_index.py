@@ -81,7 +81,12 @@ def save_ann_index(
     table = table.replace_schema_metadata(meta)
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
-    pq.write_table(table, path)
+    # write-then-rename: os.replace is atomic on one filesystem, so a reader
+    # (another process sharing the deterministic artifact path) never sees a
+    # half-written file — it sees the old artifact or the new one
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
     return path
 
 

@@ -61,11 +61,25 @@ def _file_fingerprint(path: str) -> tuple:
 #: train-once/reuse, so repeated query invocations (the bench runs each
 #: registry entry under per-query cache isolation) pay scan cost only,
 #: not a k-means retrain.  Entries are a few KB (codebooks/centroids).
+#: Superseded fingerprints are EVICTED on insert — a long-lived process
+#: cycling through rewritten fixtures keeps exactly one generation per
+#: (builder, path) instead of accumulating every generation it ever saw
+#: (the same hygiene rule as the derived-copy tracker in queries.py).
 _ANN_ARTIFACT_CACHE: dict[tuple, object] = {}
 
 
 def _cached_artifact(key: tuple, builder):
+    """Key layout contract: key[0] = builder kind, key[1] = source path,
+    key[2] = file fingerprint, key[3:] = params.  On a miss, entries for
+    the same (kind, path) with a DIFFERENT fingerprint are dropped first —
+    they describe a file that no longer exists in that form."""
     if key not in _ANN_ARTIFACT_CACHE:
+        stale = [
+            k for k in _ANN_ARTIFACT_CACHE
+            if k[:2] == key[:2] and k[2] != key[2]
+        ]
+        for k in stale:
+            del _ANN_ARTIFACT_CACHE[k]
         _ANN_ARTIFACT_CACHE[key] = builder()
     return _ANN_ARTIFACT_CACHE[key]
 

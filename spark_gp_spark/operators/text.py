@@ -415,8 +415,13 @@ def tfidf_cosine_pairs(
     refinement ngram_jaccard_pairs(prefix=True) implements for set
     similarity.)  ``max_df_frac``, when given, OVERRIDES ``max_df`` with
     ceil(frac·N) — an explicit small-corpus convenience, not a scale
-    setting.  Norms are computed over the same capped vocabulary, so sim
-    is a true cosine in that space.
+    setting.  Changelog note: before the absolute-cap rework this fraction
+    path truncated (int(N·frac)); it now takes the CEILING, so a token
+    whose document frequency lands exactly between floor and ceil is
+    INCLUDED in the vocabulary where it previously was not — fraction
+    callers migrating across that change see a (slightly) larger
+    vocabulary, never a smaller one.  Norms are computed over the same
+    capped vocabulary, so sim is a true cosine in that space.
 
     Plan: one shuffle for per-doc term counts, one for document
     frequencies, one posting equi-join on the token (id_a < id_b), one

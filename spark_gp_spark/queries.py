@@ -759,17 +759,25 @@ def streaming_neardup_event_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     expires via EventTimeTimeout — the replayable production expiry for
     unbounded streams (processing-time TTL depends on wall clock and spins
     no-data batches; event time is a pure function of the data).  The TTL
-    here (2× the corpus id span) provably never fires — the watermark can
-    never reach last_ts + ttl — so the emitted relation equals the no-TTL
-    banding oracle while the watermark/timeout machinery runs end to end;
-    EXPIRY semantics are pytest-gated with controlled timestamps
-    (tests/test_streaming_neardup.py::test_streaming_neardup_event_time_
-    ttl_expiry)."""
+    here (2× the corpus's actual doc_id SPAN — max − min + 1, NOT the row
+    count, which under-measures on sparse/non-contiguous ids) provably
+    never fires: event times are _TS_EPOCH + doc_id seconds, so the
+    watermark can advance at most span seconds past any bucket's last
+    member and never reaches last_ts + ttl.  The emitted relation therefore
+    equals the no-TTL banding oracle while the watermark/timeout machinery
+    runs end to end; EXPIRY semantics are pytest-gated with controlled
+    timestamps (tests/test_streaming_neardup.py::
+    test_streaming_neardup_event_time_ttl_expiry)."""
     from .streaming.neardup import run_streaming_neardup
 
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    lo, hi = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.min("doc_id"), F.max("doc_id"))
+        .first()
+    )
+    span = int(hi) - int(lo) + 1
     return run_streaming_neardup(
-        spark, sf_dir, ttl_ms=2 * (n_docs + 1) * 1000, event_time=True
+        spark, sf_dir, ttl_ms=2 * (span + 1) * 1000, event_time=True
     )
 
 
@@ -1690,6 +1698,7 @@ def ivfadc_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             codebooks=books,
             params={"nprobe": _IVF_NPROBE, "k": 5, "encoding": "residual"},
         )
+        _derived_copy_commit("ann_index", path)
     idx = load_ann_index(f"{art_path}/index.parquet")
     cents, books = idx["centroids"], idx["codebooks"]
     nprobe = int(idx["params"]["nprobe"])
@@ -3198,13 +3207,31 @@ WHERE rn = 1
 """
 
 
-#: derived-copy staleness tracker: source path → (mtime, size) fingerprint of
-#: the parquet the copy was built from.  The copy itself lives at ONE
-#: deterministic location per (kind, source path), so repeated harness/bench
-#: invocations — and even fresh processes — reuse it; a changed fingerprint
-#: rewrites IN PLACE (mode("overwrite")) instead of leaking a new tempdir
-#: per key the way a mkdtemp-per-fingerprint cache did.
+#: derived-copy staleness tracker: (kind, source path) → (mtime, size)
+#: fingerprint of the parquet the copy was built from.  The copy itself
+#: lives at ONE deterministic location per (kind, source path), so repeated
+#: harness/bench invocations — and even fresh processes — reuse it; a
+#: changed fingerprint rewrites IN PLACE (mode("overwrite")) instead of
+#: leaking a new tempdir per key the way a mkdtemp-per-fingerprint cache
+#: did.  The fingerprint is recorded ONLY after a successful write
+#: (_derived_copy_commit) — a write that throws midway leaves the tracker
+#: stale, so the next invocation rewrites instead of trusting a partial
+#: artifact.  Cross-PROCESS concurrency (bench + correctness run on the
+#: same machine) remains best-effort: both writers produce identical
+#: content from the same source fingerprint, and Spark's overwrite commits
+#: via a job-scoped _temporary dir, so the losing writer replaces
+#: like-for-like files.
 _DERIVED_COPY_FPRINT: dict[tuple, tuple] = {}
+
+
+def _derived_copy_fingerprint(source: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(source)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
 
 
 def _derived_copy_path(kind: str, source: str) -> tuple[str, bool]:
@@ -3213,21 +3240,23 @@ def _derived_copy_path(kind: str, source: str) -> tuple[str, bool]:
     ``is_fresh`` is True when the copy at the target is already built from
     the CURRENT source fingerprint — callers skip the write; False means
     write with mode("overwrite") (which also heals a partially-written or
-    externally-deleted target)."""
+    externally-deleted target) and then call ``_derived_copy_commit`` so
+    the tracker only ever claims freshness over a COMPLETED write."""
     import hashlib
     import os
     import tempfile
 
-    try:
-        st = os.stat(source)
-        fprint = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fprint = (None, None)
+    fprint = _derived_copy_fingerprint(source)
     tag = hashlib.md5(source.encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"gp_{kind}_{tag}")
     fresh = _DERIVED_COPY_FPRINT.get((kind, source)) == fprint and os.path.exists(path)
-    _DERIVED_COPY_FPRINT[(kind, source)] = fprint
     return path, fresh
+
+
+def _derived_copy_commit(kind: str, source: str) -> None:
+    """Record that the derived copy of ``source`` was fully written from the
+    source's CURRENT fingerprint.  Call strictly after the write succeeds."""
+    _DERIVED_COPY_FPRINT[(kind, source)] = _derived_copy_fingerprint(source)
 
 
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3247,6 +3276,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
             "value",
         ).write.mode("overwrite").json(path)
+        _derived_copy_commit("jsonl", source)
     back = spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, ts_us bigint, value double"
     ).json(path)
@@ -3282,6 +3312,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority",
         ).write.mode("overwrite").orc(path)
+        _derived_copy_commit("orc", source)
     back = spark.read.orc(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),

@@ -44,18 +44,22 @@ from ..operators.dedup import minhash_band_struct, minhash_signature
 from .events import _drive_append_query, _staged_arrivals, _state_partitions
 
 NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
-NEARDUP_STATE_SCHEMA = "min_id bigint"
+NEARDUP_STATE_SCHEMA = "min_id bigint, last_ms bigint"
 
 
 def _make_neardup_state_func(ttl_ms: int | None, event_time: bool = False):
     """Per-(band, key) state machine factory: emit (doc, bucket-min-so-far)
-    for every doc with an earlier collider; carry the running min doc id.
-    With ``ttl_ms``, a cold bucket is dropped on timeout (hasTimedOut),
-    bounding state on unbounded streams; ``event_time`` switches the
-    deadline from a processing-time duration to an EVENT-time timestamp
-    (bucket's max event time + ttl), fired when the WATERMARK passes it —
-    the replayable, wall-clock-free expiry (see
-    streaming_neardup_matches)."""
+    for every doc with an earlier collider; carry the running min doc id
+    AND the bucket's running max event time (epoch ms; 0 when the stream
+    carries no event time).  With ``ttl_ms``, a cold bucket is dropped on
+    timeout (hasTimedOut), bounding state on unbounded streams;
+    ``event_time`` switches the deadline from a processing-time duration to
+    an EVENT-time timestamp (bucket max event time + ttl), fired when the
+    WATERMARK passes it — the replayable, wall-clock-free expiry (see
+    streaming_neardup_matches).  The deadline derives from the RUNNING max
+    (not the current micro-batch's max): a batch containing only late,
+    older-event-time rows must never move the deadline backwards and
+    expire the bucket earlier than 'max event time + ttl'."""
 
     def func(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
@@ -68,21 +72,26 @@ def _make_neardup_state_func(ttl_ms: int | None, event_time: bool = False):
             )
             return
         cur = int(state.get[0]) if state.exists else None
+        prior_last = int(state.get[1]) if state.exists else 0
         pdf = pd.concat(list(pdf_iter), ignore_index=True)
         out: list[tuple[int, int]] = []
         for d in sorted(int(x) for x in pdf["_id"]):
             if cur is not None and cur < d:
                 out.append((d, cur))
             cur = d if cur is None else min(cur, d)
-        state.update((int(cur),))
+        last_ms = prior_last
+        if event_time:
+            batch_ms = int(pd.Series(pdf["_ts"]).max().value // 1_000_000)
+            last_ms = max(prior_last, batch_ms)
+        state.update((int(cur), int(last_ms)))
         if ttl_ms is not None:
             if event_time:
-                # deadline = this bucket's max event time + TTL; the engine
-                # fires it when the watermark passes — clamped one ms above
-                # the current watermark so a bucket fed entirely by late
-                # data expires on the NEXT watermark advance instead of
-                # crashing setTimeoutTimestamp's timestamp<=watermark check
-                last_ms = int(pd.Series(pdf["_ts"]).max().value // 1_000_000)
+                # deadline = bucket's RUNNING max event time + TTL; the
+                # engine fires it when the watermark passes — clamped one
+                # ms above the current watermark so a bucket fed entirely
+                # by late data expires on the NEXT watermark advance
+                # instead of crashing setTimeoutTimestamp's
+                # timestamp<=watermark check
                 wm = state.getCurrentWatermarkMs()
                 state.setTimeoutTimestamp(max(last_ms + ttl_ms, wm + 1))
             else:

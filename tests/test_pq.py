@@ -229,3 +229,83 @@ def test_ann_index_load_rejects_corrupt_lattice(tmp_path):
     paq.write_table(damaged, art)
     with pytest.raises(ValueError, match="lattice"):
         load_ann_index(art)
+
+
+def test_probe_parity_numpy_vs_spark_full_fixture(spark):
+    """The ivfadc probe-agreement check (pq.ivfadc_topk) treats numpy
+    (probe_cells_np) and Spark (ivf_probe_frame) cell assignment parity as
+    load-bearing: any (query, cell) divergence is a hard failure.  Pin that
+    parity explicitly over the FULL sf0.001 embeddings fixture — every
+    vector as a query — so a drift in either side's accumulation order or
+    tie-break surfaces here first, not as a registry-query crash."""
+    import numpy as np
+    import pyarrow.parquet as paq
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.ivf import (
+        ivf_probe_frame,
+        train_centroids_from_parquet,
+    )
+    from spark_gp_spark.operators.pq import probe_cells_np
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    cents = train_centroids_from_parquet(path, 16, seed=5, sample_rows=400)
+    table = paq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(table.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    nprobe = 4
+    want = {
+        (int(i), int(c))
+        for i, cells in zip(ids, probe_cells_np(X, cents, nprobe))
+        for c in cells
+    }
+    df = spark.read.parquet(path)
+    got = {
+        (int(r.query_id), int(r.cell))
+        for r in ivf_probe_frame(
+            df, F.col("vec_id"), F.col("embedding").cast("array<double>"),
+            cents, nprobe, "query_id",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ann_artifact_cache_evicts_superseded_fingerprints(tmp_path):
+    """_cached_artifact drops entries whose (kind, path) matches a new
+    insert but whose file fingerprint is stale: two fixture rewrites leave
+    exactly one cache generation per (kind, path)."""
+    import shutil
+    import time
+
+    from spark_gp_spark.operators import ivf
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    path = str(tmp_path / "emb.parquet")
+
+    def rewrite():
+        shutil.copyfile(src, path)
+        # ensure a distinct mtime_ns fingerprint even on coarse clocks
+        now = time.time_ns()
+        rewrite.tick += 1
+        import os
+
+        os.utime(path, ns=(now + rewrite.tick, now + rewrite.tick))
+
+    rewrite.tick = 0
+    before = dict(ivf._ANN_ARTIFACT_CACHE)
+    try:
+        ivf._ANN_ARTIFACT_CACHE.clear()
+        for _ in range(2):
+            rewrite()
+            ivf.train_centroids_from_parquet(path, 4, seed=5, sample_rows=50)
+            ivf.hash_sample_vectors(path, 50)
+        by_kind_path = {}
+        for k in ivf._ANN_ARTIFACT_CACHE:
+            by_kind_path.setdefault((k[0], k[1]), []).append(k)
+        for (kind, p), keys in by_kind_path.items():
+            assert len(keys) == 1, f"{kind}@{p} kept {len(keys)} generations"
+    finally:
+        ivf._ANN_ARTIFACT_CACHE.clear()
+        ivf._ANN_ARTIFACT_CACHE.update(before)

@@ -276,3 +276,57 @@ def test_streaming_embedding_neardup_event_time_ttl(spark, tmp_path):
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     got = {r.doc_id: r.dup_of for r in log.collect()}
     assert got == {4: 1}, f"expected only the surviving bucket to match: {got}"
+
+
+def test_state_func_late_batch_never_moves_deadline_backwards():
+    """ADVICE r6: a micro-batch containing only LATE (older-event-time) rows
+    must not shrink the bucket's expiry deadline.  The state tuple carries
+    the bucket's RUNNING max event time, so the deadline after a late batch
+    still derives from the earlier (newer) timestamp.  Driven with a fake
+    GroupState — no streaming query needed."""
+    import pandas as pd
+
+    from spark_gp_spark.streaming.neardup import _make_neardup_state_func
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self.get = None
+            self.deadlines = []
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+        def remove(self):
+            self.exists = False
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ms):
+            self.deadlines.append(ms)
+
+    ttl_ms = 10_000
+    func = _make_neardup_state_func(ttl_ms, event_time=True)
+    state = FakeState()
+
+    def batch(ids, ts_seconds):
+        return [pd.DataFrame({
+            "_id": pd.Series(ids, dtype="int64"),
+            "_ts": pd.to_datetime(pd.Series(ts_seconds), unit="s"),
+        })]
+
+    # batch 1: event time 100s -> deadline 100_000 + ttl
+    list(func(("b", "k"), iter(batch([5], [100])), state))
+    assert state.deadlines[-1] == 100_000 + ttl_ms
+    assert state.get == (5, 100_000)
+    # batch 2: ONLY late rows (event time 40s) -> deadline must NOT regress
+    list(func(("b", "k"), iter(batch([7], [40])), state))
+    assert state.deadlines[-1] == 100_000 + ttl_ms
+    assert state.get == (5, 100_000)
+    # batch 3: newer event time advances the deadline again
+    list(func(("b", "k"), iter(batch([9], [200])), state))
+    assert state.deadlines[-1] == 200_000 + ttl_ms
+    assert state.get == (5, 200_000)
