@@ -210,3 +210,23 @@ def test_similarity_topk_plan_shapes(spark):
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         assert "BroadcastHashJoin" in plan, q.__name__
+
+
+def test_ivfadc_codes_plan_reads_stored_codes_no_python(spark):
+    """The encode-once lifecycle (ivfadc_topk_codes): the query plan must
+    contain NO Python eval node at all — the corpus side is a plain scan of
+    the persisted cell-partitioned codes parquet (encode amortized to zero),
+    the probed cells appear as a STATIC PartitionFilter (pruned at file
+    listing), and the LUT attach stays the broadcast equi-join."""
+    from spark_gp_spark.queries import ivfadc_topk_codes
+
+    plan = _plan(ivfadc_topk_codes(spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+    assert "gp_ann_codes_" in plan          # scan of the persisted codes dir
+    assert "PartitionFilters: [cell" in plan or "cell#" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0]                      # probed-cells static pruning
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
