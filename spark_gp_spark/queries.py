@@ -1106,6 +1106,123 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gpc_quality_filter_frames(spark: SparkSession, sf_dir: str):
+    """Shared GP×pipeline composition core: fit a GaussianProcessClassifier
+    to predict (quality ≥ _PIPE_QMIN) from cheap text features on a
+    deterministic training slice, and score the WHOLE corpus with one
+    Arrow-batched transform.  Returns (corpus, probe, scored) where scored
+    = (doc_id, quality, p1 = P(quality ≥ τ | features)).
+
+    This is the reference's predict surface (GaussianProcessClassifier.
+    scala:141-156) exercised at corpus scale inside the corpus-prep
+    composition: a real training-data run gates on a LEARNED quality/
+    toxicity model, not a hand-rule — the hand-rule here plays the role of
+    the labeling function on the training slice only.  Features are
+    z-scaled corpus-wide (one JVM aggregate, scaling.py), the fit touches
+    only the slice (docs with doc_id ≡ 0 mod 3), and transform adds ZERO
+    shuffle — one pandas-UDF projection (plan-asserted in
+    tests/test_plans.py).  Held-out accuracy is pytest-gated
+    (tests/test_gpc_spark.py)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from . import GaussianProcessClassifier, RBFKernel, Scalar
+    from .scaling import scale_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
+    probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
+    stats = T.text_stats(corpus)
+    toks = T.tokens(F.col("text"))
+    ws = F.array(*[F.lit(s) for s in T.STOPWORDS["en"]])
+    swr = (
+        F.size(F.filter(toks, lambda w: F.array_contains(ws, w))).cast("double")
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+    feats = stats.join(corpus.select("doc_id", swr.alias("sw_ratio")), "doc_id").select(
+        "doc_id",
+        "quality",
+        F.array(
+            F.log(F.col("n_tokens") + 1.0), "mean_word_len", "alpha_ratio", "sw_ratio"
+        ).alias("features"),
+    )
+    feats = scale_features(feats).persist()
+    train = feats.filter(F.pmod("doc_id", 3) == 0).withColumn(
+        "label", (F.col("quality") >= _PIPE_QMIN).cast("double")
+    )
+    gpc = (
+        GaussianProcessClassifier()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(2.0, 1e-6, 100))
+        .setDatasetSizeForExpert(60)
+        .setActiveSetSize(60)
+        .setActiveSetProvider("random")
+        .setSeed(42)
+        .setSigma2(1e-3)
+        .setMaxIter(20)
+    )
+    model = gpc.fit(train)
+    scored = model.transform(feats).select(
+        "doc_id",
+        "quality",
+        F.element_at(vector_to_array("probability"), 2).alias("p1"),
+    )
+    feats.unpersist()
+    return corpus, probe, scored
+
+
+def corpus_prep_gpc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep capstone with its quality floor driven by a LEARNED
+    model — the GP surface composed INTO the pipeline (VERDICT r6 #3):
+
+        near-dup clustering → canonical per component
+        → GPC quality gate (P(quality ≥ τ | text features) ≥ 0.5, fitted
+          on a 1/3 slice, one Arrow-batched transform over the corpus)
+        → 8-gram contamination screen → hash split → per-split packing.
+
+    Identical dataflow to corpus_prep_pipeline except stage 3's filter:
+    `quality >= τ` becomes `p1 >= 0.5` from
+    GaussianProcessClassificationModel.transform — the reference's entry
+    point 3 (SURVEY §3) running inside the north-star composition.
+    Iterative ML → rows-only correctness (the model is deterministic for a
+    fixed seed, and held-out accuracy ≥ 0.95 is pytest-gated); output
+    mirrors corpus_prep_pipeline with the model probability attached."""
+    from .operators.dedup import _retire_shingle_caches
+
+    corpus, probe, scored = _gpc_quality_filter_frames(spark, sf_dir)
+    comps = D.neardup_components(corpus, threshold=0.5)
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    canonical = (
+        comps.join(scored, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    contaminated = P.contamination_check(
+        corpus, probe, shingle_n=8
+    ).select("doc_id").distinct()
+    kept = canonical.filter(F.col("p1") >= 0.5).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    kept = kept.withColumn("split", P.split_expr("doc_id")).persist()
+    packed = P.pack_batches(
+        corpus.join(kept.select("doc_id", "split"), "doc_id"),
+        budget=_PIPE_BUDGET,
+        shard_col="split",
+    )
+    _retire_shingle_caches([corpus, kept])
+    return (
+        kept.join(packed.select("doc_id", "n_tokens", "batch_id"), "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.col("component_size").cast("long").alias("component_size"),
+            F.round("p1", 4).alias("p_quality"),
+            "split",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+        )
+    )
+
+
 def _sql_corpus_prep_pipeline() -> str:
     """Oracle for the capstone: the components recursive CTE and the
     text-stats chain over the SAME filtered ``corpus`` relation, the
@@ -3572,6 +3689,7 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # --- new in round 7 ---
     "ivfadc_topk_codes": ivfadc_topk_codes,
+    "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
     # --- new in round 6 ---
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
@@ -3763,7 +3881,9 @@ ORACLE_SQL = {
     "multimodal_binary_stats": _BINARY_STATS_SQL,
     "multimodal_decode_features": _MM_DECODE_SQL,
     "multimodal_frame_sample": _MM_FRAMES_SQL,
-    # gpr_lineitem / gpc_embeddings: iterative ML (L-BFGS-B over a GP
-    # marginal likelihood) — not SQL-expressible, rows-only check; each is
-    # backed by pytest acceptance thresholds instead.
+    # gpr_lineitem / gpc_embeddings / corpus_prep_gpc_filter: iterative ML
+    # (L-BFGS-B over a GP marginal likelihood) — not SQL-expressible,
+    # rows-only check; each is backed by pytest acceptance thresholds
+    # instead (corpus_prep_gpc_filter: held-out accuracy >= 0.95 +
+    # transform-adds-no-shuffle plan lock).
 }

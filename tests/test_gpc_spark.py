@@ -48,3 +48,27 @@ def test_iris_onevsrest_cv_accuracy(spark):
     )
     acc = cv.fit(df).avgMetrics[0]
     assert acc > 0.90, f"OneVsRest CV accuracy {acc} <= 0.90"
+
+
+def test_gpc_quality_filter_heldout_accuracy(spark):
+    """GP × pipeline composition gate (corpus_prep_gpc_filter): the GPC
+    fitted on a 1/3 slice to predict (quality >= 0.76) from text features
+    must score the HELD-OUT 2/3 at >= 0.95 accuracy — well above the
+    positive-class base rate (~0.90), so the model genuinely learned the
+    quality surface rather than the majority label."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.queries import _PIPE_QMIN, _gpc_quality_filter_frames
+
+    corpus, _, scored = _gpc_quality_filter_frames(spark, "/root/testdata/sf0.001")
+    held = scored.filter(F.pmod("doc_id", 3) != 0)
+    agg = held.agg(
+        F.avg(
+            ((F.col("p1") >= 0.5) == (F.col("quality") >= _PIPE_QMIN)).cast("int")
+        ).alias("acc"),
+        F.avg((F.col("quality") >= _PIPE_QMIN).cast("int")).alias("base"),
+    ).first()
+    corpus.unpersist()
+    assert agg["acc"] >= 0.95, f"held-out accuracy {agg['acc']:.4f} < 0.95"
+    # the gate must beat always-predict-positive
+    assert agg["acc"] > agg["base"], (agg["acc"], agg["base"])

@@ -230,3 +230,36 @@ def test_ivfadc_codes_plan_reads_stored_codes_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_gpc_transform_adds_no_shuffle(spark):
+    """The reference's predict surface at corpus scale (SURVEY §3 entry
+    point 3): GaussianProcessClassificationModel.transform must be ONE
+    Arrow-batched projection — the scored plan carries exactly the input's
+    Exchanges (zero added shuffle) and one ArrowEvalPython node."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark import GaussianProcessClassifier, RBFKernel, Scalar
+
+    df = (
+        spark.range(200)
+        .withColumn("x1", F.rand(3) * 2 - 1)
+        .withColumn("x2", F.rand(4) * 2 - 1)
+        .select(
+            F.array("x1", "x2").alias("features"),
+            ((F.col("x1") * F.col("x2")) > 0).cast("double").alias("label"),
+        )
+    )
+    model = (
+        GaussianProcessClassifier()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(1.0, 1e-6, 10))
+        .setDatasetSizeForExpert(50)
+        .setActiveSetSize(30)
+        .setSeed(7)
+        .setSigma2(1e-3)
+        .setMaxIter(3)
+    ).fit(df)
+    out = model.transform(df)
+    in_plan, out_plan = _plan(df), _plan(out)
+    assert out_plan.count("Exchange") == in_plan.count("Exchange"), out_plan
+    assert out_plan.count("ArrowEvalPython") == 1
