@@ -93,15 +93,51 @@ def kmeans_active_set(ctx: ActiveSetContext, max_iter: int = 20) -> np.ndarray:
     return np.asarray(model.clusterCenters(), dtype=np.float64)
 
 
-def greedy_active_set(ctx: ActiveSetContext) -> np.ndarray:
+def _seeger_deltas(y, X, factory, active, x_opt, Kinv, inv_pdm, magic_vector,
+                   sigma, sigma2) -> np.ndarray:
+    """Per-point Seeger information-gain delta for one expert's chunk
+    (ActiveSetProvider.scala:106-129) — the shared scoring kernel for the
+    one-per-round and batched greedy selectors."""
+    k = factory().set_hyperparameters(x_opt).set_training_vectors(X)
+    cross = k.cross_kernel(active)  # (m, n)
+    diag = k.training_kernel_diag()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = np.einsum("mi,mi->i", cross, Kinv @ cross)
+        q = np.einsum("mi,mi->i", cross, inv_pdm @ cross)
+        mu = magic_vector @ cross
+        li = np.sqrt(diag - p)
+        ratio2 = (sigma / li) ** 2
+        ksi = 1.0 / (ratio2 + 1.0 - q)
+        kappa = ksi * (1.0 + 2.0 * ratio2)
+        delta = -np.log(sigma / li) - (
+            np.log(ksi) + ksi * (1.0 - kappa) / sigma2 * (y - mu) ** 2 - kappa + 2.0
+        ) / 2.0
+    return delta
+
+
+def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
     """GreedilyOptimizingActiveSetProvider (ActiveSetProvider.scala:63-139).
 
     Starts from one random point; each round scores every training point by
     the Seeger information-gain delta and appends the argmax.  Per round this
-    costs one Gram reduction + one argmax reduction over the experts.
-    """
+    costs one Gram reduction + one argmax reduction over the experts — m
+    SEQUENTIAL rounds, the reference's known cost cliff
+    (ActiveSetProvider.scala:72-79, one distributed job per added point;
+    measured 46.8 s vs random's 3.3 s at m=64 on 10k rows).
+
+    ``batch`` > 1 amortizes the cliff: each round appends the top-``batch``
+    candidates by delta instead of one, cutting rounds (and jobs) by ~batch×.
+    This is an explicit APPROXIMATION of pure greedy — the 2nd..B-th picks of
+    a round are scored against the active set as of the round's START, not
+    against the set including the round's earlier picks, so within-round
+    redundancy (e.g. two near-identical high-gain points) is not penalized.
+    Empirically RMSE-neutral at small B (regression-gated in
+    tests/test_gpr_spark.py; bench.py reports the trade next to plain
+    greedy).  Reads ``greedy_active_set.last_rounds`` after a call for the
+    number of selection rounds executed."""
     active = sample_feature_rows(ctx.points, 1, ctx.seed)
     x_opt = ctx.optimal_hyperparameters
+    rounds = 0
 
     while len(active) < ctx.active_set_size:
         kern: Kernel = ctx.kernel_factory()
@@ -127,39 +163,58 @@ def greedy_active_set(ctx: ActiveSetContext) -> np.ndarray:
         inv_pdm = np.linalg.inv(pdm)
         magic_vector = np.linalg.solve(pdm, Kmny)
         sigma = np.sqrt(sigma2)
+        b = min(batch, ctx.active_set_size - m)
+        common = dict(
+            _factory=factory, _act=act, _x=x_opt, _Kinv=Kinv,
+            _inv_pdm=inv_pdm, _mv=magic_vector, _sigma=sigma, _sigma2=sigma2,
+        )
 
-        def delta_fn(y, X, _factory=factory, _act=act, _x=x_opt,
-                     _Kinv=Kinv, _inv_pdm=inv_pdm, _mv=magic_vector,
-                     _sigma=sigma, _sigma2=sigma2):
-            k = _factory().set_hyperparameters(_x).set_training_vectors(X)
-            cross = k.cross_kernel(_act)  # (m, n)
-            diag = k.training_kernel_diag()
-            with np.errstate(invalid="ignore", divide="ignore"):
-                p = np.einsum("mi,mi->i", cross, _Kinv @ cross)
-                q = np.einsum("mi,mi->i", cross, _inv_pdm @ cross)
-                mu = _mv @ cross
-                li = np.sqrt(diag - p)
-                ratio2 = (_sigma / li) ** 2
-                ksi = 1.0 / (ratio2 + 1.0 - q)
-                kappa = ksi * (1.0 + 2.0 * ratio2)
-                delta = -np.log(_sigma / li) - (
-                    np.log(ksi) + ksi * (1.0 - kappa) / _sigma2 * (y - mu) ** 2 - kappa + 2.0
-                ) / 2.0
-            if np.all(np.isnan(delta)):
-                return float("nan"), X[0]
-            i = int(np.nanargmax(delta))
-            return float(delta[i]), X[i]
+        if b == 1:
+            def delta_fn(y, X, _factory=factory, _act=act, _x=x_opt,
+                         _Kinv=Kinv, _inv_pdm=inv_pdm, _mv=magic_vector,
+                         _sigma=sigma, _sigma2=sigma2):
+                delta = _seeger_deltas(
+                    y, X, _factory, _act, _x, _Kinv, _inv_pdm, _mv, _sigma, _sigma2
+                )
+                if np.all(np.isnan(delta)):
+                    return float("nan"), X[0]
+                i = int(np.nanargmax(delta))
+                return float(delta[i]), X[i]
 
-        _, best_vec = ctx.experts.max_over_experts(delta_fn)
-        active = np.vstack([active, best_vec])
+            _, best_vec = ctx.experts.max_over_experts(delta_fn)
+            new_rows = best_vec[None, :]
+        else:
+            def topk_fn(y, X, _b=b, _kw=common):
+                delta = _seeger_deltas(
+                    y, X, _kw["_factory"], _kw["_act"], _kw["_x"], _kw["_Kinv"],
+                    _kw["_inv_pdm"], _kw["_mv"], _kw["_sigma"], _kw["_sigma2"],
+                )
+                finite = np.where(~np.isnan(delta))[0]
+                if len(finite) == 0:
+                    return np.empty(0), np.empty((0, X.shape[1]))
+                top = finite[np.argsort(delta[finite])[::-1][:_b]]
+                return delta[top], X[top]
 
+            new_rows = ctx.experts.topk_over_experts(topk_fn, b)
+        active = np.vstack([active, new_rows])
+        rounds += 1
+
+    greedy_active_set.last_rounds = rounds
     return active
+
+
+def greedy_batch_active_set(ctx: ActiveSetContext) -> np.ndarray:
+    """'greedy_batch': the batched greedy selector at B=8 — ~8× fewer
+    sequential rounds/jobs than 'greedy' with the documented within-round
+    approximation (see greedy_active_set)."""
+    return greedy_active_set(ctx, batch=8)
 
 
 _PROVIDERS = {
     "random": random_active_set,
     "kmeans": kmeans_active_set,
     "greedy": greedy_active_set,
+    "greedy_batch": greedy_batch_active_set,
 }
 
 

@@ -190,6 +190,18 @@ class Experts:
         NaN scores dropped (ActiveSetProvider.scala:130)."""
         raise NotImplementedError
 
+    def topk_over_experts(
+        self,
+        fn: "Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]",
+        k: int,
+    ) -> np.ndarray:
+        """fn returns (scores (c,), payloads (c, d)) per expert — its own
+        top candidates, already capped at k; global merge keeps the k
+        highest-scoring payload rows (ties broken by arrival order).  The
+        batched generalization of ``max_over_experts``: one reduction
+        yields k selections instead of one."""
+        raise NotImplementedError
+
     def unpersist(self) -> None:
         pass
 
@@ -393,6 +405,40 @@ class DistributedExperts(Experts):
         best = max(rows, key=lambda r: r["score"])
         return best["score"], np.asarray(best["payload"], dtype=np.float64)
 
+    def topk_over_experts(self, fn, k: int) -> np.ndarray:
+        def partial(iterator):
+            scores: list[float] = []
+            payloads: list[np.ndarray] = []
+            for pdf in iterator:
+                for y, xs, n, d in zip(pdf["y"], pdf["xs"], pdf["n"], pdf["d"]):
+                    yv = np.asarray(y, dtype=np.float64)
+                    X = np.asarray(xs, dtype=np.float64).reshape(int(n), int(d))
+                    s, P = fn(yv, X)
+                    keep = ~np.isnan(s)
+                    scores.extend(float(v) for v in s[keep])
+                    payloads.extend(np.asarray(p, dtype=np.float64) for p in P[keep])
+                    if len(scores) > 4 * k:
+                        # partition-side cap: keep only the running top-k
+                        order = np.argsort(scores)[::-1][:k]
+                        scores = [scores[i] for i in order]
+                        payloads = [payloads[i] for i in order]
+            if scores:
+                order = np.argsort(scores)[::-1][:k]
+                yield pd.DataFrame(
+                    {
+                        "score": [scores[i] for i in order],
+                        "payload": [list(payloads[i]) for i in order],
+                    }
+                )
+
+        rows = self.frame.mapInPandas(
+            partial, schema="score double, payload array<double>"
+        ).collect()
+        if not rows:
+            raise ValueError("no expert produced a finite score")
+        rows = sorted(rows, key=lambda r: -r["score"])[:k]
+        return np.asarray([r["payload"] for r in rows], dtype=np.float64)
+
     def unpersist(self) -> None:
         self._backing.unpersist()
 
@@ -443,6 +489,19 @@ class LocalExperts(Experts):
         if best_payload is None:
             raise ValueError("no expert produced a finite score")
         return best_score, best_payload
+
+    def topk_over_experts(self, fn, k: int) -> np.ndarray:
+        scores: list[float] = []
+        payloads: list[np.ndarray] = []
+        for y, X in self.chunks:
+            s, P = fn(y, X)
+            keep = ~np.isnan(s)
+            scores.extend(float(v) for v in s[keep])
+            payloads.extend(np.asarray(p, dtype=np.float64) for p in P[keep])
+        if not scores:
+            raise ValueError("no expert produced a finite score")
+        order = np.argsort(scores)[::-1][:k]
+        return np.asarray([payloads[i] for i in order], dtype=np.float64)
 
 
 def build_experts(

@@ -173,3 +173,40 @@ def test_numexperts_zero_edge(spark):
     df = synthetics_df(spark, n=40)
     model = gp.fit(df)
     assert model.transform(df).count() == 40
+
+
+def test_greedy_batch_provider_rmse_parity(spark):
+    """The batched greedy selector (B=8) must cut selection rounds ~8x and
+    keep RMSE at parity with one-per-round greedy on the same data/config
+    (the documented approximation trade, active_set.py:greedy_active_set)."""
+    from spark_gp_spark.active_set import greedy_active_set
+
+    df = synthetics_df(spark, n=300)
+
+    def fit(provider):
+        gp = (
+            GaussianProcessRegression()
+            .setKernel(lambda: Scalar(1.0) * RBFKernel(0.3, 1e-6, 10))
+            .setDatasetSizeForExpert(50)
+            .setActiveSetProvider(provider)
+            .setActiveSetSize(17)
+            .setSeed(13)
+            .setSigma2(1e-2)
+            .setMaxIter(10)
+        )
+        model = gp.fit(df)
+        rounds = greedy_active_set.last_rounds
+        rmse = (
+            model.transform(df)
+            .select(F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)))
+            .first()[0]
+        )
+        return model, rounds, rmse
+
+    m_g, rounds_g, rmse_g = fit("greedy")
+    m_b, rounds_b, rmse_b = fit("greedy_batch")
+    assert m_b.raw_predictor.magic_vector.shape == (17,)
+    assert rounds_g == 16            # one per added point
+    assert rounds_b == 2             # ceil(16 / 8)
+    assert rmse_b < 0.3
+    assert rmse_b <= rmse_g * 1.5 + 1e-6, (rmse_b, rmse_g)
