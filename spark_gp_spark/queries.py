@@ -1834,13 +1834,16 @@ def _probe_luts_from_index(spark, sf_dir: str, idx: dict):
 
 def ensure_ann_codes(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per source fingerprint) the ENCODED-CODES relation
-    next to the index artifact: (vec_id, codes, mse) parquet PARTITIONED BY
-    the coarse cell — the on-disk inverted-file layout (FAISS stores
-    inverted lists of codes, not raw vectors).  At 100 TB the encode pass —
-    one Arrow-batched projection over the corpus — is the expensive step a
-    real pipeline runs ONCE and stores; every later query joins the stored
-    codes on cell, and the cell=... directory layout lets Spark's dynamic
-    partition pruning read ONLY the probed cells' files.  Returns the codes
+    next to the index artifact: (vec_id, codes, mse, label) parquet
+    PARTITIONED BY the coarse cell — the on-disk inverted-file layout
+    (FAISS stores inverted lists of codes, not raw vectors).  At 100 TB the
+    encode pass — one Arrow-batched projection over the corpus — is the
+    expensive step a real pipeline runs ONCE and stores; every later query
+    joins the stored codes on cell, and the cell=... directory layout lets
+    the probed-cells filter prune at file listing.  Metadata columns
+    (label) ride ALONG the codes — the production vector-store layout, so
+    FILTERED search (ivfadc_topk_filtered) is a plain pushed-down predicate
+    on the codes scan, not a join back to the corpus.  Returns the codes
     directory path."""
     from .operators.pq import pq_encode_residual
 
@@ -1849,7 +1852,9 @@ def ensure_ann_codes(spark: SparkSession, sf_dir: str) -> str:
     if not fresh:
         idx = _persisted_ann_index(path)
         emb = load_table(spark, sf_dir, "embeddings")
-        codes = pq_encode_residual(emb, idx["codebooks"], idx["centroids"])
+        codes = pq_encode_residual(emb, idx["codebooks"], idx["centroids"]).join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
         codes.write.mode("overwrite").partitionBy("cell").parquet(codes_path)
         _derived_copy_commit("ann_codes", path)
     return codes_path
@@ -1907,13 +1912,47 @@ def ivfadc_topk_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_topk(codes, probes, query_cell_luts, k=int(idx["params"]["k"]))
 
 
-def _sql_ivfadc_topk() -> str | None:
+#: label predicate for the FILTERED ANN query: neighbors restricted to
+#: these classes (~30% of the corpus) — large enough that every query
+#: still fills its top-5 from the probed cells, selective enough that the
+#: filter visibly prunes.
+_ANN_FILTER_LABELS = (0, 1, 2)
+
+
+def ivfadc_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the predicate + ANN composition every
+    production vector store needs ("nearest neighbors among documents WHERE
+    label ∈ …").  Because metadata rides the persisted codes relation
+    (ensure_ann_codes), the restriction is a pushed-down parquet filter on
+    the codes scan (PushedFilters: In(label, …), plan-locked) composed with
+    the probed-cells partition pruning — no join back to the corpus, no
+    post-rank filtering (which would return < k rows); still zero Python
+    eval nodes.  Oracle = the ivfadc CTE chain over the label-restricted
+    corpus."""
+    from .operators.pq import ivfadc_topk as _ivfadc_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    idx = _persisted_ann_index(path)
+    probes, query_cell_luts = _probe_luts_from_index(spark, sf_dir, idx)
+    probed_cells = sorted({int(c) for _, c, _ in query_cell_luts})
+    codes = (
+        spark.read.parquet(ensure_ann_codes(spark, sf_dir))
+        .filter(F.col("cell").isin(probed_cells))
+        .filter(F.col("label").isin(list(_ANN_FILTER_LABELS)))
+        .select("vec_id", F.col("cell").cast("int").alias("cell"), "codes")
+    )
+    return _ivfadc_topk(codes, probes, query_cell_luts, k=int(idx["params"]["k"]))
+
+
+def _sql_ivfadc_topk(corpus_where: str | None = None) -> str | None:
     """Oracle for RESIDUAL IVFADC: the IVF assign CTE (same centroids as
     ivf_topk) feeds a residual array (v − centroid[cell], elementwise — the
     identical single subtraction Spark's encode UDF performs), the PQ code
     CTE encodes the residual, and the baked per-(query, cell) residual LUTs
     join on (query_id, cell) — then the same left-to-right lookup sum as
-    pq_topk."""
+    pq_topk.  ``corpus_where`` restricts the NEIGHBOR corpus (filtered ANN:
+    cell assignment is per-row, so filtering the source relation changes
+    nothing about surviving rows' codes)."""
     try:
         import numpy as np
 
@@ -1960,9 +1999,10 @@ def _sql_ivfadc_topk() -> str | None:
     )
     dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(_PQ_M))
     d = books.shape[0] * books.shape[2]
+    where = f" WHERE {corpus_where}" if corpus_where else ""
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{where}
 ), ad AS (
   SELECT vec_id, v, {coarse} AS dsl FROM e
 ), ac AS (
@@ -1990,6 +2030,9 @@ FROM ranked WHERE rank <= 5"""
 _PQ_ENCODE_SQL = _sql_pq_encode()
 _PQ_TOPK_SQL = _sql_pq_topk()
 _IVFADC_TOPK_SQL = _sql_ivfadc_topk()
+_IVFADC_FILTERED_SQL = _sql_ivfadc_topk(
+    f"label IN ({', '.join(str(x) for x in _ANN_FILTER_LABELS)})"
+)
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3689,6 +3732,7 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "ivfadc_topk_codes": ivfadc_topk_codes,
+    "ivfadc_topk_filtered": ivfadc_topk_filtered,
     "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
     # --- changed in round 7 (neardup state schema + TTL-from-span;
     #     derived-copy commit-after-write; ANN artifact-cache eviction +
@@ -3742,10 +3786,10 @@ QUERIES = {
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
-    "gpr_lineitem": gpr_lineitem,
     # ================= below the 50-key official window =================
-    # (all officially green in CORRECTNESS_r06 — or rows-only gpc_embeddings,
-    #  r05 — on code unchanged this round)
+    # (all officially green in CORRECTNESS_r06 — or rows-only gpr/gpc,
+    #  r05, pytest-gated — on code unchanged this round)
+    "gpr_lineitem": gpr_lineitem,
     "gpc_embeddings": gpc_embeddings,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "domain_mix_sample": domain_mix_sample,
@@ -3840,6 +3884,7 @@ ORACLE_SQL = {
     **({"ivfadc_topk": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
     **({"ivfadc_topk_persisted": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
     **({"ivfadc_topk_codes": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
+    **({"ivfadc_topk_filtered": _IVFADC_FILTERED_SQL} if _IVFADC_FILTERED_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,

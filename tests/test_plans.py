@@ -263,3 +263,18 @@ def test_gpc_transform_adds_no_shuffle(spark):
     in_plan, out_plan = _plan(df), _plan(out)
     assert out_plan.count("Exchange") == in_plan.count("Exchange"), out_plan
     assert out_plan.count("ArrowEvalPython") == 1
+
+
+def test_ivfadc_filtered_pushes_label_predicate_to_codes_scan(spark):
+    """Filtered vector search (ivfadc_topk_filtered): the label predicate
+    must reach the persisted codes relation's parquet scan as a pushed
+    filter (metadata rides the codes — no join back to the corpus), on top
+    of the probed-cells partition pruning; the plan stays Python-free."""
+    from spark_gp_spark.queries import ivfadc_topk_filtered
+
+    plan = _plan(ivfadc_topk_filtered(spark, SF))
+    assert "gp_ann_codes_" in plan
+    assert "In(label" in plan, plan[plan.index("PushedFilters"):][:300]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
