@@ -1950,6 +1950,85 @@ def ivfadc_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_topk(codes, probes, query_cell_luts, k=int(idx["params"]["k"]))
 
 
+def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingest (streaming/ann.py): arriving embedding vectors
+    are residual-PQ-encoded against the PERSISTED index artifact (frozen
+    centroids + codebooks) and appended to a cell-partitioned parquet codes
+    relation — FAISS's "add to inverted lists" as a stateless Structured
+    Streaming dataflow (pure Arrow projection per micro-batch: no state
+    store, no watermark, no shuffle).  Output = the accumulated codes
+    relation after the whole corpus streamed through; the DuckDB oracle
+    replays the residual encode over the static table, proving the
+    streamed inverted file is bit-identical to a batch encode."""
+    from .streaming.ann import run_streaming_ann_ingest
+
+    return run_streaming_ann_ingest(spark, sf_dir)
+
+
+def _sql_ivfadc_encode() -> str | None:
+    """Oracle for the streamed residual encode: the same IVF-assign +
+    residual + PQ-code CTE chain as _sql_ivfadc_topk, emitting per-row
+    (vec_id, cell, codes, mse) instead of scoring — the residual twin of
+    _sql_pq_encode's error/mse rendering."""
+    try:
+        from .operators.ivf import train_centroids_from_parquet
+        from .operators.pq import train_pq_codebooks_residual_from_parquet
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
+        books = train_pq_codebooks_residual_from_parquet(
+            path, cents, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+        )
+    except Exception:
+        return None
+
+    def cdist(c) -> str:
+        return "(0.0" + "".join(
+            f" + (v[{j + 1}]-({float(x)!r}))*(v[{j + 1}]-({float(x)!r}))"
+            for j, x in enumerate(c)
+        ) + ")"
+
+    coarse = "[" + ", ".join(cdist(c) for c in cents) + "]"
+    cc = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]" for c in cents
+    ) + "]::DOUBLE[][]"
+    code_cols = _sql_pq_code_cols(books, var="r")
+    m, k, ds = books.shape
+    d = m * ds
+    err_cols = ", ".join(
+        f"(r[{s * ds + t + 1}] - "
+        f"([{', '.join(repr(float(books[s, j, t])) for j in range(k))}])[c{s} + 1]) "
+        f"AS e{s * ds + t + 1}"
+        for s in range(m)
+        for t in range(ds)
+    )
+    mse = "".join(f" + e{i}*e{i}" for i in range(1, d + 1))
+    codes_list = ", ".join(f"c{s}" for s in range(m))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ad AS (
+  SELECT vec_id, v, {coarse} AS dsl FROM e
+), ac AS (
+  SELECT vec_id, v, list_position(dsl, list_min(dsl)) AS cell FROM ad
+), rc AS (
+  SELECT vec_id, cell,
+         list_transform(range(1, {d + 1}), i -> v[i] - ({cc})[cell][i]) AS r
+  FROM ac
+), c AS (
+  SELECT vec_id, cell, r, {code_cols} FROM rc
+), er AS (
+  SELECT *, {err_cols} FROM c
+)
+SELECT vec_id, cell::INTEGER AS cell,
+       array_to_string([{codes_list}], ',') AS codes,
+       round((0.0{mse}) / {d}, 9) AS mse
+FROM er"""
+
+
+_IVFADC_ENCODE_SQL = _sql_ivfadc_encode()
+
+
 def _sql_ivfadc_topk(corpus_where: str | None = None) -> str | None:
     """Oracle for RESIDUAL IVFADC: the IVF assign CTE (same centroids as
     ivf_topk) feeds a residual array (v − centroid[cell], elementwise — the
@@ -3739,6 +3818,7 @@ QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "ivfadc_topk_codes": ivfadc_topk_codes,
     "ivfadc_topk_filtered": ivfadc_topk_filtered,
+    "streaming_ann_ingest": streaming_ann_ingest,
     "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
     # --- changed in round 7 (neardup state schema + TTL-from-span;
     #     derived-copy commit-after-write; ANN artifact-cache eviction +
@@ -3791,10 +3871,10 @@ QUERIES = {
     "streaming_upsert": streaming_upsert,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
-    "multimodal_frame_sample": multimodal_frame_sample,
     # ================= below the 50-key official window =================
-    # (all officially green in CORRECTNESS_r06 — or rows-only gpr/gpc,
-    #  r05, pytest-gated — on code unchanged this round)
+    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
+    #  pytest-gated — on code unchanged this round)
+    "multimodal_frame_sample": multimodal_frame_sample,
     "gpr_lineitem": gpr_lineitem,
     "gpc_embeddings": gpc_embeddings,
     "corpus_prep_pipeline": corpus_prep_pipeline,
@@ -3891,6 +3971,7 @@ ORACLE_SQL = {
     **({"ivfadc_topk_persisted": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
     **({"ivfadc_topk_codes": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),
     **({"ivfadc_topk_filtered": _IVFADC_FILTERED_SQL} if _IVFADC_FILTERED_SQL else {}),
+    **({"streaming_ann_ingest": _IVFADC_ENCODE_SQL} if _IVFADC_ENCODE_SQL else {}),
     "session_stats": _SESSION_SQL,
     "event_window_agg": _WINDOW_SQL,
     "event_props_stats": _EVENT_PROPS_SQL,

@@ -56,3 +56,31 @@ def test_gpr_model_scores_a_stream(spark):
 
     assert streamed.keys() == batch.keys()
     assert all(abs(streamed[i] - batch[i]) < 1e-9 for i in batch)
+
+
+def test_streaming_ann_ingest_matches_batch_encode(spark):
+    """The streamed inverted file must be BIT-identical to a batch encode:
+    run the embeddings fixture through the streaming encoder (persisted
+    index, cell-partitioned append sink) and compare every (vec_id, cell,
+    codes, mse) row against pq_encode_residual over the static table."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.pq import pq_encode_residual
+    from spark_gp_spark.queries import _persisted_ann_index
+    from spark_gp_spark.sources.tables import load_table
+    from spark_gp_spark.streaming.ann import run_streaming_ann_ingest
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_streaming_ann_ingest(spark, sf)
+    idx = _persisted_ann_index(f"{sf}/embeddings.parquet")
+    batch = pq_encode_residual(
+        load_table(spark, sf, "embeddings"), idx["codebooks"], idx["centroids"]
+    ).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+        "mse",
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) == 500
