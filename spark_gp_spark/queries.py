@@ -1106,12 +1106,17 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gpc_quality_filter_frames(spark: SparkSession, sf_dir: str):
+def _gpc_quality_filter_frames(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None,
+    probe: DataFrame | None = None,
+):
     """Shared GP×pipeline composition core: fit a GaussianProcessClassifier
     to predict (quality ≥ _PIPE_QMIN) from cheap text features on a
     deterministic training slice, and score the WHOLE corpus with one
     Arrow-batched transform.  Returns (corpus, probe, scored) where scored
-    = (doc_id, quality, p1 = P(quality ≥ τ | features)).
+    = (doc_id, quality, p1 = P(quality ≥ τ | features)).  Callers that
+    already hold the persisted corpus/probe split pass them in (the
+    capstone query shares ONE corpus relation across all its stages).
 
     This is the reference's predict surface (GaussianProcessClassifier.
     scala:141-156) exercised at corpus scale inside the corpus-prep
@@ -1128,9 +1133,10 @@ def _gpc_quality_filter_frames(spark: SparkSession, sf_dir: str):
     from . import GaussianProcessClassifier, RBFKernel, Scalar
     from .scaling import scale_features
 
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
-    probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
+    if corpus is None:
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
+        probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
     stats = T.text_stats(corpus)
     toks = T.tokens(F.col("text"))
     ws = F.array(*[F.lit(s) for s in T.STOPWORDS["en"]])
@@ -1138,14 +1144,18 @@ def _gpc_quality_filter_frames(spark: SparkSession, sf_dir: str):
         F.size(F.filter(toks, lambda w: F.array_contains(ws, w))).cast("double")
         / F.greatest(F.size(toks), F.lit(1))
     )
-    feats = stats.join(corpus.select("doc_id", swr.alias("sw_ratio")), "doc_id").select(
+    # persist the PRE-scale frame: scale_features runs one agg to bake the
+    # mean/std literals, and the fit's expert collect runs again over the
+    # same relation — uncached, the regex-heavy text-stats chain would
+    # evaluate twice over the corpus
+    raw = stats.join(corpus.select("doc_id", swr.alias("sw_ratio")), "doc_id").select(
         "doc_id",
         "quality",
         F.array(
             F.log(F.col("n_tokens") + 1.0), "mean_word_len", "alpha_ratio", "sw_ratio"
         ).alias("features"),
-    )
-    feats = scale_features(feats).persist()
+    ).persist()
+    feats = scale_features(raw)
     train = feats.filter(F.pmod("doc_id", 3) == 0).withColumn(
         "label", (F.col("quality") >= _PIPE_QMIN).cast("double")
     )
@@ -1166,12 +1176,17 @@ def _gpc_quality_filter_frames(spark: SparkSession, sf_dir: str):
         .setMultiStart(1)
     )
     model = gpc.fit(train)
+    # persist + materialize the SCORED relation through the still-cached
+    # raw frame before dropping it: scored feeds the canonical window AND
+    # the quality gate downstream — uncached, each reference would re-run
+    # the whole text-stats + transform chain over the corpus
     scored = model.transform(feats).select(
         "doc_id",
         "quality",
         F.element_at(vector_to_array("probability"), 2).alias("p1"),
-    )
-    feats.unpersist()
+    ).persist()
+    scored.count()
+    raw.unpersist()
     return corpus, probe, scored
 
 
@@ -1193,7 +1208,23 @@ def corpus_prep_gpc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors corpus_prep_pipeline with the model probability attached."""
     from .operators.dedup import _retire_shingle_caches
 
-    corpus, probe, scored = _gpc_quality_filter_frames(spark, sf_dir)
+    # Stage order is load-bearing for wall-clock: the contamination scan is
+    # independent of the model and the clustering, so it runs FIRST and its
+    # (tiny, distinct doc_id) result is persisted.  Measured at sf0.1, the
+    # same chain evaluated AFTER the GPC fit + clustering ran ~16× slower
+    # (fresh codegen'd regex chains degrade in that session regime even
+    # though every cache stays hot — plan-identical, 1.1 s → 18 s); with
+    # contamination cached up front, everything evaluated after the fit
+    # reads cached relations only (whole query 38.6 s → ~20 s).
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
+    probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
+    contaminated = (
+        P.contamination_check(corpus, probe, shingle_n=8)
+        .select("doc_id").distinct().persist()
+    )
+    contaminated.count()
+    _, _, scored = _gpc_quality_filter_frames(spark, sf_dir, corpus, probe)
     comps = D.neardup_components(corpus, threshold=0.5)
     w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
     canonical = (
@@ -1202,19 +1233,21 @@ def corpus_prep_gpc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    contaminated = P.contamination_check(
-        corpus, probe, shingle_n=8
-    ).select("doc_id").distinct()
     kept = canonical.filter(F.col("p1") >= 0.5).join(
         contaminated, "doc_id", "left_anti"
     )
+    # persist AND materialize eagerly: the packing branch and the final
+    # join both consume kept inside ONE action, and with the cache cold at
+    # that point both consumers would compute the canonical-window chain
+    # independently; the eager count fills the cache first
     kept = kept.withColumn("split", P.split_expr("doc_id")).persist()
+    kept.count()
     packed = P.pack_batches(
         corpus.join(kept.select("doc_id", "split"), "doc_id"),
         budget=_PIPE_BUDGET,
         shard_col="split",
     )
-    _retire_shingle_caches([corpus, kept])
+    _retire_shingle_caches([corpus, kept, scored, contaminated])
     return (
         kept.join(packed.select("doc_id", "n_tokens", "batch_id"), "doc_id")
         .select(

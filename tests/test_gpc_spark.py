@@ -69,6 +69,7 @@ def test_gpc_quality_filter_heldout_accuracy(spark):
         F.avg((F.col("quality") >= _PIPE_QMIN).cast("int")).alias("base"),
     ).first()
     corpus.unpersist()
+    scored.unpersist()
     assert agg["acc"] >= 0.95, f"held-out accuracy {agg['acc']:.4f} < 0.95"
     # the gate must beat always-predict-positive
     assert agg["acc"] > agg["base"], (agg["acc"], agg["base"])
