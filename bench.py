@@ -66,6 +66,7 @@ PANDAS_FAMILY = {
     "gpc_fit_2k",
     "corpus_prep_gpc_filter",
     "ivf_topk",
+    "semdedup_keep",
     "pq_topk",
     "ivfadc_topk",
     "lsh_topk",
@@ -310,6 +311,8 @@ def main() -> None:
         "bm25_topk",
         "exact_dedup",
         "domain_mix_sample",
+        "dsir_select",
+        "semdedup_keep",
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
         "neardup_components",

@@ -1,0 +1,228 @@
+"""Training-data SELECTION operators: semantic dedup and importance resampling.
+
+Two published corpus-selection techniques the reference has no counterpart
+for (its surface is the GP estimator family), re-expressed Spark-first for
+the 100 TB training-data pipeline this engine targets:
+
+- ``semdedup``: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster the
+  embedding corpus with a coarse k-means quantizer, then drop within-cluster
+  semantic duplicates (cosine >= tau to an already-kept item).  All-pairs
+  never appears: the only join is a self equi-join on the cluster id, so
+  candidate count is sum of squared cluster sizes, not N².
+- ``dsir_doc_weights``: DSIR (Xie et al. 2023, arXiv:2302.03169) — hashed
+  n-gram importance weights log p_target(x)/p_raw(x) under bag-of-ngrams
+  multinomials, the standard cheap "select raw web data that looks like the
+  target distribution" scorer.  The per-bucket log-ratio table is tiny
+  (``buckets`` rows) and broadcast; the corpus-side work is one tokenize +
+  explode + broadcast-join + per-doc sum — linear, two passes, no
+  corpus-sized shuffle other than the final per-doc aggregation.
+
+Both use only engine-portable primitives (the md5 hash family from
+operators/hashing.py, the shared deterministic k-means from operators/ivf.py)
+so the DuckDB oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import h32
+from .ivf import _sq_dists
+from .similarity import norm, paired_cosine
+from .text import tokens
+
+#: live cache of the last semdedup assigned relation — same discipline as
+#: dedup._LIVE_SHINGLE_CACHES: each call retires the previous call's entry
+#: (unless the plans are semantically identical, in which case Spark's
+#: CacheManager shares the entry and unpersisting would evict both).
+_LIVE_ASSIGN_CACHES: list[DataFrame] = []
+
+
+def _retire_assign_caches(new: list[DataFrame]) -> None:
+    for old in _LIVE_ASSIGN_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_ASSIGN_CACHES.clear()
+    _LIVE_ASSIGN_CACHES.extend(new)
+
+
+def _assigned_with_order(
+    emb: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, norm, cell, ord): nearest centroid per row plus the
+    SemDeDup keep-priority order within the cell — farthest-from-centroid
+    first (the paper keeps the item with LOWEST similarity to the centroid),
+    ties broken by id.  One shuffle (the window by cell)."""
+    dotted = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        _sq_dists(F.col(vec_col).cast("array<double>"), centroids).alias("_d"),
+    ).select(
+        "_id",
+        "_v",
+        norm(F.col("_v")).alias("_n"),
+        F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int").alias("cell"),
+        F.array_min(F.col("_d")).alias("_dist"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("_dist"), F.asc("_id"))
+    return dotted.withColumn("ord", F.row_number().over(w)).drop("_dist")
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup keep/drop decision per vector.
+
+    Output: (``id_col``, cell, max_prior_cosine, keep) — one row per input
+    row.  ``max_prior_cosine`` is the max cosine (rounded to 6 dp, the
+    engine-portable comparison grain) between this vector and any
+    HIGHER-PRIORITY vector of the same cluster (NULL when none exists);
+    ``keep`` is true iff that max is NULL or < ``tau``.  Priority is
+    farthest-from-centroid first, so the survivor of a duplicate group is
+    the cluster-edge example the paper argues is the most informative.
+
+    Scale shape: the quantizer is trained once on a bounded sample
+    (operators/ivf.py trainers — never the corpus); assignment is a codegen
+    column expression; the ONLY join is a self equi-join on ``cell`` whose
+    candidate count is Σ|cell|² — at 100 TB you size the centroid count so
+    cells hold ~10⁴ rows each, exactly like the paper's 100k-cluster runs.
+    The window and the join share the hash-partitioning on ``cell``.  The
+    assigned relation feeds both join sides, so it is persisted (previous
+    invocation's cache retired) — without it the Arrow-batched distance UDF
+    and the cell window would run twice; at past-cluster-memory scale swap
+    the persist for a checkpoint to cell-partitioned parquet.
+    """
+    a = _assigned_with_order(emb, centroids, id_col, vec_col).persist()
+    _retire_assign_caches([a])
+    left = a.select(
+        F.col("_id"), F.col("_v"), F.col("_n"), F.col("cell"), F.col("ord")
+    )
+    right = a.select(
+        F.col("_id").alias("_jid"),
+        F.col("_v").alias("_jv"),
+        F.col("_n").alias("_jn"),
+        F.col("cell"),
+        F.col("ord").alias("_jord"),
+    )
+    prior = (
+        left.join(right, on="cell")
+        .filter(F.col("_jord") < F.col("ord"))
+        .select(
+            "_id",
+            F.round(
+                paired_cosine(F.col("_v"), F.col("_jv"), F.col("_n"), F.col("_jn")), 6
+            ).alias("_cos"),
+        )
+        .groupBy("_id")
+        .agg(F.max("_cos").alias("max_prior_cosine"))
+    )
+    return (
+        left.join(prior, on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "max_prior_cosine",
+            (
+                F.col("max_prior_cosine").isNull()
+                | (F.col("max_prior_cosine") < F.lit(tau))
+            ).alias("keep"),
+        )
+    )
+
+
+def unigram_bigram_feats(text: Column) -> Column:
+    """Hashable word features of a text column: unigrams ++ bigrams, WITH
+    multiplicity (DSIR's bag-of-hashed-ngrams is a multiset).  Bigrams are
+    guarded against Spark's descending ``sequence(1, 0)`` surprise on
+    single-token documents — a 1-token doc contributes its unigram only."""
+    toks = tokens(text)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
+def dsir_bucket(feat: Column, buckets: int, salt: str = "dsir_") -> Column:
+    """Engine-portable hash bucket of one n-gram feature."""
+    return h32(F.concat(F.lit(salt), feat)) % buckets
+
+
+def dsir_logratio(
+    hashed: DataFrame, buckets: int, alpha: float = 1.0
+) -> DataFrame:
+    """Per-bucket log importance ratio from a (bucket, is_target) relation
+    with one row per n-gram OCCURRENCE.
+
+    logr(b) = log p_target(b) − log p_raw(b) under add-``alpha`` smoothed
+    multinomials over ``buckets`` cells.  The output has at most ``buckets``
+    rows — broadcast it.  Totals are computed with an unpartitioned window
+    over that bounded table (never a driver-side collect)."""
+    cnt = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = Window.partitionBy()
+    return cnt.select(
+        "bucket",
+        (
+            F.log((F.col("ct") + alpha) / (F.sum("ct").over(tot) + alpha * buckets))
+            - F.log((F.col("cr") + alpha) / (F.sum("cr").over(tot) + alpha * buckets))
+        ).alias("logr"),
+    )
+
+
+def dsir_doc_weights(
+    docs: DataFrame,
+    target: Column,
+    buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weight per document: Σ over the doc's hashed
+    unigram+bigram occurrences of log p_target(bucket)/p_raw(bucket).
+
+    ``target`` is a boolean column expression marking the target-distribution
+    slice (e.g. ``F.col('lang') == 'en'``).  Output: (``id_col``, weight) —
+    weight rounded to 6 dp, one row per document (docs whose token set is
+    empty still appear, with weight 0.0).
+
+    Scale shape: tokenize+explode is linear in corpus token count (the same
+    cost class as any tokenization pass); the log-ratio table is ≤``buckets``
+    rows and broadcast into the scoring join, so the only corpus-sized
+    shuffle is the final per-doc sum.  The exploded features feed both the
+    counting and the scoring pass — two scans of the corpus, the same
+    two-pass structure as the reference DSIR implementation; persist the
+    hashed relation to trade memory for the second scan at full scale.
+    """
+    hashed = docs.select(
+        F.col(id_col),
+        target.alias("is_target"),
+        F.explode(unigram_bigram_feats(F.col(text_col))).alias("_g"),
+    ).select(
+        id_col, "is_target", dsir_bucket(F.col("_g"), buckets).alias("bucket")
+    )
+    logratio = dsir_logratio(hashed, buckets, alpha)
+    scored = (
+        hashed.join(F.broadcast(logratio), on="bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("logr"), 6).alias("weight"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col("weight"), F.lit(0.0)).alias("weight"))
+    )

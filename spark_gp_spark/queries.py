@@ -2234,6 +2234,130 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 
 
 # --------------------------------------------------------------------------
+# training-data selection: SemDeDup + DSIR (operators/selection.py)
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decision over the embedding
+    corpus: coarse k-means cells (the SAME deterministic quantizer as
+    ivf_topk, trained from a bounded file sample), then within-cluster
+    semantic-duplicate pruning at cosine >= tau against higher-priority
+    (farther-from-centroid) neighbours.  The only join is a self equi-join
+    on the cluster id — candidates are sum of squared cell sizes, never N².
+    No reference counterpart (the reference has no data-selection surface);
+    oracle replays the baked centroids, assignment, priority order, and
+    pair cosines verbatim."""
+    from .operators.ivf import train_centroids_from_parquet
+    from .operators.selection import semdedup
+
+    cents = train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, cents, tau=_SEMDEDUP_TAU)
+    return out.withColumn("cell", F.col("cell").cast("long"))
+
+
+def _sql_semdedup_keep() -> str | None:
+    """Oracle for semdedup_keep at the driver's correctness scale (sf0.01);
+    None (rows-only fallback) when the testdata file is unavailable."""
+    try:
+        from .operators.ivf import train_centroids_from_parquet
+
+        cents = train_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+        )
+    except Exception:
+        return None
+
+    def dist(c) -> str:
+        return "(0.0" + "".join(
+            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
+            for j, v in enumerate(c)
+        ) + ")"
+
+    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ad AS (
+  SELECT vec_id, {ds} AS ds FROM e
+), a AS (
+  SELECT vec_id, list_position(ds, list_min(ds)) AS cell, list_min(ds) AS d FROM ad
+), o AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY d DESC, vec_id) AS ord
+  FROM a
+), p AS (
+  SELECT i.vec_id, max(round(list_cosine_similarity(vi.v, vj.v), 6)) AS mpc
+  FROM o i JOIN o j ON i.cell = j.cell AND j.ord < i.ord
+  JOIN e vi ON i.vec_id = vi.vec_id JOIN e vj ON j.vec_id = vj.vec_id
+  GROUP BY i.vec_id
+)
+SELECT o.vec_id, o.cell::BIGINT AS cell, p.mpc AS max_prior_cosine,
+       (p.mpc IS NULL OR p.mpc < {_SEMDEDUP_TAU}) AS keep
+FROM o LEFT JOIN p USING (vec_id)
+"""
+
+
+_SEMDEDUP_SQL = _sql_semdedup_keep()
+
+_DSIR_B, _DSIR_ALPHA, _DSIR_TOPK = 1024, 1.0, 100
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance-resampling selection: score every
+    document by the hashed unigram+bigram log ratio log p_target/p_raw
+    (target = the English slice) and keep the top-k.  The per-bucket
+    log-ratio table (≤1024 rows) is broadcast; the global top-k is a
+    distributed TakeOrdered (orderBy+limit), with the rank column attached
+    by a window over the ALREADY-REDUCED k-row result — the full corpus
+    never funnels through a single partition."""
+    from .operators.selection import dsir_doc_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_doc_weights(
+        docs, F.col("lang") == "en", buckets=_DSIR_B, alpha=_DSIR_ALPHA
+    )
+    topk = w.orderBy(F.desc("weight"), F.asc("doc_id")).limit(_DSIR_TOPK)
+    rank_w = Window.orderBy(F.desc("weight"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+
+
+_DSIR_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang = 'en' AS is_target, {_SQL_TOKENS} AS toks FROM documents
+), feats AS (
+  SELECT doc_id, is_target, unnest(toks) AS g FROM tk
+  UNION ALL
+  SELECT doc_id, is_target,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM tk
+), b AS (
+  SELECT doc_id, is_target, {h32_sql("'dsir_' || g")} % {_DSIR_B} AS bucket FROM feats
+), cnt AS (
+  SELECT bucket, count(*) AS cr, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+  FROM b GROUP BY bucket
+), lr AS (
+  SELECT bucket,
+         ln((ct + {_DSIR_ALPHA}) / (sum(ct) OVER () + {_DSIR_ALPHA} * {_DSIR_B}))
+       - ln((cr + {_DSIR_ALPHA}) / (sum(cr) OVER () + {_DSIR_ALPHA} * {_DSIR_B})) AS logr
+  FROM cnt
+), w AS (
+  SELECT d.doc_id, coalesce(round(s.w, 6), 0.0) AS weight
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, sum(logr) AS w FROM b JOIN lr USING (bucket) GROUP BY doc_id
+  ) s USING (doc_id)
+)
+SELECT doc_id, weight, row_number() OVER (ORDER BY weight DESC, doc_id)::BIGINT AS rank
+FROM w QUALIFY rank <= {_DSIR_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # time-series: as-of join, sessionization, windowed aggregation
 # --------------------------------------------------------------------------
 
@@ -3849,6 +3973,8 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query to its operator and last official row.
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
+    "semdedup_keep": semdedup_keep,
+    "dsir_select": dsir_select,
     "ivfadc_topk_codes": ivfadc_topk_codes,
     "ivfadc_topk_filtered": ivfadc_topk_filtered,
     "streaming_ann_ingest": streaming_ann_ingest,
@@ -3997,6 +4123,8 @@ ORACLE_SQL = {
     "event_status_asof": _EVENT_STATUS_ASOF_SQL,
     "event_gap_fill": _GAP_FILL_SQL,
     "event_rolling_24h": _ROLLING_SQL,
+    **({"semdedup_keep": _SEMDEDUP_SQL} if _SEMDEDUP_SQL else {}),
+    "dsir_select": _DSIR_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),

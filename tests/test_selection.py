@@ -1,0 +1,148 @@
+"""Training-data selection operators (operators/selection.py): SemDeDup and
+DSIR — semantic gates (brute-force numpy replay of the keep rule; weight
+ordering responds to target-likeness and multiplicity) plus the physical-plan
+properties the 100 TB shape relies on (cell equi-join only; broadcast
+log-ratio table)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+TAU = 0.35
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def semdedup_result(spark):
+    from spark_gp_spark.operators.ivf import train_centroids_from_parquet
+    from spark_gp_spark.operators.selection import semdedup
+    from spark_gp_spark.queries import _IVF_K, _IVF_SAMPLE, _IVF_SEED, load_table
+
+    cents = train_centroids_from_parquet(
+        f"{SF}/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+    )
+    emb = load_table(spark, SF, "embeddings")
+    out = semdedup(emb, cents, tau=TAU).toPandas()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    return out, vecs, cents
+
+
+def test_semdedup_matches_bruteforce_replay(semdedup_result):
+    """Exact replay of the paper's upper-triangular rule per cell: item i is
+    dropped iff some earlier item j (farther from the centroid, ties by id)
+    of the SAME cell has round(cos(i, j), 6) >= tau."""
+    out, vecs, cents = semdedup_result
+    assert len(out) == len(vecs)
+
+    d2 = {
+        vid: ((v[None, :] - cents) ** 2).sum(axis=1) for vid, v in vecs.items()
+    }
+    for vid, row in zip(out["vec_id"], out.itertuples()):
+        assert row.cell == int(np.argmin(d2[vid])) + 1
+
+    by_cell = {}
+    for row in out.itertuples():
+        by_cell.setdefault(row.cell, []).append(row.vec_id)
+    for cell, ids in by_cell.items():
+        order = sorted(ids, key=lambda i: (-d2[i].min(), i))
+        kept_map = dict(zip(out["vec_id"], out["keep"]))
+        for pos, i in enumerate(order):
+            prior_cos = [
+                round(
+                    float(
+                        vecs[i] @ vecs[j]
+                        / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j]))
+                    ),
+                    6,
+                )
+                for j in order[:pos]
+            ]
+            expect_keep = not prior_cos or max(prior_cos) < TAU
+            assert kept_map[i] == expect_keep, (cell, i)
+
+
+def test_semdedup_monotone_in_tau(spark, semdedup_result):
+    from spark_gp_spark.operators.selection import semdedup
+    from spark_gp_spark.queries import load_table
+
+    _, _, cents = semdedup_result
+    emb = load_table(spark, SF, "embeddings")
+    lo = semdedup(emb, cents, tau=0.25).toPandas()
+    hi = semdedup(emb, cents, tau=0.45).toPandas()
+    kept_lo = set(lo[lo["keep"]]["vec_id"])
+    kept_hi = set(hi[hi["keep"]]["vec_id"])
+    assert kept_lo < kept_hi  # higher tau keeps strictly more on this data
+
+
+def test_semdedup_plan_is_cell_equijoin_only(spark, semdedup_result):
+    from spark_gp_spark.operators.selection import semdedup
+    from spark_gp_spark.queries import load_table
+
+    _, _, cents = semdedup_result
+    plan = _plan(semdedup(load_table(spark, SF, "embeddings"), cents, tau=TAU))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_orders_by_target_likeness(spark):
+    """Docs written in the target slice's vocabulary outscore docs written
+    in the off-target vocabulary; repeating a target-distinctive token
+    raises the weight (weights are multiset sums)."""
+    from spark_gp_spark.operators.selection import dsir_doc_weights
+
+    rows = (
+        [Row(doc_id=i, text="alpha beta gamma", lang="en") for i in range(20)]
+        + [Row(doc_id=100 + i, text="delta epsilon zeta", lang="fr") for i in range(20)]
+        + [
+            Row(doc_id=200, text="alpha beta gamma", lang="fr"),
+            Row(doc_id=201, text="delta epsilon zeta", lang="fr"),
+            Row(doc_id=202, text="alpha beta gamma alpha beta gamma", lang="fr"),
+            Row(doc_id=203, text="alpha beta gamma", lang="fr"),
+        ]
+    )
+    df = spark.createDataFrame(rows)
+    w = dsir_doc_weights(df, F.col("lang") == "en", buckets=256, alpha=1.0)
+    got = {r["doc_id"]: r["weight"] for r in w.collect()}
+    assert len(got) == len(rows)
+    assert got[200] > got[201]  # target-vocab doc beats off-target doc
+    assert got[202] > got[203]  # multiplicity compounds the evidence
+
+
+def test_dsir_logratio_is_broadcast_and_single_token_docs_safe(spark):
+    from spark_gp_spark.operators.selection import (
+        dsir_doc_weights,
+        unigram_bigram_feats,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="solo", lang="en"), Row(doc_id=1, text="a b", lang="fr")]
+    )
+    feats = df.select(unigram_bigram_feats(F.col("text")).alias("f")).collect()
+    assert feats[0]["f"] == ["solo"]  # no descending-sequence bigram artifact
+    assert feats[1]["f"] == ["a", "b", "a b"]
+
+    plan = _plan(dsir_doc_weights(df, F.col("lang") == "en", buckets=64))
+    assert "BroadcastHashJoin" in plan  # the ≤buckets-row log-ratio join
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_registry_topk_never_ranks_full_corpus(spark):
+    """The global top-k is TakeOrdered (orderBy+limit); the rank window runs
+    over the already-reduced k rows, so no corpus-sized single-partition
+    exchange appears below the limit."""
+    from spark_gp_spark.queries import _DSIR_TOPK, dsir_select
+
+    df = dsir_select(spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    out = df.toPandas()
+    assert len(out) == min(_DSIR_TOPK, 100)
+    assert list(out["rank"]) == sorted(out["rank"])
