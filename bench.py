@@ -310,7 +310,9 @@ def main() -> None:
         "tfidf_cosine_pairs",
         "bm25_topk",
         "exact_dedup",
+        "dedup_span_clean",
         "domain_mix_sample",
+        "token_budget_fill",
         "dsir_select",
         "semdedup_keep",
         "minhash_lsh_pairs",

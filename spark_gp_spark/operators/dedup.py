@@ -712,3 +712,110 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+#: live caches of the last dedup_span_clean call (staged tokens + positional
+#: gram occurrences) — same retire-on-next-call discipline as
+#: _LIVE_SHINGLE_CACHES above.
+_LIVE_SPAN_CACHES: list[DataFrame] = []
+
+
+def _retire_span_caches(new: list[DataFrame]) -> None:
+    for old in _LIVE_SPAN_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_SPAN_CACHES.clear()
+    _LIVE_SPAN_CACHES.extend(new)
+
+
+def dedup_span_clean(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal: delete every token covered by
+    a word ``n``-gram that occurs in at least ``min_docs`` distinct
+    documents, and rebuild the cleaned text.  This is the span-granularity
+    step of substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") — where ``dup_ngram_fraction`` only
+    MEASURES the overlap, this operator produces the cleaned corpus.
+
+    Output: (``id_col``, n_tokens, n_removed, clean_text) — one row per
+    input document.  ``clean_text`` is the surviving tokens joined by
+    single spaces (i.e. whitespace-normalized even for untouched
+    documents — the transform is uniform, not conditional).  Documents
+    shorter than ``n`` tokens contribute no grams and are never cleaned,
+    the same minimum-length floor the paper applies.
+
+    Plan: stage tokens once (persisted — the relation feeds both the gram
+    pass and the final rebuild); positional grams via one transform +
+    posexplode; gram document-frequency is one shuffle on the portable
+    60-bit hash (the gram STRING never shuffles); duplicated occurrences
+    come back via an equi-join on that hash (AQE handles hot-gram skew);
+    covered positions explode each hit into n thin (doc, pos) rows and
+    deduplicate; the rebuild joins the per-doc sorted position list back to
+    the staged tokens and filters by index.  Everything is linear in corpus
+    token count × n — no pairwise comparisons anywhere.  The per-token
+    ``array_contains`` in the rebuild is O(|covered|) per position, bounded
+    by document length, not corpus size."""
+    from .hashing import h60
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).persist()
+    pos_grams = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.concat_ws(" ", *[F.get("_toks", i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = (
+        toks.select(id_col, F.posexplode(pos_grams).alias("_pos", "_g"))
+        .select(id_col, "_pos", h60(F.col("_g")).alias("_gh"))
+        .persist()
+    )
+    _retire_span_caches([toks, occ])
+    dup = (
+        occ.groupBy("_gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_gh")
+    )
+    covered = (
+        occ.join(dup, on="_gh")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_pos") + 1, F.col("_pos") + n)
+            ).alias("_p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("_p")).alias("_ps"))
+    )
+    kept_toks = F.when(F.col("_ps").isNull(), F.col("_toks")).otherwise(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks")),
+                lambda i: F.when(
+                    ~F.array_contains("_ps", i), F.element_at("_toks", i)
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+    )
+    return toks.join(covered, on=id_col, how="left").select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.when(F.col("_ps").isNull(), F.lit(0))
+        .otherwise(F.size("_ps"))
+        .cast("long")
+        .alias("n_removed"),
+        F.concat_ws(" ", kept_toks).alias("clean_text"),
+    )

@@ -255,3 +255,102 @@ def contamination_check(
         .groupBy(id_col, "probe_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    budgets: dict[str, int] | int,
+    text_col: str = "text",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    buckets: int = 32,
+) -> DataFrame:
+    """Greedy per-group token-budget fill — the mixing verb real pipelines
+    use when the target is "B tokens of each domain", not a keep RATE
+    (stratified_sample): walk each group's documents in seeded-hash order
+    and keep a document iff the tokens accumulated BEFORE it are still
+    under the group's budget (so the budget may overshoot by at most one
+    document, never undershoot while documents remain).
+
+    Output: (``id_col``, ``group_col``, n_tokens, cum_before, kept) — one
+    row per input document; n_tokens is the whitespace token count,
+    cum_before the group's running total over all hash-earlier documents.
+    ``budgets`` is per-group (groups absent are dropped, same contract as
+    stratified_sample) or one int applied to every group.
+
+    Scale shape — a distributed prefix sum, NOT one window per group: a
+    naive ``Window.partitionBy(group)`` funnels each group through a single
+    task, which dies at 100 TB where one language IS most of the corpus.
+    Instead the order hash is range-bucketed (bucket = floor(h·B/p), which
+    is monotone in h, so bucket order refines hash order exactly); the
+    per-(group, bucket) token sums form a tiny G×B relation whose prefix
+    offsets are computed on the small side and broadcast back; each task
+    then windows only its own (group, bucket) slice.  The decomposition is
+    exact — cum_before equals the single global window's value — and the
+    oracle replays it AS that global window.  One shuffle (the bucketed
+    window), one broadcast."""
+    from .hashing import MERSENNE_P
+    from .text import token_count
+
+    if isinstance(budgets, int):
+        budget_for = F.lit(int(budgets))
+    else:
+        for g, b in budgets.items():
+            if b < 0:
+                raise ValueError(f"budget for group {g!r} must be >= 0, got {b}")
+        mapping = F.create_map(
+            *[
+                lit
+                for g, b in sorted(budgets.items())
+                for lit in (F.lit(g), F.lit(int(b)))
+            ]
+        )
+        budget_for = mapping[F.col(group_col)]
+    hv = h32(F.concat(F.lit(f"tb{seed}_"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hv.alias("_h"),
+        F.floor(hv * F.lit(buckets) / F.lit(MERSENNE_P)).alias("_b"),
+    )
+    offw = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(group_col, "_b")
+        .agg(F.sum("n_tokens").alias("_s"))
+        .select(
+            group_col,
+            "_b",
+            F.coalesce(F.sum("_s").over(offw), F.lit(0)).alias("_off"),
+        )
+    )
+    inw = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), on=[group_col, "_b"])
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            (F.col("_off") + F.coalesce(F.sum("n_tokens").over(inw), F.lit(0)))
+            .cast("long")
+            .alias("cum_before"),
+            budget_for.alias("_budget"),
+        )
+        .filter(F.col("_budget").isNotNull())
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            "cum_before",
+            (F.col("cum_before") < F.col("_budget")).alias("kept"),
+        )
+    )

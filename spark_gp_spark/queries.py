@@ -2357,6 +2357,89 @@ FROM w QUALIFY rank <= {_DSIR_TOPK}
 """
 
 
+_SPAN_N = 8
+
+
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (Lee et al. 2022 substring
+    dedup at word-8-gram granularity): delete every token covered by an
+    8-gram shared with another document and rebuild the cleaned text.
+    Where dup_ngram_fraction measures the overlap, this emits the cleaned
+    corpus — the actual dedup output a training run consumes.  Linear
+    plan: gram document-frequency on the portable 60-bit hash, equi-join
+    back, explode each hit into 8 thin (doc, pos) rows, rebuild by index
+    filter.  No reference counterpart (SURVEY §2.8 extension surface)."""
+    from .operators.dedup import dedup_span_clean as span_clean
+
+    return span_clean(load_table(spark, sf_dir, "documents"), n=_SPAN_N)
+
+
+_SPAN_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS p, toks
+  FROM tk WHERE len(toks) >= {_SPAN_N}
+), occ AS (
+  SELECT doc_id, p,
+         {h60_sql(f"array_to_string(toks[p:p+{_SPAN_N - 1}], ' ')")} AS gh
+  FROM pos
+), dup AS (
+  SELECT gh FROM occ GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT doc_id, unnest(range(p, p + {_SPAN_N})) AS cp
+        FROM occ JOIN dup USING (gh))
+), ps AS (
+  SELECT doc_id, list(cp ORDER BY cp) AS ps FROM cov GROUP BY doc_id
+)
+SELECT tk.doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       coalesce(len(ps), 0)::BIGINT AS n_removed,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(toks) + 1),
+                       j -> ps IS NULL OR NOT list_contains(ps, j)),
+           j -> toks[j]),
+         ' '), '') AS clean_text
+FROM tk LEFT JOIN ps USING (doc_id)
+"""
+
+
+_TBF_BUDGET = 2000
+
+
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-language token-budget fill (operators/prep.py
+    token_budget_fill): keep each language's documents in seeded-hash order
+    until 2000 tokens are accumulated.  The Spark side runs the exact
+    bucketed prefix-sum decomposition (no single-task-per-group window);
+    the oracle replays it as the equivalent single global window per
+    language — the results are identical by construction, which is
+    precisely what the hash check certifies."""
+    from .operators.prep import token_budget_fill as tbf
+
+    return tbf(load_table(spark, sf_dir, "documents"), budgets=_TBF_BUDGET)
+
+
+_TBF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_SQL_TOKENS})::BIGINT AS n_tokens,
+         {h32_sql("'tb7_' || doc_id::VARCHAR")} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_before, cum_before < {_TBF_BUDGET} AS kept
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # time-series: as-of join, sessionization, windowed aggregation
 # --------------------------------------------------------------------------
@@ -3973,6 +4056,8 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query to its operator and last official row.
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
+    "dedup_span_clean": dedup_span_clean,
+    "token_budget_fill": token_budget_fill,
     "semdedup_keep": semdedup_keep,
     "dsir_select": dsir_select,
     "ivfadc_topk_codes": ivfadc_topk_codes,
@@ -4125,6 +4210,8 @@ ORACLE_SQL = {
     "event_rolling_24h": _ROLLING_SQL,
     **({"semdedup_keep": _SEMDEDUP_SQL} if _SEMDEDUP_SQL else {}),
     "dsir_select": _DSIR_SQL,
+    "dedup_span_clean": _SPAN_SQL,
+    "token_budget_fill": _TBF_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),

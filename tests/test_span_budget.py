@@ -1,0 +1,169 @@
+"""Span-removal dedup (operators/dedup.py:dedup_span_clean) and per-group
+token-budget fill (operators/prep.py:token_budget_fill): brute-force Python
+replays of the semantics, the exactness of the bucketed prefix-sum
+decomposition, and the physical-plan shapes the 100 TB story relies on."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- span clean
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # doc 0 and 1 share the 3-gram "x y z" (positions differ); doc 2 is the
+    # same text as doc 3 entirely; doc 4 is unique; doc 5 is shorter than n.
+    rows = [
+        Row(doc_id=0, text="a b x y z c d"),
+        Row(doc_id=1, text="p x y z q r s"),
+        Row(doc_id=2, text="one two three four"),
+        Row(doc_id=3, text="one two three four"),
+        Row(doc_id=4, text="totally unique words here now"),
+        Row(doc_id=5, text="ti ny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_span_clean_matches_bruteforce(spark, span_docs):
+    """Replay the rule in plain Python: a token is removed iff some n-gram
+    covering it appears in >= 2 distinct docs."""
+    from spark_gp_spark.operators.dedup import dedup_span_clean
+
+    n = 3
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup_span_clean(span_docs, n=n).collect()
+    }
+
+    docs = {r.doc_id: r.text.lower().split() for r in span_docs.collect()}
+    grams = {}  # gram -> set of docs
+    for d, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), set()).add(d)
+    for d, toks in docs.items():
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if len(grams[tuple(toks[i : i + n])]) >= 2:
+                covered.update(range(i, i + n))
+        clean = " ".join(t for j, t in enumerate(toks) if j not in covered)
+        assert got[d] == (len(toks), len(covered), clean), d
+
+
+def test_span_clean_short_docs_untouched(spark, span_docs):
+    from spark_gp_spark.operators.dedup import dedup_span_clean
+
+    got = {r["doc_id"]: r for r in dedup_span_clean(span_docs, n=3).collect()}
+    assert got[5]["n_removed"] == 0
+    assert got[5]["clean_text"] == "ti ny"
+    # exact-dup docs 2/3 are fully wiped (every position covered)
+    assert got[2]["clean_text"] == "" and got[3]["clean_text"] == ""
+    assert got[4]["n_removed"] == 0  # unique doc untouched
+
+
+def test_span_clean_plan_no_cartesian(spark, span_docs):
+    from spark_gp_spark.operators.dedup import dedup_span_clean
+
+    plan = _plan(dedup_span_clean(span_docs, n=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- token budget fill
+
+
+@pytest.fixture(scope="module")
+def budget_result(spark):
+    from spark_gp_spark.operators.prep import token_budget_fill
+    from spark_gp_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = token_budget_fill(docs, budgets=500).toPandas()
+    raw = [
+        (r.doc_id, r.lang, len(r.text.lower().split()))
+        for r in docs.select("doc_id", "lang", "text").collect()
+    ]
+    return out, raw
+
+
+def test_budget_fill_matches_global_window_replay(budget_result):
+    """The bucketed prefix sum must equal the single global per-group
+    window: replay the greedy fill in plain Python over (hash, id) order."""
+    import hashlib
+
+    out, raw = budget_result
+    p = 2_147_483_647
+
+    def h(doc_id):
+        return int(hashlib.md5(f"tb7_{doc_id}".encode()).hexdigest()[:8], 16) % p
+
+    by_lang = {}
+    for doc_id, lang, n_tok in raw:
+        by_lang.setdefault(lang, []).append((h(doc_id), doc_id, n_tok))
+    expect = {}
+    for lang, rows in by_lang.items():
+        cum = 0
+        for hv, doc_id, n_tok in sorted(rows):
+            expect[doc_id] = (lang, n_tok, cum, cum < 500)
+            cum += n_tok
+    got = {
+        r.doc_id: (r.lang, r.n_tokens, r.cum_before, r.kept)
+        for r in out.itertuples()
+    }
+    assert got == expect
+
+
+def test_budget_fill_bucket_count_invariant(spark):
+    """cum_before is identical for buckets=1 (one window per group) and
+    buckets=8 — the decomposition is exact, not approximate."""
+    from spark_gp_spark.operators.prep import token_budget_fill
+    from spark_gp_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    one = {
+        r.doc_id: r.cum_before
+        for r in token_budget_fill(docs, budgets=500, buckets=1).collect()
+    }
+    eight = {
+        r.doc_id: r.cum_before
+        for r in token_budget_fill(docs, budgets=500, buckets=8).collect()
+    }
+    assert one == eight
+
+
+def test_budget_fill_monotone_and_group_contract(spark):
+    """A larger budget keeps a superset; dict budgets drop absent groups;
+    negative budgets are rejected."""
+    from spark_gp_spark.operators.prep import token_budget_fill
+    from spark_gp_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    lo = token_budget_fill(docs, budgets=300).toPandas()
+    hi = token_budget_fill(docs, budgets=900).toPandas()
+    kept_lo = set(lo[lo["kept"]]["doc_id"])
+    kept_hi = set(hi[hi["kept"]]["doc_id"])
+    assert kept_lo <= kept_hi and kept_lo != kept_hi
+
+    en_only = token_budget_fill(docs, budgets={"en": 400}).toPandas()
+    assert set(en_only["lang"]) == {"en"}
+
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_fill(docs, budgets={"en": -1})
+
+
+def test_budget_fill_offsets_are_broadcast(spark):
+    """The per-(group, bucket) offset relation joins back via broadcast —
+    the corpus never shuffles for the offset lookup."""
+    from spark_gp_spark.operators.prep import token_budget_fill
+    from spark_gp_spark.queries import load_table
+
+    plan = _plan(token_budget_fill(load_table(spark, SF, "documents"), budgets=500))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
