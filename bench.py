@@ -344,6 +344,7 @@ def main() -> None:
         "streaming_window_counts",
         "streaming_window_counts_append",
         "streaming_interval_join",
+        "streaming_token_budget",
     ]
 
     # Untimed session warm-up: the first job in a fresh JVM pays parquet

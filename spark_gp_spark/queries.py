@@ -2440,6 +2440,34 @@ FROM c
 """
 
 
+def streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of token_budget_fill (streaming/budget.py): documents
+    arrive in id order and each is admitted iff its language's token budget
+    is not yet spent — one bigint of state per language, emission on
+    arrival.  The oracle replays the admission log as one window per
+    language ordered by doc_id (arrival order == id order by the harness's
+    id-range staging contract)."""
+    from .streaming.budget import run_streaming_token_budget
+
+    return run_streaming_token_budget(spark, sf_dir, budget=_TBF_BUDGET)
+
+
+_STREAM_TBF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_SQL_TOKENS})::BIGINT AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_before, cum_before < {_TBF_BUDGET} AS kept
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # time-series: as-of join, sessionization, windowed aggregation
 # --------------------------------------------------------------------------
@@ -4058,6 +4086,7 @@ QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "dedup_span_clean": dedup_span_clean,
     "token_budget_fill": token_budget_fill,
+    "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
     "dsir_select": dsir_select,
     "ivfadc_topk_codes": ivfadc_topk_codes,
@@ -4212,6 +4241,7 @@ ORACLE_SQL = {
     "dsir_select": _DSIR_SQL,
     "dedup_span_clean": _SPAN_SQL,
     "token_budget_fill": _TBF_SQL,
+    "streaming_token_budget": _STREAM_TBF_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),

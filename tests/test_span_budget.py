@@ -167,3 +167,51 @@ def test_budget_fill_offsets_are_broadcast(spark):
     plan = _plan(token_budget_fill(load_table(spark, SF, "documents"), budgets=500))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------- streaming admission
+
+
+def test_streaming_budget_state_machine_unit():
+    """The per-group state func admits in doc_id order across and within
+    micro-batches, accumulates EVERY document's tokens (rejected ones
+    included), and carries the total in state — driven with a fake
+    GroupState, no streaming query needed."""
+    import pandas as pd
+
+    from spark_gp_spark.streaming.budget import _make_budget_state_func
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self.get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+        def remove(self):
+            self.exists = False
+
+    func = _make_budget_state_func(budget=10)
+    state = FakeState()
+
+    def run(ids, toks):
+        batch = [pd.DataFrame({"doc_id": ids, "n_tokens": toks})]
+        (out,) = list(func(("en",), iter(batch), state))
+        return [tuple(r) for r in out.itertuples(index=False)]
+
+    # batch 1 arrives UNSORTED: rows must be processed in doc_id order
+    got = run([3, 1], [4, 5])
+    assert got == [(1, "en", 5, 0, True), (3, "en", 4, 5, True)]
+    assert state.get == (9,)
+    # batch 2: first doc starts under budget (9 < 10) and is admitted even
+    # though it overshoots; the next is rejected but still accumulates
+    got = run([7, 9], [6, 1])
+    assert got == [(7, "en", 6, 9, True), (9, "en", 1, 15, False)]
+    assert state.get == (16,)
+    # batch 3: everything rejected once the budget is crossed
+    got = run([11], [2])
+    assert got == [(11, "en", 2, 16, False)]
+    assert state.get == (18,)
