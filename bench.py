@@ -311,6 +311,7 @@ def main() -> None:
         "bm25_topk",
         "exact_dedup",
         "dedup_span_clean",
+        "repetition_clean",
         "domain_mix_sample",
         "token_budget_fill",
         "dsir_select",

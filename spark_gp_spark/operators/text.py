@@ -551,3 +551,72 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def repetition_clean(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document repeated-span removal: delete every token covered by
+    a word ``n``-gram whose identical gram already occurred EARLIER in the
+    same document, and rebuild the cleaned text — the degenerate-repetition
+    scrub (boilerplate refrains, copy-paste loops, model-generated
+    stutter), the intra-document complement of the cross-document
+    ``dedup.dedup_span_clean``.  The FIRST occurrence of a repeated span
+    always survives; only re-occurrences are cut.
+
+    Output: (``id_col``, n_tokens, n_removed, clean_text) — the same shape
+    as dedup_span_clean, so the two compose into one scrub pass.
+
+    Scale shape: this is a PURE PER-ROW column expression — zero shuffle,
+    zero joins, zero Python.  Repeat detection is first-occurrence lookup
+    inside the row's own gram array (``array_position``), and coverage is,
+    per token, an ``exists`` over the ≤ n gram starts that could cover it,
+    so the work is O(tokens · n) per document plus the O(grams²) worst case
+    inside array_position — all bounded by document length, embarrassingly
+    parallel at any corpus size."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    staged = toks.select(
+        id_col,
+        "_toks",
+        word_ngrams_all_of(F.col("_toks"), n).alias("_g"),
+    )
+    # _rep[i] (1-based gram start): this gram's FIRST occurrence is earlier
+    rep = F.transform(
+        F.col("_g"),
+        lambda x, i: F.array_position(F.col("_g"), x) < i + F.lit(1),
+    )
+    with_rep = staged.select(id_col, "_toks", rep.alias("_rep"))
+    # _cov[t] (1-based token): some repeated gram start in
+    # [max(1, t-n+1), min(t, n_grams)] covers it.  For t >= 1 those bounds
+    # always satisfy lo <= hi, but the OUTER token sequence must be guarded:
+    # F.sequence(1, 0) runs DESCENDING on an empty document, so token
+    # indices come from a when(size > 0, ...) wrapper instead.
+    ng = F.size("_rep")
+    token_idx = F.when(
+        F.size("_toks") > 0, F.sequence(F.lit(1), F.size("_toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    cov = F.transform(
+        token_idx,
+        lambda t: F.exists(
+            F.sequence(F.greatest(t - n + 1, F.lit(1)), F.least(t, ng)),
+            lambda i: F.element_at(F.col("_rep"), i),
+        ),
+    )
+    with_cov = with_rep.select(id_col, "_toks", cov.alias("_cov"))
+    kept = F.filter(
+        F.transform(
+            token_idx,
+            lambda t: F.when(
+                ~F.element_at(F.col("_cov"), t), F.element_at(F.col("_toks"), t)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return with_cov.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("_cov"), lambda x: x)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

@@ -2468,6 +2468,54 @@ FROM c
 """
 
 
+_REP_CLEAN_N = 3
+
+
+def repetition_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span removal (operators/text.py
+    repetition_clean): every token covered by a 3-gram whose identical gram
+    occurred earlier in the SAME document is cut, first occurrences
+    survive, cleaned text rebuilt.  A pure per-row column expression —
+    zero shuffle, zero joins — the intra-doc complement of
+    dedup_span_clean."""
+    from .operators.text import repetition_clean as rep_clean
+
+    return rep_clean(load_table(spark, sf_dir, "documents"), n=_REP_CLEAN_N)
+
+
+_REP_CLEAN_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, greatest(len(toks) - {_REP_CLEAN_N} + 1, 1) + 1),
+           i -> coalesce(array_to_string(toks[i:i+{_REP_CLEAN_N - 1}], ' '), '')) AS gs
+  FROM tk
+), r AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(gs) + 1),
+           i -> list_position(gs, gs[i]) < i) AS rep
+  FROM g
+), c AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks) + 1),
+           t -> len(list_filter(
+                  range(greatest(t - {_REP_CLEAN_N} + 1, 1), least(t, len(rep)) + 1),
+                  i -> rep[i])) > 0) AS cov
+  FROM r
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(cov, x -> x))::BIGINT AS n_removed,
+       coalesce(array_to_string(
+         list_transform(
+           list_filter(range(1, len(toks) + 1), t -> NOT cov[t]),
+           t -> toks[t]),
+         ' '), '') AS clean_text
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # time-series: as-of join, sessionization, windowed aggregation
 # --------------------------------------------------------------------------
@@ -4085,6 +4133,7 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "dedup_span_clean": dedup_span_clean,
+    "repetition_clean": repetition_clean,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4242,6 +4291,7 @@ ORACLE_SQL = {
     "dedup_span_clean": _SPAN_SQL,
     "token_budget_fill": _TBF_SQL,
     "streaming_token_budget": _STREAM_TBF_SQL,
+    "repetition_clean": _REP_CLEAN_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),

@@ -215,3 +215,49 @@ def test_streaming_budget_state_machine_unit():
     got = run([11], [2])
     assert got == [(11, "en", 2, 16, False)]
     assert state.get == (18,)
+
+
+# ------------------------------------------------------ within-doc rep clean
+
+
+def test_repetition_clean_matches_bruteforce(spark):
+    """Python replay: token t is removed iff some n-gram start i <= t <
+    i+n has an identical gram EARLIER in the same doc.  First occurrences
+    survive; repeats are cut; short docs untouched; empty-ish docs safe."""
+    from spark_gp_spark.operators.text import repetition_clean
+
+    rows = [
+        Row(doc_id=0, text="a b c a b c a b c"),      # refrain repeated 3x
+        Row(doc_id=1, text="x y x y x y"),            # overlapping repeats
+        Row(doc_id=2, text="all words unique here"),  # untouched
+        Row(doc_id=3, text="so    much   whitespace"),
+        Row(doc_id=4, text="ti ny"),                  # shorter than n
+    ]
+    df = spark.createDataFrame(rows)
+    n = 3
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in repetition_clean(df, n=n).collect()
+    }
+    for r in rows:
+        toks = r.text.lower().split()
+        ngrams = [tuple(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+        covered = set()
+        for i, gm in enumerate(ngrams):
+            if gm in ngrams[:i]:
+                covered.update(range(i, i + n))
+        clean = " ".join(t for j, t in enumerate(toks) if j not in covered)
+        assert got[r.doc_id] == (len(toks), len(covered), clean), r.doc_id
+
+
+def test_repetition_clean_is_zero_shuffle(spark):
+    """The whole operator is one per-row projection: no Exchange, no Join
+    anywhere in the optimized plan.  (Read the parquet directly — the
+    registry's load_table adds its own round-robin repartition hint, which
+    is the loader's choice, not the operator's.)"""
+    from spark_gp_spark.operators.text import repetition_clean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(repetition_clean(docs, n=3))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
