@@ -164,6 +164,16 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
         magic_vector = np.linalg.solve(pdm, Kmny)
         sigma = np.sqrt(sigma2)
         b = min(batch, ctx.active_set_size - m)
+        # Duplicate screening (pre-dedup corpora): a candidate row bitwise
+        # equal to an active row would make the next round's Kmm exactly
+        # singular (RBF diag carries no jitter).  In exact arithmetic its
+        # delta is NaN (li == 0), but in floating point diag - p can come
+        # out slightly positive, yielding a finite delta ≈ 0 that BEATS
+        # every negative-gain fresh candidate — so mask active twins
+        # explicitly in the scoring functions (a small bytes-set shipped
+        # with the closure), and additionally dedup WITHIN a batch (two
+        # fresh copies of one row share a finite delta).
+        act_keys = frozenset(r.tobytes() for r in active)
         common = dict(
             _factory=factory, _act=act, _x=x_opt, _Kinv=Kinv,
             _inv_pdm=inv_pdm, _mv=magic_vector, _sigma=sigma, _sigma2=sigma2,
@@ -172,30 +182,57 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
         if b == 1:
             def delta_fn(y, X, _factory=factory, _act=act, _x=x_opt,
                          _Kinv=Kinv, _inv_pdm=inv_pdm, _mv=magic_vector,
-                         _sigma=sigma, _sigma2=sigma2):
+                         _sigma=sigma, _sigma2=sigma2, _keys=act_keys):
                 delta = _seeger_deltas(
                     y, X, _factory, _act, _x, _Kinv, _inv_pdm, _mv, _sigma, _sigma2
                 )
+                Xc = np.ascontiguousarray(X, dtype=np.float64)
+                for i in range(len(delta)):
+                    if Xc[i].tobytes() in _keys:
+                        delta[i] = np.nan
                 if np.all(np.isnan(delta)):
                     return float("nan"), X[0]
                 i = int(np.nanargmax(delta))
                 return float(delta[i]), X[i]
 
-            _, best_vec = ctx.experts.max_over_experts(delta_fn)
+            try:
+                _, best_vec = ctx.experts.max_over_experts(delta_fn)
+            except ValueError:
+                # every remaining candidate duplicates an active row: the
+                # data has fewer distinct rows than requested — stop.
+                break
             new_rows = best_vec[None, :]
         else:
-            def topk_fn(y, X, _b=b, _kw=common):
+            def topk_fn(y, X, _b=b, _kw=common, _keys=act_keys):
                 delta = _seeger_deltas(
                     y, X, _kw["_factory"], _kw["_act"], _kw["_x"], _kw["_Kinv"],
                     _kw["_inv_pdm"], _kw["_mv"], _kw["_sigma"], _kw["_sigma2"],
                 )
+                Xc = np.ascontiguousarray(X, dtype=np.float64)
+                for i in range(len(delta)):
+                    if Xc[i].tobytes() in _keys:
+                        delta[i] = np.nan
                 finite = np.where(~np.isnan(delta))[0]
                 if len(finite) == 0:
                     return np.empty(0), np.empty((0, X.shape[1]))
-                top = finite[np.argsort(delta[finite])[::-1][:_b]]
+                top = finite[np.argsort(-delta[finite], kind="stable")[:_b]]
                 return delta[top], X[top]
 
-            new_rows = ctx.experts.topk_over_experts(topk_fn, b)
+            try:
+                new_rows = ctx.experts.topk_over_experts(topk_fn, b)
+            except ValueError:
+                break
+            # within-batch dedup: keep the first (highest-delta) copy
+            seen = set(act_keys)
+            dedup = []
+            for r in new_rows:
+                key = r.tobytes()
+                if key not in seen:
+                    seen.add(key)
+                    dedup.append(r)
+            if not dedup:
+                break
+            new_rows = np.asarray(dedup, dtype=np.float64)
         active = np.vstack([active, new_rows])
         rounds += 1
 

@@ -419,11 +419,11 @@ class DistributedExperts(Experts):
                     payloads.extend(np.asarray(p, dtype=np.float64) for p in P[keep])
                     if len(scores) > 4 * k:
                         # partition-side cap: keep only the running top-k
-                        order = np.argsort(scores)[::-1][:k]
+                        order = np.argsort(np.negative(scores), kind="stable")[:k]
                         scores = [scores[i] for i in order]
                         payloads = [payloads[i] for i in order]
             if scores:
-                order = np.argsort(scores)[::-1][:k]
+                order = np.argsort(np.negative(scores), kind="stable")[:k]
                 yield pd.DataFrame(
                     {
                         "score": [scores[i] for i in order],
@@ -500,7 +500,7 @@ class LocalExperts(Experts):
             payloads.extend(np.asarray(p, dtype=np.float64) for p in P[keep])
         if not scores:
             raise ValueError("no expert produced a finite score")
-        order = np.argsort(scores)[::-1][:k]
+        order = np.argsort(np.negative(scores), kind="stable")[:k]
         return np.asarray([payloads[i] for i in order], dtype=np.float64)
 
 

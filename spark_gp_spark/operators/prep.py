@@ -30,6 +30,27 @@ from .text import bpe_token_count, tokens, word_ngrams_of
 #: [TRAIN, TRAIN+VAL) val, rest test.
 SPLIT_TRAIN, SPLIT_VAL = 80, 10
 
+#: persisted (id, group, n_tokens, hash, bucket) projection of the LAST
+#: token_budget_fill call — it feeds both the offsets aggregate and the
+#: main join, so without a persist the regex token count runs twice per
+#: invocation.  Same retire discipline as dedup._LIVE_SHINGLE_CACHES:
+#: each call retires the previous call's entries whose plan differs
+#: (Spark's CacheManager dedupes persisted plans semantically, so a
+#: same-input repeat shares the entry and must not be evicted).
+_LIVE_TBF_CACHES: list[DataFrame] = []
+
+
+def _retire_tbf_caches(new: list[DataFrame]) -> None:
+    for old in _LIVE_TBF_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            # a stale handle from a stopped SparkSession: nothing to free
+            pass
+    _LIVE_TBF_CACHES.clear()
+    _LIVE_TBF_CACHES.extend(new)
+
 
 def split_expr(
     id_col: str = "doc_id", train: int = SPLIT_TRAIN, val: int = SPLIT_VAL
@@ -289,11 +310,15 @@ def token_budget_fill(
     then windows only its own (group, bucket) slice.  The decomposition is
     exact — cum_before equals the single global window's value — and the
     oracle replays it AS that global window.  One shuffle (the bucketed
-    window), one broadcast."""
+    window), one broadcast; the 5-column hash/count projection is persisted
+    because it feeds both the offsets aggregate and the main join (without
+    it the regex token count would run twice per invocation)."""
     from .hashing import MERSENNE_P
     from .text import token_count
 
     if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError(f"budget must be >= 0, got {budgets}")
         budget_for = F.lit(int(budgets))
     else:
         for g, b in budgets.items():
@@ -308,13 +333,16 @@ def token_budget_fill(
         )
         budget_for = mapping[F.col(group_col)]
     hv = h32(F.concat(F.lit(f"tb{seed}_"), F.col(id_col).cast("string")))
+    # base feeds BOTH the offsets aggregate and the main join — persist the
+    # (tiny, 5-column) projection so the regex token count runs once.
     base = df.select(
         F.col(id_col),
         F.col(group_col),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         hv.alias("_h"),
         F.floor(hv * F.lit(buckets) / F.lit(MERSENNE_P)).alias("_b"),
-    )
+    ).persist()
+    _retire_tbf_caches([base])
     offw = (
         Window.partitionBy(group_col)
         .orderBy("_b")

@@ -4120,16 +4120,15 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window: the 2 new queries (ivfadc_topk_codes,
-# corpus_prep_gpc_filter), the 10 queries the round-7 diff touched
-# (streaming-neardup state schema + TTL derivation, derived-copy
-# commit-after-write for the jsonl/orc/ann artifacts, ANN artifact-cache
-# eviction + persisted-index refactor), then 38 of the 39 entries whose
-# last official row is r5 (everything below the r6 window; gpc_embeddings —
-# rows-only, pytest-gated — is the one left below).  Below the window: the
-# 40 entries officially green in CORRECTNESS_r06 on code unchanged this
-# round, plus gpc_embeddings.  SURVEY.md §2.8's status table maps every
-# query to its operator and last official row.
+# Round-7 window (50 keys exactly): the 10 new queries, the 10 queries the
+# round-7 diff touched (streaming-neardup state schema + TTL derivation,
+# derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
+# artifact-cache eviction + persisted-index refactor), then 30 of the 39
+# entries whose last official row is r5.  Below the window: the remaining
+# 9 r5 entries (first in line for the r8 rotation — code unchanged since
+# their last green row) and the entries officially green in
+# CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
+# table maps every query to its operator and last official row.
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "dedup_span_clean": dedup_span_clean,
@@ -4187,15 +4186,16 @@ QUERIES = {
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
+    # ================= below the 50-key official window =================
+    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
+    #  pytest-gated — on code unchanged this round; the 9 r5-last-green
+    #  entries listed first rotate into the r8 window)
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_dedup": streaming_dedup,
     "streaming_interval_join": streaming_interval_join,
     "streaming_upsert": streaming_upsert,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
-    # ================= below the 50-key official window =================
-    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round)
     "multimodal_frame_sample": multimodal_frame_sample,
     "gpr_lineitem": gpr_lineitem,
     "gpc_embeddings": gpc_embeddings,

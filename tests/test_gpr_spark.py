@@ -210,3 +210,54 @@ def test_greedy_batch_provider_rmse_parity(spark):
     assert rounds_b == 2             # ceil(16 / 8)
     assert rmse_b < 0.3
     assert rmse_b <= rmse_g * 1.5 + 1e-6, (rmse_b, rmse_g)
+
+
+def test_greedy_batch_survives_duplicate_rows(spark):
+    """Exact-duplicate feature rows (a pre-dedup corpus) must not crash the
+    batched selector: two bitwise-identical candidates share one finite
+    Seeger delta, and appending both would make the next round's Kmm
+    exactly singular (RBF diag carries no jitter).  The selector keeps one
+    copy per distinct row, so the fit completes and the active set holds
+    distinct points only."""
+    base = synthetics_df(spark, n=120)
+    df = base.union(base)  # every row appears exactly twice
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(0.3, 1e-6, 10))
+        .setDatasetSizeForExpert(60)
+        .setActiveSetProvider("greedy_batch")
+        .setActiveSetSize(12)
+        .setSeed(13)
+        .setSigma2(1e-2)
+        .setMaxIter(5)
+    )
+    model = gp.fit(df)
+    act = model.raw_predictor.kernel.get_training_vectors()
+    assert len({r.tobytes() for r in act}) == len(act)  # all distinct
+    rmse = (
+        model.transform(base)
+        .select(F.sqrt(F.avg((F.col("prediction") - F.col("label")) ** 2)))
+        .first()[0]
+    )
+    assert rmse < 0.3
+
+
+def test_plain_greedy_survives_duplicate_rows(spark):
+    """Same screen on the one-per-round path: in floating point a twin of
+    an active row can score a finite delta ~ 0 (not NaN) and win a round
+    when every fresh candidate has negative gain."""
+    base = synthetics_df(spark, n=60)
+    df = base.union(base)
+    gp = (
+        GaussianProcessRegression()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(0.3, 1e-6, 10))
+        .setDatasetSizeForExpert(40)
+        .setActiveSetProvider("greedy")
+        .setActiveSetSize(6)
+        .setSeed(13)
+        .setSigma2(1e-2)
+        .setMaxIter(5)
+    )
+    model = gp.fit(df)
+    act = model.raw_predictor.kernel.get_training_vectors()
+    assert len({r.tobytes() for r in act}) == len(act)

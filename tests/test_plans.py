@@ -224,9 +224,11 @@ def test_ivfadc_codes_plan_reads_stored_codes_no_python(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
     assert "gp_ann_codes_" in plan          # scan of the persisted codes dir
-    assert "PartitionFilters: [cell" in plan or "cell#" in plan.split(
-        "PartitionFilters: ["
-    )[1].split("]")[0]                      # probed-cells static pruning
+    # probed-cells static pruning: a PartitionFilters section must exist
+    # and constrain the cell column
+    assert "PartitionFilters: [" in plan, "no PartitionFilters section"
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert pf.startswith("cell") or "cell#" in pf, pf
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan

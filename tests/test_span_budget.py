@@ -261,3 +261,14 @@ def test_repetition_clean_is_zero_shuffle(spark):
     plan = _plan(repetition_clean(docs, n=3))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_token_budget_fill_rejects_negative_int(spark):
+    """A negative budget is invalid on BOTH input paths: the per-group dict
+    already raised; the scalar-int path must too (it previously returned
+    kept=False for every row instead)."""
+    from spark_gp_spark.operators.prep import token_budget_fill
+
+    docs = spark.createDataFrame([Row(doc_id=0, lang="en", text="a b c")])
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_fill(docs, budgets=-1)

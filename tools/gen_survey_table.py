@@ -40,7 +40,8 @@ IMPORT_MOD = {
     "prep": "operators/prep.py", "hashing": "operators/hashing.py",
     "tables": "sources/tables.py", "skew": "operators/skew.py",
     "asof": "operators/asof.py", "multimodal": "operators/multimodal.py",
-    "scaling": "scaling.py",
+    "scaling": "scaling.py", "selection": "operators/selection.py",
+    "budget": "streaming/budget.py", "ann": "streaming/ann.py",
 }
 
 
@@ -77,7 +78,7 @@ def build_table() -> str:
         d = json.load(open(f))
         for k, v in d.items():
             hash_green = v.get("err") is None and v.get("rows_match")
-            rows_only = v.get("err") == "no_oracle" and v.get("spark_rows", 0) >= 0
+            rows_only = v.get("err") == "no_oracle" and (v.get("spark_rows") or 0) > 0
             if hash_green or rows_only:
                 greens[k] = f"r{r}"
 
