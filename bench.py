@@ -310,6 +310,7 @@ def main() -> None:
         "tfidf_cosine_pairs",
         "bm25_topk",
         "exact_dedup",
+        "shard_export_manifest",
         "dedup_span_clean",
         "repetition_clean",
         "domain_mix_sample",
@@ -326,6 +327,7 @@ def main() -> None:
         "lsh_topk",
         "ivf_topk",
         "pq_topk",
+        "opq_topk",
         "ivfadc_topk",
         "ivfadc_topk_codes",
         "embedding_neardup_pairs",

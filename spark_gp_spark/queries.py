@@ -2153,6 +2153,120 @@ _IVFADC_FILTERED_SQL = _sql_ivfadc_topk(
 )
 
 
+# --------------------------------------------------------------------------
+# OPQ: optimized product quantization (operators/pq.py:train_opq)
+# --------------------------------------------------------------------------
+
+_OPQ_ITERS = 8
+
+
+def opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k through OPQ codes (operators/pq.py:train_opq — Ge et al.
+    2013): a learned orthonormal rotation decorrelates and
+    variance-balances the embedding space before PQ, cutting quantization
+    MSE at IDENTICAL code size (4.3× on correlated synthetics,
+    tests/test_pq.py).  Same scale shape as pq_topk — train driver-side on
+    the deterministic hash sample, encode as one zero-shuffle Arrow
+    projection (the rotation rides in the UDF closure), scan scores as m
+    integer LUT lookups in whole-stage codegen.  The rotation fold is
+    left-to-right over input dims on both engines, so codes and distances
+    are bit-identical."""
+    import numpy as np
+
+    from .operators.pq import (
+        _rotate_batch,
+        adc_luts,
+        opq_encode,
+        pq_topk as _pq_topk,
+        read_query_vectors,
+        train_opq_from_parquet,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    R, books = train_opq_from_parquet(
+        path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE, _OPQ_ITERS
+    )
+    qs = read_query_vectors(path, max_id=20)
+    luts = adc_luts(_rotate_batch(np.stack([v for _, v in qs]), R), books)
+    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = opq_encode(emb, R, books).select("vec_id", "codes")
+    return _pq_topk(codes, query_luts, k=5)
+
+
+def _opq_oracle_artifacts():
+    """(rotation, codebooks, query vectors, rotated-query LUTs) for the
+    sf0.01 oracle; None when testdata is unavailable."""
+    global _OPQ_ARTIFACTS
+    if _OPQ_ARTIFACTS != "unset":
+        return _OPQ_ARTIFACTS
+    try:
+        import numpy as np
+
+        from .operators.pq import (
+            _rotate_batch,
+            adc_luts,
+            read_query_vectors,
+            train_opq_from_parquet,
+        )
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        R, books = train_opq_from_parquet(
+            path, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE, _OPQ_ITERS
+        )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(_rotate_batch(np.stack([v for _, v in qs]), R), books)
+        _OPQ_ARTIFACTS = (R, books, qs, luts)
+    except Exception:
+        _OPQ_ARTIFACTS = None
+    return _OPQ_ARTIFACTS
+
+
+_OPQ_ARTIFACTS: object = "unset"
+
+
+def _sql_opq_rot_exprs(R) -> str:
+    """d rotated components, each an unrolled left-to-right sum of
+    raw[i]·R[j,i] products — the same fold order as pq._rotate_batch, so
+    the rotated doubles are bit-identical across engines."""
+    d = R.shape[0]
+    return ", ".join(
+        "(0.0"
+        + "".join(f" + raw[{i + 1}]*({float(R[j, i])!r})" for i in range(d))
+        + ")"
+        for j in range(d)
+    )
+
+
+def _sql_opq_topk() -> str | None:
+    art = _opq_oracle_artifacts()
+    if art is None:
+        return None
+    R, books, qs, luts = art
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+), r AS (
+  SELECT vec_id, [{_sql_opq_rot_exprs(R)}] AS v FROM e
+), c AS (
+  SELECT vec_id, v, {_sql_pq_code_cols(books)} FROM r
+), q(query_id, lut) AS (
+  VALUES {_sql_adc_values(qs, luts)}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_sql_adc_dist(_PQ_M)} AS dd
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, dd,
+         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(dd, 6) AS adc_dist, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5"""
+
+
+_OPQ_TOPK_SQL = _sql_opq_topk()
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via sign-LSH candidates + exact cosine verify —
     the 100 TB shape: the only joins are (table, bucket) equi-joins and id
@@ -3967,6 +4081,48 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+_SHARD_N, _SHARD_SEED = 8, 3
+
+
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export + content manifest (sources/sinks.py:
+    export_shards): documents written as directory-partitioned parquet
+    with a DETERMINISTIC hash shard per row (the layout data-parallel
+    training loaders consume), then the manifest — per-shard row count,
+    order-insensitive id checksum, character total — recomputed from the
+    READ-BACK files.  Because shard assignment is a pure function of the
+    id, the oracle recomputes the identical manifest from the source
+    relation: a hash match proves no row was lost, duplicated, or moved
+    across shards by the write.  One aggregate over the read-back — zero
+    joins; the write itself is one shuffle (repartition on shard)."""
+    from .sources.sinks import export_shards, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    source = f"{sf_dir}/documents.parquet"
+    path, fresh = _derived_copy_path("shards", source)
+    if not fresh:
+        export_shards(docs, path, _SHARD_N, id_col="doc_id", seed=_SHARD_SEED)
+        _derived_copy_commit("shards", source)
+    back = spark.read.parquet(path)
+    return shard_manifest(
+        back, id_col="doc_id",
+        extra={"n_chars_sum": F.sum("n_chars").cast("long")},
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         floor({h32_sql(f"'sh{_SHARD_SEED}_' || doc_id::VARCHAR")} * {_SHARD_N} / {MERSENNE_P})::INT AS shard,
+         {h32_sql("'ck_' || doc_id::VARCHAR")} % 1000003 AS ck
+  FROM documents
+)
+SELECT shard, count(*)::BIGINT AS n_rows, sum(ck)::BIGINT AS id_checksum,
+       sum(n_chars)::BIGINT AS n_chars_sum
+FROM s GROUP BY shard
+"""
+
+
 def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.binary_stats(M.attach_binary(docs))
@@ -4120,12 +4276,12 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 10 new queries, the 10 queries the
+# Round-7 window (50 keys exactly): the 12 new queries, the 10 queries the
 # round-7 diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 30 of the 39
+# artifact-cache eviction + persisted-index refactor), then 28 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 9 r5 entries (first in line for the r8 rotation — code unchanged since
+# 11 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
@@ -4133,6 +4289,8 @@ QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "dedup_span_clean": dedup_span_clean,
     "repetition_clean": repetition_clean,
+    "opq_topk": opq_topk,
+    "shard_export_manifest": shard_export_manifest,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4184,12 +4342,12 @@ QUERIES = {
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_static_enrich": streaming_static_enrich,
-    "streaming_sessions": streaming_sessions,
-    "streaming_sessions_append": streaming_sessions_append,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 9 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 11 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "streaming_sessions": streaming_sessions,
+    "streaming_sessions_append": streaming_sessions_append,
     "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_dedup": streaming_dedup,
     "streaming_interval_join": streaming_interval_join,
@@ -4292,7 +4450,9 @@ ORACLE_SQL = {
     "token_budget_fill": _TBF_SQL,
     "streaming_token_budget": _STREAM_TBF_SQL,
     "repetition_clean": _REP_CLEAN_SQL,
+    "shard_export_manifest": _SHARD_MANIFEST_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
+    **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),
     **({"ivfadc_topk": _IVFADC_TOPK_SQL} if _IVFADC_TOPK_SQL else {}),

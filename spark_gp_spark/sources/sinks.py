@@ -143,3 +143,75 @@ def write_zordered(
         .mode(mode)
         .save(path)
     )
+
+
+def shard_expr(id_col: str = "doc_id", n_shards: int = 8, seed: int = 3):
+    """Deterministic shard assignment as a pure column expression:
+    ``floor(h32('sh{seed}_' || id) · n_shards / P)`` — the same seeded-hash
+    bucket grammar as prep.split_expr / token_budget_fill, so shard
+    membership is reproducible across engines, runs, and cluster sizes
+    (repartitioning the input can never move a row between shards)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hashing import MERSENNE_P, h32
+
+    hv = h32(F.concat(F.lit(f"sh{seed}_"), F.col(id_col).cast("string")))
+    return F.floor(hv * F.lit(n_shards) / F.lit(MERSENNE_P)).cast("int")
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    seed: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Export training shards: directory-partitioned parquet with a
+    DETERMINISTIC hash shard per row (``shard_expr``) — the layout a
+    training loader consumes (one dir per shard, readers assign dirs to
+    data-parallel ranks).  ``repartition(n_shards, shard)`` routes each
+    shard's rows to one task so each dir holds one file; at sizes where
+    one file per shard is too big, keep the deterministic shard column
+    and drop the repartition (partitionBy still routes rows correctly,
+    with one file per task per shard) or bound files with
+    ``spark.sql.files.maxRecordsPerFile``.
+
+    Verify the export with ``shard_manifest`` over the READ-BACK data:
+    because shard assignment is a pure function of the id, the manifest
+    is independently recomputable from the source relation — a content
+    proof, not just a file count."""
+    out = df.withColumn("shard", shard_expr(id_col, n_shards, seed))
+    (
+        out.repartition(n_shards, "shard")
+        .write.format("parquet")
+        .mode(mode)
+        .partitionBy("shard")
+        .save(path)
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    extra: dict | None = None,
+) -> DataFrame:
+    """(shard, n_rows, id_checksum[, extra aggregates]) per shard.
+
+    ``id_checksum`` is an order-insensitive content fingerprint:
+    Σ (h32('ck_' || id) mod 1_000_003) — each term < 2^20, so the bigint
+    sum is overflow-safe past 10^12 rows, and any lost/duplicated/moved
+    row changes some shard's sum.  One aggregate over the shard column —
+    zero joins, one shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hashing import h32
+
+    ck = h32(F.concat(F.lit("ck_"), F.col(id_col).cast("string"))) % F.lit(1_000_003)
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(ck).cast("long").alias("id_checksum"),
+    ]
+    for name, col in (extra or {}).items():
+        aggs.append(col.alias(name))
+    return df.groupBy(F.col("shard").cast("int").alias("shard")).agg(*aggs)

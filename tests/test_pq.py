@@ -309,3 +309,76 @@ def test_ann_artifact_cache_evicts_superseded_fingerprints(tmp_path):
     finally:
         ivf._ANN_ARTIFACT_CACHE.clear()
         ivf._ANN_ARTIFACT_CACHE.update(before)
+
+
+# -------------------------------------------------------------------- OPQ
+
+
+def test_opq_rotation_cuts_mse_on_correlated_data():
+    """The OPQ objective, directly: on anisotropic cross-subspace-correlated
+    data (the case PQ's independence assumption breaks on), the learned
+    rotation must cut total quantization error vs plain PQ at identical
+    code size, and R must stay orthonormal up to the 1e-6 literal
+    rounding."""
+    from spark_gp_spark.operators.pq import (
+        _encode_batch,
+        _rotate_batch,
+        train_opq,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d, r = 2000, 32, 6
+    A = rng.normal(size=(d, r)) * np.array([4, 3, 2, 1.5, 1, 0.5])
+    X = rng.normal(size=(n, r)) @ A.T + 0.1 * rng.normal(size=(n, d))
+
+    books_pq = train_pq_codebooks(X, m=M, k=K, seed=5)
+    _, sq_pq = _encode_batch(X, books_pq)
+    R, books_opq = train_opq(X, m=M, k=K, seed=5, iters=8)
+    _, sq_opq = _encode_batch(_rotate_batch(X, R), books_opq)
+
+    assert np.abs(R @ R.T - np.eye(d)).max() < 1e-4
+    assert sq_opq.mean() < 0.6 * sq_pq.mean(), (sq_opq.mean(), sq_pq.mean())
+
+
+def test_opq_rotate_batch_is_left_to_right_fold():
+    """_rotate_batch must fold input dims left-to-right (the oracle-parity
+    association), bit-identical to a scalar replay — np.dot's pairwise/BLAS
+    order would diverge in the last ulps."""
+    from spark_gp_spark.operators.pq import _rotate_batch
+
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(5, 8))
+    R = rng.normal(size=(8, 8))
+    Z = _rotate_batch(X, R)
+    for r in range(5):
+        for j in range(8):
+            acc = 0.0
+            for i in range(8):
+                acc = acc + X[r, i] * R[j, i]
+            assert Z[r, j] == acc  # bitwise, not approx
+
+
+def test_opq_adc_recall_on_planted_dups(spark, corpus):
+    """OPQ end-to-end through Spark: every planted dup's base vector must
+    land in its ADC top-5, matching the plain-PQ gate at identical code
+    size (recall can only improve — the rotation lowers quantization
+    noise)."""
+    from spark_gp_spark.operators.pq import (
+        _rotate_batch,
+        opq_encode,
+        train_opq,
+    )
+
+    df, vecs, _ = corpus
+    R, books = train_opq(vecs, m=M, k=K, seed=5, iters=8)
+    codes = opq_encode(df, R, books).select("vec_id", "codes")
+    qids = list(range(N_BASE, N_BASE + N_DUP))
+    luts = adc_luts(_rotate_batch(vecs[qids], R), books)
+    query_luts = [(qid, luts[i].tolist()) for i, qid in enumerate(qids)]
+    top = pq_topk(codes, query_luts, k=5).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = sum(1 for i, qid in enumerate(qids) if (qid - N_BASE) in by_q[qid])
+    assert hits / N_DUP >= 0.9, f"OPQ planted-dup recall {hits / N_DUP:.2f} < 0.9"

@@ -141,3 +141,47 @@ def test_write_zordered_files_cover_disjoint_key_ranges(spark, tmp_path):
     ordered = sorted((r.lo, r.hi) for r in spans)
     for (lo1, hi1), (lo2, hi2) in zip(ordered, ordered[1:]):
         assert hi1 <= lo2  # range partitioning: files are disjoint in z
+
+
+def test_export_shards_one_file_per_shard_and_manifest(spark, tmp_path):
+    """export_shards writes one parquet file per shard directory, shard
+    assignment is a pure function of the id (stable under input
+    repartitioning), and the read-back manifest equals the manifest
+    computed directly on the source — the content proof."""
+    from spark_gp_spark.sources.sinks import export_shards, shard_expr, shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", 10 * i) for i in range(400)],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, n_shards=8, id_col="doc_id", seed=3)
+
+    # one file per shard dir
+    import glob
+
+    for d in glob.glob(f"{path}/shard=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+
+    back = spark.read.parquet(path)
+    assert back.count() == 400
+
+    got = {
+        r.shard: (r.n_rows, r.id_checksum)
+        for r in shard_manifest(back, id_col="doc_id").collect()
+    }
+    src = docs.withColumn("shard", shard_expr("doc_id", 8, 3))
+    want = {
+        r.shard: (r.n_rows, r.id_checksum)
+        for r in shard_manifest(src, id_col="doc_id").collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == 400
+    assert len(got) == 8  # 400 hashed docs hit all 8 shards
+
+    # pure function of the id: a different input layout cannot move rows
+    moved = docs.repartition(13).withColumn("shard", shard_expr("doc_id", 8, 3))
+    assert {
+        r.shard: r.n_rows for r in shard_manifest(moved).collect()
+    } == {k: v[0] for k, v in want.items()}
