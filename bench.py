@@ -305,6 +305,7 @@ def main() -> None:
         "tfidf_top_terms",
         "doc_fingerprints",
         "doc_repetition",
+        "doc_logprob",
         "dup_ngram_fraction",
         "token_pmi_pairs",
         "tfidf_cosine_pairs",

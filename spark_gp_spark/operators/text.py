@@ -620,3 +620,61 @@ def repetition_clean(
         F.size(F.filter(F.col("_cov"), lambda x: x)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def doc_logprob(
+    df: DataFrame,
+    buckets: int = 1 << 16,
+    alpha: float = 0.5,
+    seed: int = 9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-unigram LM quality score — the CCNet-style perplexity-filter
+    analog (Wenzek et al. 2020 filter CommonCrawl by LM perplexity; a
+    hashed unigram model is its cheapest corpus-self-trained stand-in):
+    train token frequencies over the WHOLE corpus, then score each document
+    by its mean token log-probability.  Gibberish, boilerplate-free random
+    strings, and wrong-language text score far below fluent text; the score
+    feeds the same quality-floor verbs as text_quality.
+
+    Tokens hash into ``buckets`` counts (the DSIR trick): the model is
+    O(buckets), NOT O(vocabulary), so at 100 TB the count relation stays a
+    few MB and broadcastable while a raw vocab would be billions of rows.
+    Smoothing is add-``alpha`` over the bucket space.
+
+    Output: (``id_col``, n_tokens, avg_logprob) — one row per document with
+    at least one token.
+
+    Scale shape: explode → ONE tiny shuffle over ≤ ``buckets`` keys for the
+    counts → counts broadcast back onto the token stream (map-side join,
+    no corpus shuffle) → one groupBy(doc) aggregate.  Two shuffles total,
+    only one of them corpus-sized."""
+    from .hashing import h32
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    tb = toks.select(
+        id_col,
+        (h32(F.concat(F.lit(f"lm{seed}_"), F.col("_tok"))) % F.lit(buckets)).alias(
+            "bucket"
+        ),
+    )
+    counts = tb.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tb.join(F.broadcast(counts), "bucket")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cnt") + F.lit(float(alpha)))
+                        / (F.col("n_total") + F.lit(float(alpha) * buckets))
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

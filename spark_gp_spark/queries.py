@@ -2630,6 +2630,44 @@ FROM c
 """
 
 
+_LM_BUCKETS, _LM_ALPHA, _LM_SEED = 1 << 16, 0.5, 9
+
+
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained hashed-unigram LM score per document
+    (operators/text.py:doc_logprob) — the CCNet perplexity-filter analog:
+    token frequencies aggregate over the whole corpus into 2^16 hashed
+    buckets (O(buckets) model, never O(vocab)), broadcast back, and each
+    document scores as its mean token log-probability.  Two shuffles —
+    one tiny (bucket counts), one per-doc aggregate."""
+    from .operators.text import doc_logprob as _doc_logprob
+
+    return _doc_logprob(
+        load_table(spark, sf_dir, "documents"),
+        buckets=_LM_BUCKETS,
+        alpha=_LM_ALPHA,
+        seed=_LM_SEED,
+    )
+
+
+_DOC_LOGPROB_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+), tb AS (
+  SELECT doc_id, {h32_sql(f"'lm{_LM_SEED}_' || tok")} % {_LM_BUCKETS} AS bucket FROM tk
+), c AS (
+  SELECT bucket, count(*)::BIGINT AS cnt FROM tb GROUP BY bucket
+), n AS (
+  SELECT sum(cnt) AS n_total FROM c
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r}))), 6)
+         AS avg_logprob
+FROM tb JOIN c USING (bucket) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # time-series: as-of join, sessionization, windowed aggregation
 # --------------------------------------------------------------------------
@@ -4276,7 +4314,7 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 12 new queries, the 10 queries the
+# Round-7 window (50 keys exactly): the 13 new queries, the 10 queries the
 # round-7 diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
 # artifact-cache eviction + persisted-index refactor), then 28 of the 39
@@ -4291,6 +4329,7 @@ QUERIES = {
     "repetition_clean": repetition_clean,
     "opq_topk": opq_topk,
     "shard_export_manifest": shard_export_manifest,
+    "doc_logprob": doc_logprob,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4341,11 +4380,11 @@ QUERIES = {
     "event_group_sample": event_group_sample,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
-    "streaming_static_enrich": streaming_static_enrich,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 11 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 12 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "streaming_static_enrich": streaming_static_enrich,
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
     "streaming_stateful_sessions": streaming_stateful_sessions,
@@ -4451,6 +4490,7 @@ ORACLE_SQL = {
     "streaming_token_budget": _STREAM_TBF_SQL,
     "repetition_clean": _REP_CLEAN_SQL,
     "shard_export_manifest": _SHARD_MANIFEST_SQL,
+    "doc_logprob": _DOC_LOGPROB_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),

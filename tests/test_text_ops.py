@@ -123,3 +123,41 @@ def test_bm25_topk_retrieves_planted_match(spark):
     assert by_rank[1].doc_id == 5        # the near-verbatim doc wins
     assert by_rank[1].score > by_rank[2].score
     assert all(r.doc_id != 0 for r in out)  # query never retrieves itself
+
+
+def test_doc_logprob_hand_computed(spark):
+    """Hand replay of the hashed-unigram LM score: with enough buckets
+    there are no hash collisions on a 3-token vocab, so per-doc scores are
+    plain add-alpha unigram log-probs; the common-word doc must outscore
+    the rare-word doc."""
+    from spark_gp_spark.operators.text import doc_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b b"), (3, "z")],
+        "doc_id long, text string",
+    )
+    buckets, alpha = 1 << 16, 0.5
+    out = {r.doc_id: (r.n_tokens, r.avg_logprob)
+           for r in doc_logprob(docs, buckets=buckets, alpha=alpha).collect()}
+    n_total = 9
+    denom = n_total + alpha * buckets
+
+    def lp(cnt):
+        return math.log((cnt + alpha) / denom)
+
+    assert out[1] == (4, pytest.approx(round(lp(6), 6), abs=2e-6))
+    assert out[2] == (4, pytest.approx(round((2 * lp(6) + 2 * lp(2)) / 4, 6), abs=2e-6))
+    assert out[3] == (1, pytest.approx(round(lp(1), 6), abs=2e-6))
+    assert out[1][1] > out[2][1] > out[3][1]
+
+
+def test_doc_logprob_plan_broadcasts_model(spark):
+    """The count model must come back as broadcast joins — the corpus-sized
+    token stream is never shuffled for the lookup; the only Exchanges are
+    the tiny bucket-count aggregate and the per-doc aggregate."""
+    from spark_gp_spark.operators.text import doc_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = doc_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
