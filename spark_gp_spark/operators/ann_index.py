@@ -15,6 +15,8 @@ trip bit-for-bit) with rows (kind, i, j, vec):
 - kind='centroids': i = centroid row, vec = (d,) centroid — rebuilds (k, d)
 - kind='codebooks': i = subspace, j = codebook row, vec = (d/m,) centroid —
   rebuilds (m, k, d/m)
+- kind='rotation': i = output row, vec = (d,) row of the OPQ rotation —
+  rebuilds (d, d)
 
 plus a JSON params blob in the parquet schema metadata.  A directory-of-
 parquet layout (vs npz/pickle) keeps the artifact readable by ANY engine —
@@ -36,15 +38,19 @@ def save_ann_index(
     *,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    rotation: np.ndarray | None = None,
     params: dict | None = None,
 ) -> str:
-    """Write centroids (k, d) and/or codebooks (m, k, d/m) plus ``params``
-    to ``path`` (a parquet file; parent dirs created).  Returns ``path``."""
+    """Write centroids (k, d), codebooks (m, k, d/m), and/or an OPQ
+    rotation (d, d) plus ``params`` to ``path`` (a parquet file; parent
+    dirs created).  Returns ``path``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if centroids is None and codebooks is None:
-        raise ValueError("nothing to save: pass centroids and/or codebooks")
+    if centroids is None and codebooks is None and rotation is None:
+        raise ValueError(
+            "nothing to save: pass centroids, codebooks, and/or rotation"
+        )
     kinds: list[str] = []
     i_idx: list[int] = []
     j_idx: list[int] = []
@@ -55,6 +61,15 @@ def save_ann_index(
             raise ValueError(f"centroids must be (k, d), got shape {C.shape}")
         for i, row in enumerate(C):
             kinds.append("centroids")
+            i_idx.append(i)
+            j_idx.append(0)
+            vecs.append([float(x) for x in row])
+    if rotation is not None:
+        R = np.asarray(rotation, dtype=np.float64)
+        if R.ndim != 2 or R.shape[0] != R.shape[1]:
+            raise ValueError(f"rotation must be square (d, d), got shape {R.shape}")
+        for i, row in enumerate(R):
+            kinds.append("rotation")
             i_idx.append(i)
             j_idx.append(0)
             vecs.append([float(x) for x in row])
@@ -92,8 +107,8 @@ def save_ann_index(
 
 def load_ann_index(path: str) -> dict:
     """Read an index written by ``save_ann_index``: returns a dict with any
-    of 'centroids' ((k, d) float64), 'codebooks' ((m, k, d/m) float64), and
-    'params' (the saved dict)."""
+    of 'centroids' ((k, d) float64), 'codebooks' ((m, k, d/m) float64),
+    'rotation' ((d, d) float64), and 'params' (the saved dict)."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
@@ -114,6 +129,21 @@ def load_ann_index(path: str) -> dict:
         out["centroids"] = np.asarray(
             [cent_rows[i] for i in range(len(cent_rows))], dtype=np.float64
         )
+    rot_rows = {i: v for k_, i, v in zip(kinds, i_idx, vecs) if k_ == "rotation"}
+    if rot_rows:
+        if set(rot_rows) != set(range(len(rot_rows))):
+            raise ValueError(
+                f"corrupt index at {path}: rotation rows are not contiguous "
+                f"0..{len(rot_rows) - 1}"
+            )
+        R = np.asarray(
+            [rot_rows[i] for i in range(len(rot_rows))], dtype=np.float64
+        )
+        if R.shape[0] != R.shape[1]:
+            raise ValueError(
+                f"corrupt index at {path}: rotation is {R.shape}, not square"
+            )
+        out["rotation"] = R
     book_rows = {
         (i, j): v
         for k_, i, j, v in zip(kinds, i_idx, j_idx, vecs)

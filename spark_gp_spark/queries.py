@@ -4305,6 +4305,60 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNC_POOL_SPLIT, _UNC_BATCH = 150, 50
+
+
+def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection — the THIRD GP ↔ pipeline
+    composition (after corpus_prep_gpc_filter and gpc_embeddings): fit the
+    GP classifier on the labeled slice (vec_id < 150), transform the
+    UNLABELED pool, and pick the 50 points the model is least certain
+    about (smallest |p − ½| — maximum-entropy sampling, the classic GP
+    active-learning criterion: GP variance is exactly what the reference's
+    PPA predictor exposes).  Output (vec_id, p1, unc_rank) — the batch a
+    labeling run would send out next.
+
+    Scale shape: transform is ONE Arrow-batched projection over the pool
+    (no shuffle — plan-locked for the GPC transform in
+    tests/test_plans.py); ranking is a single global top-B over scalar
+    uncertainty, the already-reduced relation.  Rows-only oracle (GP
+    probabilities are not SQL-expressible); pytest gates ranking
+    correctness and the fit-accuracy floor."""
+    from pyspark.ml.functions import vector_to_array
+
+    from . import GaussianProcessClassifier, RBFKernel, Scalar
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("label").isin(0, 1)).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    labeled = base.filter(F.col("vec_id") < _UNC_POOL_SPLIT)
+    pool = base.filter(F.col("vec_id") >= _UNC_POOL_SPLIT)
+    gp = (
+        GaussianProcessClassifier()
+        .setKernel(lambda: Scalar(1.0) * RBFKernel(5.0, 1e-6, 100))
+        .setDatasetSizeForExpert(50)
+        .setActiveSetSize(50)
+        .setActiveSetProvider("random")
+        .setSeed(42)
+        .setSigma2(1e-3)
+        .setMaxIter(20)
+    )
+    model = gp.fit(labeled)
+    scored = model.transform(pool).select(
+        "vec_id",
+        F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("p1"),
+    )
+    w = Window.orderBy(F.abs(F.col("p1") - 0.5).asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("unc_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("unc_rank") <= _UNC_BATCH)
+        .select("vec_id", "p1", "unc_rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4314,12 +4368,12 @@ def gpc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 13 new queries, the 10 queries the
+# Round-7 window (50 keys exactly): the 14 new queries, the 10 queries the
 # round-7 diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 28 of the 39
+# artifact-cache eviction + persisted-index refactor), then 26 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 11 r5 entries (first in line for the r8 rotation — code unchanged since
+# 13 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
@@ -4330,6 +4384,7 @@ QUERIES = {
     "opq_topk": opq_topk,
     "shard_export_manifest": shard_export_manifest,
     "doc_logprob": doc_logprob,
+    "gpc_uncertainty_sample": gpc_uncertainty_sample,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4379,11 +4434,11 @@ QUERIES = {
     "redact_pii": redact_pii,
     "event_group_sample": event_group_sample,
     "streaming_window_counts": streaming_window_counts,
-    "streaming_window_counts_append": streaming_window_counts_append,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 12 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 13 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,

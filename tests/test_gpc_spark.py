@@ -73,3 +73,25 @@ def test_gpc_quality_filter_heldout_accuracy(spark):
     assert agg["acc"] >= 0.95, f"held-out accuracy {agg['acc']:.4f} < 0.95"
     # the gate must beat always-predict-positive
     assert agg["acc"] > agg["base"], (agg["acc"], agg["base"])
+
+
+def test_gpc_uncertainty_sample_ranking(spark):
+    """Active-learning batch selection gate (gpc_uncertainty_sample): the
+    returned batch is exactly the pool's top-B by smallest |p - 1/2|
+    (contiguous ranks, uncertainty monotone in rank), p1 is a valid
+    probability, and only pool ids (vec_id >= split) are selected."""
+    from spark_gp_spark.queries import (
+        _UNC_BATCH,
+        _UNC_POOL_SPLIT,
+        gpc_uncertainty_sample,
+    )
+
+    rows = gpc_uncertainty_sample(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= _UNC_BATCH
+    ranks = sorted(r.unc_rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r.unc_rank)
+    unc = [abs(r.p1 - 0.5) for r in by_rank]
+    assert all(a <= b + 1e-12 for a, b in zip(unc, unc[1:]))  # monotone
+    assert all(0.0 <= r.p1 <= 1.0 for r in rows)
+    assert all(r.vec_id >= _UNC_POOL_SPLIT for r in rows)

@@ -382,3 +382,31 @@ def test_opq_adc_recall_on_planted_dups(spark, corpus):
         by_q.setdefault(r.query_id, []).append(r.neighbor_id)
     hits = sum(1 for i, qid in enumerate(qids) if (qid - N_BASE) in by_q[qid])
     assert hits / N_DUP >= 0.9, f"OPQ planted-dup recall {hits / N_DUP:.2f} < 0.9"
+
+
+def test_ann_index_rotation_roundtrip_exact(tmp_path):
+    """The OPQ rotation persists float64-exact alongside codebooks, and a
+    non-square / row-gapped rotation fails loudly on load."""
+    import pyarrow.parquet as paq
+
+    from spark_gp_spark.operators.ann_index import load_ann_index, save_ann_index
+    from spark_gp_spark.operators.pq import train_opq
+
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(300, 16))
+    R, books = train_opq(X, m=4, k=8, seed=5, iters=3)
+    art = str(tmp_path / "opq.parquet")
+    save_ann_index(art, codebooks=books, rotation=R, params={"m": 4, "k": 8})
+    got = load_ann_index(art)
+    assert (got["rotation"] == R).all()       # bitwise, not approx
+    assert (got["codebooks"] == books).all()
+    assert got["params"] == {"m": 4, "k": 8}
+
+    # drop one rotation row -> gapped rows must raise
+    table = paq.read_table(art)
+    kinds = table.column("kind").to_pylist()
+    drop = kinds.index("rotation")
+    damaged = table.take([i for i in range(table.num_rows) if i != drop])
+    paq.write_table(damaged, art)
+    with pytest.raises(ValueError, match="rotation"):
+        load_ann_index(art)
