@@ -649,7 +649,12 @@ def doc_logprob(
     Scale shape: explode → ONE tiny shuffle over ≤ ``buckets`` keys for the
     counts → counts broadcast back onto the token stream (map-side join,
     no corpus shuffle) → one groupBy(doc) aggregate.  Two shuffles total,
-    only one of them corpus-sized."""
+    only one of them corpus-sized.  The token stream is deliberately NOT
+    persisted although both the count branch and the scoring branch read
+    it: exploded tokens dwarf the corpus, so re-running the regex
+    tokenizer (cheap, embarrassingly parallel) beats caching a
+    bigger-than-input relation — the opposite call from
+    prep.token_budget_fill, whose shared projection is 5 narrow columns."""
     from .hashing import h32
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))

@@ -4320,8 +4320,10 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: transform is ONE Arrow-batched projection over the pool
     (no shuffle — plan-locked for the GPC transform in
-    tests/test_plans.py); ranking is a single global top-B over scalar
-    uncertainty, the already-reduced relation.  Rows-only oracle (GP
+    tests/test_plans.py); the top-B itself is sort+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition partial top-B
+    merged on the driver, NOT a global single-task window — and ranks
+    are assigned on the B-row result.  Rows-only oracle (GP
     probabilities are not SQL-expressible); pytest gates ranking
     correctness and the fit-accuracy floor."""
     from pyspark.ml.functions import vector_to_array
@@ -4351,12 +4353,14 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.element_at(vector_to_array("probability"), 2), 6).alias("p1"),
     )
-    w = Window.orderBy(F.abs(F.col("p1") - 0.5).asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("unc_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("unc_rank") <= _UNC_BATCH)
-        .select("vec_id", "p1", "unc_rank")
+    batch = (
+        scored.orderBy(F.abs(F.col("p1") - 0.5).asc(), F.col("vec_id").asc())
+        .limit(_UNC_BATCH)
     )
+    w = Window.orderBy(F.abs(F.col("p1") - 0.5).asc(), F.col("vec_id").asc())
+    return batch.withColumn(
+        "unc_rank", F.row_number().over(w).cast("long")
+    ).select("vec_id", "p1", "unc_rank")
 
 
 # --------------------------------------------------------------------------

@@ -86,7 +86,12 @@ def test_gpc_uncertainty_sample_ranking(spark):
         gpc_uncertainty_sample,
     )
 
-    rows = gpc_uncertainty_sample(spark, "/root/testdata/sf0.001").collect()
+    out = gpc_uncertainty_sample(spark, "/root/testdata/sf0.001")
+    # top-B must compile to TakeOrderedAndProject (distributed partial
+    # top-k), never a global single-task row_number over the pool
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
     assert 0 < len(rows) <= _UNC_BATCH
     ranks = sorted(r.unc_rank for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
