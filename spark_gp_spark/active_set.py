@@ -169,30 +169,47 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
         # singular (RBF diag carries no jitter).  In exact arithmetic its
         # delta is NaN (li == 0), but in floating point diag - p can come
         # out slightly positive, yielding a finite delta ≈ 0 that BEATS
-        # every negative-gain fresh candidate — so mask active twins
-        # explicitly in the scoring functions (a small bytes-set shipped
-        # with the closure), and additionally dedup WITHIN a batch (two
-        # fresh copies of one row share a finite delta).
+        # every negative-gain fresh candidate — so screen winners against
+        # the active rows (a small bytes-set shipped with the closure).
+        # The check is LAZY: only candidates that actually win a slot get
+        # the bytes test (O(b) per chunk, not O(n) — an eager full-chunk
+        # mask measurably slowed the provider bench), and within-batch
+        # duplicates are deduped after the reduction.
         act_keys = frozenset(r.tobytes() for r in active)
         common = dict(
             _factory=factory, _act=act, _x=x_opt, _Kinv=Kinv,
             _inv_pdm=inv_pdm, _mv=magic_vector, _sigma=sigma, _sigma2=sigma2,
         )
 
+        def _screen_top(delta, X, want, keys):
+            """Indices of the top-``want`` finite-delta rows whose bytes are
+            NOT in ``keys``, ties by arrival order; bytes-checks only the
+            rows actually considered (winners + skipped twins)."""
+            finite = np.where(~np.isnan(delta))[0]
+            if len(finite) == 0:
+                return []
+            order = finite[np.argsort(-delta[finite], kind="stable")]
+            out = []
+            for i in order:
+                row = X[i] if X[i].flags["C_CONTIGUOUS"] else np.ascontiguousarray(X[i])
+                if np.asarray(row, dtype=np.float64).tobytes() not in keys:
+                    out.append(int(i))
+                    if len(out) == want:
+                        break
+            return out
+
         if b == 1:
             def delta_fn(y, X, _factory=factory, _act=act, _x=x_opt,
                          _Kinv=Kinv, _inv_pdm=inv_pdm, _mv=magic_vector,
-                         _sigma=sigma, _sigma2=sigma2, _keys=act_keys):
+                         _sigma=sigma, _sigma2=sigma2, _keys=act_keys,
+                         _screen=_screen_top):
                 delta = _seeger_deltas(
                     y, X, _factory, _act, _x, _Kinv, _inv_pdm, _mv, _sigma, _sigma2
                 )
-                Xc = np.ascontiguousarray(X, dtype=np.float64)
-                for i in range(len(delta)):
-                    if Xc[i].tobytes() in _keys:
-                        delta[i] = np.nan
-                if np.all(np.isnan(delta)):
+                sel = _screen(delta, X, 1, _keys)
+                if not sel:
                     return float("nan"), X[0]
-                i = int(np.nanargmax(delta))
+                i = sel[0]
                 return float(delta[i]), X[i]
 
             try:
@@ -203,20 +220,17 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
                 break
             new_rows = best_vec[None, :]
         else:
-            def topk_fn(y, X, _b=b, _kw=common, _keys=act_keys):
+            def topk_fn(y, X, _b=b, _kw=common, _keys=act_keys,
+                        _screen=_screen_top):
                 delta = _seeger_deltas(
                     y, X, _kw["_factory"], _kw["_act"], _kw["_x"], _kw["_Kinv"],
                     _kw["_inv_pdm"], _kw["_mv"], _kw["_sigma"], _kw["_sigma2"],
                 )
-                Xc = np.ascontiguousarray(X, dtype=np.float64)
-                for i in range(len(delta)):
-                    if Xc[i].tobytes() in _keys:
-                        delta[i] = np.nan
-                finite = np.where(~np.isnan(delta))[0]
-                if len(finite) == 0:
+                sel = _screen(delta, X, _b, _keys)
+                if not sel:
                     return np.empty(0), np.empty((0, X.shape[1]))
-                top = finite[np.argsort(-delta[finite], kind="stable")[:_b]]
-                return delta[top], X[top]
+                idx = np.asarray(sel)
+                return delta[idx], X[idx]
 
             try:
                 new_rows = ctx.experts.topk_over_experts(topk_fn, b)
