@@ -191,8 +191,8 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
             order = finite[np.argsort(-delta[finite], kind="stable")]
             out = []
             for i in order:
-                row = X[i] if X[i].flags["C_CONTIGUOUS"] else np.ascontiguousarray(X[i])
-                if np.asarray(row, dtype=np.float64).tobytes() not in keys:
+                # contiguous float64 bytes — the exact layout act_keys holds
+                if np.ascontiguousarray(X[i], dtype=np.float64).tobytes() not in keys:
                     out.append(int(i))
                     if len(out) == want:
                         break

@@ -141,10 +141,12 @@ def train_pq_codebooks_residual_from_parquet(
     return _cached_artifact(key, build)
 
 
-def _encode_udf(codebooks: np.ndarray):
+def _encode_udf(codebooks: np.ndarray, rotation: np.ndarray | None = None):
     """Arrow-batched pandas UDF: per vector, struct of (codes array<int>,
     reconstruction mse double).  Dimension accumulation is left-to-right
-    scalar adds — the oracle-parity association (see module docstring)."""
+    scalar adds — the oracle-parity association (see module docstring).
+    With ``rotation`` (OPQ), each vector is rotated first via the same
+    left-to-right fold (_rotate_batch) before encoding."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -154,6 +156,7 @@ def _encode_udf(codebooks: np.ndarray):
     )
 
     B = np.asarray(codebooks, dtype=np.float64)  # (m, k, ds)
+    R = None if rotation is None else np.asarray(rotation, dtype=np.float64)
     m, k, ds = B.shape
     out_type = StructType(
         [
@@ -165,6 +168,8 @@ def _encode_udf(codebooks: np.ndarray):
     @F.pandas_udf(out_type)
     def encode(v: pd.Series) -> pd.DataFrame:
         X = np.asarray(v.tolist(), dtype=np.float64)  # (n, d)
+        if R is not None:
+            X = _rotate_batch(X, R)
         codes, sq = _encode_batch(X, B)
         return pd.DataFrame({"codes": list(codes), "mse": sq / (m * ds)})
 
@@ -262,10 +267,12 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, codes array<int>, mse) — the stored PQ representation plus
-    reconstruction error.  Pure projection, zero shuffle."""
-    enc = _encode_udf(codebooks)(F.col(vec_col).cast("array<double>"))
+    reconstruction error.  Pure projection, zero shuffle.  ``rotation``
+    (OPQ) encodes the rotated vector instead; see opq_encode."""
+    enc = _encode_udf(codebooks, rotation)(F.col(vec_col).cast("array<double>"))
     return df.select(
         F.col(id_col),
         enc.alias("_e"),
@@ -543,38 +550,8 @@ def opq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, codes array<int>, mse) — PQ codes of the ROTATED vector.  Same
-    zero-shuffle Arrow projection as pq_encode; the rotation is one dense
-    (d × d) literal shipped with the UDF closure.  mse is the
-    reconstruction error in rotated space, which equals the original-space
-    error up to the 1e-6 rounding of R (rotations preserve L2)."""
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
-
-    R = np.asarray(rotation, dtype=np.float64)
-    B = np.asarray(codebooks, dtype=np.float64)
-    m, k, ds = B.shape
-    out_type = StructType(
-        [
-            StructField("codes", ArrayType(IntegerType())),
-            StructField("mse", DoubleType()),
-        ]
-    )
-
-    @F.pandas_udf(out_type)
-    def encode(v: pd.Series) -> pd.DataFrame:
-        X = np.asarray(v.tolist(), dtype=np.float64)
-        Z = _rotate_batch(X, R)
-        codes, sq = _encode_batch(Z, B)
-        return pd.DataFrame({"codes": list(codes), "mse": sq / (m * ds)})
-
-    enc = encode(F.col(vec_col).cast("array<double>"))
-    return df.select(F.col(id_col), enc.alias("_e")).select(
-        id_col,
-        F.col("_e.codes").alias("codes"),
-        F.round(F.col("_e.mse"), 9).alias("mse"),
-    )
+    zero-shuffle Arrow projection as pq_encode (it IS pq_encode with the
+    rotation shipped in the UDF closure).  mse is the reconstruction error
+    in rotated space, which equals the original-space error up to the 1e-6
+    rounding of R (rotations preserve L2)."""
+    return pq_encode(df, codebooks, vec_col=vec_col, id_col=id_col, rotation=rotation)
