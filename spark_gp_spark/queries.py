@@ -1983,6 +1983,20 @@ def ivfadc_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_topk(codes, probes, query_cell_luts, k=int(idx["params"]["k"]))
 
 
+def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-shard export (streaming/events.py:
+    run_streaming_shard_export): documents stream straight into the
+    deterministic shard layout — shard is a pure function of the id, so
+    the incrementally-built layout is bit-identical to a batch
+    export_shards run regardless of arrival order or batching.  Output =
+    the per-shard content manifest over the READ-BACK accumulated files;
+    the oracle recomputes it from the source relation (same SQL as the
+    batch shard_export_manifest)."""
+    from .streaming.events import run_streaming_shard_export
+
+    return run_streaming_shard_export(spark, sf_dir, _SHARD_N, _SHARD_SEED)
+
+
 def streaming_ann_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN ingest (streaming/ann.py): arriving embedding vectors
     are residual-PQ-encoded against the PERSISTED index artifact (frozen
@@ -4372,12 +4386,12 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 14 new queries, the 10 queries the
+# Round-7 window (50 keys exactly): the 15 new queries, the 10 queries the
 # round-7 diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 26 of the 39
+# artifact-cache eviction + persisted-index refactor), then 25 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 13 r5 entries (first in line for the r8 rotation — code unchanged since
+# 14 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
@@ -4389,6 +4403,7 @@ QUERIES = {
     "shard_export_manifest": shard_export_manifest,
     "doc_logprob": doc_logprob,
     "gpc_uncertainty_sample": gpc_uncertainty_sample,
+    "streaming_shard_export": streaming_shard_export,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4437,11 +4452,11 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "redact_pii": redact_pii,
     "event_group_sample": event_group_sample,
-    "streaming_window_counts": streaming_window_counts,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 13 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 14 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_sessions": streaming_sessions,
@@ -4549,6 +4564,7 @@ ORACLE_SQL = {
     "streaming_token_budget": _STREAM_TBF_SQL,
     "repetition_clean": _REP_CLEAN_SQL,
     "shard_export_manifest": _SHARD_MANIFEST_SQL,
+    "streaming_shard_export": _SHARD_MANIFEST_SQL,
     "doc_logprob": _DOC_LOGPROB_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),

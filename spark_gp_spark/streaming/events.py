@@ -549,3 +549,49 @@ def run_streaming_upsert(
     _drive_append_query(q, src, arrivals)
     assert state["cur"] is not None, "no micro-batch ran"
     return spark.read.parquet(state["cur"])
+
+
+def run_streaming_shard_export(
+    spark: SparkSession,
+    sf_dir: str,
+    n_shards: int = 8,
+    seed: int = 3,
+    query_name: str = "gp_stream_shard_export",
+    n_files: int = 2,
+) -> DataFrame:
+    """Streaming training-shard export: documents arrive as a stream and
+    append STRAIGHT into the deterministic shard layout
+    (sources/sinks.py:shard_expr — dir-partitioned parquet, shard a pure
+    function of the id), so the training-ready corpus builds up
+    incrementally with zero state store, zero watermark, zero shuffle
+    (each micro-batch is a projection + partitioned append).  Because
+    shard assignment never depends on arrival order or batching, the
+    accumulated layout is bit-identical to a batch export_shards run —
+    proven by returning the read-back ``shard_manifest``, which the
+    oracle recomputes from the SOURCE relation (same contract as the
+    batch shard_export_manifest query)."""
+    from ..sources.sinks import shard_expr, shard_manifest
+
+    work = tempfile.mkdtemp(prefix="gp_stream_shard_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="documents", order_col="doc_id",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream.withColumn("shard", shard_expr("doc_id", n_shards, seed))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .partitionBy("shard")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    back = spark.read.parquet(sink)
+    return shard_manifest(
+        back, id_col="doc_id",
+        extra={"n_chars_sum": F.sum("n_chars").cast("long")},
+    )

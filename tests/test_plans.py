@@ -124,6 +124,19 @@ def test_pq_and_interval_join_plan_shapes(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_opq_topk_plan_matches_pq_shape(spark):
+    """opq_topk must plan exactly like pq_topk — the rotation lives inside
+    the same single Arrow encode projection, so the scan shape (one
+    broadcast LUT nested-loop over codes, one ArrowEvalPython, no
+    cartesian) is unchanged."""
+    from spark_gp_spark.queries import opq_topk
+
+    plan = _plan(opq_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("ArrowEvalPython") == 1  # rotate+encode fused, once
+
+
 def test_ivfadc_residual_plan_is_equijoin_broadcast(spark):
     """Residual IVFADC must stay: codes equi-joined to the broadcast
     per-(query, cell) LUT table on the cell key — no cartesian, no
