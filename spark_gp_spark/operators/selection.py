@@ -226,3 +226,76 @@ def dsir_doc_weights(
         .join(scored, on=id_col, how="left")
         .select(id_col, F.coalesce(F.col("weight"), F.lit(0.0)).alias("weight"))
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    threshold: float = 0.45,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query, the ``k``
+    MOST similar corpus vectors that are NOT near-duplicates of it.  The
+    hardest negatives train the best embedding models, but the very top of
+    a similarity ranking is polluted with unlabeled positives — near-dup
+    copies of the anchor — so the standard mining step excludes anything a
+    near-duplicate detector flags, then takes the top of what remains
+    (false-negative filtering in the contrastive literature).
+
+    Exclusion reuses the SAME sign-LSH near-dup generator as
+    ``dedup.embedding_neardup_pairs`` (identical hyperplanes/threshold), so
+    "near-duplicate" means exactly what the dedup pipeline means by it:
+    one definition across cleaning and mining.
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k by (rounded)
+    cosine descending, ties by neighbor_id.
+
+    Scale shape: scoring broadcasts the fixed query set over the corpus
+    (no corpus shuffle — same plan as similarity.cosine_topk); the dup-pair
+    relation is bounded by the true near-dup rate and rides a broadcast
+    anti-join keyed on the (least, greatest) id pair; ranking partitions by
+    query."""
+    from .dedup import embedding_neardup_pairs
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    dups = embedding_neardup_pairs(
+        corpus, vec_col, id_col, threshold=threshold, bits=bits,
+        tables=tables, seed=seed, dim=dim,
+    ).select("id_a", "id_b")
+    kept = scored.join(
+        F.broadcast(dups),
+        (F.least("query_id", "neighbor_id") == F.col("id_a"))
+        & (F.greatest("query_id", "neighbor_id") == F.col("id_b")),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

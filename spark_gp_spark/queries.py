@@ -2307,6 +2307,56 @@ WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.45
 """
 
 
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/selection.py:
+    hard_negatives): per fixed query, the 5 most-similar corpus vectors
+    AFTER excluding sign-LSH near-duplicates (the unlabeled-positive
+    filter) — exact scoring broadcasts the query set, the dup-pair
+    exclusion rides a broadcast anti-join, one definition of
+    "near-duplicate" shared with the dedup pipeline."""
+    from .operators.selection import hard_negatives as _hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return _hard_negatives(
+        emb, queries, k=5, threshold=0.45, bits=6, tables=8, seed=11, dim=64
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+), b AS (
+  {_sql_lsh_buckets(bits=6, tables=8, seed=11)}
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+), dup AS (
+  SELECT id_a, id_b
+  FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e bb ON cand.id_b = bb.vec_id
+  WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.45
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qv, e.v), 6) AS cosine
+  FROM q CROSS JOIN e WHERE e.vec_id <> query_id
+), kept AS (
+  SELECT * FROM scored s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dup
+    WHERE dup.id_a = least(s.query_id, s.neighbor_id)
+      AND dup.id_b = greatest(s.query_id, s.neighbor_id)
+  )
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM kept
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 #: oracle for the STREAMING vector near-dup: the same baked-hyperplane
 #: bucket CTE as _NEARDUP_SQL, reduced to min-earlier-collider per id —
 #: with id-ordered staged arrivals the emitted relation is this pure
@@ -4386,12 +4436,12 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 15 new queries, the 10 queries the
+# Round-7 window (50 keys exactly): the 16 new queries, the 10 queries the
 # round-7 diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 25 of the 39
+# artifact-cache eviction + persisted-index refactor), then 24 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 14 r5 entries (first in line for the r8 rotation — code unchanged since
+# 15 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
@@ -4404,6 +4454,7 @@ QUERIES = {
     "doc_logprob": doc_logprob,
     "gpc_uncertainty_sample": gpc_uncertainty_sample,
     "streaming_shard_export": streaming_shard_export,
+    "hard_negatives": hard_negatives,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4451,11 +4502,11 @@ QUERIES = {
     "token_budget": token_budget,
     "doc_chunks": doc_chunks,
     "redact_pii": redact_pii,
-    "event_group_sample": event_group_sample,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 14 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 15 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "event_group_sample": event_group_sample,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
     "streaming_static_enrich": streaming_static_enrich,
@@ -4565,6 +4616,7 @@ ORACLE_SQL = {
     "repetition_clean": _REP_CLEAN_SQL,
     "shard_export_manifest": _SHARD_MANIFEST_SQL,
     "streaming_shard_export": _SHARD_MANIFEST_SQL,
+    "hard_negatives": _HARD_NEG_SQL,
     "doc_logprob": _DOC_LOGPROB_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),

@@ -146,3 +146,37 @@ def test_dsir_registry_topk_never_ranks_full_corpus(spark):
     out = df.toPandas()
     assert len(out) == min(_DSIR_TOPK, 100)
     assert list(out["rank"]) == sorted(out["rank"])
+
+
+def test_hard_negatives_excludes_planted_dups(spark):
+    """The near-dup twin of a query must NOT appear among its hard
+    negatives even though it tops the raw similarity ranking; the
+    next-most-similar non-dup is promoted into the freed slot, and every
+    returned cosine sits below the dup threshold for the planted pair."""
+    import numpy as np
+
+    from spark_gp_spark.operators.selection import hard_negatives
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # vec 30 = near-copy of query 0 (cosine ~ 1); everything else far
+    dup = base[0] + 0.01 * rng.normal(size=16)
+    vecs = np.vstack([base, dup[None, :]])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.filter("vec_id = 0")
+
+    out = hard_negatives(
+        df, queries, k=5, threshold=0.9, bits=4, tables=8, seed=11, dim=16
+    ).collect()
+    neighbors = {r.neighbor_id for r in out}
+    assert 40 not in neighbors          # the planted twin is excluded
+    assert len(out) == 5
+    ranks = sorted(r.rank for r in out)
+    assert ranks == [1, 2, 3, 4, 5]
+    # without the exclusion, the twin wins rank 1
+    from spark_gp_spark.operators.similarity import cosine_topk
+
+    raw = cosine_topk(df, queries, k=1).collect()
+    assert raw[0].neighbor_id == 40
