@@ -318,6 +318,7 @@ def main() -> None:
         "repetition_clean",
         "domain_mix_sample",
         "token_budget_fill",
+        "pack_sequences",
         "dsir_select",
         "semdedup_keep",
         "minhash_lsh_pairs",

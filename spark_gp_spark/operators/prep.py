@@ -332,45 +332,16 @@ def token_budget_fill(
             ]
         )
         budget_for = mapping[F.col(group_col)]
-    hv = h32(F.concat(F.lit(f"tb{seed}_"), F.col(id_col).cast("string")))
-    # base feeds BOTH the offsets aggregate and the main join — persist the
-    # (tiny, 5-column) projection so the regex token count runs once.
-    base = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-        hv.alias("_h"),
-        F.floor(hv * F.lit(buckets) / F.lit(MERSENNE_P)).alias("_b"),
-    ).persist()
-    _retire_tbf_caches([base])
-    offw = (
-        Window.partitionBy(group_col)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        base.groupBy(group_col, "_b")
-        .agg(F.sum("n_tokens").alias("_s"))
-        .select(
-            group_col,
-            "_b",
-            F.coalesce(F.sum("_s").over(offw), F.lit(0)).alias("_off"),
-        )
-    )
-    inw = (
-        Window.partitionBy(group_col, "_b")
-        .orderBy("_h", id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    pre = _hash_order_prefix(
+        df, text_col, F.col(group_col).alias(group_col), id_col,
+        f"tb{seed}_", buckets,
     )
     return (
-        base.join(F.broadcast(offsets), on=[group_col, "_b"])
-        .select(
+        pre.select(
             id_col,
             group_col,
             "n_tokens",
-            (F.col("_off") + F.coalesce(F.sum("n_tokens").over(inw), F.lit(0)))
-            .cast("long")
-            .alias("cum_before"),
+            "cum_before",
             budget_for.alias("_budget"),
         )
         .filter(F.col("_budget").isNotNull())
@@ -381,4 +352,101 @@ def token_budget_fill(
             "cum_before",
             (F.col("cum_before") < F.col("_budget")).alias("kept"),
         )
+    )
+
+
+def _hash_order_prefix(
+    df: DataFrame,
+    text_col: str,
+    group_expr: Column,
+    id_col: str,
+    seed_prefix: str,
+    buckets: int,
+) -> DataFrame:
+    """(``id_col``, <group>, n_tokens, cum_before): each row's token count
+    plus the running total over all hash-earlier rows of its group — the
+    bucketed distributed prefix sum shared by token_budget_fill and
+    pack_sequences (see token_budget_fill's docstring for why this is NOT
+    one window per group).  The 5-column projection is persisted (it feeds
+    both the offsets aggregate and the main join) with the retire
+    discipline of _LIVE_TBF_CACHES."""
+    from .hashing import MERSENNE_P
+    from .text import token_count
+
+    hv = h32(F.concat(F.lit(seed_prefix), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        group_expr,
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        hv.alias("_h"),
+        F.floor(hv * F.lit(buckets) / F.lit(MERSENNE_P)).alias("_b"),
+    ).persist()
+    _retire_tbf_caches([base])
+    gname = base.columns[1]
+    offw = (
+        Window.partitionBy(gname)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(gname, "_b")
+        .agg(F.sum("n_tokens").alias("_s"))
+        .select(
+            gname,
+            "_b",
+            F.coalesce(F.sum("_s").over(offw), F.lit(0)).alias("_off"),
+        )
+    )
+    inw = (
+        Window.partitionBy(gname, "_b")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return base.join(F.broadcast(offsets), on=[gname, "_b"]).select(
+        id_col,
+        gname,
+        "n_tokens",
+        (F.col("_off") + F.coalesce(F.sum("n_tokens").over(inw), F.lit(0)))
+        .cast("long")
+        .alias("cum_before"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    buckets: int = 32,
+) -> DataFrame:
+    """Fixed-length sequence packing — the canonical pretraining layout:
+    documents concatenate in seeded-hash order into back-to-back windows of
+    exactly ``seq_len`` tokens (documents SPLIT across window boundaries,
+    nothing is padded or dropped), and each document learns where it landed:
+
+    (``id_col``, n_tokens, cum_before, seq_first, seq_last, seq_offset) —
+    seq_first/seq_last the first/last window the document's tokens touch
+    (floor division of the global token prefix sum), seq_offset its start
+    position inside seq_first.  A training loader can materialize any
+    window w by reading the docs with seq_first <= w <= seq_last — the
+    assignment is a pure function of the corpus, so shards of the mapping
+    can be built independently anywhere.
+
+    Scale shape: the same bucketed distributed prefix sum as
+    token_budget_fill (no single-task global window); everything after the
+    prefix sum is arithmetic.  ``seq_len`` must be positive."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    pre = _hash_order_prefix(
+        df, text_col, F.lit("_all").alias("_g"), id_col, f"ps{seed}_", buckets
+    )
+    end = F.col("cum_before") + F.greatest(F.col("n_tokens"), F.lit(1)) - F.lit(1)
+    return pre.select(
+        id_col,
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / seq_len).cast("long").alias("seq_first"),
+        F.floor(end / seq_len).cast("long").alias("seq_last"),
+        (F.col("cum_before") % seq_len).cast("long").alias("seq_offset"),
     )

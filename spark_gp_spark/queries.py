@@ -2618,6 +2618,44 @@ FROM c
 """
 
 
+_SEQ_LEN, _SEQ_SEED = 256, 7
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing (operators/prep.py:pack_sequences):
+    documents concatenate in seeded-hash order into back-to-back windows of
+    exactly 256 tokens — documents split across boundaries, nothing padded
+    or dropped — and each document reports the windows its tokens touch
+    plus its start offset.  Same bucketed distributed prefix sum as
+    token_budget_fill; the oracle replays it as one global window."""
+    from .operators.prep import pack_sequences as _pack_sequences
+
+    return _pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=_SEQ_LEN, seed=_SEQ_SEED
+    )
+
+
+_PACK_SEQ_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKENS})::BIGINT AS n_tokens,
+         {h32_sql(f"'ps{_SEQ_SEED}_' || doc_id::VARCHAR")} AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_before,
+       (cum_before // {_SEQ_LEN})::BIGINT AS seq_first,
+       ((cum_before + greatest(n_tokens, 1) - 1) // {_SEQ_LEN})::BIGINT AS seq_last,
+       (cum_before % {_SEQ_LEN})::BIGINT AS seq_offset
+FROM c
+"""
+
+
 def streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of token_budget_fill (streaming/budget.py): documents
     arrive in id order and each is admitted iff its language's token budget
@@ -4436,12 +4474,12 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 16 new queries, the 10 queries the
+# Round-7 window (50 keys exactly): the 17 new queries, the 10 queries the
 # round-7 diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 24 of the 39
+# artifact-cache eviction + persisted-index refactor), then 23 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 15 r5 entries (first in line for the r8 rotation — code unchanged since
+# 16 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
@@ -4455,6 +4493,7 @@ QUERIES = {
     "gpc_uncertainty_sample": gpc_uncertainty_sample,
     "streaming_shard_export": streaming_shard_export,
     "hard_negatives": hard_negatives,
+    "pack_sequences": pack_sequences,
     "token_budget_fill": token_budget_fill,
     "streaming_token_budget": streaming_token_budget,
     "semdedup_keep": semdedup_keep,
@@ -4501,11 +4540,11 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "token_budget": token_budget,
     "doc_chunks": doc_chunks,
-    "redact_pii": redact_pii,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 15 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 16 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "redact_pii": redact_pii,
     "event_group_sample": event_group_sample,
     "streaming_window_counts": streaming_window_counts,
     "streaming_window_counts_append": streaming_window_counts_append,
@@ -4617,6 +4656,7 @@ ORACLE_SQL = {
     "shard_export_manifest": _SHARD_MANIFEST_SQL,
     "streaming_shard_export": _SHARD_MANIFEST_SQL,
     "hard_negatives": _HARD_NEG_SQL,
+    "pack_sequences": _PACK_SEQ_SQL,
     "doc_logprob": _DOC_LOGPROB_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
     **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),

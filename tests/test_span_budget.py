@@ -272,3 +272,44 @@ def test_token_budget_fill_rejects_negative_int(spark):
     docs = spark.createDataFrame([Row(doc_id=0, lang="en", text="a b c")])
     with pytest.raises(ValueError, match="budget"):
         token_budget_fill(docs, budgets=-1)
+
+
+# ------------------------------------------------------------ pack sequences
+
+
+def test_pack_sequences_covers_corpus_exactly(spark):
+    """Python replay of the packing rule: concatenating docs in hash order
+    into L-token windows, each doc's (seq_first, seq_last, seq_offset) is
+    the floor-division arithmetic of the global prefix sum; window ranges
+    tile the corpus with no gaps or overlaps at boundaries."""
+    from spark_gp_spark.operators.prep import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    L = 128
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_before, r.seq_first, r.seq_last, r.seq_offset)
+        for r in pack_sequences(docs, seq_len=L, seed=7).collect()
+    }
+    # brute-force replay
+    import hashlib
+
+    def h32py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 2_147_483_647
+
+    rows = [(r.doc_id, len(r.text.lower().split())) for r in docs.collect()]
+    rows.sort(key=lambda t: (h32py(f"ps7_{t[0]}"), t[0]))
+    cum = 0
+    for doc_id, n in rows:
+        want = (n, cum, cum // L, (cum + max(n, 1) - 1) // L, cum % L)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        cum += n
+    # total coverage: last doc ends exactly at the corpus token count
+    assert cum == sum(n for _, n in rows)
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from spark_gp_spark.operators.prep import pack_sequences
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b")])
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, seq_len=0)
