@@ -714,6 +714,69 @@ def embedding_neardup_pairs(
     )
 
 
+def query_corpus_neardup_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate (query_id, neighbor_id, cosine) pairs BETWEEN a query
+    relation and a corpus — the two-sided form of ``embedding_neardup_pairs``
+    for callers (hard-negative mining, contamination screens) that only need
+    duplicates touching a bounded query set, possibly from a different
+    relation or id space.
+
+    Same hyperplanes/threshold as the self-join form (identical ``bits``/
+    ``tables``/``seed`` → identical buckets), so "near-duplicate" keeps one
+    definition across cleaning and mining.  Candidate generation is a
+    broadcast equi-join of the query buckets against the corpus buckets —
+    work is ~|Q|·tables/2^bits of the corpus scan, NOT the corpus-wide
+    self-join; exact cosine verification runs on those candidates only.
+    """
+    from .similarity import hyperplane_tables, lsh_bucket_frame, norm, paired_cosine
+    from .similarity import _vector_dim
+
+    dim = dim if dim is not None else _vector_dim(corpus, vec_col)
+    planes_by_table = hyperplane_tables(dim, bits, tables, seed)
+    cb = lsh_bucket_frame(
+        corpus, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
+        "neighbor_id",
+    )
+    qb = lsh_bucket_frame(
+        queries, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
+        "query_id",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    return (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 #: live caches of the last dedup_span_clean call (staged tokens + positional
 #: gram occurrences) — same retire-on-next-call discipline as
 #: _LIVE_SHINGLE_CACHES above.

@@ -313,9 +313,6 @@ def token_budget_fill(
     window), one broadcast; the 5-column hash/count projection is persisted
     because it feeds both the offsets aggregate and the main join (without
     it the regex token count would run twice per invocation)."""
-    from .hashing import MERSENNE_P
-    from .text import token_count
-
     if isinstance(budgets, int):
         if budgets < 0:
             raise ValueError(f"budget must be >= 0, got {budgets}")

@@ -248,54 +248,33 @@ def hard_negatives(
     near-duplicate detector flags, then takes the top of what remains
     (false-negative filtering in the contrastive literature).
 
-    Exclusion reuses the SAME sign-LSH near-dup generator as
-    ``dedup.embedding_neardup_pairs`` (identical hyperplanes/threshold), so
-    "near-duplicate" means exactly what the dedup pipeline means by it:
-    one definition across cleaning and mining.
+    Exclusion reuses the SAME sign-LSH family as
+    ``dedup.embedding_neardup_pairs`` (identical hyperplanes/threshold) in
+    its two-sided query-vs-corpus form (``dedup.query_corpus_neardup_pairs``),
+    so "near-duplicate" means exactly what the dedup pipeline means by it —
+    one definition across cleaning and mining — and the contract holds for
+    ANY query relation, including anchors that are not rows of the corpus
+    or live in a different id space.
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k by (rounded)
     cosine descending, ties by neighbor_id.
 
     Scale shape: scoring broadcasts the fixed query set over the corpus
-    (no corpus shuffle — same plan as similarity.cosine_topk); the dup-pair
-    relation is bounded by the true near-dup rate and rides a broadcast
-    anti-join keyed on the (least, greatest) id pair; ranking partitions by
-    query."""
-    from .dedup import embedding_neardup_pairs
+    (no corpus shuffle — the ``similarity.cosine_scored_pairs`` block,
+    shared with cosine_topk); the dup exclusion is a broadcast bucket join
+    of the query buckets against the corpus buckets (~|Q|·tables/2^bits of
+    a corpus scan, NOT a corpus-wide self-join) followed by exact-cosine
+    verification of those candidates only, then a broadcast anti-join keyed
+    directly on (query_id, neighbor_id); ranking partitions by query."""
+    from .dedup import query_corpus_neardup_pairs
+    from .similarity import cosine_scored_pairs, rank_topk
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("cn", norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
-            ),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    dups = embedding_neardup_pairs(
-        corpus, vec_col, id_col, threshold=threshold, bits=bits,
+    scored = cosine_scored_pairs(corpus, queries, vec_col, id_col)
+    dups = query_corpus_neardup_pairs(
+        corpus, queries, vec_col, id_col, threshold=threshold, bits=bits,
         tables=tables, seed=seed, dim=dim,
-    ).select("id_a", "id_b")
+    ).select("query_id", "neighbor_id")
     kept = scored.join(
-        F.broadcast(dups),
-        (F.least("query_id", "neighbor_id") == F.col("id_a"))
-        & (F.greatest("query_id", "neighbor_id") == F.col("id_b")),
-        "left_anti",
+        F.broadcast(dups), ["query_id", "neighbor_id"], "left_anti"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        kept.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return rank_topk(kept, k).withColumn("rank", F.col("rank").cast("long"))

@@ -51,6 +51,47 @@ def paired_cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Colum
     return dot(a, b) / (norm_a * norm_b)
 
 
+def cosine_scored_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) for every (query, corpus) pair with
+    distinct ids — the exact-scoring block shared by ``cosine_topk`` and
+    ``selection.hard_negatives``.  The query side is broadcast (no corpus
+    shuffle); cosine is rounded to 6 dp, the engine-portable comparison
+    grain, with the norms precomputed per id frame (see ``paired_cosine``).
+    This block is parity-critical — the DuckDB oracles replay its exact
+    rounding and fold order — so there is ONE copy of it."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k of a (query_id, neighbor_id, cosine) relation: rank
+    1..k by cosine descending, ties by neighbor_id ascending — the shared
+    deterministic ranking tail of every top-k operator in this module."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -64,26 +105,7 @@ def cosine_topk(
     neighbor_id so results are deterministic.  The query side is broadcast —
     no shuffle of the corpus.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine",
-            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
-        )
-        .select("query_id", "neighbor_id", "cosine")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return rank_topk(cosine_scored_pairs(corpus, queries, vec_col, id_col), k)
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 11) -> np.ndarray:

@@ -2311,9 +2311,11 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/selection.py:
     hard_negatives): per fixed query, the 5 most-similar corpus vectors
     AFTER excluding sign-LSH near-duplicates (the unlabeled-positive
-    filter) — exact scoring broadcasts the query set, the dup-pair
-    exclusion rides a broadcast anti-join, one definition of
-    "near-duplicate" shared with the dedup pipeline."""
+    filter) — exact scoring broadcasts the query set; the exclusion is a
+    two-sided query-vs-corpus bucket join (dedup.query_corpus_neardup_pairs,
+    ~|Q|·tables/2^bits of a corpus scan, not a corpus-wide self-join) whose
+    verified pairs ride a broadcast anti-join on (query_id, neighbor_id);
+    one definition of "near-duplicate" shared with the dedup pipeline."""
     from .operators.selection import hard_negatives as _hard_negatives
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2328,15 +2330,20 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
-), b AS (
+), qsrc AS (
+  SELECT query_id AS vec_id, qv AS v FROM q
+), cb AS (
   {_sql_lsh_buckets(bits=6, tables=8, seed=11)}
+), qb AS (
+  {_sql_lsh_buckets(bits=6, tables=8, seed=11, src="qsrc")}
 ), cand AS (
-  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+  WHERE qb.vec_id <> cb.vec_id
 ), dup AS (
-  SELECT id_a, id_b
-  FROM cand JOIN e a ON cand.id_a = a.vec_id JOIN e bb ON cand.id_b = bb.vec_id
-  WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.45
+  SELECT query_id, neighbor_id
+  FROM cand JOIN q USING (query_id) JOIN e nn ON cand.neighbor_id = nn.vec_id
+  WHERE round(list_cosine_similarity(q.qv, nn.v), 6) >= 0.45
 ), scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
          round(list_cosine_similarity(qv, e.v), 6) AS cosine
@@ -2345,8 +2352,7 @@ WITH e AS (
   SELECT * FROM scored s
   WHERE NOT EXISTS (
     SELECT 1 FROM dup
-    WHERE dup.id_a = least(s.query_id, s.neighbor_id)
-      AND dup.id_b = greatest(s.query_id, s.neighbor_id)
+    WHERE dup.query_id = s.query_id AND dup.neighbor_id = s.neighbor_id
   )
 ), ranked AS (
   SELECT query_id, neighbor_id, cosine,

@@ -284,7 +284,9 @@ def test_pack_sequences_covers_corpus_exactly(spark):
     tile the corpus with no gaps or overlaps at boundaries."""
     from spark_gp_spark.operators.prep import pack_sequences
 
-    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    # deterministic subset: an unordered limit() can pick different rows on
+    # each action, and this test materializes `docs` twice (operator + replay)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter("doc_id < 200")
     L = 128
     got = {
         r.doc_id: (r.n_tokens, r.cum_before, r.seq_first, r.seq_last, r.seq_offset)
