@@ -304,6 +304,9 @@ def main() -> None:
         "revenue_rollup",
         "part_type_revenue",
         "text_stats",
+        "gopher_quality_rules",
+        "temperature_mix",
+        "embedding_dim_stats",
         "tfidf_top_terms",
         "doc_fingerprints",
         "doc_repetition",

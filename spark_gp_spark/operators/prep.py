@@ -447,3 +447,56 @@ def pack_sequences(
         F.floor(end / seq_len).cast("long").alias("seq_last"),
         (F.col("cum_before") % seq_len).cast("long").alias("seq_offset"),
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing — the multilingual/multi-domain
+    mixing rule (UniMax / mT5-style sampling): downsample each group so kept
+    counts are proportional to n_g^alpha instead of n_g, flattening the head
+    of the domain distribution toward the tail.  Unlike ``stratified_sample``
+    the keep rates are DERIVED FROM THE DATA — rate_g = (n_min/n_g)^(1-alpha),
+    which is 1 for the smallest group (never upsampled, never dropped) and
+    shrinks head groups until every group sits at the same temperature.
+
+    alpha = 1 keeps everything; alpha = 0 equalizes all groups to ~n_min;
+    the default 0.5 is square-root scaling, computed with ``sqrt`` —
+    EXACTLY rounded under IEEE 754 in every engine, so the basis-point
+    thresholds (and therefore the kept set) are bit-identical between Spark
+    and the DuckDB oracle.  Other alphas go through ``pow``, which libm
+    implementations only guarantee to ~1 ulp; a threshold landing exactly
+    on a hash value could then differ across engines — fine for production
+    mixing, but the registry/oracle entry pins alpha = 0.5.
+
+    Per row, keep ⇔ h32("tm{seed}_" + id) mod 10000 < floor(rate_g · 10000)
+    — the same reproducible, monotone, engine-portable predicate as
+    stratified_sample.
+
+    Output: kept rows as (``id_col``, <group>, n_group, thresh_bp).
+
+    Scale shape: one map-side-combined count aggregate over ≤ |groups| keys,
+    the minimum via an unpartitioned window over that tiny relation (never a
+    driver collect), thresholds broadcast-joined back onto the scan — the
+    corpus itself never shuffles."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_group"))
+    n_min = F.min("n_group").over(Window.partitionBy())
+    ratio = n_min.cast("double") / F.col("n_group").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    thresh = counts.select(
+        group_col,
+        "n_group",
+        F.floor(F.lit(10000) * rate).cast("long").alias("thresh_bp"),
+    )
+    hv = h32(F.concat(F.lit(f"tm{seed}_"), F.col(id_col).cast("string"))) % 10000
+    return (
+        df.join(F.broadcast(thresh), on=group_col)
+        .filter(hv < F.col("thresh_bp"))
+        .select(id_col, group_col, "n_group", "thresh_bp")
+    )

@@ -305,3 +305,33 @@ def label_centroids(
     return ex.groupBy(label_col, "pos").agg(
         F.round(F.avg("_v"), 6).alias("value")
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution statistics of an embedding column:
+    (pos, mean, std, min_v, max_v) — one row per vector component.  The
+    drift/health monitor for an embedding corpus (a collapsed dimension,
+    a scaling regression after a model swap, or an outlier batch shows up
+    here before any downstream recall metric moves), and the input to
+    per-dimension whitening.
+
+    ``std`` is the sample standard deviation (n−1), matching DuckDB's
+    ``stddev_samp`` so the oracle replays it; all floats round to 6 dp,
+    the engine-portable grain.
+
+    Scale shape: same as ``label_centroids`` — posexplode to thin
+    (pos, value) rows, ONE shuffle over ≤ dim keys with map-side partial
+    aggregates; no executor materializes a matrix and the driver sees
+    nothing."""
+    ex = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v")
+    )
+    return ex.groupBy("pos").agg(
+        F.round(F.avg("_v"), 6).alias("mean"),
+        F.round(F.stddev_samp("_v"), 6).alias("std"),
+        F.round(F.min("_v"), 6).alias("min_v"),
+        F.round(F.max("_v"), 6).alias("max_v"),
+    )

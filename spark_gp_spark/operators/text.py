@@ -683,3 +683,97 @@ def doc_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    max_tokens: int = 50_000,
+    min_mwl: float = 3.0,
+    max_mwl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_ellipsis_line_ratio: float = 0.3,
+    max_dup_line_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition/quality rule filter (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): one boolean flag per published rule plus the
+    conjunction, so a pipeline can either take ``keep`` or audit which rule
+    fired.  The rule family (thresholds are the paper's, the token floor is
+    a parameter because fixture documents are shorter than web pages):
+
+    - ``len_ok``        token count in [min_tokens, max_tokens]
+    - ``mwl_ok``        mean word length in [min_mwl, max_mwl]
+    - ``symbol_ok``     (# of '#' chars + '...' runs) / tokens <= max_symbol_ratio
+    - ``alpha_word_ok`` fraction of words containing a letter >= min_alpha_word_ratio
+    - ``stopword_ok``   >= min_stopword_hits English stopword occurrences
+    - ``ellipsis_ok``   fraction of lines ending in '...'/'…' <= max_ellipsis_line_ratio
+    - ``dup_line_ok``   duplicate-line fraction <= max_dup_line_ratio
+
+    Output: (``id_col``, n_tokens, the seven flags, keep) — one row per doc.
+
+    Scale shape: a PURE projection — zero shuffles, zero joins, evaluated at
+    the parquet scan inside whole-stage codegen, so it composes into any
+    pipeline for free at any corpus size.  Tokens and trimmed lines are
+    staged ONCE in an inner select (the Catalyst re-inlining trap:
+    referencing ``tokens(text)`` from N rule lambdas would re-run the
+    tokenizer N times per row).  All ratio comparisons use raw IEEE
+    divisions (exactly rounded in both engines), so the oracle replays the
+    flags bit-for-bit."""
+    words = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_text"),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("_lines"),
+    )
+    n_tok = F.size("_toks")
+    n_lines = F.size("_lines")
+    mwl = (
+        F.aggregate(F.col("_toks"), F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+            "double"
+        )
+        / F.greatest(n_tok, F.lit(1))
+    )
+    n_hash = F.length("_text") - F.length(F.replace(F.col("_text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length("_text") - F.length(F.replace(F.col("_text"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / F.greatest(n_tok, F.lit(1))
+    alpha_words = F.size(F.filter(F.col("_toks"), lambda t: t.rlike("[a-z]")))
+    alpha_word_ratio = alpha_words.cast("double") / F.greatest(n_tok, F.lit(1))
+    stop_hits = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(words, t)))
+    ell_lines = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda l: l.endswith(F.lit("...")) | l.endswith(F.lit("…")),
+        )
+    )
+    ellipsis_ratio = ell_lines.cast("double") / F.greatest(n_lines, F.lit(1))
+    dup_line_ratio = (n_lines - F.size(F.array_distinct("_lines"))).cast(
+        "double"
+    ) / F.greatest(n_lines, F.lit(1))
+    flags = {
+        "len_ok": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "mwl_ok": (mwl >= min_mwl) & (mwl <= max_mwl),
+        "symbol_ok": symbol_ratio <= max_symbol_ratio,
+        "alpha_word_ok": alpha_word_ratio >= min_alpha_word_ratio,
+        "stopword_ok": stop_hits >= min_stopword_hits,
+        "ellipsis_ok": ellipsis_ratio <= max_ellipsis_line_ratio,
+        "dup_line_ok": dup_line_ratio <= max_dup_line_ratio,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return staged.select(
+        id_col,
+        n_tok.cast("long").alias("n_tokens"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )

@@ -4471,6 +4471,103 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "p1", "unc_rank")
 
 
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (operators/text.py: gopher_rules, Rae et al.
+    2021 §A1.1): one boolean per published repetition/quality rule plus the
+    conjunction — a PURE zero-shuffle projection evaluated at the scan, the
+    flags a pipeline audits when a rule fires.  Token floor lowered to 20
+    for the fixture's shorter-than-web documents; every other threshold is
+    the paper's."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gopher_rules(docs, min_tokens=20)
+
+
+_GOPHER_STOPWORDS = ",".join(f"'{w}'" for w in T.STOPWORDS["en"])
+
+_GOPHER_RULES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)),
+           l -> l <> ''
+         ) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok, len(lines) AS n_lines,
+         coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
+           / greatest(len(toks), 1) AS mwl,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+         len(list_filter(toks, t -> list_contains([{_GOPHER_STOPWORDS}], t))) AS stop_hits,
+         len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS ell_lines,
+         len(lines) - len(list_distinct(lines)) AS dup_lines
+  FROM tok
+), flags AS (
+  SELECT doc_id, n_tok::BIGINT AS n_tokens,
+         (n_tok >= 20 AND n_tok <= 50000) AS len_ok,
+         (mwl >= 3.0 AND mwl <= 10.0) AS mwl_ok,
+         ((n_hash + n_ellipsis)::DOUBLE / greatest(n_tok, 1) <= 0.1) AS symbol_ok,
+         (alpha_words::DOUBLE / greatest(n_tok, 1) >= 0.8) AS alpha_word_ok,
+         (stop_hits >= 2) AS stopword_ok,
+         (ell_lines::DOUBLE / greatest(n_lines, 1) <= 0.3) AS ellipsis_ok,
+         (dup_lines::DOUBLE / greatest(n_lines, 1) <= 0.3) AS dup_line_ok
+  FROM m
+)
+SELECT *,
+       (len_ok AND mwl_ok AND symbol_ok AND alpha_word_ok AND stopword_ok
+        AND ellipsis_ok AND dup_line_ok) AS keep
+FROM flags
+"""
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (operators/prep.py:
+    temperature_mix_sample): keep rates DERIVED from the group counts —
+    rate_g = sqrt(n_min/n_g), so kept counts flatten toward sqrt-scaling
+    (the multilingual mixing rule) and the smallest group is untouched.
+    sqrt is exactly rounded under IEEE 754, so the basis-point thresholds
+    and the kept set are bit-identical across engines.  One tiny count
+    aggregate + broadcast join; the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return P.temperature_mix_sample(docs, group_col="lang")
+
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH g AS (
+  SELECT lang, count(*) AS n_group FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, n_group,
+         floor(10000 * sqrt((min(n_group) OVER ())::DOUBLE / n_group::DOUBLE))::BIGINT
+           AS thresh_bp
+  FROM g
+)
+SELECT doc_id, lang, n_group, thresh_bp
+FROM documents JOIN t USING (lang)
+WHERE {h32_sql("'tm7_' || doc_id::VARCHAR")} % 10000 < thresh_bp
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution stats (operators/similarity.py:
+    embedding_dim_stats) — the corpus drift/health monitor: posexplode to
+    thin (pos, value) rows, one map-side-combined shuffle over ≤ dim keys."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_dim_stats(emb)
+
+
+_DIM_STATS_SQL = """
+SELECT i::INTEGER AS pos,
+       round(avg(embedding[i + 1]::DOUBLE), 6) AS mean,
+       round(stddev_samp(embedding[i + 1]::DOUBLE), 6) AS std,
+       round(min(embedding[i + 1]::DOUBLE), 6) AS min_v,
+       round(max(embedding[i + 1]::DOUBLE), 6) AS max_v
+FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
+GROUP BY i
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4480,17 +4577,26 @@ def gpc_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 17 new queries, the 10 queries the
-# round-7 diff touched (streaming-neardup state schema + TTL derivation,
+# Round-7 window (50 keys exactly): the 20 new queries, cosine_topk (its
+# scoring/ranking blocks were extracted into shared helpers late in r7 —
+# hash-identical, but implementation changed), the 10 queries the round-7
+# diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 23 of the 39
+# artifact-cache eviction + persisted-index refactor), then 19 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 16 r5 entries (first in line for the r8 rotation — code unchanged since
+# 20 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
+    "gopher_quality_rules": gopher_quality_rules,
+    "temperature_mix": temperature_mix,
+    "embedding_dim_stats": embedding_dim_stats,
+    # cosine_topk's scoring/ranking blocks were extracted into shared
+    # helpers this round (plan- and hash-identical, but implementation
+    # changed → back into the window per the standing rule)
+    "cosine_topk": cosine_topk,
     "dedup_span_clean": dedup_span_clean,
     "repetition_clean": repetition_clean,
     "opq_topk": opq_topk,
@@ -4586,7 +4692,6 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash_signatures": simhash_signatures,
     "simhash_pairs": simhash_pairs,
-    "cosine_topk": cosine_topk,
     "lsh_topk": lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "asof_purchases_views": asof_purchases_views,
@@ -4609,6 +4714,9 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "gopher_quality_rules": _GOPHER_RULES_SQL,
+    "temperature_mix": _TEMPERATURE_MIX_SQL,
+    "embedding_dim_stats": _DIM_STATS_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "revenue_by_nation": _REVENUE_SQL,
     "part_type_revenue": _PART_TYPE_SQL,

@@ -293,3 +293,21 @@ def test_ivfadc_filtered_pushes_label_predicate_to_codes_scan(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_corpus_never_hash_shuffles(spark):
+    """The derived-rate mixing pass: the corpus side reaches the keep
+    predicate through a BroadcastHashJoin on the group key — the only
+    hash-partitioned exchanges belong to the tiny per-group count aggregate
+    (and its single-partition window), never to corpus rows; no cartesian,
+    no sort-merge join of the corpus."""
+    from spark_gp_spark.queries import temperature_mix
+
+    plan = _plan(temperature_mix(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # hash exchanges: one for the count aggregate, one SinglePartition for
+    # the bounded window over <= |groups| rows; the corpus side sees only
+    # the loader's round-robin repartition
+    assert plan.count("hashpartitioning") <= 2

@@ -180,3 +180,35 @@ def test_hard_negatives_excludes_planted_dups(spark):
 
     raw = cosine_topk(df, queries, k=1).collect()
     assert raw[0].neighbor_id == 40
+
+
+def test_hard_negatives_queries_outside_corpus(spark):
+    """The unlabeled-positive filter must hold when the anchor set is a
+    SEPARATE relation in its own id space (the standard retrieval-training
+    setup): a corpus row that is a near-dup of the external anchor is
+    excluded even though no corpus-internal pair involves the anchor's id."""
+    import numpy as np
+
+    from spark_gp_spark.operators.selection import hard_negatives
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    anchor = base[7] + 0.01 * rng.normal(size=16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    # anchor id 999 exists nowhere in the corpus, so the id-inequality in
+    # the scoring join cannot be what hides its twin — only the two-sided
+    # LSH exclusion can
+    queries = spark.createDataFrame(
+        [(999, [float(x) for x in anchor])], "vec_id bigint, embedding array<double>"
+    )
+    out = hard_negatives(
+        corpus, queries, k=5, threshold=0.9, bits=4, tables=8, seed=11, dim=16
+    ).collect()
+    neighbors = {r.neighbor_id for r in out}
+    assert 7 not in neighbors           # the near-dup of the anchor is filtered
+    assert len(out) == 5
+    assert all(r.cosine < 0.9 for r in out)
