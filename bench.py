@@ -73,6 +73,7 @@ PANDAS_FAMILY = {
     "ivfadc_topk",
     "lsh_topk",
     "embedding_neardup_pairs",
+    "hard_negatives",
 }
 
 
@@ -339,6 +340,7 @@ def main() -> None:
         "ivfadc_topk",
         "ivfadc_topk_codes",
         "embedding_neardup_pairs",
+        "hard_negatives",
         "embedding_quantize",
         "asof_purchases_views",
         "event_status_asof",
