@@ -714,32 +714,30 @@ def embedding_neardup_pairs(
     )
 
 
-def query_corpus_neardup_pairs(
+def query_corpus_lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.45,
     bits: int = 6,
     tables: int = 8,
     seed: int = 11,
     dim: int | None = None,
+    distinct_ids: bool = True,
 ) -> DataFrame:
-    """Near-duplicate (query_id, neighbor_id, cosine) pairs BETWEEN a query
-    relation and a corpus — the two-sided form of ``embedding_neardup_pairs``
-    for callers (hard-negative mining, contamination screens) that only need
-    duplicates touching a bounded query set, possibly from a different
-    relation or id space.
+    """Distinct (query_id, neighbor_id) sign-LSH collision candidates
+    between a bounded query relation and a corpus — the candidate-generation
+    block shared by ``query_corpus_neardup_pairs`` and
+    ``selection.hard_negatives``.  A broadcast equi-join of the query
+    buckets against the corpus buckets: work is ~|Q|·tables/2^bits of the
+    corpus scan, never a corpus-wide self-join, and the result is bounded
+    by |Q|·tables·max-bucket-occupancy (broadcastable downstream).
 
-    Same hyperplanes/threshold as the self-join form (identical ``bits``/
-    ``tables``/``seed`` → identical buckets), so "near-duplicate" keeps one
-    definition across cleaning and mining.  Candidate generation is a
-    broadcast equi-join of the query buckets against the corpus buckets —
-    work is ~|Q|·tables/2^bits of the corpus scan, NOT the corpus-wide
-    self-join; exact cosine verification runs on those candidates only.
-    """
-    from .similarity import hyperplane_tables, lsh_bucket_frame, norm, paired_cosine
-    from .similarity import _vector_dim
+    ``distinct_ids=True`` (the within-one-relation default, where equal ids
+    mean the same row) drops same-id collisions; pass ``False`` when the
+    query ids live in a DIFFERENT id space than the corpus, where an equal
+    id is a coincidence and the pair is a real candidate."""
+    from .similarity import hyperplane_tables, lsh_bucket_frame, _vector_dim
 
     dim = dim if dim is not None else _vector_dim(corpus, vec_col)
     planes_by_table = hyperplane_tables(dim, bits, tables, seed)
@@ -751,11 +749,48 @@ def query_corpus_neardup_pairs(
         queries, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
         "query_id",
     )
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
+    cand = cb.join(F.broadcast(qb), ["tbl", "bucket"])
+    if distinct_ids:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    return cand.select("query_id", "neighbor_id").dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+
+
+def query_corpus_neardup_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    bits: int = 6,
+    tables: int = 8,
+    seed: int = 11,
+    dim: int | None = None,
+    distinct_ids: bool = True,
+) -> DataFrame:
+    """Near-duplicate (query_id, neighbor_id, cosine) pairs BETWEEN a query
+    relation and a corpus — the two-sided form of ``embedding_neardup_pairs``
+    for callers (hard-negative mining, contamination screens) that only need
+    duplicates touching a bounded query set, possibly from a different
+    relation or id space (pass ``distinct_ids=False`` there — with foreign
+    query ids an id collision is a coincidence, not a self-pair, and the
+    default same-id filter would hide a true duplicate).
+
+    Same hyperplanes/threshold as the self-join form (identical ``bits``/
+    ``tables``/``seed`` → identical buckets), so "near-duplicate" keeps one
+    definition across cleaning and mining.  Candidate generation is a
+    broadcast equi-join of the query buckets against the corpus buckets —
+    work is ~|Q|·tables/2^bits of the corpus scan, NOT the corpus-wide
+    self-join; exact cosine verification runs on those candidates only, with
+    the bounded candidate set BROADCAST against the corpus vector projection
+    (the corpus never hash-shuffles — candidates hash-probe it in place).
+    """
+    from .similarity import norm, paired_cosine
+
+    cand = query_corpus_lsh_candidates(
+        corpus, queries, vec_col, id_col, bits=bits, tables=tables, seed=seed,
+        dim=dim, distinct_ids=distinct_ids,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -766,7 +801,7 @@ def query_corpus_neardup_pairs(
         F.col(vec_col).cast("array<double>").alias("cv"),
     ).withColumn("cn", norm(F.col("cv")))
     return (
-        cand.join(c, "neighbor_id")
+        c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn(
             "cosine",

@@ -430,6 +430,13 @@ def pack_sequences(
     assignment is a pure function of the corpus, so shards of the mapping
     can be built independently anywhere.
 
+    Zero-token documents contribute nothing but still get an address: the
+    window containing the boundary position max(cum_before − 1, 0) — i.e.
+    they attach to the window of the token that precedes them in pack
+    order.  (Giving them a phantom 1-token extent instead would let an
+    empty doc landing on the final seq_len boundary claim a window one
+    PAST the last real one — an index no loader can materialize.)
+
     Scale shape: the same bucketed distributed prefix sum as
     token_budget_fill (no single-task global window); everything after the
     prefix sum is arithmetic.  ``seq_len`` must be positive."""
@@ -438,14 +445,20 @@ def pack_sequences(
     pre = _hash_order_prefix(
         df, text_col, F.lit("_all").alias("_g"), id_col, f"ps{seed}_", buckets
     )
-    end = F.col("cum_before") + F.greatest(F.col("n_tokens"), F.lit(1)) - F.lit(1)
+    nonempty = F.col("n_tokens") > 0
+    first_pos = F.when(nonempty, F.col("cum_before")).otherwise(
+        F.greatest(F.col("cum_before") - 1, F.lit(0))
+    )
+    last_pos = F.when(
+        nonempty, F.col("cum_before") + F.col("n_tokens") - 1
+    ).otherwise(first_pos)
     return pre.select(
         id_col,
         "n_tokens",
         "cum_before",
-        F.floor(F.col("cum_before") / seq_len).cast("long").alias("seq_first"),
-        F.floor(end / seq_len).cast("long").alias("seq_last"),
-        (F.col("cum_before") % seq_len).cast("long").alias("seq_offset"),
+        F.floor(first_pos / seq_len).cast("long").alias("seq_first"),
+        F.floor(last_pos / seq_len).cast("long").alias("seq_last"),
+        (first_pos % seq_len).cast("long").alias("seq_offset"),
     )
 
 

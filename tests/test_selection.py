@@ -212,3 +212,33 @@ def test_hard_negatives_queries_outside_corpus(spark):
     assert 7 not in neighbors           # the near-dup of the anchor is filtered
     assert len(out) == 5
     assert all(r.cosine < 0.9 for r in out)
+
+
+def test_query_corpus_neardup_foreign_id_space_collision(spark):
+    """A contamination screen with foreign query ids: corpus row 7 is a
+    near-copy of EXTERNAL anchor id 7 (equal ids by coincidence, different
+    objects).  distinct_ids=False must report the (7, 7) duplicate; the
+    within-relation default would hide it as a self-pair."""
+    import numpy as np
+
+    from spark_gp_spark.operators.dedup import query_corpus_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    anchor = base[7] + 0.01 * rng.normal(size=16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(7, [float(x) for x in anchor])], "vec_id bigint, embedding array<double>"
+    )
+    kw = dict(threshold=0.9, bits=4, tables=8, seed=11, dim=16)
+    hidden = query_corpus_neardup_pairs(corpus, queries, **kw).collect()
+    assert (7, 7) not in {(r.query_id, r.neighbor_id) for r in hidden}
+    found = query_corpus_neardup_pairs(
+        corpus, queries, distinct_ids=False, **kw
+    ).collect()
+    pairs = {(r.query_id, r.neighbor_id) for r in found}
+    assert (7, 7) in pairs

@@ -302,11 +302,41 @@ def test_pack_sequences_covers_corpus_exactly(spark):
     rows.sort(key=lambda t: (h32py(f"ps7_{t[0]}"), t[0]))
     cum = 0
     for doc_id, n in rows:
-        want = (n, cum, cum // L, (cum + max(n, 1) - 1) // L, cum % L)
+        first = cum if n > 0 else max(cum - 1, 0)
+        last = cum + n - 1 if n > 0 else first
+        want = (n, cum, first // L, last // L, first % L)
         assert got[doc_id] == want, (doc_id, got[doc_id], want)
         cum += n
     # total coverage: last doc ends exactly at the corpus token count
     assert cum == sum(n for _, n in rows)
+
+
+def test_pack_sequences_empty_doc_never_claims_phantom_window(spark):
+    """A zero-token document landing exactly on the final seq_len boundary
+    must attach to the LAST REAL window, not index one past the end; empty
+    docs elsewhere attach to the window of the preceding token."""
+    from spark_gp_spark.operators.prep import pack_sequences
+
+    # 2 docs of 4 tokens each + 2 empty docs; L = 4 → windows 0 and 1 only
+    rows = [
+        Row(doc_id=0, text="a b c d"),
+        Row(doc_id=1, text="e f g h"),
+        Row(doc_id=2, text="   "),
+        Row(doc_id=3, text=""),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            spark.createDataFrame(rows), seq_len=4, seed=7
+        ).collect()
+    }
+    total = sum(len(r.text.split()) for r in rows)
+    last_window = (total - 1) // 4
+    for r in out.values():
+        assert 0 <= r.seq_first <= r.seq_last <= last_window, r
+        if r.n_tokens == 0:
+            assert r.seq_first == r.seq_last == max(r.cum_before - 1, 0) // 4
+            assert r.seq_offset == max(r.cum_before - 1, 0) % 4
 
 
 def test_pack_sequences_rejects_bad_seq_len(spark):
