@@ -74,6 +74,8 @@ PANDAS_FAMILY = {
     "lsh_topk",
     "embedding_neardup_pairs",
     "hard_negatives",
+    "cluster_balance_sample",
+    "jl_project",
 }
 
 
@@ -341,6 +343,9 @@ def main() -> None:
         "ivfadc_topk_codes",
         "embedding_neardup_pairs",
         "hard_negatives",
+        "cluster_balance_sample",
+        "embedding_whiten",
+        "jl_project",
         "embedding_quantize",
         "asof_purchases_views",
         "event_status_asof",

@@ -289,3 +289,43 @@ def hard_negatives(
         .drop("_cand")
     )
     return rank_topk(kept, k).withColumn("rank", F.col("rank").cast("long"))
+
+
+def cluster_balance_sample(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    alpha: float = 0.5,
+    seed: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced subsampling: assign each vector to its nearest
+    coarse-quantizer cell (the SAME deterministic k-means the IVF index and
+    ``semdedup`` use — one clustering, three consumers), then downsample
+    each cell with the temperature mixing rule (``prep.
+    temperature_mix_sample`` with the cell as the group): kept counts
+    flatten from |cell| toward |cell|^alpha, so over-represented semantic
+    regions of the corpus shrink and the sparse tail survives intact — the
+    cluster-level diversity rebalancing step of curation pipelines that
+    select "balanced" pretraining mixes from skewed web crawls.
+
+    Output: (``id_col``, cell, n_group, thresh_bp) — kept rows only, with
+    the cell population and the basis-point keep threshold for audit.
+
+    Scale shape: assignment is one Arrow-batched projection (no shuffle);
+    the mixing pass adds one map-side-combined count over ≤ |cells| keys
+    and a broadcast join of the thresholds back onto the thin (id, cell)
+    relation — the embedding payload itself never moves."""
+    from .ivf import ivf_assign_frame
+    from .prep import temperature_mix_sample
+
+    assign = ivf_assign_frame(
+        emb,
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>"),
+        np.asarray(centroids, dtype=np.float64),
+        id_col,
+    )
+    return temperature_mix_sample(
+        assign, group_col="cell", id_col=id_col, alpha=alpha, seed=seed
+    )

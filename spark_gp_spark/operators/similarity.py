@@ -335,3 +335,106 @@ def embedding_dim_stats(
         F.round(F.min("_v"), 6).alias("min_v"),
         F.round(F.max("_v"), 6).alias("max_v"),
     )
+
+
+def embedding_whiten(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of an embedding
+    column: whitened[i] = (v[i] − mean_i) / std_i, the cheap whitening step
+    that removes per-dimension scale/offset drift before cosine retrieval
+    or quantizer training (full-covariance whitening needs an
+    eigendecomposition; the diagonal form captures the common failure —
+    a mis-scaled or offset dimension after a model swap — with nothing but
+    the ``embedding_dim_stats`` pass).  Dimensions with zero (or undefined)
+    sample std map to 0.0 — a constant dimension carries no signal.
+
+    Output: (``id_col``, whitened array<double>) — values rounded to 6 dp.
+    Stats are the 6-dp-rounded means/stds of ``embedding_dim_stats``, so
+    the division inputs are identical across engines and the result is
+    exactly rounded under IEEE 754 in both.
+
+    Scale shape: one stats pass (posexplode → ≤ dim keys, map-side
+    combined), folded to a SINGLE broadcast row of two dim-length arrays;
+    the whitening itself is a zip_with projection at the corpus scan — the
+    corpus never shuffles and no executor sees more than its own batch."""
+    stats = embedding_dim_stats(df, vec_col)
+    row = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))), lambda s: s["mean"]
+        ).alias("_means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "std"))), lambda s: s["std"]
+        ).alias("_stds"),
+    )
+    diffs = F.zip_with(
+        F.col(vec_col).cast("array<double>"), F.col("_means"), lambda x, m: x - m
+    )
+    return df.crossJoin(F.broadcast(row)).select(
+        id_col,
+        F.zip_with(
+            diffs,
+            F.col("_stds"),
+            lambda d, s: F.when(s > 0, F.round(d / s, 6)).otherwise(F.lit(0.0)),
+        ).alias("whitened"),
+    )
+
+
+def _jl_project_udf(planes: np.ndarray):
+    """Arrow-batched pandas UDF: per input vector, its projection onto the
+    ``planes`` rows, 6-dp-rounded.  Same left-to-right dimension-axis
+    accumulation as ``_bucket_udf`` (the SQL oracle's unrolled
+    ``0.0 + v[1]*p1 + …`` association), so every projected value is
+    bit-identical across engines."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    P = np.asarray(planes, dtype=np.float64)  # (m, d)
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)          # (n, d)
+        acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+        for j in range(P.shape[1]):                           # left-to-right
+            acc = acc + X[:, j, None] * P[None, :, j]
+        return pd.Series(list(np.round(acc, 6)))
+
+    return proj
+
+
+def jl_project(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 23,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: reduce the embedding column
+    to ``out_dim`` Gaussian-projected components (the JL lemma preserves
+    pairwise geometry to within 1±ε for out_dim = O(log n / ε²)) — the
+    cheap dimensionality-reduction step in front of clustering or
+    brute-force similarity when 64 dims of exactness aren't worth 4× the
+    scan cost.  The projection matrix is the SAME deterministic 6-dp
+    Gaussian family as the sign-LSH hyperplanes (``random_hyperplanes``) —
+    in fact sign-LSH IS this projection plus a sign, so the two share one
+    geometry.  The conventional 1/√out_dim variance scale is omitted:
+    downstream cosine similarity is scale-invariant, and unscaled values
+    embed verbatim in the oracle SQL.
+
+    Output: (``id_col``, projected array<double>), values rounded to 6 dp.
+
+    Scale shape: one Arrow-batched projection at the corpus scan — no
+    shuffle, no join, nothing driver-side; the matrix is a (out_dim × dim)
+    closure constant."""
+    if out_dim <= 0:
+        raise ValueError(f"out_dim must be positive, got {out_dim}")
+    dim = dim if dim is not None else _vector_dim(df, vec_col)
+    planes = random_hyperplanes(dim, out_dim, seed)
+    return df.select(
+        id_col,
+        _jl_project_udf(planes)(F.col(vec_col).cast("array<double>")).alias(
+            "projected"
+        ),
+    )

@@ -4573,6 +4573,141 @@ GROUP BY i
 """
 
 
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (operators/similarity.py:
+    embedding_whiten): whitened[i] = (v[i] − mean_i)/std_i over the
+    6-dp-rounded stats of embedding_dim_stats — the drift FIX to the
+    monitor's drift REPORT.  One stats pass folded to a single broadcast
+    row of two dim-length arrays, then a zip_with projection at the corpus
+    scan; the corpus never shuffles.  The gate compares the exploded
+    (vec_id, pos, w) form — per-element numeric comparison instead of an
+    engine-specific array stringification."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_whiten(emb).select(
+        "vec_id", F.posexplode("whitened").alias("pos", "w")
+    )
+
+
+_WHITEN_SQL = f"""
+WITH s AS (
+  SELECT i AS pos,
+         round(avg(embedding[i + 1]::DOUBLE), 6) AS mean,
+         round(stddev_samp(embedding[i + 1]::DOUBLE), 6) AS std
+  FROM embeddings CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS i)
+  GROUP BY i
+), arrs AS (
+  SELECT list(mean ORDER BY pos) AS means, list(std ORDER BY pos) AS stds FROM s
+)
+SELECT vec_id, (i - 1)::INTEGER AS pos,
+       CASE WHEN stds[i] > 0
+            THEN round((embedding[i]::DOUBLE - means[i]) / stds[i], 6)
+            ELSE 0.0 END AS w
+FROM embeddings CROSS JOIN arrs
+     CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i)
+"""
+
+
+_JL_OUT_DIM, _JL_SEED = 16, 23
+
+
+def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (operators/similarity.py:
+    jl_project): embeddings reduced 64 → 16 dims through the deterministic
+    6-dp Gaussian plane family (the sign-LSH geometry minus the sign).
+    One Arrow-batched projection at the scan — no shuffle, no join.  The
+    gate compares the exploded (vec_id, pos, w) form; the oracle bakes the
+    plane literals and replays the left-to-right dot fold bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.jl_project(
+        emb, out_dim=_JL_OUT_DIM, seed=_JL_SEED, dim=_EMB_DIM
+    ).select("vec_id", F.posexplode("projected").alias("pos", "w"))
+
+
+def _sql_jl_project() -> str:
+    planes = S.random_hyperplanes(_EMB_DIM, _JL_OUT_DIM, _JL_SEED)
+    projs = "[" + ", ".join(f"round({_sql_lsh_dot(p)}, 6)" for p in planes) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), p AS (
+  SELECT vec_id, {projs} AS pr FROM e
+)
+SELECT vec_id, (i - 1)::INTEGER AS pos, pr[i] AS w
+FROM p CROSS JOIN (SELECT unnest(range(1, {_JL_OUT_DIM} + 1)) AS i)
+"""
+
+
+_JL_PROJECT_SQL = _sql_jl_project()
+
+
+_CLUSTER_BALANCE_ALPHA, _CLUSTER_BALANCE_SEED = 0.5, 3
+
+
+def cluster_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsampling (operators/selection.py:
+    cluster_balance_sample): nearest-cell assignment under the SAME
+    deterministic coarse quantizer as ivf_topk/semdedup_keep, then the
+    temperature mixing rule with the cell as the group — over-represented
+    semantic regions shrink toward sqrt scaling, the sparse tail survives.
+    The oracle derives the identical quantizer from the same parquet file
+    and replays assignment + thresholds bit-for-bit."""
+    from .operators.ivf import train_centroids_from_parquet
+    from .operators.selection import cluster_balance_sample as _cbs
+
+    cents = train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _cbs(
+        emb, cents, alpha=_CLUSTER_BALANCE_ALPHA, seed=_CLUSTER_BALANCE_SEED
+    )
+    return out.withColumn("cell", F.col("cell").cast("long"))
+
+
+def _sql_cluster_balance() -> str | None:
+    """Oracle for cluster_balance_sample at the driver's correctness scale
+    (sf0.01); None (rows-only fallback) when the testdata file is
+    unavailable."""
+    try:
+        from .operators.ivf import train_centroids_from_parquet
+
+        cents = train_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+        )
+    except Exception:
+        return None
+
+    def dist(c) -> str:
+        return "(0.0" + "".join(
+            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
+            for j, v in enumerate(c)
+        ) + ")"
+
+    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ad AS (
+  SELECT vec_id, {ds} AS ds FROM e
+), cb AS (
+  SELECT vec_id, list_position(ds, list_min(ds)) AS cell FROM ad
+), g AS (
+  SELECT cell, count(*) AS n_group FROM cb GROUP BY cell
+), t AS (
+  SELECT cell, n_group,
+         floor(10000 * sqrt((min(n_group) OVER ())::DOUBLE / n_group::DOUBLE))::BIGINT
+           AS thresh_bp
+  FROM g
+)
+SELECT vec_id, cell::BIGINT AS cell, n_group, thresh_bp
+FROM cb JOIN t USING (cell)
+WHERE {h32_sql(f"'tm{_CLUSTER_BALANCE_SEED}_' || vec_id::VARCHAR")} % 10000 < thresh_bp
+"""
+
+
+_CLUSTER_BALANCE_SQL = _sql_cluster_balance()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4582,19 +4717,22 @@ GROUP BY i
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 20 new queries, cosine_topk (its
+# Round-7 window (50 keys exactly): the 23 new queries, cosine_topk (its
 # scoring/ranking blocks were extracted into shared helpers late in r7 —
 # hash-identical, but implementation changed), the 10 queries the round-7
 # diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 19 of the 39
+# artifact-cache eviction + persisted-index refactor), then 16 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 20 r5 entries (first in line for the r8 rotation — code unchanged since
+# 23 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
+    "cluster_balance_sample": cluster_balance_sample,
+    "embedding_whiten": embedding_whiten,
+    "jl_project": jl_project,
     "gopher_quality_rules": gopher_quality_rules,
     "temperature_mix": temperature_mix,
     "embedding_dim_stats": embedding_dim_stats,
@@ -4650,13 +4788,13 @@ QUERIES = {
     "event_zorder_key": event_zorder_key,
     "orders_upsert_merge": orders_upsert_merge,
     "orders_dq_report": orders_dq_report,
+    # ================= below the 50-key official window =================
+    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
+    #  pytest-gated — on code unchanged this round; the 23 r5-last-green
+    #  entries listed first rotate into the r8 window)
     "orders_profile": orders_profile,
     "viewers_without_purchase": viewers_without_purchase,
     "event_type_pivot": event_type_pivot,
-    # ================= below the 50-key official window =================
-    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 20 r5-last-green
-    #  entries listed first rotate into the r8 window)
     "doc_fingerprints": doc_fingerprints,
     "tfidf_top_terms": tfidf_top_terms,
     "token_budget": token_budget,
@@ -4719,6 +4857,13 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "embedding_whiten": _WHITEN_SQL,
+    "jl_project": _JL_PROJECT_SQL,
+    **(
+        {"cluster_balance_sample": _CLUSTER_BALANCE_SQL}
+        if _CLUSTER_BALANCE_SQL
+        else {}
+    ),
     "gopher_quality_rules": _GOPHER_RULES_SQL,
     "temperature_mix": _TEMPERATURE_MIX_SQL,
     "embedding_dim_stats": _DIM_STATS_SQL,

@@ -116,3 +116,80 @@ def test_embedding_dim_stats_matches_numpy(spark):
         assert got[pos].std == pytest.approx(col.std(ddof=1), abs=2e-6)
         assert got[pos].min_v == pytest.approx(col.min(), abs=1e-6)
         assert got[pos].max_v == pytest.approx(col.max(), abs=1e-6)
+
+
+def test_embedding_whiten_standardizes_each_dimension(spark):
+    from spark_gp_spark.operators.similarity import embedding_whiten
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    W = np.array(
+        [r.whitened for r in embedding_whiten(emb).collect()], dtype=np.float64
+    )
+    # per-dimension: mean ~ 0, sample std ~ 1 (inputs were 6-dp-rounded stats)
+    assert np.abs(W.mean(axis=0)).max() < 1e-4
+    assert np.abs(W.std(axis=0, ddof=1) - 1.0).max() < 1e-3
+
+
+def test_embedding_whiten_constant_dimension_maps_to_zero(spark):
+    from spark_gp_spark.operators.similarity import embedding_whiten
+
+    rows = [(i, [float(i), 5.0]) for i in range(6)]  # dim 1 is constant
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r.vec_id: r.whitened for r in embedding_whiten(df).collect()}
+    assert all(v[1] == 0.0 for v in out.values())
+    assert any(v[0] != 0.0 for v in out.values())
+
+
+def test_embedding_whiten_never_shuffles_corpus(spark):
+    """The whitening projection must reach the corpus through a broadcast
+    of the single stats row — no sort-merge join, no corpus
+    hash-partitioning (the only exchanges belong to the <= dim-key stats
+    aggregate)."""
+    from spark_gp_spark.operators.similarity import embedding_whiten
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = embedding_whiten(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_balance_sample_flattens_cells(spark):
+    """Kept counts per cell track sqrt scaling off the per-cell population,
+    the smallest cell is never downsampled, and the cell assignment is the
+    SAME one semdedup/ivf use (one quantizer, three consumers)."""
+    import numpy as np
+
+    from spark_gp_spark.operators.ivf import (
+        ivf_assign_frame,
+        train_centroids_from_parquet,
+    )
+    from spark_gp_spark.operators.selection import cluster_balance_sample
+    from pyspark.sql import functions as F
+
+    cents = train_centroids_from_parquet(
+        f"{SF_DIR}/embeddings.parquet", 16, 5, 4000
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = cluster_balance_sample(emb, cents, alpha=0.5, seed=3).collect()
+    assign = {
+        r.vec_id: r.cell
+        for r in ivf_assign_frame(
+            emb, F.col("vec_id"), F.col("embedding").cast("array<double>"),
+            cents, "vec_id",
+        ).collect()
+    }
+    n = {}
+    for cell in assign.values():
+        n[cell] = n.get(cell, 0) + 1
+    n_min = min(n.values())
+    kept = {}
+    for r in out:
+        assert assign[r.vec_id] == r.cell
+        assert r.n_group == n[r.cell]
+        assert r.thresh_bp == int(np.floor(10000 * np.sqrt(n_min / n[r.cell])))
+        kept[r.cell] = kept.get(r.cell, 0) + 1
+    smallest = min(n, key=n.get)
+    assert kept[smallest] == n[smallest]
+    for cell, k in kept.items():
+        expected = n[cell] * np.sqrt(n_min / n[cell])
+        assert abs(k - expected) <= max(5, 0.35 * expected), (cell, k, expected)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from conftest import SF_DIR
+
 from spark_gp_spark.operators.dedup import embedding_neardup_pairs
 from spark_gp_spark.operators.similarity import cosine_topk, lsh_bucketed_topk
 
@@ -219,3 +221,58 @@ def test_hash_sample_retry_on_adversarial_ids(tmp_path):
     order = np.lexsort((ids, sample_hash_np(ids)))[:10]
     want = np.asarray(vecs, dtype=np.float64)[order]
     np.testing.assert_array_equal(got, want)
+
+
+def test_jl_project_preserves_planted_neighbor(spark):
+    """JL geometry check: a planted near-copy must stay its anchor's
+    nearest neighbor by cosine AFTER the 64 -> 16 projection, and the
+    projection must equal the numpy left-to-right fold exactly."""
+    import numpy as np
+
+    from spark_gp_spark.operators.similarity import (
+        jl_project,
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(30, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    twin = base[0] + 0.02 * rng.normal(size=64)
+    vecs = np.vstack([base, twin[None, :]])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: np.array(r.projected) for r in jl_project(df, out_dim=16).collect()}
+    P = random_hyperplanes(64, 16, 23)
+    for i in range(len(vecs)):
+        acc = np.zeros(16)
+        for j in range(64):                     # replay the UDF's fold order
+            acc = acc + vecs[i, j] * P[:, j]
+        assert np.array_equal(got[i], np.round(acc, 6)), i
+    # nearest neighbor of anchor 0 in projected space is still the twin
+    proj = np.vstack([got[i] for i in range(len(vecs))])
+    proj = proj / np.linalg.norm(proj, axis=1, keepdims=True)
+    sims = proj @ proj[0]
+    sims[0] = -2.0
+    assert int(np.argmax(sims)) == 30
+
+
+def test_jl_project_plan_is_single_arrow_projection(spark):
+    from spark_gp_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = jl_project(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_jl_project_rejects_bad_out_dim(spark):
+    import pytest as _pytest
+
+    from spark_gp_spark.operators.similarity import jl_project
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="out_dim"):
+        jl_project(emb, out_dim=0)
