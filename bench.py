@@ -546,6 +546,9 @@ def main() -> None:
         "full": "BENCH_local_r7.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # fall back to coarser per-query rounding first
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         del compact["queries"]
         line = json.dumps(compact, separators=(",", ":"))
