@@ -315,7 +315,13 @@ def cluster_balance_sample(
     Scale shape: assignment is one Arrow-batched projection (no shuffle);
     the mixing pass adds one map-side-combined count over ≤ |cells| keys
     and a broadcast join of the thresholds back onto the thin (id, cell)
-    relation — the embedding payload itself never moves."""
+    relation — the embedding payload itself never moves.  The assigned
+    relation feeds BOTH the count and the keep-predicate join, so it is
+    persisted (previous invocation's entry retired, shared discipline with
+    ``semdedup``) — without it the Arrow distance UDF would run twice over
+    the corpus; at past-cluster-memory scale swap the persist for a
+    checkpoint to parquet, exactly the encode-once trade the ANN codes
+    relation makes."""
     from .ivf import ivf_assign_frame
     from .prep import temperature_mix_sample
 
@@ -325,7 +331,8 @@ def cluster_balance_sample(
         F.col(vec_col).cast("array<double>"),
         np.asarray(centroids, dtype=np.float64),
         id_col,
-    )
+    ).persist()
+    _retire_assign_caches([assign])
     return temperature_mix_sample(
         assign, group_col="cell", id_col=id_col, alpha=alpha, seed=seed
     )
