@@ -75,6 +75,7 @@ PANDAS_FAMILY = {
     "embedding_neardup_pairs",
     "hard_negatives",
     "cluster_balance_sample",
+    "cluster_exemplars",
     "jl_project",
 }
 
@@ -344,6 +345,7 @@ def main() -> None:
         "embedding_neardup_pairs",
         "hard_negatives",
         "cluster_balance_sample",
+        "cluster_exemplars",
         "embedding_whiten",
         "jl_project",
         "embedding_quantize",

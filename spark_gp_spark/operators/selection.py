@@ -336,3 +336,50 @@ def cluster_balance_sample(
     return temperature_mix_sample(
         assign, group_col="cell", id_col=id_col, alpha=alpha, seed=seed
     )
+
+
+def cluster_exemplars(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    per_cell: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell exemplars: the ``per_cell`` vectors CLOSEST to each coarse-
+    quantizer centroid — the medoid-style corpus summary a curation team
+    inspects (or sends for labeling) to understand what each semantic
+    region of a 100 TB corpus actually contains.  The inverse of
+    SemDeDup's priority (which keeps the cluster EDGE): exemplars are the
+    cluster CENTER, the most typical members.
+
+    Output: (cell, rank, ``id_col``, dist) — rank 1..per_cell by squared
+    L2 distance to the centroid ascending (raw unrounded distances from
+    the shared left-to-right fold, so the order is bit-identical across
+    engines), ties by id; ``dist`` rounded to 6 dp for the output grain.
+
+    Scale shape: one Arrow-batched distance projection at the scan, then
+    ONE shuffle (the per-cell ranking window over thin (id, cell, dist)
+    rows); output is ≤ |cells|·per_cell rows — driver-safe at any corpus
+    size."""
+    if per_cell <= 0:
+        raise ValueError(f"per_cell must be positive, got {per_cell}")
+    C = np.asarray(centroids, dtype=np.float64)
+    dotted = emb.select(
+        F.col(id_col),
+        _sq_dists(F.col(vec_col).cast("array<double>"), C).alias("_d"),
+    ).select(
+        id_col,
+        F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int").alias("cell"),
+        F.array_min(F.col("_d")).alias("_dist"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.asc("_dist"), F.asc(id_col))
+    return (
+        dotted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cell)
+        .select(
+            "cell",
+            F.col("rank").cast("long").alias("rank"),
+            id_col,
+            F.round("_dist", 6).alias("dist"),
+        )
+    )

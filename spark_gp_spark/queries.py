@@ -4708,6 +4708,67 @@ WHERE {h32_sql(f"'tm{_CLUSTER_BALANCE_SEED}_' || vec_id::VARCHAR")} % 10000 < th
 _CLUSTER_BALANCE_SQL = _sql_cluster_balance()
 
 
+_EXEMPLARS_PER_CELL = 3
+
+
+def cluster_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell cluster exemplars (operators/selection.py:
+    cluster_exemplars): the 3 vectors closest to each coarse-quantizer
+    centroid — the medoid-style corpus summary, under the SAME
+    deterministic quantizer as ivf_topk/semdedup_keep/
+    cluster_balance_sample.  Raw-distance ordering is bit-identical across
+    engines (shared left-to-right fold); output ≤ |cells|·3 rows."""
+    from .operators.ivf import train_centroids_from_parquet
+    from .operators.selection import cluster_exemplars as _ce
+
+    cents = train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = _ce(emb, cents, per_cell=_EXEMPLARS_PER_CELL)
+    return out.withColumn("cell", F.col("cell").cast("long"))
+
+
+def _sql_cluster_exemplars() -> str | None:
+    """Oracle for cluster_exemplars at the driver's correctness scale
+    (sf0.01); None (rows-only fallback) when the testdata file is
+    unavailable."""
+    try:
+        from .operators.ivf import train_centroids_from_parquet
+
+        cents = train_centroids_from_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+        )
+    except Exception:
+        return None
+
+    def dist(c) -> str:
+        return "(0.0" + "".join(
+            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
+            for j, v in enumerate(c)
+        ) + ")"
+
+    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ad AS (
+  SELECT vec_id, {ds} AS ds FROM e
+), a AS (
+  SELECT vec_id, list_position(ds, list_min(ds)) AS cell, list_min(ds) AS d FROM ad
+), r AS (
+  SELECT vec_id, cell, d,
+         row_number() OVER (PARTITION BY cell ORDER BY d ASC, vec_id) AS rank
+  FROM a
+)
+SELECT cell::BIGINT AS cell, rank::BIGINT AS rank, vec_id, round(d, 6) AS dist
+FROM r WHERE rank <= {_EXEMPLARS_PER_CELL}
+"""
+
+
+_CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4717,20 +4778,21 @@ _CLUSTER_BALANCE_SQL = _sql_cluster_balance()
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 23 new queries, cosine_topk (its
+# Round-7 window (50 keys exactly): the 24 new queries, cosine_topk (its
 # scoring/ranking blocks were extracted into shared helpers late in r7 —
 # hash-identical, but implementation changed), the 10 queries the round-7
 # diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 16 of the 39
+# artifact-cache eviction + persisted-index refactor), then 15 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 23 r5 entries (first in line for the r8 rotation — code unchanged since
+# 24 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
 QUERIES = {
     # --- new in round 7 (top of the official 50-key window) ---
     "cluster_balance_sample": cluster_balance_sample,
+    "cluster_exemplars": cluster_exemplars,
     "embedding_whiten": embedding_whiten,
     "jl_project": jl_project,
     "gopher_quality_rules": gopher_quality_rules,
@@ -4787,11 +4849,11 @@ QUERIES = {
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
     "event_zorder_key": event_zorder_key,
     "orders_upsert_merge": orders_upsert_merge,
-    "orders_dq_report": orders_dq_report,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 23 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 24 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "orders_dq_report": orders_dq_report,
     "orders_profile": orders_profile,
     "viewers_without_purchase": viewers_without_purchase,
     "event_type_pivot": event_type_pivot,
@@ -4859,6 +4921,11 @@ QUERIES = {
 ORACLE_SQL = {
     "embedding_whiten": _WHITEN_SQL,
     "jl_project": _JL_PROJECT_SQL,
+    **(
+        {"cluster_exemplars": _CLUSTER_EXEMPLARS_SQL}
+        if _CLUSTER_EXEMPLARS_SQL
+        else {}
+    ),
     **(
         {"cluster_balance_sample": _CLUSTER_BALANCE_SQL}
         if _CLUSTER_BALANCE_SQL

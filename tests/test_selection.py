@@ -242,3 +242,45 @@ def test_query_corpus_neardup_foreign_id_space_collision(spark):
     ).collect()
     pairs = {(r.query_id, r.neighbor_id) for r in found}
     assert (7, 7) in pairs
+
+
+def test_cluster_exemplars_are_nearest_to_centroid(spark):
+    """Each cell's exemplars must be its population's true per_cell nearest
+    vectors to the centroid (numpy replay), ranked ascending; output is
+    bounded by |cells| * per_cell."""
+    import numpy as np
+
+    from spark_gp_spark.operators.ivf import train_centroids_from_parquet
+    from spark_gp_spark.operators.selection import cluster_exemplars
+
+    cents = train_centroids_from_parquet(f"{SF}/embeddings.parquet", 16, 5, 4000)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cluster_exemplars(emb, cents, per_cell=2).collect()
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    # numpy replay of assignment + ranking
+    C = np.asarray(cents, dtype=np.float64)
+    byc = {}
+    for vid, v in X.items():
+        d = ((v[None, :] - C) ** 2).sum(axis=1)
+        cell = int(np.argmin(d)) + 1
+        byc.setdefault(cell, []).append((float(d.min()), vid))
+    want = {
+        cell: [vid for _, vid in sorted(rows)[:2]] for cell, rows in byc.items()
+    }
+    got = {}
+    for r in sorted(out, key=lambda r: (r.cell, r.rank)):
+        got.setdefault(r.cell, []).append(r.vec_id)
+        assert 1 <= r.rank <= 2
+    assert got == {c: v for c, v in want.items() if v}
+    assert len(out) <= 16 * 2
+
+
+def test_cluster_exemplars_rejects_bad_per_cell(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from spark_gp_spark.operators.selection import cluster_exemplars
+
+    df = spark.createDataFrame([(0, [0.0, 1.0])], "vec_id bigint, embedding array<double>")
+    with _pytest.raises(ValueError, match="per_cell"):
+        cluster_exemplars(df, np.zeros((2, 2)), per_cell=0)
