@@ -309,6 +309,7 @@ def main() -> None:
         "part_type_revenue",
         "text_stats",
         "gopher_quality_rules",
+        "quality_rule_rates",
         "temperature_mix",
         "embedding_dim_stats",
         "tfidf_top_terms",
@@ -347,6 +348,7 @@ def main() -> None:
         "cluster_balance_sample",
         "cluster_exemplars",
         "embedding_whiten",
+        "embedding_drift",
         "jl_project",
         "embedding_quantize",
         "asof_purchases_views",

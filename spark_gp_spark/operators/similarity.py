@@ -438,3 +438,51 @@ def jl_project(
             "projected"
         ),
     )
+
+
+def embedding_drift_report(
+    base: DataFrame,
+    cand: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension drift between a BASELINE and a CANDIDATE embedding
+    corpus (two snapshots, two encoder versions, or two shards): joins the
+    two ``embedding_dim_stats`` passes on the dimension index and reports
+    the standardized mean shift — shift = (mean_b − mean_a) / pooled_std,
+    pooled_std = sqrt((std_a² + std_b²)/2).  |shift| ≳ 0.1 on any dimension
+    is the "re-check your encoder / re-train your quantizer" alarm that
+    should fire BEFORE recall metrics move; dimensions constant in both
+    slices report 0.
+
+    Output: (pos, mean_a, std_a, mean_b, std_b, shift), one row per
+    dimension, every float at the 6-dp engine-portable grain.  All
+    arithmetic after the 6-dp stats is single-operation IEEE (multiply,
+    add, halve, sqrt, divide — each exactly rounded), so the report is
+    bit-identical across engines.
+
+    Scale shape: two independent stats passes (posexplode, map-side
+    combined, ≤ dim keys each) and one ≤ dim-row join — corpus size only
+    affects the scan."""
+    a = embedding_dim_stats(base, vec_col).select(
+        "pos", F.col("mean").alias("mean_a"), F.col("std").alias("std_a")
+    )
+    b = embedding_dim_stats(cand, vec_col).select(
+        "pos", F.col("mean").alias("mean_b"), F.col("std").alias("std_b")
+    )
+    pooled = F.sqrt(
+        (F.col("std_a") * F.col("std_a") + F.col("std_b") * F.col("std_b"))
+        / F.lit(2)
+    )
+    return a.join(b, "pos").select(
+        "pos",
+        "mean_a",
+        "std_a",
+        "mean_b",
+        "std_b",
+        F.when(
+            pooled > 0,
+            F.round((F.col("mean_b") - F.col("mean_a")) / pooled, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shift"),
+    )

@@ -698,6 +698,7 @@ def gopher_rules(
     min_stopword_hits: int = 2,
     max_ellipsis_line_ratio: float = 0.3,
     max_dup_line_ratio: float = 0.3,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style repetition/quality rule filter (Rae et al. 2021,
     arXiv:2112.11446 §A1.1): one boolean flag per published rule plus the
@@ -726,6 +727,7 @@ def gopher_rules(
     words = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     staged = df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.col(text_col).alias("_text"),
         tokens(F.col(text_col)).alias("_toks"),
         F.filter(
@@ -773,6 +775,7 @@ def gopher_rules(
         keep = c if keep is None else (keep & c)
     return staged.select(
         id_col,
+        *extra_cols,
         n_tok.cast("long").alias("n_tokens"),
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),

@@ -4489,16 +4489,21 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOPHER_STOPWORDS = ",".join(f"'{w}'" for w in T.STOPWORDS["en"])
 
-_GOPHER_RULES_SQL = f"""
+
+def _sql_gopher_rules(extra: str = "") -> str:
+    """The Gopher-rule flag relation as SQL; ``extra`` threads additional
+    grouping columns (e.g. ``", lang"``) through the CTE chain for audit
+    rollups."""
+    return f"""
 WITH tok AS (
-  SELECT doc_id, text, {_SQL_TOKENS} AS toks,
+  SELECT doc_id{extra}, text, {_SQL_TOKENS} AS toks,
          list_filter(
            list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)),
            l -> l <> ''
          ) AS lines
   FROM documents
 ), m AS (
-  SELECT doc_id,
+  SELECT doc_id{extra},
          len(toks) AS n_tok, len(lines) AS n_lines,
          coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::DOUBLE
            / greatest(len(toks), 1) AS mwl,
@@ -4510,7 +4515,7 @@ WITH tok AS (
          len(lines) - len(list_distinct(lines)) AS dup_lines
   FROM tok
 ), flags AS (
-  SELECT doc_id, n_tok::BIGINT AS n_tokens,
+  SELECT doc_id{extra}, n_tok::BIGINT AS n_tokens,
          (n_tok >= 20 AND n_tok <= 50000) AS len_ok,
          (mwl >= 3.0 AND mwl <= 10.0) AS mwl_ok,
          ((n_hash + n_ellipsis)::DOUBLE / greatest(n_tok, 1) <= 0.1) AS symbol_ok,
@@ -4524,6 +4529,40 @@ SELECT *,
        (len_ok AND mwl_ok AND symbol_ok AND alpha_word_ok AND stopword_ok
         AND ellipsis_ok AND dup_line_ok) AS keep
 FROM flags
+"""
+
+
+_GOPHER_RULES_SQL = _sql_gopher_rules()
+
+_GOPHER_FLAG_NAMES = (
+    "len_ok", "mwl_ok", "symbol_ok", "alpha_word_ok",
+    "stopword_ok", "ellipsis_ok", "dup_line_ok", "keep",
+)
+
+
+def quality_rule_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gopher-rule pass rates (operators/text.py: gopher_rules
+    with the lang column threaded through) — the audit rollup a curation
+    dashboard shows: for each language, document count and the fraction
+    passing each published rule plus the conjunction.  avg over 0/1 ints is
+    one exactly-rounded division in both engines, so the rates hash-match.
+    Zero-shuffle flags projection + one ≤ |langs|-key aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = T.gopher_rules(docs, min_tokens=20, extra_cols=("lang",))
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.round(F.avg(F.col(r).cast("int")), 6).alias(f"{r}_rate")
+            for r in _GOPHER_FLAG_NAMES
+        ],
+    )
+
+
+_RULE_RATES_SQL = f"""
+WITH flagged AS ({_sql_gopher_rules(", lang")})
+SELECT lang, count(*)::BIGINT AS n_docs,
+       {", ".join(f"round(avg({r}::INT), 6) AS {r}_rate" for r in _GOPHER_FLAG_NAMES)}
+FROM flagged GROUP BY lang
 """
 
 
@@ -4604,6 +4643,38 @@ SELECT vec_id, (i - 1)::INTEGER AS pos,
             ELSE 0.0 END AS w
 FROM embeddings CROSS JOIN arrs
      CROSS JOIN (SELECT unnest(range(1, {_EMB_DIM} + 1)) AS i)
+"""
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift report (operators/similarity.py:
+    embedding_drift_report) between the even- and odd-id halves of the
+    embedding corpus — two stats passes joined on the dimension index,
+    standardized mean shift per dimension.  All arithmetic after the 6-dp
+    stats is single-operation IEEE, so the report hash-matches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    cand = emb.filter(F.col("vec_id") % 2 == 1)
+    return S.embedding_drift_report(base, cand)
+
+
+_DRIFT_SQL = f"""
+WITH s AS (
+  SELECT (vec_id % 2 = 0) AS is_base, i AS pos,
+         round(avg(embedding[i + 1]::DOUBLE), 6) AS mean,
+         round(stddev_samp(embedding[i + 1]::DOUBLE), 6) AS std
+  FROM embeddings CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS i)
+  GROUP BY 1, 2
+), a AS (
+  SELECT pos, mean AS mean_a, std AS std_a FROM s WHERE is_base
+), b AS (
+  SELECT pos, mean AS mean_b, std AS std_b FROM s WHERE NOT is_base
+)
+SELECT pos::INTEGER AS pos, mean_a, std_a, mean_b, std_b,
+       CASE WHEN sqrt((std_a*std_a + std_b*std_b) / 2) > 0
+            THEN round((mean_b - mean_a) / sqrt((std_a*std_a + std_b*std_b) / 2), 6)
+            ELSE 0.0 END AS shift
+FROM a JOIN b USING (pos)
 """
 
 
@@ -4778,14 +4849,14 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # reaffirmed r6): any query whose implementation changed since its last
 # official row — plus anything new — must sit inside that window; the
 # remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 24 new queries, cosine_topk (its
+# Round-7 window (50 keys exactly): the 26 new queries, cosine_topk (its
 # scoring/ranking blocks were extracted into shared helpers late in r7 —
 # hash-identical, but implementation changed), the 10 queries the round-7
 # diff touched (streaming-neardup state schema + TTL derivation,
 # derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 15 of the 39
+# artifact-cache eviction + persisted-index refactor), then 13 of the 39
 # entries whose last official row is r5.  Below the window: the remaining
-# 24 r5 entries (first in line for the r8 rotation — code unchanged since
+# 26 r5 entries (first in line for the r8 rotation — code unchanged since
 # their last green row) and the entries officially green in
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
@@ -4794,7 +4865,9 @@ QUERIES = {
     "cluster_balance_sample": cluster_balance_sample,
     "cluster_exemplars": cluster_exemplars,
     "embedding_whiten": embedding_whiten,
+    "embedding_drift": embedding_drift,
     "jl_project": jl_project,
+    "quality_rule_rates": quality_rule_rates,
     "gopher_quality_rules": gopher_quality_rules,
     "temperature_mix": temperature_mix,
     "embedding_dim_stats": embedding_dim_stats,
@@ -4847,12 +4920,12 @@ QUERIES = {
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    "event_zorder_key": event_zorder_key,
-    "orders_upsert_merge": orders_upsert_merge,
     # ================= below the 50-key official window =================
     # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 24 r5-last-green
+    #  pytest-gated — on code unchanged this round; the 26 r5-last-green
     #  entries listed first rotate into the r8 window)
+    "event_zorder_key": event_zorder_key,
+    "orders_upsert_merge": orders_upsert_merge,
     "orders_dq_report": orders_dq_report,
     "orders_profile": orders_profile,
     "viewers_without_purchase": viewers_without_purchase,
@@ -4920,7 +4993,9 @@ QUERIES = {
 
 ORACLE_SQL = {
     "embedding_whiten": _WHITEN_SQL,
+    "embedding_drift": _DRIFT_SQL,
     "jl_project": _JL_PROJECT_SQL,
+    "quality_rule_rates": _RULE_RATES_SQL,
     **(
         {"cluster_exemplars": _CLUSTER_EXEMPLARS_SQL}
         if _CLUSTER_EXEMPLARS_SQL

@@ -193,3 +193,58 @@ def test_cluster_balance_sample_flattens_cells(spark):
     for cell, k in kept.items():
         expected = n[cell] * np.sqrt(n_min / n[cell])
         assert abs(k - expected) <= max(5, 0.35 * expected), (cell, k, expected)
+
+
+def test_embedding_drift_report_flags_shifted_dimension(spark):
+    """Candidate = baseline shifted by +5 std on dim 0 only: the report
+    must show |shift| ~ 5 there and ~0 elsewhere; a dimension constant in
+    both slices reports exactly 0."""
+    from spark_gp_spark.operators.similarity import embedding_drift_report
+
+    rng = np.random.default_rng(21)
+    A = rng.normal(size=(300, 8))
+    B = rng.normal(size=(300, 8))
+    B[:, 0] += 5.0
+    A[:, 7] = 2.5  # constant in both
+    B[:, 7] = 2.5
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in A[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cand = spark.createDataFrame(
+        [(i, [float(x) for x in B[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.pos: r for r in embedding_drift_report(base, cand).collect()}
+    assert len(got) == 8
+    assert abs(got[0].shift - 5.0) < 0.5
+    for pos in range(1, 7):
+        assert abs(got[pos].shift) < 0.3, (pos, got[pos].shift)
+    assert got[7].shift == 0.0 and got[7].std_a == 0.0
+
+
+def test_quality_rule_rates_match_flag_means(spark):
+    from conftest import SF_DIR as _SF
+
+    from spark_gp_spark.operators.text import gopher_rules
+
+    from spark_gp_spark.queries import quality_rule_rates, _GOPHER_FLAG_NAMES
+
+    docs = spark.read.parquet(f"{_SF}/documents.parquet")
+    rates = {r.lang: r for r in quality_rule_rates(spark, _SF).collect()}
+    flags = gopher_rules(docs, min_tokens=20, extra_cols=("lang",)).collect()
+    byl = {}
+    for r in flags:
+        byl.setdefault(r.lang, []).append(r)
+    assert sum(r.n_docs for r in rates.values()) == len(flags)
+    for lang, rows in byl.items():
+        got = rates[lang]
+        assert got.n_docs == len(rows)
+        for f in _GOPHER_FLAG_NAMES:
+            want = round(sum(1 for r in rows if r[f]) / len(rows), 6)
+            assert abs(got[f + "_rate"] - want) < 1e-9, (lang, f)
+        # the conjunction can never pass more often than any single rule
+        assert all(
+            got.keep_rate <= got[f + "_rate"] + 1e-12
+            for f in _GOPHER_FLAG_NAMES[:-1]
+        )
