@@ -281,14 +281,27 @@ def _sq_dists(vec: Column, centroids: np.ndarray) -> Column:
 
 
 def ivf_assign_frame(
-    df: DataFrame, id_expr: Column, vec_expr: Column, centroids: np.ndarray, id_name: str
+    df: DataFrame,
+    id_expr: Column,
+    vec_expr: Column,
+    centroids: np.ndarray,
+    id_name: str,
+    dist_col: str | None = None,
 ) -> DataFrame:
-    """(id, cell) relation: nearest centroid per row (1-based, first-min ties)."""
+    """(id, cell[, dist]) relation: nearest centroid per row (1-based,
+    first-min ties); ``dist_col`` additionally emits the raw squared L2
+    distance to that centroid — THE assignment expression every
+    centroid-cell consumer shares (IVF probing, SemDeDup,
+    cluster_balance_sample, cluster_exemplars), so tie-break or dtype
+    changes can never de-synchronize cell ids between them."""
     dotted = df.select(id_expr.alias(id_name), _sq_dists(vec_expr, centroids).alias("_d"))
-    return dotted.select(
-        id_name,
+    cols = [
+        F.col(id_name),
         F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int").alias("cell"),
-    )
+    ]
+    if dist_col is not None:
+        cols.append(F.array_min(F.col("_d")).alias(dist_col))
+    return dotted.select(*cols)
 
 
 def ivf_probe_frame(

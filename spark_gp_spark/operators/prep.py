@@ -435,7 +435,11 @@ def pack_sequences(
     they attach to the window of the token that precedes them in pack
     order.  (Giving them a phantom 1-token extent instead would let an
     empty doc landing on the final seq_len boundary claim a window one
-    PAST the last real one — an index no loader can materialize.)
+    PAST the last real one — an index no loader can materialize.)  The one
+    remaining degenerate case is a corpus with ZERO tokens anywhere: every
+    doc then addresses window 0 of a corpus that has no windows — vacuous
+    by construction (there is nothing to load), not resolvable by any
+    address scheme.
 
     Scale shape: the same bucketed distributed prefix sum as
     token_budget_fill (no single-task global window); everything after the

@@ -283,7 +283,10 @@ def hard_negatives(
         .filter(
             ~(
                 F.coalesce(F.col("_cand"), F.lit(False))
-                & (F.col("cosine") >= F.lit(threshold))
+                # NULL cosine (a zero-norm vector) is NOT >= threshold — the
+                # coalesce keeps the three-valued logic from silently
+                # dropping LSH-colliding rows the anti-join form kept
+                & F.coalesce(F.col("cosine") >= F.lit(threshold), F.lit(False))
             )
         )
         .drop("_cand")
@@ -363,14 +366,15 @@ def cluster_exemplars(
     size."""
     if per_cell <= 0:
         raise ValueError(f"per_cell must be positive, got {per_cell}")
-    C = np.asarray(centroids, dtype=np.float64)
-    dotted = emb.select(
+    from .ivf import ivf_assign_frame
+
+    dotted = ivf_assign_frame(
+        emb,
         F.col(id_col),
-        _sq_dists(F.col(vec_col).cast("array<double>"), C).alias("_d"),
-    ).select(
+        F.col(vec_col).cast("array<double>"),
+        np.asarray(centroids, dtype=np.float64),
         id_col,
-        F.array_position(F.col("_d"), F.array_min(F.col("_d"))).cast("int").alias("cell"),
-        F.array_min(F.col("_d")).alias("_dist"),
+        dist_col="_dist",
     )
     w = Window.partitionBy("cell").orderBy(F.asc("_dist"), F.asc(id_col))
     return (

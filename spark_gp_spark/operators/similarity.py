@@ -383,11 +383,13 @@ def embedding_whiten(
 
 
 def _jl_project_udf(planes: np.ndarray):
-    """Arrow-batched pandas UDF: per input vector, its projection onto the
-    ``planes`` rows, 6-dp-rounded.  Same left-to-right dimension-axis
-    accumulation as ``_bucket_udf`` (the SQL oracle's unrolled
-    ``0.0 + v[1]*p1 + …`` association), so every projected value is
-    bit-identical across engines."""
+    """Arrow-batched pandas UDF: per input vector, its RAW projection onto
+    the ``planes`` rows.  Same left-to-right dimension-axis accumulation as
+    ``_bucket_udf`` (the SQL oracle's unrolled ``0.0 + v[1]*p1 + …``
+    association), so every projected value is bit-identical across engines.
+    Rounding happens OUTSIDE, via F.round — np.round ties-to-even while
+    F.round/DuckDB round tie half-away, and the gate compares the rounded
+    values."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     P = np.asarray(planes, dtype=np.float64)  # (m, d)
@@ -398,7 +400,7 @@ def _jl_project_udf(planes: np.ndarray):
         acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
         for j in range(P.shape[1]):                           # left-to-right
             acc = acc + X[:, j, None] * P[None, :, j]
-        return pd.Series(list(np.round(acc, 6)))
+        return pd.Series(list(acc))
 
     return proj
 
@@ -432,11 +434,12 @@ def jl_project(
         raise ValueError(f"out_dim must be positive, got {out_dim}")
     dim = dim if dim is not None else _vector_dim(df, vec_col)
     planes = random_hyperplanes(dim, out_dim, seed)
+    raw = _jl_project_udf(planes)(F.col(vec_col).cast("array<double>"))
+    # round JVM-side: F.round ties half-away like the DuckDB oracle's
+    # round(); np.round would tie to even and hash-mismatch on exact halves
     return df.select(
         id_col,
-        _jl_project_udf(planes)(F.col(vec_col).cast("array<double>")).alias(
-            "projected"
-        ),
+        F.transform(raw, lambda x: F.round(x, 6)).alias("projected"),
     )
 
 

@@ -1533,10 +1533,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _sql_ivf_topk() -> str | None:
-    """Oracle for ivf_topk at the driver's correctness scale factor (sf0.01).
-    Returns None when the testdata file is unavailable (the query then gets
-    the weaker rows-only check)."""
+def _sql_centroid_dists() -> str | None:
+    """Baked ``[(0.0 + (v[1]-c)*(v[1]-c) + …), …]`` squared-distance array
+    literal over the sf0.01 coarse quantizer (_IVF_K/_IVF_SEED/_IVF_SAMPLE)
+    — THE parity-critical left-to-right fold shared by every centroid-cell
+    oracle (ivf_topk, semdedup_keep, cluster_balance_sample,
+    cluster_exemplars); one definition so a fold-order or baking fix can
+    never de-synchronize a subset of them.  None when the testdata file is
+    unavailable (callers fall back to the weaker rows-only check).  The
+    trainer is process-cached per file fingerprint, so the four import-time
+    callers pay one training pass."""
     try:
         from .operators.ivf import train_centroids_from_parquet
 
@@ -1552,7 +1558,16 @@ def _sql_ivf_topk() -> str | None:
             for j, v in enumerate(c)
         ) + ")"
 
-    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
+    return "[" + ", ".join(dist(c) for c in cents) + "]"
+
+
+def _sql_ivf_topk() -> str | None:
+    """Oracle for ivf_topk at the driver's correctness scale factor (sf0.01).
+    Returns None when the testdata file is unavailable (the query then gets
+    the weaker rows-only check)."""
+    ds = _sql_centroid_dists()
+    if ds is None:
+        return None
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -2448,22 +2463,9 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_semdedup_keep() -> str | None:
     """Oracle for semdedup_keep at the driver's correctness scale (sf0.01);
     None (rows-only fallback) when the testdata file is unavailable."""
-    try:
-        from .operators.ivf import train_centroids_from_parquet
-
-        cents = train_centroids_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
-        )
-    except Exception:
+    ds = _sql_centroid_dists()
+    if ds is None:
         return None
-
-    def dist(c) -> str:
-        return "(0.0" + "".join(
-            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
-            for j, v in enumerate(c)
-        ) + ")"
-
-    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4739,22 +4741,9 @@ def _sql_cluster_balance() -> str | None:
     """Oracle for cluster_balance_sample at the driver's correctness scale
     (sf0.01); None (rows-only fallback) when the testdata file is
     unavailable."""
-    try:
-        from .operators.ivf import train_centroids_from_parquet
-
-        cents = train_centroids_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
-        )
-    except Exception:
+    ds = _sql_centroid_dists()
+    if ds is None:
         return None
-
-    def dist(c) -> str:
-        return "(0.0" + "".join(
-            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
-            for j, v in enumerate(c)
-        ) + ")"
-
-    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4804,22 +4793,9 @@ def _sql_cluster_exemplars() -> str | None:
     """Oracle for cluster_exemplars at the driver's correctness scale
     (sf0.01); None (rows-only fallback) when the testdata file is
     unavailable."""
-    try:
-        from .operators.ivf import train_centroids_from_parquet
-
-        cents = train_centroids_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
-        )
-    except Exception:
+    ds = _sql_centroid_dists()
+    if ds is None:
         return None
-
-    def dist(c) -> str:
-        return "(0.0" + "".join(
-            f" + (v[{j + 1}]-({float(v)!r}))*(v[{j + 1}]-({float(v)!r}))"
-            for j, v in enumerate(c)
-        ) + ")"
-
-    ds = "[" + ", ".join(dist(c) for c in cents) + "]"
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

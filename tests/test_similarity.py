@@ -249,7 +249,9 @@ def test_jl_project_preserves_planted_neighbor(spark):
         acc = np.zeros(16)
         for j in range(64):                     # replay the UDF's fold order
             acc = acc + vecs[i, j] * P[:, j]
-        assert np.array_equal(got[i], np.round(acc, 6)), i
+        # F.round ties half-away (np.round ties to even) — compare at the
+        # 6-dp grain instead of replaying the engine's tie-break
+        assert np.abs(got[i] - acc).max() <= 5.01e-7, i
     # nearest neighbor of anchor 0 in projected space is still the twin
     proj = np.vstack([got[i] for i in range(len(vecs))])
     proj = proj / np.linalg.norm(proj, axis=1, keepdims=True)
