@@ -344,3 +344,47 @@ def test_query_corpus_neardup_broadcasts_candidates(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_balance_and_exemplars_plan_shapes(spark):
+    """cluster_balance_sample: the corpus reaches the keep predicate through
+    a broadcast join of the tiny threshold table — no sort-merge join, no
+    cartesian.  cluster_exemplars: one Arrow distance projection + the
+    per-cell ranking window — no joins at all."""
+    from spark_gp_spark.queries import cluster_balance_sample, cluster_exemplars
+
+    plan = _plan(cluster_balance_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(cluster_exemplars(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_embedding_drift_and_whiten_plan_shapes(spark):
+    """embedding_drift: two <= dim-key stats aggregates joined on pos —
+    the corpus itself only feeds posexplode scans, never a join side
+    keyed by row.  embedding_whiten: the stats row reaches the corpus
+    through a broadcast nested-loop (single-row cross join) — no
+    sort-merge, no corpus hash-join."""
+    from spark_gp_spark.queries import embedding_drift, embedding_whiten
+
+    plan = _plan(embedding_drift(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan  # pure JVM path
+
+    plan = _plan(embedding_whiten(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_rule_rates_single_aggregate_over_projection(spark):
+    """The rates rollup must stay: zero-shuffle flags projection feeding
+    ONE hash aggregate over <= |langs| keys — no joins anywhere."""
+    from spark_gp_spark.queries import quality_rule_rates
+
+    plan = _plan(quality_rule_rates(spark, SF))
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
