@@ -508,11 +508,48 @@ def main() -> None:
         k: round(v * (pandas_factor if k in PANDAS_FAMILY else jvm_factor), 2)
         for k, v in timings.items()
     }
+    # ---- recall@5 of every approximate ANN entry vs the exact baseline —
+    # UNTIMED (quality metric, not cost), so the speed numbers above always
+    # travel with the recall they buy.  Two grains: "strict" counts ALL
+    # exact top-5 pairs — on this near-Gaussian fixture most of those are
+    # rank noise between equally-irrelevant neighbors (cosine ~ 0) that no
+    # sublinear method can or should reproduce, so strict recall is
+    # information-theoretically low for everything except the exact scan.
+    # "strong" restricts the baseline to pairs with cosine >= 0.3 — the
+    # neighbors with actual signal, the ones a dedup/retrieval pipeline
+    # exists to find (the planted-duplicate pytest gates are the >= 0.9
+    # extreme of the same idea).
+    exact_rows = QUERIES["cosine_topk"](spark, SF_DIR).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    strong_pairs = {
+        (r.query_id, r.neighbor_id) for r in exact_rows if r.cosine >= 0.3
+    }
+    spark.catalog.clearCache()
+    recall = {}
+    for name in (
+        "lsh_topk",
+        "ivf_topk",
+        "pq_topk",
+        "opq_topk",
+        "ivfadc_topk",
+        "ivfadc_topk_codes",
+    ):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in QUERIES[name](spark, SF_DIR).collect()
+        }
+        recall[name] = {
+            "strict": round(len(got & exact_pairs) / max(len(exact_pairs), 1), 4),
+            "strong": round(len(got & strong_pairs) / max(len(strong_pairs), 1), 4),
+        }
+        spark.catalog.clearCache()
+
     result = {
         "metric": "headline query suite + distributed GPR fit (100k rows)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "recall_at_5": recall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": calibration,
         "normalization": normalization,
