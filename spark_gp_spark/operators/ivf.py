@@ -46,6 +46,50 @@ def sample_hash_np(ids: np.ndarray) -> np.ndarray:
     return (np.asarray(ids, dtype=np.int64) & _HASH_MASK) * _HASH_MULT & _HASH_MASK
 
 
+def parquet_num_rows(path: str) -> int:
+    """Corpus row count from parquet METADATA — no scan; the input every
+    auto-sizing rule keys on (cached per file fingerprint)."""
+    key = ("num_rows", path, _file_fingerprint(path))
+
+    def build() -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+
+    return _cached_artifact(key, build)
+
+
+def auto_ivf_params(n: int) -> dict:
+    """Corpus-size-derived IVF parameters — the 100 TB sizing rule promoted
+    from a bench experiment (BENCH_local_r7.json `ann_param_scaling`) to the
+    operator default after frozen small-corpus constants were measured
+    returning 7-59% of true neighbors at 4× the tuning corpus:
+
+    - ``cells`` ≈ √N (FAISS's guideline for IVF list count: balances the
+      probe scan ≈ nprobe·N/cells against the centroid scan ≈ cells),
+      floored at 16 so tiny corpora keep a meaningful inverted file;
+    - ``nprobe`` ≈ cells/4, floored at 4 — a ~25% probed fraction, the
+      recall/cost point the frozen configuration was tuned at, kept while
+      cells scale as √N.  This fraction is calibrated to the benchmark's
+      near-isotropic SYNTHETIC embeddings — the worst case for inverted
+      files, where true neighbors spread across many cells; real clustered
+      embedding corpora reach the same recall at a far smaller fraction,
+      and ``nprobe`` stays the caller's recall/cost dial;
+    - ``sample_rows`` = max(4000, 40·cells) training rows (≥40 points per
+      centroid, the k-means stability floor), so the trainer sample grows
+      with the index instead of starving √N centroids at scale.
+
+    Every quantity is a pure function of N, so a DuckDB oracle reading the
+    same parquet metadata derives the identical configuration."""
+    cells = max(16, int(round(n ** 0.5)))
+    nprobe = max(4, int(round(cells / 4)))
+    return {
+        "cells": cells,
+        "nprobe": nprobe,
+        "sample_rows": max(4000, 40 * cells),
+    }
+
+
 def _file_fingerprint(path: str) -> tuple:
     import os
 
@@ -151,21 +195,30 @@ def _hash_sample_vectors_scan(
 
 
 def train_centroids_from_parquet(
-    path: str, n_centroids: int = 16, seed: int = 5, sample_rows: int = 4000,
-    vec_col: str = "embedding",
+    path: str, n_centroids: int | None = None, seed: int = 5,
+    sample_rows: int | None = None, vec_col: str = "embedding",
 ) -> np.ndarray:
     """Driver-side coarse quantizer: k-means over a deterministic
     hash-sample of a parquet file via pyarrow + numpy (no Spark job — the
     sample is tiny and the result must be reproducible OUTSIDE Spark so the
     correctness oracle can derive the identical centroids; see
     ``hash_sample_vectors`` for why the sample is hash-selected rather than
-    a file-head slice).  Trained once per (file fingerprint, params) per
+    a file-head slice).  ``n_centroids=None`` / ``sample_rows=None``
+    auto-size from the corpus row count (``auto_ivf_params`` — cells ≈ √N,
+    sample ≥ 40/centroid), the default every caller without a pinned-oracle
+    contract should take: frozen small-corpus constants were measured
+    returning a fraction of true neighbors at 4× their tuning corpus
+    (VERDICT r7 #1).  Trained once per (file fingerprint, params) per
     process (_ANN_ARTIFACT_CACHE) and persistable via
     operators/ann_index.py for cross-process reuse.  Production-scale users
     with evolving corpora can instead pass centroids from pyspark.ml
     KMeans; the operator only needs the (k, d) array."""
     from ..active_set import _local_kmeans
 
+    if n_centroids is None or sample_rows is None:
+        auto = auto_ivf_params(parquet_num_rows(path))
+        n_centroids = auto["cells"] if n_centroids is None else n_centroids
+        sample_rows = auto["sample_rows"] if sample_rows is None else sample_rows
     key = ("centroids", path, _file_fingerprint(path), n_centroids, seed,
            sample_rows, vec_col)
     return _cached_artifact(
@@ -333,16 +386,23 @@ def ivf_topk(
     queries: DataFrame,
     centroids: np.ndarray,
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate top-k neighbours through the IVF index.
 
+    ``nprobe=None`` auto-sizes to ≈ len(centroids)/4 (floor 4) — the
+    probed fraction ``auto_ivf_params`` pairs with √N cells, so an index
+    built with auto defaults probes the recall-recovering fraction instead
+    of a small-corpus constant.
+
     Output: (query_id, neighbor_id, cosine, rank) like cosine_topk /
     lsh_bucketed_topk; recall is measured against the exact baseline in
     tests/test_similarity.py.
     """
+    if nprobe is None:
+        nprobe = max(4, int(round(len(centroids) / 4)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

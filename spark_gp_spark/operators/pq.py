@@ -38,22 +38,44 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def auto_pq_params(n: int) -> dict:
+    """Corpus-size-derived PQ parameters, paired with ``ivf.auto_ivf_params``
+    (same 100 TB auto-sizing promotion — VERDICT r7 #1): ``k`` centroids per
+    subspace grow with the effective training sample (≥40 points per
+    centroid, capped at 256 = one byte per code), instead of freezing the
+    16-centroid codebook a 500-row tuning corpus could support.  ``m`` stays
+    a caller choice (it divides the vector width).  Pure function of N —
+    oracle-derivable from parquet metadata."""
+    from .ivf import auto_ivf_params
+
+    sample_rows = auto_ivf_params(n)["sample_rows"]
+    return {
+        "k": int(min(256, max(16, min(n, sample_rows) // 40))),
+        "sample_rows": sample_rows,
+    }
+
+
 def train_pq_codebooks_from_parquet(
     path: str,
     m: int = 8,
-    k: int = 16,
+    k: int | None = None,
     seed: int = 5,
-    sample_rows: int = 4000,
+    sample_rows: int | None = None,
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """(m, k, d/m) codebooks: driver-side k-means per subspace over a
     deterministic hash-sample of a parquet file (pyarrow + numpy, no Spark
     job — must be reproducible outside Spark for the correctness oracle;
     see ivf.hash_sample_vectors for the pushed-down unbiased sampling).
-    Trained once per (file fingerprint, params) per process; persistable
-    via operators/ann_index.py."""
-    from .ivf import _cached_artifact, _file_fingerprint, hash_sample_vectors
+    ``k=None`` / ``sample_rows=None`` auto-size from the corpus row count
+    (``auto_pq_params``).  Trained once per (file fingerprint, params) per
+    process; persistable via operators/ann_index.py."""
+    from .ivf import _cached_artifact, _file_fingerprint, hash_sample_vectors, parquet_num_rows
 
+    if k is None or sample_rows is None:
+        auto = auto_pq_params(parquet_num_rows(path))
+        k = auto["k"] if k is None else k
+        sample_rows = auto["sample_rows"] if sample_rows is None else sample_rows
     key = ("pq_books", path, _file_fingerprint(path), m, k, seed, sample_rows, vec_col)
     return _cached_artifact(
         key,
@@ -114,9 +136,9 @@ def train_pq_codebooks_residual_from_parquet(
     path: str,
     centroids: np.ndarray,
     m: int = 8,
-    k: int = 16,
+    k: int | None = None,
     seed: int = 5,
-    sample_rows: int = 4000,
+    sample_rows: int | None = None,
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """(m, k, d/m) codebooks over RESIDUALS (vector − assigned coarse
@@ -125,10 +147,15 @@ def train_pq_codebooks_residual_from_parquet(
     so the same k centroids per subspace cover them far more densely than
     they cover raw vectors.  Same deterministic hash-sample as the raw
     trainer; reproducible outside Spark for the correctness oracle.
-    Trained once per (file fingerprint, params, centroids) per process;
-    persistable via operators/ann_index.py."""
-    from .ivf import _cached_artifact, _file_fingerprint, hash_sample_vectors
+    ``k=None`` / ``sample_rows=None`` auto-size from the corpus row count
+    (``auto_pq_params``).  Trained once per (file fingerprint, params,
+    centroids) per process; persistable via operators/ann_index.py."""
+    from .ivf import _cached_artifact, _file_fingerprint, hash_sample_vectors, parquet_num_rows
 
+    if k is None or sample_rows is None:
+        auto = auto_pq_params(parquet_num_rows(path))
+        k = auto["k"] if k is None else k
+        sample_rows = auto["sample_rows"] if sample_rows is None else sample_rows
     C = np.asarray(centroids, dtype=np.float64)
 
     def build() -> np.ndarray:
@@ -459,6 +486,60 @@ def ivfadc_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return _adc_rank(scored, m, k)
+
+
+def exact_rerank(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist — the FAISS ``refine`` step
+    (IndexRefineFlat): the compressed-domain scan keeps its sublinear cost,
+    but the final ordering comes from true vectors, so top-k recall is
+    bounded by shortlist membership instead of PQ quantization error.  This
+    is what makes an auto-sized IVFADC usable at scale: ADC retrieves a
+    shortlist of R ≫ k candidates per query, and only those Q·R rows ever
+    touch a float vector again.
+
+    Spark shape: the shortlist (Q·R rows, bounded by the fixed query set)
+    broadcasts into one semi-join against the vector relation — a single
+    corpus scan, no shuffle of the corpus; query vectors broadcast
+    likewise.  Scoring/rounding/ranking reuse the exact contract of
+    ``similarity.cosine_topk`` (round 6 dp, rank by (cosine DESC, id)) so
+    the DuckDB oracle replays it bit-for-bit.
+
+    ``shortlist``: (query_id, neighbor_id) — e.g. ivfadc_topk output at
+    k=R.  ``vectors``: (id, vec) relation covering both sides.  Output:
+    (query_id, neighbor_id, cosine, rank) with rank ≤ k."""
+    from .similarity import norm, paired_cosine
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_n", norm(F.col("_v")))
+    q = v.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("qv"),
+        F.col("_n").alias("qn"),
+    )
+    c = v.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("cv"),
+        F.col("_n").alias("cn"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 # ---------------------------------------------------------------------------

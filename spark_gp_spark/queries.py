@@ -1533,9 +1533,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _sql_centroid_dists() -> str | None:
+def _sql_centroid_dists(
+    cells: int | None = None, sample: int | None = None
+) -> str | None:
     """Baked ``[(0.0 + (v[1]-c)*(v[1]-c) + …), …]`` squared-distance array
-    literal over the sf0.01 coarse quantizer (_IVF_K/_IVF_SEED/_IVF_SAMPLE)
+    literal over the sf0.01 coarse quantizer (_IVF_K/_IVF_SEED/_IVF_SAMPLE
+    by default; the auto-sized oracles pass their derived cells/sample)
     — THE parity-critical left-to-right fold shared by every centroid-cell
     oracle (ivf_topk, semdedup_keep, cluster_balance_sample,
     cluster_exemplars); one definition so a fold-order or baking fix can
@@ -1547,7 +1550,10 @@ def _sql_centroid_dists() -> str | None:
         from .operators.ivf import train_centroids_from_parquet
 
         cents = train_centroids_from_parquet(
-            "/root/testdata/sf0.01/embeddings.parquet", _IVF_K, _IVF_SEED, _IVF_SAMPLE
+            "/root/testdata/sf0.01/embeddings.parquet",
+            _IVF_K if cells is None else cells,
+            _IVF_SEED,
+            _IVF_SAMPLE if sample is None else sample,
         )
     except Exception:
         return None
@@ -1561,11 +1567,14 @@ def _sql_centroid_dists() -> str | None:
     return "[" + ", ".join(dist(c) for c in cents) + "]"
 
 
-def _sql_ivf_topk() -> str | None:
-    """Oracle for ivf_topk at the driver's correctness scale factor (sf0.01).
-    Returns None when the testdata file is unavailable (the query then gets
-    the weaker rows-only check)."""
-    ds = _sql_centroid_dists()
+def _sql_ivf_topk(
+    cells: int = _IVF_K, nprobe: int = _IVF_NPROBE, sample: int | None = None
+) -> str | None:
+    """Oracle for ivf_topk at the driver's correctness scale factor (sf0.01),
+    parameterized so the auto-sized entry bakes ITS derived configuration
+    through the identical CTE chain.  Returns None when the testdata file
+    is unavailable (the query then gets the weaker rows-only check)."""
+    ds = _sql_centroid_dists(cells, sample)
     if ds is None:
         return None
     return f"""
@@ -1578,8 +1587,8 @@ WITH e AS (
 ), qb AS (
   SELECT vec_id AS query_id,
          unnest(list_transform(
-           list_sort(list_transform(range(1, {_IVF_K} + 1),
-                                    i -> {{'d': ds[i], 'i': i}}))[1:{_IVF_NPROBE}],
+           list_sort(list_transform(range(1, {cells} + 1),
+                                    i -> {{'d': ds[i], 'i': i}}))[1:{nprobe}],
            s -> s.i)) AS cell
   FROM ad WHERE vec_id < 20
 ), cand AS (
@@ -1601,6 +1610,54 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 
 
 _IVF_TOPK_SQL = _sql_ivf_topk()
+
+
+def _auto_ann_sf001() -> dict | None:
+    """The auto-sized ANN configuration the ORACLE derives for the driver's
+    correctness corpus (sf0.01) — the same pure-function-of-metadata rule
+    the Spark queries apply per sf_dir (ivf.auto_ivf_params /
+    pq.auto_pq_params), evaluated here at import time so the SQL builders
+    can bake the identical centroids/codebooks.  None when the testdata
+    file is unavailable."""
+    try:
+        from .operators.ivf import auto_ivf_params, parquet_num_rows
+        from .operators.pq import auto_pq_params
+
+        n = parquet_num_rows("/root/testdata/sf0.01/embeddings.parquet")
+        return {**auto_ivf_params(n), **auto_pq_params(n)}
+    except Exception:
+        return None
+
+
+def ivf_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_topk under the corpus-derived AUTO parameters — what a user gets
+    calling the operator with defaults (train_centroids_from_parquet(path)
+    + ivf_topk(..., nprobe=None)): cells ≈ √N, nprobe ≈ cells/6, training
+    sample ≥ 40/centroid (ivf.auto_ivf_params — the r7 `ann_param_scaling`
+    bench cell promoted to the operator default, VERDICT r7 #1).  The
+    frozen-parameter ivf_topk entry stays pinned to its original oracle;
+    this entry's oracle derives the SAME auto configuration from the same
+    parquet metadata, so the correctness gate covers the default path."""
+    from .operators.ivf import ivf_topk as _ivf_topk
+    from .operators.ivf import train_centroids_from_parquet
+
+    cents = train_centroids_from_parquet(
+        f"{sf_dir}/embeddings.parquet", seed=_IVF_SEED
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = _ivf_topk(emb, queries, cents, k=5, nprobe=None)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _sql_ivf_topk_auto() -> str | None:
+    auto = _auto_ann_sf001()
+    if auto is None:
+        return None
+    return _sql_ivf_topk(auto["cells"], auto["nprobe"], auto["sample_rows"])
+
+
+_IVF_TOPK_AUTO_SQL = _sql_ivf_topk_auto()
 
 
 # --------------------------------------------------------------------------
@@ -1998,6 +2055,67 @@ def ivfadc_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfadc_topk(codes, probes, query_cell_luts, k=int(idx["params"]["k"]))
 
 
+#: ADC shortlist size for the refine (exact re-rank) step of the auto-sized
+#: IVFADC entry: R = 10·k — the compressed-domain scan keeps its cost, the
+#: final ordering is exact over Q·R rows only.
+_ANN_RERANK = 50
+
+
+def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC under the corpus-derived AUTO parameters + FAISS refine step
+    (pq.exact_rerank) — the configuration a scale user actually gets, and
+    the answer to VERDICT r7 #1 (frozen sf0.01 constants returned 9% of
+    true neighbors at bench scale): cells ≈ √N, nprobe ≈ cells/6, residual
+    codebooks sized to the training sample (pq.auto_pq_params), ADC
+    shortlist of R=10·k exact-re-ranked to the final top-5.  Recall is then
+    bounded by shortlist membership, not PQ quantization error — gated
+    ≥ 0.5 strict at sf0.1 in bench.py.  The oracle derives the identical
+    auto configuration from the same parquet metadata and replays the
+    shortlist + exact-cosine re-rank chain."""
+    import numpy as np
+
+    from .operators.ivf import (
+        auto_ivf_params,
+        ivf_probe_frame,
+        parquet_num_rows,
+        train_centroids_from_parquet,
+    )
+    from .operators.pq import (
+        adc_luts_residual,
+        auto_pq_params,
+        exact_rerank,
+        ivfadc_topk as _ivfadc_topk,
+        pq_encode_residual,
+        probe_cells_np,
+        read_query_vectors,
+        train_pq_codebooks_residual_from_parquet,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    n = parquet_num_rows(path)
+    ivf_p, pq_p = auto_ivf_params(n), auto_pq_params(n)
+    cents = train_centroids_from_parquet(
+        path, ivf_p["cells"], _IVF_SEED, ivf_p["sample_rows"]
+    )
+    books = train_pq_codebooks_residual_from_parquet(
+        path, cents, _PQ_M, pq_p["k"], _PQ_SEED, pq_p["sample_rows"]
+    )
+    qs = read_query_vectors(path, max_id=20)
+    Q = np.stack([v for _, v in qs])
+    probe_lists = probe_cells_np(Q, cents, ivf_p["nprobe"])
+    luts = adc_luts_residual(Q, probe_lists, cents, books)
+    query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    probes = ivf_probe_frame(
+        emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
+        ivf_p["nprobe"], "query_id",
+    )
+    codes = pq_encode_residual(emb, books, cents)
+    short = _ivfadc_topk(codes, probes, query_cell_luts, k=_ANN_RERANK)
+    return exact_rerank(short, emb, k=5)
+
+
 def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming training-shard export (streaming/events.py:
     run_streaming_shard_export): documents stream straight into the
@@ -2091,7 +2209,14 @@ FROM er"""
 _IVFADC_ENCODE_SQL = _sql_ivfadc_encode()
 
 
-def _sql_ivfadc_topk(corpus_where: str | None = None) -> str | None:
+def _sql_ivfadc_topk(
+    corpus_where: str | None = None,
+    cells: int = _IVF_K,
+    nprobe: int = _IVF_NPROBE,
+    pq_k: int = _PQ_K,
+    sample: int = _IVF_SAMPLE,
+    rerank_from: int | None = None,
+) -> str | None:
     """Oracle for RESIDUAL IVFADC: the IVF assign CTE (same centroids as
     ivf_topk) feeds a residual array (v − centroid[cell], elementwise — the
     identical single subtraction Spark's encode UDF performs), the PQ code
@@ -2099,7 +2224,11 @@ def _sql_ivfadc_topk(corpus_where: str | None = None) -> str | None:
     join on (query_id, cell) — then the same left-to-right lookup sum as
     pq_topk.  ``corpus_where`` restricts the NEIGHBOR corpus (filtered ANN:
     cell assignment is per-row, so filtering the source relation changes
-    nothing about surviving rows' codes)."""
+    nothing about surviving rows' codes).  The index parameters are
+    overridable so the auto-sized entry replays ITS derived configuration;
+    ``rerank_from=R`` switches the tail to the FAISS refine step — ADC
+    shortlist of R, then exact-cosine re-rank (pq.exact_rerank's contract:
+    round 6, rank by (cosine DESC, neighbor_id)) emitting top-5."""
     try:
         import numpy as np
 
@@ -2112,13 +2241,13 @@ def _sql_ivfadc_topk(corpus_where: str | None = None) -> str | None:
         )
 
         path = "/root/testdata/sf0.01/embeddings.parquet"
-        cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
+        cents = train_centroids_from_parquet(path, cells, _IVF_SEED, sample)
         books = train_pq_codebooks_residual_from_parquet(
-            path, cents, _PQ_M, _PQ_K, _PQ_SEED, _PQ_SAMPLE
+            path, cents, _PQ_M, pq_k, _PQ_SEED, sample
         )
         qs = read_query_vectors(path, max_id=20)
         Q = np.stack([v for _, v in qs])
-        probe_lists = probe_cells_np(Q, cents, _IVF_NPROBE)
+        probe_lists = probe_cells_np(Q, cents, nprobe)
         luts = adc_luts_residual(Q, probe_lists, cents, books)
     except Exception:
         return None
@@ -2147,6 +2276,24 @@ def _sql_ivfadc_topk(corpus_where: str | None = None) -> str | None:
     dist = "".join(f" + lut[{s + 1}][c{s} + 1]" for s in range(_PQ_M))
     d = books.shape[0] * books.shape[2]
     where = f" WHERE {corpus_where}" if corpus_where else ""
+    if rerank_from is None:
+        tail = f"""
+SELECT query_id, neighbor_id, round(dd, 6) AS adc_dist, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5"""
+    else:
+        tail = f""", short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {rerank_from}
+), rescored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+  FROM short JOIN e qv ON short.query_id = qv.vec_id
+             JOIN e cv ON short.neighbor_id = cv.vec_id
+), rr AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM rr WHERE rank <= 5"""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{where}
@@ -2169,9 +2316,7 @@ WITH e AS (
   SELECT query_id, neighbor_id, dd,
          row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, round(dd, 6) AS adc_dist, rank::BIGINT AS rank
-FROM ranked WHERE rank <= 5"""
+){tail}"""
 
 
 _PQ_ENCODE_SQL = _sql_pq_encode()
@@ -2180,6 +2325,23 @@ _IVFADC_TOPK_SQL = _sql_ivfadc_topk()
 _IVFADC_FILTERED_SQL = _sql_ivfadc_topk(
     f"label IN ({', '.join(str(x) for x in _ANN_FILTER_LABELS)})"
 )
+
+
+def _sql_ivfadc_topk_auto() -> str | None:
+    auto = _auto_ann_sf001()
+    if auto is None:
+        return None
+    return _sql_ivfadc_topk(
+        None,
+        cells=auto["cells"],
+        nprobe=auto["nprobe"],
+        pq_k=auto["k"],
+        sample=auto["sample_rows"],
+        rerank_from=_ANN_RERANK,
+    )
+
+
+_IVFADC_AUTO_SQL = _sql_ivfadc_topk_auto()
 
 
 # --------------------------------------------------------------------------
@@ -4837,7 +4999,10 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
 QUERIES = {
-    # --- new in round 7 (top of the official 50-key window) ---
+    # --- new in round 8 (top of the official 50-key window) ---
+    "ivf_topk_auto": ivf_topk_auto,
+    "ivfadc_topk_auto": ivfadc_topk_auto,
+    # --- new in round 7 ---
     "cluster_balance_sample": cluster_balance_sample,
     "cluster_exemplars": cluster_exemplars,
     "embedding_whiten": embedding_whiten,
@@ -5041,6 +5206,8 @@ ORACLE_SQL = {
     "pack_sequences": _PACK_SEQ_SQL,
     "doc_logprob": _DOC_LOGPROB_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
+    **({"ivf_topk_auto": _IVF_TOPK_AUTO_SQL} if _IVF_TOPK_AUTO_SQL else {}),
+    **({"ivfadc_topk_auto": _IVFADC_AUTO_SQL} if _IVFADC_AUTO_SQL else {}),
     **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
     **({"pq_topk": _PQ_TOPK_SQL} if _PQ_TOPK_SQL else {}),
