@@ -134,7 +134,10 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
     Empirically RMSE-neutral at small B (regression-gated in
     tests/test_gpr_spark.py; bench.py reports the trade next to plain
     greedy).  Reads ``greedy_active_set.last_rounds`` after a call for the
-    number of selection rounds executed."""
+    number of selection rounds executed — SINGLE-FIT best-effort telemetry
+    only: it is a mutable function attribute, so concurrent fits in one
+    process (or a provider nested inside another) overwrite each other's
+    counts; nothing in the fit path reads it back (ADVICE r8)."""
     active = sample_feature_rows(ctx.points, 1, ctx.seed)
     x_opt = ctx.optimal_hyperparameters
     rounds = 0

@@ -4311,7 +4311,13 @@ def _derived_copy_path(kind: str, source: str) -> tuple[str, bool]:
 
     fprint = _derived_copy_fingerprint(source)
     tag = hashlib.md5(source.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"gp_{kind}_{tag}")
+    # the pid suffix isolates PROCESSES: the freshness tracker is
+    # per-process, so a second process always rewrites — without isolation
+    # its mode("overwrite") would clobber the artifact a concurrent
+    # bench/correctness process is mid-read on (ADVICE r7).  Cross-process
+    # reuse was never real (the tracker starts empty), so this costs one
+    # rebuild per process, not a capability.
+    path = os.path.join(tempfile.gettempdir(), f"gp_{kind}_{tag}_{os.getpid()}")
     fresh = _DERIVED_COPY_FPRINT.get((kind, source)) == fprint and os.path.exists(path)
     return path, fresh
 

