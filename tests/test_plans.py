@@ -388,3 +388,31 @@ def test_quality_rule_rates_single_aggregate_over_projection(spark):
     plan = _plan(quality_rule_rates(spark, SF))
     assert "Join" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_no_inferred_filter_from_generate(spark):
+    """Regression lock for the r7 '16x plan-identical degradation'
+    (VERDICT r7 #2): InferFiltersFromGenerate duplicated the tokenize ->
+    8-gram shingle chain into a scan-side filter below the widening
+    exchange, where a single-file scan evaluates it on ONE task (24.2 s vs
+    0.85 s at sf0.1).  The rule is excluded session-wide by load_table
+    (sources/tables.py); this test fails if that exclusion stops
+    protecting the contamination plan: no Filter node may contain the
+    shingle concat_ws chain."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators import prep as P
+    from spark_gp_spark.queries import load_table
+
+    docs = load_table(spark, SF, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    probe = docs.filter(F.col("doc_id") < 20)
+    q = P.contamination_check(corpus, probe, shingle_n=8)
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in excluded
+    plan = _plan(q)
+    for line in plan.splitlines():
+        if "Filter" in line and "concat_ws" in line:
+            raise AssertionError(
+                "shingle chain re-inferred into a Filter node:\n" + line
+            )
