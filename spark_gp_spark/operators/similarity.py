@@ -466,10 +466,21 @@ def embedding_drift_report(
     Scale shape: two independent stats passes (posexplode, map-side
     combined, ≤ dim keys each) and one ≤ dim-row join — corpus size only
     affects the scan."""
-    a = embedding_dim_stats(base, vec_col).select(
+    a = embedding_dim_stats(base, vec_col)
+    b = embedding_dim_stats(cand, vec_col)
+    return drift_report_from_stats(a, b)
+
+
+def drift_report_from_stats(a_stats: DataFrame, b_stats: DataFrame) -> DataFrame:
+    """The drift-report tail over two PRECOMPUTED stats relations (pos,
+    mean, std, …) — shared by the batch report above and the streaming
+    monitor (streaming/drift.py), so the parity-critical standardized-shift
+    arithmetic exists exactly once.  Inputs may carry extra columns (min/
+    max); only (pos, mean, std) are consumed."""
+    a = a_stats.select(
         "pos", F.col("mean").alias("mean_a"), F.col("std").alias("std_a")
     )
-    b = embedding_dim_stats(cand, vec_col).select(
+    b = b_stats.select(
         "pos", F.col("mean").alias("mean_b"), F.col("std").alias("std_b")
     )
     pooled = F.sqrt(

@@ -2121,6 +2121,21 @@ def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_rerank(short, emb, k=5)
 
 
+def streaming_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/drift.py): the embedding corpus's
+    odd-id half STREAMS through an incremental per-dimension stats
+    aggregation (complete mode, ≤ dim aggregation buffers of state, staged
+    arrivals exercising cross-batch moment merges) and the final report
+    standardizes its mean shift against the even-id half's batch stats —
+    the arriving-data form of the batch `embedding_drift` alarm a
+    production ingest pipeline runs.  Same slicing as the batch query, so
+    the SAME _DRIFT_SQL oracle states the result; batch-vs-stream stats
+    agreement at the 6-dp grain is additionally pytest-gated."""
+    from .streaming.drift import run_streaming_embedding_drift
+
+    return run_streaming_embedding_drift(spark, sf_dir)
+
+
 def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming training-shard export (streaming/events.py:
     run_streaming_shard_export): documents stream straight into the
@@ -5013,6 +5028,7 @@ QUERIES = {
     # --- new in round 8 (top of the official 50-key window) ---
     "ivf_topk_auto": ivf_topk_auto,
     "ivfadc_topk_auto": ivfadc_topk_auto,
+    "streaming_embedding_drift": streaming_embedding_drift,
     # --- new in round 7 ---
     "cluster_balance_sample": cluster_balance_sample,
     "cluster_exemplars": cluster_exemplars,
@@ -5146,6 +5162,7 @@ QUERIES = {
 ORACLE_SQL = {
     "embedding_whiten": _WHITEN_SQL,
     "embedding_drift": _DRIFT_SQL,
+    "streaming_embedding_drift": _DRIFT_SQL,
     "jl_project": _JL_PROJECT_SQL,
     "quality_rule_rates": _RULE_RATES_SQL,
     **(

@@ -1,0 +1,87 @@
+"""Streaming embedding-drift monitor: incremental per-dimension stats over
+an ARRIVING embedding stream, compared against a static baseline snapshot.
+
+The batch report (operators/similarity.py:embedding_drift_report) compares
+two complete corpora; a production ingest pipeline instead wants the alarm
+ON ARRIVAL — "as new embeddings stream in, is their per-dimension
+distribution shifting away from the frozen baseline?" — so the candidate
+side here is a COMPLETE-mode streaming aggregation that folds every
+micro-batch into the running (pos, mean, std, min, max) relation, and the
+report joins it against the baseline's batch stats after each advance.
+
+Scale shape (same as the batch stats pass): posexplode to thin (pos, value)
+rows, ONE shuffle over ≤ dim keys with map-side partial aggregation per
+micro-batch; streaming state is ≤ dim aggregation buffers (avg/stddev
+moments), constant in the stream length — the cheapest possible stateful
+monitor.  No watermark: the stats are over ALL arrivals, complete mode is
+the point (the relation is ≤ dim rows, so "unbounded" complete-mode state
+is a non-issue here, unlike row-level sinks).
+
+Float-fold parity (the risk VERDICT r7 flagged): Spark's avg/stddev_samp
+merge central-moment partials in micro-batch arrival order, while the batch
+oracle folds in partition order — the sums differ by last-ulp noise exactly
+like any two batch partitionings.  The emitted stats round to 6 dp (the
+engine-portable grain every stats consumer here shares), and batch-vs-stream
+agreement at that grain is gated in tests/test_streaming_inference.py; the
+registry oracle is the same _DRIFT_SQL the batch query uses.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import drift_report_from_stats, embedding_dim_stats
+from .events import _staged_arrivals, _state_partitions
+
+
+def streaming_dim_stats(stream: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Incremental per-dimension stats over a streaming embedding frame —
+    the IDENTICAL aggregation expressions as the batch
+    ``embedding_dim_stats`` (same 6-dp rounding), applied to a stream; run
+    it in complete output mode.  Works on a batch frame too (it is the
+    batch operator's expression tree)."""
+    return embedding_dim_stats(stream, vec_col)
+
+
+def run_streaming_embedding_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "gp_stream_drift",
+    n_files: int = 2,
+) -> DataFrame:
+    """Drive the embedding corpus's ODD-id half through the streaming stats
+    monitor in ``n_files`` staged arrivals (cross-batch moment merging is
+    the machinery under test) and report drift against the EVEN-id half as
+    the static baseline — the same slicing as the batch ``embedding_drift``
+    registry query, so the same _DRIFT_SQL oracle states the result."""
+    work = tempfile.mkdtemp(prefix="gp_stream_drift_")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="embeddings", order_col="vec_id",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    stats = streaming_dim_stats(stream.filter(F.col("vec_id") % 2 == 1))
+    with _state_partitions(spark):
+        q = (
+            stats.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    import shutil
+
+    try:
+        for i, path in enumerate(arrivals):
+            shutil.copy(path, os.path.join(src, f"arrival-{i:04d}.parquet"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    cand_stats = spark.table(query_name)
+    from ..sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
+    return drift_report_from_stats(embedding_dim_stats(base), cand_stats)
