@@ -780,3 +780,24 @@ def gopher_rules(
         *[c.alias(name) for name, c in flags.items()],
         keep.alias("keep"),
     )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """The Gopher rule gate as a PIPELINE FILTER: the source rows (all
+    original columns, unchanged) that pass the rule conjunction.  Built on
+    the same one-pass staged projection as ``gopher_rules`` — the flags are
+    evaluated as a projection + filter AT THE SCAN (zero shuffles, zero
+    joins; in particular no self-join of the corpus against its own flag
+    relation, which is how a naive composition would write it).  This is
+    the form a corpus-prep pipeline threads between the scan and
+    clustering; ``gopher_rules`` remains the audit form."""
+    passthrough = tuple(c for c in df.columns if c != id_col)
+    flagged = gopher_rules(
+        df, text_col=text_col, id_col=id_col, extra_cols=passthrough, **thresholds
+    )
+    return flagged.filter(F.col("keep")).select(id_col, *passthrough)

@@ -1343,6 +1343,169 @@ FROM sized
 _CORPUS_PREP_SQL = _sql_corpus_prep_pipeline()
 
 
+def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2 — the round-7 verbs threaded through the end-to-end
+    pipeline as ONE dataflow (VERDICT r7 #6):
+
+        Gopher rule gate (operators/text.py: gopher_filter — the published
+          repetition/quality conjunction evaluated as a projection + filter
+          AT THE SCAN, zero shuffle, no self-join; plan-locked)
+        → near-dup clustering → canonical per component
+        → quality floor + benchmark-contamination screen
+        → temperature-scaled language rebalancing (operators/prep.py:
+          temperature_mix_sample — data-derived √-scaling keep rates,
+          broadcast threshold join, corpus never shuffles)
+        → leakage-safe hash split → per-split token-budget packing.
+
+    Same staging/caching discipline as v1 (corpus persisted once and
+    feeding every stage; the kept-canonicals frame persisted before its
+    two consumers).  Output: one row per surviving canonical doc
+    (doc_id, component, component_size, quality, lang, thresh_bp, split,
+    n_tokens, batch_id) — thresh_bp is the group's mixing threshold, the
+    audit column for WHY a doc survived the rebalance."""
+    from .operators.dedup import _retire_shingle_caches
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = T.gopher_filter(
+        docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX), min_tokens=20
+    ).persist()
+    probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
+    comps = D.neardup_components(corpus, threshold=0.5)
+    quality = T.text_stats(corpus).select("doc_id", "quality")
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    canonical = (
+        comps.join(quality, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    contaminated = P.contamination_check(
+        corpus, probe, shingle_n=8
+    ).select("doc_id").distinct()
+    kept = canonical.filter(F.col("quality") >= _PIPE_QMIN).join(
+        contaminated, "doc_id", "left_anti"
+    ).join(corpus.select("doc_id", "lang"), "doc_id")
+    mixed = P.temperature_mix_sample(kept, group_col="lang")
+    kept = (
+        kept.join(mixed.select("doc_id", "thresh_bp"), "doc_id")
+        .withColumn("split", P.split_expr("doc_id"))
+        .persist()
+    )
+    packed = P.pack_batches(
+        corpus.join(kept.select("doc_id", "split"), "doc_id"),
+        budget=_PIPE_BUDGET,
+        shard_col="split",
+    )
+    _retire_shingle_caches([corpus, kept])
+    return (
+        kept.join(packed.select("doc_id", "n_tokens", "batch_id"), "doc_id")
+        .select(
+            "doc_id",
+            "component",
+            F.col("component_size").cast("long").alias("component_size"),
+            "quality",
+            "lang",
+            F.col("thresh_bp").cast("long").alias("thresh_bp"),
+            "split",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("batch_id").cast("long").alias("batch_id"),
+        )
+    )
+
+
+def _sql_corpus_prep_pipeline_v2() -> str:
+    """Oracle for capstone v2: v1's CTE chain with (a) the corpus relation
+    gated by the Gopher conjunction (the same flag chain as
+    _sql_gopher_rules, pointed at the probe-filtered slice) and (b) a
+    temperature-mix CTE (the same √-scaling basis-point predicate as
+    _TEMPERATURE_MIX_SQL) between the contamination screen and the
+    split."""
+    stats_ctes = _sql_text_stats_cte(prefix="q_", src="corpus").lstrip().removeprefix(
+        "WITH "
+    )
+    gopher = _sql_gopher_rules(src="corpus0")
+    return (
+        f"""
+WITH RECURSIVE corpus0 AS (
+  SELECT * FROM documents WHERE doc_id >= {_PIPE_PROBE_MAX}
+), corpus AS (
+  SELECT c.* FROM corpus0 c
+  WHERE c.doc_id IN (SELECT doc_id FROM ({gopher}) g WHERE g.keep)
+),
+"""
+        + _sql_ngram_jaccard_ctes(src="corpus")
+        + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), csize AS (
+  SELECT component, count(*) AS component_size FROM comp GROUP BY component
+),
+"""
+        + stats_ctes
+        + f""", canon AS (
+  SELECT c.doc_id, c.component, s.component_size, st.quality
+  FROM comp c JOIN csize s USING (component) JOIN q_stats st USING (doc_id)
+  QUALIFY row_number() OVER (
+    PARTITION BY c.component ORDER BY st.quality DESC, st.doc_id) = 1
+), sh8 AS (
+  SELECT doc_id, unnest({_sql_word_ngrams(8)}) AS s8 FROM tok
+), ptok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+  WHERE doc_id < {_PIPE_PROBE_MAX}
+), psh8 AS (
+  SELECT doc_id, unnest({_sql_word_ngrams(8)}) AS s8 FROM ptok
+), contam AS (
+  SELECT DISTINCT sh8.doc_id FROM sh8 JOIN psh8 USING (s8)
+), kept AS (
+  SELECT ca.*, c.lang FROM canon ca JOIN corpus c USING (doc_id)
+  WHERE quality >= {_PIPE_QMIN}
+    AND ca.doc_id NOT IN (SELECT doc_id FROM contam)
+), grp AS (
+  SELECT lang, count(*) AS n_group FROM kept GROUP BY lang
+), thr AS (
+  SELECT lang,
+         floor(10000 * sqrt((min(n_group) OVER ())::DOUBLE / n_group::DOUBLE))::BIGINT
+           AS thresh_bp
+  FROM grp
+), mixed AS (
+  SELECT k.*, t.thresh_bp FROM kept k JOIN thr t USING (lang)
+  WHERE {h32_sql("'tm7_' || k.doc_id::VARCHAR")} % 10000 < t.thresh_bp
+), split AS (
+  SELECT doc_id,
+         CASE WHEN {h32_sql("doc_id::VARCHAR")} % 100 < {P.SPLIT_TRAIN} THEN 'train'
+              WHEN {h32_sql("doc_id::VARCHAR")} % 100 < {P.SPLIT_TRAIN + P.SPLIT_VAL}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM mixed
+), sized AS (
+  SELECT m.doc_id, m.component, m.component_size, m.quality, m.lang,
+         m.thresh_bp, s.split,
+         len(regexp_extract_all(c.text, '{T.BPE_TOKEN_PATTERN}'))::BIGINT
+           AS n_tokens
+  FROM mixed m JOIN split s USING (doc_id) JOIN corpus c USING (doc_id)
+)
+SELECT doc_id, component, component_size::BIGINT AS component_size, quality,
+       lang, thresh_bp::BIGINT AS thresh_bp, split, n_tokens,
+       floor(coalesce(sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_PIPE_BUDGET})::BIGINT AS batch_id
+FROM sized
+"""
+    )
+
+
+# _CORPUS_PREP_V2_SQL is assigned after _sql_gopher_rules is defined (the
+# v2 oracle embeds the gopher flag chain; module executes top-to-bottom).
+
+
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention — the classic growth-analytics verb: users
     cohorted by the Monday week of their first event; per (cohort, week-N)
@@ -4680,10 +4843,11 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPWORDS = ",".join(f"'{w}'" for w in T.STOPWORDS["en"])
 
 
-def _sql_gopher_rules(extra: str = "") -> str:
+def _sql_gopher_rules(extra: str = "", src: str = "documents") -> str:
     """The Gopher-rule flag relation as SQL; ``extra`` threads additional
     grouping columns (e.g. ``", lang"``) through the CTE chain for audit
-    rollups."""
+    rollups; ``src`` points the chain at a different source relation (the
+    capstone v2 gates its probe-filtered corpus)."""
     return f"""
 WITH tok AS (
   SELECT doc_id{extra}, text, {_SQL_TOKENS} AS toks,
@@ -4691,7 +4855,7 @@ WITH tok AS (
            list_transform(regexp_split_to_array(text, '\\n'), l -> trim(l)),
            l -> l <> ''
          ) AS lines
-  FROM documents
+  FROM {src}
 ), m AS (
   SELECT doc_id{extra},
          len(toks) AS n_tok, len(lines) AS n_lines,
@@ -4723,6 +4887,7 @@ FROM flags
 
 
 _GOPHER_RULES_SQL = _sql_gopher_rules()
+_CORPUS_PREP_V2_SQL = _sql_corpus_prep_pipeline_v2()
 
 _GOPHER_FLAG_NAMES = (
     "len_ok", "mwl_ok", "symbol_ok", "alpha_word_ok",
@@ -5029,6 +5194,7 @@ QUERIES = {
     "ivf_topk_auto": ivf_topk_auto,
     "ivfadc_topk_auto": ivfadc_topk_auto,
     "streaming_embedding_drift": streaming_embedding_drift,
+    "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
     # --- new in round 7 ---
     "cluster_balance_sample": cluster_balance_sample,
     "cluster_exemplars": cluster_exemplars,
@@ -5204,6 +5370,7 @@ ORACLE_SQL = {
     "neardup_components_star": _NEARDUP_COMPONENTS_SQL,
     "neardup_canonical": _NEARDUP_CANONICAL_SQL,
     "corpus_prep_pipeline": _CORPUS_PREP_SQL,
+    "corpus_prep_pipeline_v2": _CORPUS_PREP_V2_SQL,
     "user_retention_cohorts": _RETENTION_SQL,
     "tfidf_cosine_pairs": _TFIDF_COSINE_SQL,
     "bm25_topk": _BM25_TOPK_SQL,

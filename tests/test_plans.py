@@ -186,6 +186,21 @@ def test_corpus_prep_pipeline_scans_once_and_stays_bucketed(spark):
     assert "hashpartitioning(shard" in plan
 
 
+def _assert_v2_plan_discipline(plan: str) -> None:
+    """v1's discipline, except exactly ONE single-partition exchange is
+    permitted: temperature_mix_sample's unpartitioned min-window over the
+    ≤ |langs|-row counts relation (the documented design — never the
+    corpus).  Counted by DISTINCT plan_id: the shared broadcast subtree
+    prints once per consuming branch."""
+    import re
+
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    ids = set(re.findall(r"Exchange SinglePartition.*?\[plan_id=(\d+)\]", plan))
+    assert len(ids) <= 1, ids
+    assert "hashpartitioning(shard" in plan
+
+
 def test_domain_mix_sample_is_pure_scan_filter(spark):
     """The mixing pass must stay a zero-shuffle projection: broadcast
     literal rate map + codegen hash predicate at the scan — no Exchange
@@ -416,3 +431,29 @@ def test_no_inferred_filter_from_generate(spark):
             raise AssertionError(
                 "shingle chain re-inferred into a Filter node:\n" + line
             )
+
+
+def test_corpus_prep_v2_rule_gate_fused_and_leaves_cached(spark):
+    """Capstone v2 locks: (1) the Gopher rule gate is FUSED at the scan —
+    gopher_filter's plan is projection + filter with no Join and no
+    Exchange beyond the loader's single-file widening repartition (a naive
+    composition would self-join the corpus against its flag relation);
+    (2) the full v2 dataflow keeps v1's discipline — cached-only leaves,
+    no cartesian/single-partition, packing partitioned by split."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.text import gopher_filter
+    from spark_gp_spark.queries import corpus_prep_pipeline_v2, load_table
+
+    docs = load_table(spark, SF, "documents")
+    gate = gopher_filter(docs.filter(F.col("doc_id") >= 20), min_tokens=20)
+    gate_plan = _plan(gate)
+    assert "Join" not in gate_plan
+    assert gate_plan.count("Exchange") <= 1  # only the loader's widening
+
+    df = corpus_prep_pipeline_v2(spark, SF)
+    lp = df._jdf.queryExecution().optimizedPlan()
+    leaves = lp.collectLeaves()
+    names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
+    assert all(n in ("InMemoryRelation", "LogicalRDD") for n in names), names
+    _assert_v2_plan_discipline(_plan(df))
