@@ -5175,89 +5175,50 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 
 # Registry ordering contract: the round driver records official correctness
 # rows for the FIRST 50 keys of this dict only.  Standing rule (VERDICT r5,
-# reaffirmed r6): any query whose implementation changed since its last
-# official row — plus anything new — must sit inside that window; the
-# remaining slots rotate in the queries whose last official row is OLDEST.
-# Round-7 window (50 keys exactly): the 26 new queries, cosine_topk (its
-# scoring/ranking blocks were extracted into shared helpers late in r7 —
-# hash-identical, but implementation changed), the 10 queries the round-7
-# diff touched (streaming-neardup state schema + TTL derivation,
-# derived-copy commit-after-write for the jsonl/orc/ann artifacts, ANN
-# artifact-cache eviction + persisted-index refactor), then 13 of the 39
-# entries whose last official row is r5.  Below the window: the remaining
-# 26 r5 entries (first in line for the r8 rotation — code unchanged since
-# their last green row) and the entries officially green in
-# CORRECTNESS_r06 on code unchanged this round.  SURVEY.md §2.8's status
+# reaffirmed every round since): any query whose implementation changed
+# since its last official row — plus anything new — must sit inside that
+# window; the remaining slots rotate in the queries whose last official row
+# is OLDEST.  Round-8 window (50 keys exactly): 4 new queries (ANN
+# auto-sizing pair, streaming drift monitor, capstone v2); 20 changed this
+# round (the ANN trainer/oracle parameterization + exact_rerank touched the
+# whole IVF/PQ family and the centroid-cell consumers; the pid-isolated
+# derived-copy path touched the roundtrip artifacts; streaming/budget.py's
+# column threading; the drift-report helper extraction; the
+# InferFiltersFromGenerate exclusion re-planned the shingle-explode
+# pipelines — corpus_prep_pipeline/contamination_check stand in for that
+# family; the gopher SQL builder gained a src param — its two consumers
+# ride along); then ALL 26 entries whose last official row is r5 (VERDICT
+# r7 #5 — they waited two rounds).  Below the divider: entries officially
+# green in r6/r7 on code unchanged this round.  SURVEY.md §2.8's status
 # table maps every query to its operator and last official row.
 QUERIES = {
-    # --- new in round 8 (top of the official 50-key window) ---
+    # --- new in round 8 ---
     "ivf_topk_auto": ivf_topk_auto,
     "ivfadc_topk_auto": ivfadc_topk_auto,
     "streaming_embedding_drift": streaming_embedding_drift,
     "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
-    # --- new in round 7 ---
-    "cluster_balance_sample": cluster_balance_sample,
-    "cluster_exemplars": cluster_exemplars,
-    "embedding_whiten": embedding_whiten,
-    "embedding_drift": embedding_drift,
-    "jl_project": jl_project,
-    "quality_rule_rates": quality_rule_rates,
-    "gopher_quality_rules": gopher_quality_rules,
-    "temperature_mix": temperature_mix,
-    "embedding_dim_stats": embedding_dim_stats,
-    # cosine_topk's scoring/ranking blocks were extracted into shared
-    # helpers this round (plan- and hash-identical, but implementation
-    # changed → back into the window per the standing rule)
-    "cosine_topk": cosine_topk,
-    "dedup_span_clean": dedup_span_clean,
-    "repetition_clean": repetition_clean,
-    "opq_topk": opq_topk,
-    "shard_export_manifest": shard_export_manifest,
-    "doc_logprob": doc_logprob,
-    "gpc_uncertainty_sample": gpc_uncertainty_sample,
-    "streaming_shard_export": streaming_shard_export,
-    "hard_negatives": hard_negatives,
-    "pack_sequences": pack_sequences,
-    "token_budget_fill": token_budget_fill,
-    "streaming_token_budget": streaming_token_budget,
-    "semdedup_keep": semdedup_keep,
-    "dsir_select": dsir_select,
-    "ivfadc_topk_codes": ivfadc_topk_codes,
-    "ivfadc_topk_filtered": ivfadc_topk_filtered,
-    "streaming_ann_ingest": streaming_ann_ingest,
-    "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
-    # --- changed in round 7 (neardup state schema + TTL-from-span;
-    #     derived-copy commit-after-write; ANN artifact-cache eviction +
-    #     persisted-index helper refactor) ---
-    "streaming_neardup": streaming_neardup,
-    "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
-    "streaming_embedding_neardup": streaming_embedding_neardup,
-    "jsonl_roundtrip": jsonl_roundtrip,
-    "orc_roundtrip": orc_roundtrip,
-    "ivfadc_topk_persisted": ivfadc_topk_persisted,
+    # --- changed in round 8 ---
     "ivf_topk": ivf_topk,
     "pq_encode": pq_encode,
     "pq_topk": pq_topk,
     "ivfadc_topk": ivfadc_topk,
-    # --- rotated in: last official row r5 (below the window through r6;
-    #     code unchanged since their last green row) ---
-    "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
-    "part_type_revenue": part_type_revenue,
-    "revenue_rollup": revenue_rollup,
-    "returnflag_status_cube": returnflag_status_cube,
-    "language_distribution": language_distribution,
-    "user_retention_cohorts": user_retention_cohorts,
-    "session_funnel": session_funnel,
-    "event_value_histogram": event_value_histogram,
-    "customer_revenue_quartiles": customer_revenue_quartiles,
-    "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    # ================= below the 50-key official window =================
-    # (all officially green in CORRECTNESS_r06/r05 — or rows-only gpr/gpc,
-    #  pytest-gated — on code unchanged this round; the 26 r5-last-green
-    #  entries listed first rotate into the r8 window)
+    "ivfadc_topk_persisted": ivfadc_topk_persisted,
+    "ivfadc_topk_codes": ivfadc_topk_codes,
+    "ivfadc_topk_filtered": ivfadc_topk_filtered,
+    "opq_topk": opq_topk,
+    "streaming_ann_ingest": streaming_ann_ingest,
+    "semdedup_keep": semdedup_keep,
+    "cluster_balance_sample": cluster_balance_sample,
+    "cluster_exemplars": cluster_exemplars,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
+    "streaming_token_budget": streaming_token_budget,
+    "embedding_drift": embedding_drift,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
+    "contamination_check": contamination_check,
+    "gopher_quality_rules": gopher_quality_rules,
+    "quality_rule_rates": quality_rule_rates,
+    # --- rotated in: last official row r5 ---
     "event_zorder_key": event_zorder_key,
     "orders_upsert_merge": orders_upsert_merge,
     "orders_dq_report": orders_dq_report,
@@ -5284,12 +5245,45 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "gpr_lineitem": gpr_lineitem,
     "gpc_embeddings": gpc_embeddings,
-    "corpus_prep_pipeline": corpus_prep_pipeline,
+    # ================= below the 50-key official window =================
+    # (officially green in CORRECTNESS_r06/r07 — or rows-only gpr/gpc/
+    #  multimodal entries, pytest-gated — on code unchanged this round)
+    "embedding_whiten": embedding_whiten,
+    "jl_project": jl_project,
+    "temperature_mix": temperature_mix,
+    "embedding_dim_stats": embedding_dim_stats,
+    "cosine_topk": cosine_topk,
+    "dedup_span_clean": dedup_span_clean,
+    "repetition_clean": repetition_clean,
+    "shard_export_manifest": shard_export_manifest,
+    "doc_logprob": doc_logprob,
+    "gpc_uncertainty_sample": gpc_uncertainty_sample,
+    "streaming_shard_export": streaming_shard_export,
+    "hard_negatives": hard_negatives,
+    "pack_sequences": pack_sequences,
+    "token_budget_fill": token_budget_fill,
+    "dsir_select": dsir_select,
+    "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
+    "streaming_neardup": streaming_neardup,
+    "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
+    "streaming_embedding_neardup": streaming_embedding_neardup,
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "part_type_revenue": part_type_revenue,
+    "revenue_rollup": revenue_rollup,
+    "returnflag_status_cube": returnflag_status_cube,
+    "language_distribution": language_distribution,
+    "user_retention_cohorts": user_retention_cohorts,
+    "session_funnel": session_funnel,
+    "event_value_histogram": event_value_histogram,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
     "domain_mix_sample": domain_mix_sample,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "split_assign": split_assign,
     "pack_batches": pack_batches,
-    "contamination_check": contamination_check,
     "event_gap_fill": event_gap_fill,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "neardup_components": neardup_components,
