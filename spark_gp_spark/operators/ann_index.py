@@ -21,6 +21,15 @@ trip bit-for-bit) with rows (kind, i, j, vec):
 plus a JSON params blob in the parquet schema metadata.  A directory-of-
 parquet layout (vs npz/pickle) keeps the artifact readable by ANY engine —
 Spark, DuckDB, pandas — and safe to ship to executors as a broadcast.
+
+Parameter provenance: the artifact freezes whatever configuration it was
+BUILT with.  Fresh builds that take the trainers' defaults get the
+corpus-auto-sized parameters (ivf.auto_ivf_params / pq.auto_pq_params —
+cells ≈ √N etc.); the registry's persisted-index queries deliberately pin
+the explicit sf0.01 oracle configuration instead, so their hash gates stay
+stable (the auto path is gated by the ivf_topk_auto / ivfadc_topk_auto
+entries).  A production corpus that grows materially should re-train and
+re-save — the artifact does not re-size itself.
 """
 
 from __future__ import annotations
