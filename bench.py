@@ -70,6 +70,8 @@ PANDAS_FAMILY = {
     "ivf_topk_auto",
     "semdedup_keep",
     "pq_topk",
+    "pq_topk_auto",
+    "lsh_topk_multiprobe",
     "opq_topk",
     "ivfadc_topk",
     "ivfadc_topk_auto",
@@ -341,9 +343,11 @@ def main() -> None:
         "simhash_pairs",
         "cosine_topk",
         "lsh_topk",
+        "lsh_topk_multiprobe",
         "ivf_topk",
         "ivf_topk_auto",
         "pq_topk",
+        "pq_topk_auto",
         "opq_topk",
         "ivfadc_topk",
         "ivfadc_topk_codes",
@@ -537,9 +541,11 @@ def main() -> None:
     recall = {}
     for name in (
         "lsh_topk",
+        "lsh_topk_multiprobe",
         "ivf_topk",
         "ivf_topk_auto",
         "pq_topk",
+        "pq_topk_auto",
         "opq_topk",
         "ivfadc_topk",
         "ivfadc_topk_codes",

@@ -184,6 +184,122 @@ def lsh_bucket_frame(
     )
 
 
+def _multiprobe_udf(planes_by_table: list[np.ndarray], n_flip: int):
+    """Arrow-batched pandas UDF: per input vector, for EACH table the list
+    of 1 + ``n_flip`` probe buckets — the vector's own bucket plus the
+    buckets reached by flipping, one at a time, the ``n_flip`` sign bits
+    with the smallest |margin| (multi-probe LSH, Lv et al. 2007 adapted to
+    sign-LSH: the near-zero dots are the signs a true neighbor most likely
+    landed on the other side of).  Same left-to-right dot fold as
+    ``_bucket_udf`` (bit-parity with the SQL oracle); flip order is
+    (|dot|, bit index) ascending — np.argsort(stable) here, the (m, i)
+    struct sort in the oracle — so the probe sets are identical across
+    engines."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    P = np.vstack([p for planes in planes_by_table for p in planes])  # (T·B, d)
+    bits = len(planes_by_table[0])
+    tables = len(planes_by_table)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(ArrayType(LongType())))
+    def probes(v: pd.Series) -> pd.Series:
+        X = np.asarray(v.tolist(), dtype=np.float64)          # (n, d) exact
+        acc = np.zeros((X.shape[0], P.shape[0]), dtype=np.float64)
+        for j in range(P.shape[1]):                           # left-to-right
+            acc = acc + X[:, j, None] * P[None, :, j]
+        acc = acc.reshape(-1, tables, bits)
+        buckets = ((acc > 0.0) * weights).sum(axis=2)         # (n, T)
+        order = np.argsort(np.abs(acc), axis=2, kind="stable")  # ties → low bit
+        flips = order[:, :, :n_flip]                          # (n, T, f)
+        probe = np.concatenate(
+            [buckets[:, :, None], buckets[:, :, None] ^ (1 << flips).astype(np.int64)],
+            axis=2,
+        )                                                     # (n, T, 1+f)
+        return pd.Series(list(probe))
+
+    return probes
+
+
+def lsh_multiprobe_frame(
+    df: DataFrame,
+    id_expr: Column,
+    vec_expr: Column,
+    planes_by_table: list[np.ndarray],
+    n_flip: int,
+    id_name: str,
+) -> DataFrame:
+    """(id, tbl, bucket) relation with 1 + ``n_flip`` rows per (input row,
+    table): the multi-probe QUERY side.  The corpus keeps its single-bucket
+    relation (``lsh_bucket_frame``) — multi-probe spends extra probes at
+    query time instead of extra stored tables, which is the point: stored
+    index size is the 100 TB cost, probe count is a per-query knob."""
+    udf = _multiprobe_udf(planes_by_table, n_flip)
+    dotted = df.select(id_expr.alias(id_name), udf(vec_expr).alias("_p"))
+    return dotted.select(
+        id_name, F.posexplode(F.col("_p")).alias("tbl", "_bl")
+    ).select(id_name, "tbl", F.explode(F.col("_bl")).alias("bucket"))
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+    n_flip: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via multi-probe sign-LSH: same stored corpus
+    buckets as ``lsh_bucketed_topk``, but each query probes 1 + ``n_flip``
+    buckets per table (its own plus the lowest-|margin| single-bit flips).
+    Candidates per query ≈ (1+n_flip)·tables·N/2^bits — recall rises with
+    probes at UNCHANGED index size, the trade multi-probe LSH exists for
+    (more tables would cost stored bytes per corpus vector; more probes
+    cost only query work).  Ranking tail identical to the single-probe
+    operator."""
+    dim = dim if dim is not None else _vector_dim(corpus, vec_col)
+    planes_by_table = hyperplane_tables(dim, bits, tables, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    cb = lsh_bucket_frame(
+        corpus, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    qb = lsh_multiprobe_frame(
+        queries, F.col(id_col), F.col(vec_col).cast("array<double>"), planes_by_table,
+        n_flip, "query_id",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(paired_cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _vector_dim(df: DataFrame, vec_col: str) -> int:
     """Fallback dimension probe — costs one Spark job (first()); callers on
     the hot path should pass ``dim`` explicitly instead."""

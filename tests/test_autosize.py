@@ -115,3 +115,70 @@ def test_exact_rerank_matches_exact_topk(spark, sf_dir):
         ex[["query_id", "neighbor_id", "rank"]]
     )
     assert np.allclose(rr["cosine"], ex["cosine"], atol=1e-9)
+
+
+def test_multiprobe_frame_probes_hamming1_flips(spark):
+    """Multi-probe contract: per (row, table) the probe list is the row's
+    own bucket plus n_flip buckets at Hamming distance exactly 1, all
+    distinct, and the single-probe bucket relation is a subset of it."""
+    import pandas as pd
+
+    from spark_gp_spark.operators.similarity import (
+        hyperplane_tables,
+        lsh_bucket_frame,
+        lsh_multiprobe_frame,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    planes = hyperplane_tables(16, 6, 3, seed=11)
+    vec = F.col("embedding").cast("array<double>")
+    single = lsh_bucket_frame(df, F.col("vec_id"), vec, planes, "vec_id").toPandas()
+    multi = lsh_multiprobe_frame(
+        df, F.col("vec_id"), vec, planes, n_flip=2, id_name="vec_id"
+    ).toPandas()
+    own = {(r.vec_id, r.tbl): r.bucket for r in single.itertuples()}
+    grouped = multi.groupby(["vec_id", "tbl"])["bucket"].apply(list)
+    for (vid, tbl), probes in grouped.items():
+        assert len(probes) == 3 and len(set(probes)) == 3
+        b0 = own[(vid, tbl)]
+        assert probes[0] == b0  # own bucket first
+        for b in probes[1:]:
+            assert bin(b ^ b0).count("1") == 1  # exactly one flipped bit
+
+
+def test_multiprobe_beats_single_probe_on_planted_duplicates(spark):
+    """The recall point of multi-probe: planted near-duplicates that
+    single-probe LSH misses (signs flipped by the noise on low-margin
+    planes) are recovered by probing the 1-bit flips."""
+    from spark_gp_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_multiprobe_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 32
+    X = rng.normal(size=(n, d))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    dup_src = np.arange(40)
+    for j, s in enumerate(dup_src):
+        v = X[s] + 0.05 * rng.normal(size=d)
+        rows.append((n + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    queries = df.filter(F.col("vec_id") >= n)
+
+    def hits(out):
+        pdf = out.toPandas()
+        top1 = pdf[pdf["rank"] == 1]
+        return sum(
+            1 for r in top1.itertuples()
+            if r.neighbor_id == dup_src[int(r.query_id) - n]
+        )
+
+    single = hits(lsh_bucketed_topk(df, queries, k=1, bits=10, tables=2, dim=d))
+    multi = hits(
+        lsh_multiprobe_topk(df, queries, k=1, bits=10, tables=2, n_flip=4, dim=d)
+    )
+    assert multi > single
+    assert multi >= 0.9 * len(dup_src)
