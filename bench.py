@@ -596,13 +596,17 @@ def main() -> None:
 
     result = {
         "metric": "headline query suite + distributed GPR fit (100k rows)",
-        # Normalization caveat: per-family scaling assumes an entry's cost
-        # tracks its family probe.  Entries dominated by state-store
-        # commits / Python-worker spawn / fixed I/O (streaming_*, tiny
-        # queries) follow NEITHER probe, so on VMs whose jvm and pandas
-        # factors diverge far from each other they mis-scale by the
-        # divergence; cross-round reads of those entries should use the
-        # raw timings plus each round's calibration block.
+        "notes": (
+            "Normalization caveat: per-family scaling assumes an entry's "
+            "cost tracks its family probe.  Entries dominated by "
+            "state-store commits / Python-worker spawn / fixed I/O "
+            "(streaming_*, tiny queries) follow NEITHER probe, so on VMs "
+            "whose jvm and pandas factors diverge far from each other "
+            f"(this run: jvm {round(jvm_factor, 2)}, pandas "
+            f"{round(pandas_factor, 2)}) they mis-scale by the divergence; "
+            "cross-round reads of those entries should use the raw "
+            "timings plus each round's calibration block."
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
