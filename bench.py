@@ -71,6 +71,7 @@ PANDAS_FAMILY = {
     "semdedup_keep",
     "pq_topk",
     "pq_topk_auto",
+    "opq_topk_auto",
     "lsh_topk_multiprobe",
     "opq_topk",
     "ivfadc_topk",
@@ -349,6 +350,7 @@ def main() -> None:
         "pq_topk",
         "pq_topk_auto",
         "opq_topk",
+        "opq_topk_auto",
         "ivfadc_topk",
         "ivfadc_topk_codes",
         "ivfadc_topk_auto",
@@ -547,6 +549,7 @@ def main() -> None:
         "pq_topk",
         "pq_topk_auto",
         "opq_topk",
+        "opq_topk_auto",
         "ivfadc_topk",
         "ivfadc_topk_codes",
         "ivfadc_topk_auto",

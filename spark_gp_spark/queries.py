@@ -2733,6 +2733,100 @@ FROM ranked WHERE rank <= 5"""
 _OPQ_TOPK_SQL = _sql_opq_topk()
 
 
+def opq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ADC top-k under the corpus-derived AUTO codebooks + the FAISS
+    refine step — the last ANN family to get the auto-sizing treatment
+    (VERDICT r7 #1): the learned rotation trains against auto-sized
+    codebooks (k grows with the training budget), and the ADC top-R
+    shortlist is exact-cosine re-ranked over the ORIGINAL vectors
+    (rotations preserve cosine, so reranking in raw space is both exact
+    and rotation-free).  At the sf0.01 oracle corpus auto k coincides with
+    the frozen floor, so the gate exercises the rerank chain; the scaled-k
+    benefit shows in bench recall at sf0.1."""
+    import numpy as np
+
+    from .operators.ivf import parquet_num_rows
+    from .operators.pq import (
+        _rotate_batch,
+        adc_luts,
+        auto_pq_params,
+        exact_rerank,
+        opq_encode,
+        pq_topk as _pq_topk,
+        read_query_vectors,
+        train_opq_from_parquet,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    pqp = auto_pq_params(parquet_num_rows(path))
+    R, books = train_opq_from_parquet(
+        path, _PQ_M, pqp["k"], _PQ_SEED, pqp["sample_rows"], _OPQ_ITERS
+    )
+    qs = read_query_vectors(path, max_id=20)
+    luts = adc_luts(_rotate_batch(np.stack([v for _, v in qs]), R), books)
+    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = opq_encode(emb, R, books).select("vec_id", "codes")
+    short = _pq_topk(codes, query_luts, k=_ANN_RERANK)
+    return exact_rerank(short, emb, k=5)
+
+
+def _sql_opq_topk_auto() -> str | None:
+    auto = _auto_ann_sf001()
+    if auto is None:
+        return None
+    try:
+        import numpy as np
+
+        from .operators.pq import (
+            _rotate_batch,
+            adc_luts,
+            read_query_vectors,
+            train_opq_from_parquet,
+        )
+
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        R, books = train_opq_from_parquet(
+            path, _PQ_M, auto["k"], _PQ_SEED, auto["sample_rows"], _OPQ_ITERS
+        )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(_rotate_batch(np.stack([v for _, v in qs]), R), books)
+    except Exception:
+        return None
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS raw FROM embeddings
+), r AS (
+  SELECT vec_id, [{_sql_opq_rot_exprs(R)}] AS v FROM e
+), c AS (
+  SELECT vec_id, v, {_sql_pq_code_cols(books)} FROM r
+), q(query_id, lut) AS (
+  VALUES {_sql_adc_values(qs, luts)}
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_sql_adc_dist(_PQ_M)} AS dd
+  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, dd,
+         row_number() OVER (PARTITION BY query_id ORDER BY dd, neighbor_id) AS rank
+  FROM scored
+), short AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= {_ANN_RERANK}
+), rescored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.raw, cv.raw), 6) AS cosine
+  FROM short JOIN e qv ON short.query_id = qv.vec_id
+             JOIN e cv ON short.neighbor_id = cv.vec_id
+), rr AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM rr WHERE rank <= 5"""
+
+
+_OPQ_TOPK_AUTO_SQL = _sql_opq_topk_auto()
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via sign-LSH candidates + exact cosine verify —
     the 100 TB shape: the only joins are (table, bucket) equi-joins and id
@@ -5362,6 +5456,7 @@ QUERIES = {
     "streaming_embedding_drift": streaming_embedding_drift,
     "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
     "pq_topk_auto": pq_topk_auto,
+    "opq_topk_auto": opq_topk_auto,
     "lsh_topk_multiprobe": lsh_topk_multiprobe,
     # --- changed in round 8 ---
     "ivf_topk": ivf_topk,
@@ -5381,7 +5476,6 @@ QUERIES = {
     "streaming_token_budget": streaming_token_budget,
     "embedding_drift": embedding_drift,
     "corpus_prep_pipeline": corpus_prep_pipeline,
-    "contamination_check": contamination_check,
     # --- rotated in: last official row r5 ---
     "event_zorder_key": event_zorder_key,
     "orders_upsert_merge": orders_upsert_merge,
@@ -5418,6 +5512,7 @@ QUERIES = {
     #  in the r8 local window sweep before the swap)
     "gopher_quality_rules": gopher_quality_rules,
     "quality_rule_rates": quality_rule_rates,
+    "contamination_check": contamination_check,
     "embedding_whiten": embedding_whiten,
     "jl_project": jl_project,
     "temperature_mix": temperature_mix,
@@ -5568,6 +5663,7 @@ ORACLE_SQL = {
     **({"ivf_topk_auto": _IVF_TOPK_AUTO_SQL} if _IVF_TOPK_AUTO_SQL else {}),
     **({"ivfadc_topk_auto": _IVFADC_AUTO_SQL} if _IVFADC_AUTO_SQL else {}),
     **({"pq_topk_auto": _PQ_TOPK_AUTO_SQL} if _PQ_TOPK_AUTO_SQL else {}),
+    **({"opq_topk_auto": _OPQ_TOPK_AUTO_SQL} if _OPQ_TOPK_AUTO_SQL else {}),
     "lsh_topk_multiprobe": _LSH_MULTIPROBE_SQL,
     **({"opq_topk": _OPQ_TOPK_SQL} if _OPQ_TOPK_SQL else {}),
     **({"pq_encode": _PQ_ENCODE_SQL} if _PQ_ENCODE_SQL else {}),
