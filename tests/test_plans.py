@@ -457,3 +457,23 @@ def test_corpus_prep_v2_rule_gate_fused_and_leaves_cached(spark):
     names = [leaves.apply(i).nodeName() for i in range(leaves.size())]
     assert all(n in ("InMemoryRelation", "LogicalRDD") for n in names), names
     _assert_v2_plan_discipline(_plan(df))
+
+
+def test_auto_ann_entries_plan_shapes(spark):
+    """Scale-shape locks for the r8 auto-sized ANN entries: candidate
+    generation stays broadcast equi-join (no sort-merge of the corpus, no
+    cartesian), and the refine step's shortlist + query sides are
+    broadcast — the corpus is never shuffled by rank or rerank."""
+    from spark_gp_spark.queries import (
+        ivf_topk_auto,
+        ivfadc_topk_auto,
+        lsh_topk_multiprobe,
+        opq_topk_auto,
+        pq_topk_auto,
+    )
+
+    for fn in (ivf_topk_auto, ivfadc_topk_auto, pq_topk_auto, opq_topk_auto,
+               lsh_topk_multiprobe):
+        plan = _plan(fn(spark, SF))
+        assert "SortMergeJoin" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
