@@ -467,18 +467,50 @@ def ivfadc_topk(
     # caller supplies its ivf_probe_frame output anyway, VERIFY agreement
     # eagerly — a silent intersection would drop candidates and degrade
     # recall instead of failing loudly.  The frame is Q·nprobe rows, so ONE
-    # collect at plan-build time settles the symmetric set comparison.
+    # collect at plan-build time settles the comparison.  Scoring is driven
+    # by luts_df alone, so the check is a wiring diagnostic, not a
+    # correctness gate — and it must NOT hard-fail on a last-ulp distance
+    # tie: the JVM and numpy round the squared distances independently, so
+    # two near-equidistant cells can swap across the nprobe cutoff between
+    # engines (ADVICE r7e).  A tie divergence has a precise shape — same
+    # query ids, same per-query cell COUNT, equal-size symmetric per-query
+    # diffs — which real miswiring (different query set, nprobe, or
+    # centroids) does not produce; tolerate exactly that shape with a
+    # warning and raise on everything else.
     if queries_probe is not None:
         got = {(int(r[0]), int(r[1]))
                for r in queries_probe.select("query_id", "cell").collect()}
         expected = {(int(q), int(c)) for q, c, _ in query_cell_luts}
         if got != expected:
-            raise ValueError(
-                "queries_probe and query_cell_luts disagree on the probed "
-                "(query_id, cell) pairs — the LUTs were built from a "
-                f"different probe list than the Spark-side ivf_probe_frame "
-                f"(only-in-probe={sorted(got - expected)[:5]}, "
-                f"only-in-luts={sorted(expected - got)[:5]})"
+            from collections import Counter
+
+            got_n = Counter(q for q, _ in got)
+            exp_n = Counter(q for q, _ in expected)
+            tie_shaped = got_n == exp_n
+            if tie_shaped:
+                diff_q = {q for q, _ in (got ^ expected)}
+                tie_shaped = all(
+                    sum(1 for p in got - expected if p[0] == q)
+                    == sum(1 for p in expected - got if p[0] == q)
+                    for q in diff_q
+                )
+            if not tie_shaped:
+                raise ValueError(
+                    "queries_probe and query_cell_luts disagree on the probed "
+                    "(query_id, cell) pairs — the LUTs were built from a "
+                    f"different probe list than the Spark-side ivf_probe_frame "
+                    f"(only-in-probe={sorted(got - expected)[:5]}, "
+                    f"only-in-luts={sorted(expected - got)[:5]})"
+                )
+            import warnings
+
+            warnings.warn(
+                f"ivfadc_topk: probe frame and LUTs differ on "
+                f"{len(got ^ expected)} (query, cell) pairs in a tie-"
+                "compatible shape (equal per-query counts) — treating as a "
+                "cross-engine distance tie; candidates follow the LUTs",
+                RuntimeWarning,
+                stacklevel=2,
             )
     scored = (
         codes.withColumnRenamed(id_col, "neighbor_id")

@@ -410,3 +410,49 @@ def test_ann_index_rotation_roundtrip_exact(tmp_path):
     paq.write_table(damaged, art)
     with pytest.raises(ValueError, match="rotation"):
         load_ann_index(art)
+
+
+def test_ivfadc_probe_check_tolerates_tie_shape_and_rejects_miswiring(
+    spark, corpus, residual_index
+):
+    """The eager probe/LUT wiring check (ADVICE r7e): a tie-compatible
+    divergence — same query ids, same per-query pair counts, symmetric
+    per-query swaps — must WARN and proceed (scoring follows the LUTs);
+    a count-asymmetric disagreement (different nprobe or query set) must
+    still raise."""
+    import warnings
+
+    from spark_gp_spark.operators.pq import (
+        adc_luts_residual,
+        ivfadc_topk,
+        pq_encode_residual,
+        probe_cells_np,
+    )
+
+    df, vecs, _ = corpus
+    cents, books = residual_index
+    qids = [N_BASE, N_BASE + 1]
+    probe_lists = probe_cells_np(vecs[qids], cents, 4)
+    luts = adc_luts_residual(vecs[qids], probe_lists, cents, books)
+    query_cell_luts = [(qids[r], cell, lut) for r, cell, lut in luts]
+    codes = pq_encode_residual(df, books, cents).select("vec_id", "cell", "codes")
+
+    pairs = [(q, c) for q, c, _ in query_cell_luts]
+    # tie shape: swap ONE cell of query qids[0] for a cell outside its LUT
+    # set — per-query counts stay equal on both sides
+    q0_cells = {c for q, c in pairs if q == qids[0]}
+    other = next(c for c in range(1, 17) if c not in q0_cells)
+    drop = max(q0_cells)
+    tie_pairs = [(q, other if (q == qids[0] and c == drop) else c) for q, c in pairs]
+    probe_tie = spark.createDataFrame(tie_pairs, "query_id bigint, cell int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = ivfadc_topk(codes, probe_tie, query_cell_luts, k=3)
+        rows = out.collect()
+    assert any("tie-compatible" in str(w.message) for w in caught)
+    assert rows and all(r.query_id in qids for r in rows)
+
+    # miswired shape: one query lost a probed cell entirely (count asymmetry)
+    probe_short = spark.createDataFrame(pairs[:-1], "query_id bigint, cell int")
+    with pytest.raises(ValueError, match="disagree on the probed"):
+        ivfadc_topk(codes, probe_short, query_cell_luts, k=3)
