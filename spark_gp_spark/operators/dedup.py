@@ -917,3 +917,108 @@ def dedup_span_clean(
         .alias("n_removed"),
         F.concat_ws(" ", kept_toks).alias("clean_text"),
     )
+
+
+def dedup_against_history(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the nightly-batch verb: drop rows of
+    ``new_df`` whose text already exists in ``history_df`` (everything
+    already trained on), then keep-first WITHIN the batch, so the output
+    can be appended to history without ever creating a duplicate.
+
+    100 TB shape: history is the big side and is never shuffled.  The
+    batch's distinct fingerprints broadcast into a left-semi pass over
+    history (ONE scan of history, broadcast hash join); the resulting
+    collision set is bounded by the batch's distinct-count and broadcasts
+    back as an anti-join on the batch.  Both broadcasts are batch-sized.
+    If even the batch outgrows the broadcast threshold, swap the semi-join
+    for a bloom prefilter over history plus a shuffled confirm on the
+    (tiny) collision slice — same result, since bloom filters have no
+    false negatives and the confirm join removes the false positives.
+
+    Output: (id_col, text_hash) of the surviving batch rows, min-id per
+    distinct batch text (same keeper rule as ``dedup_keep_first``).
+    """
+    fp = F.md5(F.col(text_col).cast("string")).alias("text_hash")
+    batch = new_df.select(F.col(id_col), fp)
+    hist_hits = (
+        history_df.select(fp)
+        .join(F.broadcast(batch.select("text_hash").distinct()), "text_hash", "left_semi")
+        .distinct()
+    )
+    fresh = batch.join(F.broadcast(hist_hits), "text_hash", "left_anti")
+    return (
+        fresh.groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
+    )
+
+
+def neardup_against_history(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental NEAR-dup screen: for each batch doc, the earliest
+    history document whose verified Jaccard ≥ ``threshold`` (candidates
+    via the same MinHash-LSH banding as ``minhash_lsh_pairs``, so the two
+    operators flag consistently).  Batch docs with no history near-dup are
+    absent from the output — an anti-join against it is the keep set.
+
+    100 TB shape: history never shuffles.  Its banded keys are a
+    projection of the signature relation (at production scale, persist
+    them once next to the corpus — the same encode-once discipline as the
+    IVFADC codes parquet); the batch's banded keys BROADCAST into one
+    equi-join scan of history bands.  Candidate pairs carry only ids
+    through the join — shingle arrays are fetched per side afterwards,
+    history's via a second broadcast (candidate ids) hash join, so the
+    exact-Jaccard verify touches |candidates| history rows, not history.
+
+    Output: (id_col, dup_of, n_matches, best_jaccard) — dup_of = min
+    matching history id, n_matches = verified match count, best_jaccard =
+    max verified Jaccard (audit column), rounded to 6 dp before the
+    threshold compare so engine-side last-ulp sums cannot flip it.
+    """
+    sig_b = _minhash_staged(new_df, text_col, id_col, num_hashes, shingle_n, seed)
+    sig_h = _minhash_staged(history_df, text_col, id_col, num_hashes, shingle_n, seed)
+    _retire_shingle_caches([sig_b.persist(), sig_h.persist()])
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("_id").alias(out_id),
+            minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk"),
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        banded(sig_h, "hid")
+        .join(F.broadcast(banded(sig_b, "bid")), ["band", "key"])
+        .select("bid", "hid")
+        .dropDuplicates(["bid", "hid"])
+    )
+    sh_h = sig_h.select(F.col("_id").alias("hid"), F.col("shingles").alias("sh_h"))
+    sh_b = sig_b.select(F.col("_id").alias("bid"), F.col("shingles").alias("sh_b"))
+    verified = (
+        sh_h.join(F.broadcast(cand), "hid")
+        .join(F.broadcast(sh_b), "bid")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_h"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        verified.groupBy("bid")
+        .agg(
+            F.min("hid").alias("dup_of"),
+            F.count("*").alias("n_matches"),
+            F.max("jaccard").alias("best_jaccard"),
+        )
+        .select(F.col("bid").alias(id_col), "dup_of", "n_matches", "best_jaccard")
+    )
