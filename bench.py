@@ -2,8 +2,9 @@
 $SPARK_GRAFT_SF_DIR.
 
 Prints ONE COMPACT JSON line as the LAST stdout line (the round driver
-captures a bounded stdout tail, so the line stays under ~1900 chars:
-2-dp query timings, pointer to the full payload) and writes the FULL
+captures a bounded 2000-char stdout tail, so the line stays under 1985
+chars: 2-dp query timings — coarsened, then cheapest-first-shed if the
+suite outgrows the budget — pointer to the full payload) and writes the FULL
 result — fit_matrix, agg_depth, active_set_provider, calibration,
 per-query normalized timings — to the committed BENCH_local_r8.json.
 
@@ -652,15 +653,31 @@ def main() -> None:
         },
         "full": "BENCH_local_r8.json",
     }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # fall back to coarser per-query rounding first
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        del compact["queries"]
-        line = json.dumps(compact, separators=(",", ":"))
+    line = compact_stdout_line(compact, timings)
     spark.stop()
     print(line, flush=True)
+
+
+def compact_stdout_line(compact: dict, timings: dict, budget: int = 1985) -> str:
+    """Fit the compact record into the driver's bounded stdout tail (last
+    2000 chars; the line is printed LAST, so ≤ ``budget`` + newline
+    survives intact).  Ladder: 2-dp map → 1-dp map → shed the CHEAPEST
+    entries 8 at a time with a ``queries_omitted`` count (the expensive
+    tail is what the official record's map is read for; the full map
+    always survives in the committed payload file) → mapless."""
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:  # coarser per-query rounding first
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > budget and compact.get("queries"):
+        for k in sorted(compact["queries"], key=compact["queries"].get)[:8]:
+            del compact["queries"][k]
+        compact["queries_omitted"] = len(timings) - len(compact["queries"])
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":

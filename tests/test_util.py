@@ -101,3 +101,53 @@ def test_lbfgsb_rosenbrock():
         tol=1e-10,
     )
     assert np.allclose(x, [1.0, 1.0], atol=1e-4)
+
+
+def test_bench_compact_line_ladder():
+    """The driver tails 2000 chars of bench stdout: the compact line must
+    always fit the budget, preferring coarser rounding, then shedding the
+    cheapest per-query entries (with an omitted count) before going
+    mapless — and the real r8-sized suite must keep its full map."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import compact_stdout_line
+
+    def mk(n):
+        t = {f"query_name_number_{i:03d}": 0.01 * i + 0.37 for i in range(n)}
+        return {"metric": "m", "value": 1.0, "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in t.items()},
+                "sf": 0.1, "value_normalized": 1.0,
+                "normalization": {"jvm_factor": 1.5219, "pandas_factor": 0.9632},
+                "full": "BENCH_local_r8.json"}, t
+
+    # the REAL r8 suite (names + magnitudes from the committed payload):
+    # the whole map must survive, at 2 or 1 dp
+    real = json.load(open("/root/repo/BENCH_local_r8.json"))["queries"]
+    compact = mk(0)[0]
+    compact["queries"] = {k: round(v, 2) for k, v in real.items()}
+    line = compact_stdout_line(compact, real)
+    parsed = json.loads(line)
+    assert len(line) <= 1985
+    assert len(parsed["queries"]) == len(real)
+
+    # a much larger suite sheds cheapest-first but keeps the expensive tail
+    compact, t = mk(300)
+    line = compact_stdout_line(compact, t)
+    parsed = json.loads(line)
+    assert len(line) <= 1985
+    kept = parsed["queries"]
+    assert kept and parsed["queries_omitted"] == 300 - len(kept)
+    assert max(t, key=t.get) in kept  # most expensive survives
+    assert min(t, key=t.get) not in kept  # cheapest shed first
+
+    # pathological budget: sheds down to a handful of expensive entries
+    # (or mapless at the limit) but always fits and parses
+    compact, t = mk(73)
+    line = compact_stdout_line(compact, t, budget=300)
+    parsed = json.loads(line)
+    assert len(line) <= 300
+    assert len(parsed.get("queries", {})) < 10
+    if parsed.get("queries"):
+        assert max(t, key=t.get) in parsed["queries"]
