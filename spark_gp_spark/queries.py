@@ -738,6 +738,97 @@ GROUP BY r.doc_id
 _STREAM_NEARDUP_SQL = _sql_streaming_neardup()
 
 
+#: documents with doc_id % _HIST_MOD == 0 play the arriving batch; the rest
+#: are the corpus already trained on (deterministic, oracle-replayable split)
+_HIST_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup (operators/dedup.py:dedup_against_history):
+    the nightly-batch hygiene verb over a deterministic history/batch split
+    of `documents`.  History is never shuffled — batch fingerprints
+    broadcast into one left-semi scan, the bounded collision set broadcasts
+    back as an anti-join, and the survivors keep-first within the batch.
+
+    STAGED for the round-9 correctness window (SURVEY continuity note #6):
+    built, unit-tested (tests/test_incremental_dedup.py) and locally
+    oracle-verified in round 8, but deliberately NOT registered — the r8
+    window was exactly full with the mandated 26-entry rotation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_against_history(
+        docs.filter(F.col("doc_id") % _HIST_MOD == 0),
+        docs.filter(F.col("doc_id") % _HIST_MOD != 0),
+    )
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % {_HIST_MOD} = 0
+), hist AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % {_HIST_MOD} <> 0
+)
+SELECT min(doc_id) AS doc_id, text_hash
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_hash = b.text_hash)
+GROUP BY text_hash
+"""
+
+
+def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup screen (operators/dedup.py:
+    neardup_against_history) over the same history/batch split: per batch
+    doc, the earliest history near-duplicate by the shared MinHash-LSH
+    banding + exact-Jaccard verify.  Oracle = the shared signature CTEs,
+    banded batch-vs-history join filtered by the split, verified at the
+    same 6-dp rounded grain.  STAGED for round 9 — see dedup_incremental."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.neardup_against_history(
+        docs.filter(F.col("doc_id") % _HIST_MOD == 0),
+        docs.filter(F.col("doc_id") % _HIST_MOD != 0),
+        threshold=0.5,
+    )
+
+
+def _sql_neardup_incremental(
+    bands: int = 4, rows_per_band: int = 4, threshold: float = 0.5
+) -> str:
+    band_structs = ", ".join(
+        "("
+        + str(bi)
+        + ", concat_ws('_', "
+        + ", ".join(f"sig[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for bi in range(bands)
+    )
+    jacc = (
+        "round(len(list_intersect(sh_b, sh_h))::DOUBLE / greatest("
+        "len(sh_b) + len(sh_h) - len(list_intersect(sh_b, sh_h)), 1), 6)"
+    )
+    return (
+        _sql_minhash_sig()
+        + f""",
+banded AS (
+  SELECT doc_id, shingles, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {band_structs}) v(band, key)) b
+), cand AS (
+  SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid,
+         b.shingles AS sh_b, h.shingles AS sh_h
+  FROM banded b JOIN banded h ON b.band = h.band AND b.key = h.key
+  WHERE b.doc_id % {_HIST_MOD} = 0 AND h.doc_id % {_HIST_MOD} <> 0
+), ver AS (
+  SELECT bid, hid, {jacc} AS jaccard FROM cand
+)
+SELECT bid AS doc_id, min(hid) AS dup_of, count(*) AS n_matches,
+       max(jaccard) AS best_jaccard
+FROM ver WHERE jaccard >= {threshold}
+GROUP BY bid
+"""
+    )
+
+
+_NEARDUP_INCREMENTAL_SQL = _sql_neardup_incremental()
+
+
 def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DENSE-VECTOR near-dup (streaming/neardup.py:
     streaming_embedding_neardup_matches): multi-table sign-LSH buckets
