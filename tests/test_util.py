@@ -122,9 +122,16 @@ def test_bench_compact_line_ladder():
                 "normalization": {"jvm_factor": 1.5219, "pandas_factor": 0.9632},
                 "full": "BENCH_local_r8.json"}, t
 
-    # the REAL r8 suite (names + magnitudes from the committed payload):
-    # the whole map must survive, at 2 or 1 dp
-    real = json.load(open("/root/repo/BENCH_local_r8.json"))["queries"]
+    # the REAL current suite (names + magnitudes from the latest committed
+    # payload): the whole map must survive, at 2 or 1 dp
+    import glob
+    import re
+
+    latest = max(
+        glob.glob("/root/repo/BENCH_local_r*.json"),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    real = json.load(open(latest))["queries"]
     compact = mk(0)[0]
     compact["queries"] = {k: round(v, 2) for k, v in real.items()}
     line = compact_stdout_line(compact, real)
