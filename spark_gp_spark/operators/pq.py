@@ -550,7 +550,12 @@ def exact_rerank(
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_n", norm(F.col("_v")))
-    q = v.select(
+    # restrict the query side to the shortlist's DISTINCT query ids BEFORE
+    # broadcasting: the broadcast payload is Q rows (the fixed query set),
+    # never the full vector relation — a corpus-sized q broadcast would OOM
+    # the driver at production N even though results are identical
+    qids = shortlist.select(F.col("query_id").alias(id_col)).distinct()
+    q = v.join(F.broadcast(qids), id_col, "left_semi").select(
         F.col(id_col).alias("query_id"),
         F.col("_v").alias("qv"),
         F.col("_n").alias("qn"),

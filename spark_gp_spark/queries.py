@@ -1891,7 +1891,7 @@ def _auto_ann_sf001() -> dict | None:
 def ivf_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_topk under the corpus-derived AUTO parameters — what a user gets
     calling the operator with defaults (train_centroids_from_parquet(path)
-    + ivf_topk(..., nprobe=None)): cells ≈ √N, nprobe ≈ cells/6, training
+    + ivf_topk(..., nprobe=None)): cells ≈ √N, nprobe ≈ cells/4, training
     sample ≥ 40/centroid (ivf.auto_ivf_params — the r7 `ann_param_scaling`
     bench cell promoted to the operator default, VERDICT r7 #1).  The
     frozen-parameter ivf_topk entry stays pinned to its original oracle;
@@ -2327,7 +2327,7 @@ def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC under the corpus-derived AUTO parameters + FAISS refine step
     (pq.exact_rerank) — the configuration a scale user actually gets, and
     the answer to VERDICT r7 #1 (frozen sf0.01 constants returned 9% of
-    true neighbors at bench scale): cells ≈ √N, nprobe ≈ cells/6, residual
+    true neighbors at bench scale): cells ≈ √N, nprobe ≈ cells/4, residual
     codebooks sized to the training sample (pq.auto_pq_params), ADC
     shortlist of R=10·k exact-re-ranked to the final top-5.  Recall is then
     bounded by shortlist membership, not PQ quantization error — gated
