@@ -872,6 +872,105 @@ def streaming_neardup_event_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_neardup_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup where event-time state expiry PROVABLY FIRES
+    (streaming/neardup.py:run_streaming_neardup_expiry) — the complement of
+    streaming_neardup_event_ttl, whose TTL provably never fires.  Three
+    explicit id-range arrival batches (cuts lo + (hi−lo)//3 and
+    lo + 2·(hi−lo)//3 — oracle-restatable, unlike repartitionByRange's
+    sampled boundaries), ts(doc) = epoch + doc_id seconds, 0-delay
+    watermark, ttl = (hi−lo)//6 seconds ≈ half a batch's event-time span:
+    buckets last touched early in a batch and idle through the next batch
+    expire via GroupState EventTimeTimeout before their later re-arrivals,
+    which then emit against a FRESH bucket session.  Oracle = the shared
+    banding CTEs + per-(bucket, batch) max aggregates sessionized by the
+    survival rule W(jb−1) ≤ maxts(bucket ≤ ja) + ttl (W = running max event
+    ts over completed batches; lag + cumulative-sum session ids); dup_of =
+    min same-session prior, min over bands.  tests/test_streaming_neardup.py
+    asserts this relation DIFFERS from the no-TTL oracle on a nonempty set
+    — proof the timeout branch fired in the official entry, not just in a
+    synthetic pytest."""
+    from .streaming.neardup import run_streaming_neardup_expiry
+
+    return run_streaming_neardup_expiry(spark, sf_dir)
+
+
+def _sql_streaming_neardup_expiry(bands: int = 4, rows_per_band: int = 4) -> str:
+    """Session oracle for the expiry-firing harness: restates the id-range
+    batch cuts, the 0-delay watermark W(j) = max doc_id over batches ≤ j,
+    and EventTimeTimeout's strict `deadline < W` firing rule (state survives
+    from activity batch ja to the next activity batch jb iff
+    W(jb−1) ≤ bmax(ja) + ttl; the clamp max(deadline, W+1) in the state
+    machine never binds because id-range batches make every bucket's new
+    rows later than the prior watermark)."""
+    band_structs = ", ".join(
+        "("
+        + str(bi)
+        + ", concat_ws('_', "
+        + ", ".join(f"sig[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band))
+        + "))"
+        for bi in range(bands)
+    )
+    return (
+        _sql_minhash_sig()
+        + f""",
+consts AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+cuts AS (
+  SELECT lo + (hi - lo) // 3 AS c1, lo + 2 * (hi - lo) // 3 AS c2,
+         (hi - lo) // 6 AS ttl
+  FROM consts
+),
+banded AS (
+  SELECT s.doc_id,
+         CASE WHEN s.doc_id <= c.c1 THEN 1
+              WHEN s.doc_id <= c.c2 THEN 2
+              ELSE 3 END AS batch,
+         b.*
+  FROM sig s CROSS JOIN cuts c,
+       LATERAL (SELECT * FROM (VALUES {band_structs}) v(band, key)) b
+),
+wm AS (
+  SELECT t.b AS batch, (SELECT max(doc_id) FROM banded WHERE batch <= t.b) AS w
+  FROM (VALUES (1), (2), (3)) t(b)
+),
+act AS (
+  SELECT band, key, batch, max(doc_id) AS bmax
+  FROM banded GROUP BY band, key, batch
+),
+brk AS (
+  SELECT a.band, a.key, a.batch,
+    CASE WHEN lag(a.batch) OVER win IS NULL THEN 1
+         WHEN (SELECT w.w FROM wm w WHERE w.batch = a.batch - 1) >
+              lag(a.bmax) OVER win + (SELECT ttl FROM cuts) THEN 1
+         ELSE 0 END AS new_sess
+  FROM act a WINDOW win AS (PARTITION BY a.band, a.key ORDER BY a.batch)
+),
+sess AS (
+  SELECT band, key, batch,
+         sum(new_sess) OVER (PARTITION BY band, key ORDER BY batch) AS sid
+  FROM brk
+),
+dses AS (
+  SELECT bd.doc_id, bd.band, bd.key, s.sid
+  FROM banded bd
+  JOIN sess s ON bd.band = s.band AND bd.key = s.key AND bd.batch = s.batch
+),
+smin AS (
+  SELECT band, key, sid, min(doc_id) AS session_min
+  FROM dses GROUP BY band, key, sid
+)
+SELECT d.doc_id, min(m.session_min) AS dup_of
+FROM dses d
+JOIN smin m ON d.band = m.band AND d.key = m.key AND d.sid = m.sid
+WHERE m.session_min < d.doc_id
+GROUP BY d.doc_id
+"""
+    )
+
+
+_STREAM_NEARDUP_EXPIRY_SQL = _sql_streaming_neardup_expiry()
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs via inverted-index equi-join
     (operators/dedup.py) — the no-miss complement to the MinHash LSH

@@ -276,6 +276,98 @@ def run_streaming_embedding_neardup(
 _TS_EPOCH = 1_600_000_000
 
 
+def expiry_plan(lo: int, hi: int) -> tuple[int, int, int]:
+    """(c1, c2, ttl_ms) for the deterministic expiry harness, derived purely
+    from the corpus id span so the DuckDB oracle can restate them: three
+    id-range batches cut at lo + (hi−lo)//3 and lo + 2·(hi−lo)//3, and a TTL
+    of half a batch's event-time span ((hi−lo)//6 seconds).  With
+    ts(doc) = _TS_EPOCH + doc_id and a 0-delay watermark, a bucket whose
+    last member sits in the early half of a batch and that stays idle
+    through the NEXT batch is guaranteed to expire before it is re-touched:
+    the watermark advances by a full batch span (≈ 2·ttl) while its
+    deadline only reaches last_ts + ttl."""
+    span = hi - lo
+    return lo + span // 3, lo + 2 * span // 3, (span // 6) * 1000
+
+
+def run_streaming_neardup_expiry(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+    query_name: str = "gp_stream_neardup_expiry",
+) -> DataFrame:
+    """The deterministic EXPIRY-FIRING event-time TTL harness (SURVEY §7
+    round-8 worked design): unlike ``run_streaming_neardup``'s
+    repartitionByRange staging (whose sampled boundaries an oracle cannot
+    restate), the three arrival files here are EXPLICIT id-range batches cut
+    by ``expiry_plan`` — a CASE expression both engines share — and the TTL
+    is ~half a batch's event-time span, so buckets last touched early in a
+    batch and idle through the following batch provably expire before their
+    re-arrivals, which then emit against a FRESH session.
+
+    Expiry semantics being exercised (GroupState EventTimeTimeout): a
+    bucket's deadline is its running-max event time + ttl; the engine fires
+    it in a micro-batch where the bucket has NO data and the eviction
+    watermark W (max event ts over completed batches, 0 delay) exceeds the
+    deadline strictly.  Because arrivals are driven one file at a time with
+    ``processAllAvailable`` (timeout-only batches run between files), state
+    survives from activity batch ja to the next activity batch jb iff
+    W(jb−1) ≤ maxts(bucket ≤ ja) + ttl — the exact session rule the DuckDB
+    oracle states with lag + cumulative-sum session ids over per-
+    (bucket, batch) max aggregates.  tests/test_streaming_neardup.py
+    asserts the emitted relation DIFFERS from the no-TTL oracle on a
+    nonempty set (proof the timeout branch fired in the official entry)."""
+    work = tempfile.mkdtemp(prefix="gp_stream_neardup_exp_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    c1, c2, ttl_ms = expiry_plan(int(lo), int(hi))
+    arrivals = []
+    for j, cond in enumerate(
+        [
+            F.col("doc_id") <= c1,
+            (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
+            F.col("doc_id") > c2,
+        ]
+    ):
+        out_j = os.path.join(work, f"batch-{j}")
+        docs.filter(cond).coalesce(1).write.parquet(out_j)
+        arrivals.append(
+            os.path.join(
+                out_j,
+                next(f for f in sorted(os.listdir(out_j)) if f.endswith(".parquet")),
+            )
+        )
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .withColumn(
+            "_event_ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id"))
+        )
+    )
+    matches = streaming_neardup_matches(
+        stream, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, seed=seed,
+        ttl_ms=ttl_ms, ts_col="_event_ts",
+    )
+    with _state_partitions(spark):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
+    return log.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+
+
 def run_streaming_neardup(
     spark: SparkSession,
     sf_dir: str,

@@ -330,3 +330,37 @@ def test_state_func_late_batch_never_moves_deadline_backwards():
     list(func(("b", "k"), iter(batch([9], [200])), state))
     assert state.deadlines[-1] == 200_000 + ttl_ms
     assert state.get == (5, 200_000)
+
+
+def test_streaming_neardup_expiry_fires_and_matches_session_oracle(spark, sf_dir):
+    """The dual assertion from the SURVEY worked design: the expiry entry's
+    output must (1) DIFFER from the no-TTL banding oracle on a NONEMPTY set
+    — proof GroupState EventTimeTimeout actually fired inside the official
+    registry harness, not just in a synthetic fixture — and (2) match the
+    bucket-session oracle exactly (the driver re-checks (2) at sf0.01; this
+    gates it at the test scale too)."""
+    import duckdb
+
+    from spark_gp_spark.queries import (
+        _STREAM_NEARDUP_EXPIRY_SQL,
+        _STREAM_NEARDUP_SQL,
+        streaming_neardup_expiry,
+    )
+
+    got = streaming_neardup_expiry(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    session_oracle = con.execute(_STREAM_NEARDUP_EXPIRY_SQL).df()
+    no_ttl_oracle = con.execute(_STREAM_NEARDUP_SQL).df()
+
+    got_map = dict(zip(got["doc_id"], got["dup_of"]))
+    assert got_map == dict(
+        zip(session_oracle["doc_id"], session_oracle["dup_of"])
+    )
+    no_ttl_map = dict(zip(no_ttl_oracle["doc_id"], no_ttl_oracle["dup_of"]))
+    assert got_map != no_ttl_map, "TTL produced no observable expiry"
+    # the difference must include at least one SUPPRESSED emission (a doc
+    # whose only prior collider expired) — the unambiguous expiry signature
+    assert set(no_ttl_map) - set(got_map), "no emission was suppressed by expiry"
