@@ -244,6 +244,7 @@ def token_cooccurrence_pmi(
     min_pair_docs: int = 5,
     min_df: int = 2,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Co-occurring token pairs ranked by pointwise mutual information — the
     phrase-mining / collocation operator of an LLM corpus pipeline.
@@ -261,6 +262,14 @@ def token_cooccurrence_pmi(
     broadcast single-row cross join — the operator stays fully lazy (no
     Spark job at plan-construction time), mirroring the oracle's
     ``CROSS JOIN n``.
+
+    ``max_df`` is an absolute document-count cap; ``max_df_frac`` is the
+    scale-portable RELATIVE form (df ≤ frac·N, the standard collocation
+    stop-list rule) — an absolute cap tuned at one corpus size silently
+    degenerates at another (a cap below the corpus's common-token df
+    empties the output; far above it, it stops guarding).  The fraction
+    attaches via the same broadcast 1-row N frame, keeping the operator
+    lazy.
     """
     toks = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t"))
     post = toks.select("_id", F.explode(F.array_distinct("_t")).alias("tok"))
@@ -270,6 +279,12 @@ def token_cooccurrence_pmi(
     )
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.col("_n") * F.lit(float(max_df_frac)))
+            .drop("_n")
+        )
     kept = post.join(dfreq.select("tok"), "tok", "left_semi")
     a = kept.select("_id", F.col("tok").alias("tok_a"))
     b = kept.select("_id", F.col("tok").alias("tok_b"))

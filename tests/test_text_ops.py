@@ -34,6 +34,24 @@ def test_token_pmi_max_df_drops_stopword_grade_tokens(spark):
     assert all("the" not in (r.tok_a, r.tok_b) for r in out)
 
 
+def test_token_pmi_relative_df_cap(spark):
+    # the scale-portable guard: "the" (df=10=N) falls above 0.9·N and is
+    # dropped; "common" (df=8 ≤ 0.9·10) survives and still pairs — the
+    # registry entry's configuration must be non-vacuous by construction
+    docs = spark.createDataFrame(
+        [(i, f"the common word{i % 2}" if i < 8 else "the rare word9")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = token_cooccurrence_pmi(
+        docs, min_pair_docs=1, min_df=1, max_df_frac=0.9
+    ).collect()
+    assert out, "relative cap emptied the output"
+    toks = {t for r in out for t in (r.tok_a, r.tok_b)}
+    assert "the" not in toks
+    assert "common" in toks
+
+
 def test_label_centroids_exact_means(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [10.0, 20.0], 1)],
