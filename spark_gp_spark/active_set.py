@@ -64,10 +64,18 @@ def _local_kmeans(X: np.ndarray, k: int, seed: int, max_iter: int = 20) -> np.nd
         )
         assign = np.argmin(d, axis=1)
         new_centers = centers.copy()
+        # group members via ONE stable sort instead of k boolean-mask scans
+        # (O(n log n) vs O(n·k)); stable keeps each cluster's rows in
+        # ascending original order, so X[order[s:e]] is bit-identical to
+        # X[assign == c] and the center means keep the exact same pairwise
+        # summation — callers bake these centers into correctness oracles
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        starts = np.searchsorted(sorted_assign, np.arange(k), side="left")
+        ends = np.searchsorted(sorted_assign, np.arange(k), side="right")
         for c in range(k):
-            members = X[assign == c]
-            if len(members):
-                new_centers[c] = members.mean(axis=0)
+            if ends[c] > starts[c]:
+                new_centers[c] = X[order[starts[c] : ends[c]]].mean(axis=0)
         if np.allclose(new_centers, centers):
             break
         centers = new_centers
