@@ -106,7 +106,13 @@ def gpc_laplace(
             return _rejected()
         grad_log_p = y - pi
         b = w * f + grad_log_p
-        a = b - sqrt_w * np.linalg.solve(L.T, np.linalg.solve(L, sqrt_w * (K @ b)))
+        # ONE LU solve against B instead of np.linalg.solve(L.T,
+        # solve(L, .)): numpy has no triangular solver (no scipy in
+        # this environment), so each of those was a FULL pivoted LU of
+        # a factor we already had — two O(n^3) factorizations per
+        # Newton step; at ~25k solves per capstone fit this was the
+        # largest driver-side cost (VERDICT r8 next #6)
+        a = b - sqrt_w * np.linalg.solve(B, sqrt_w * (K @ b))
         f_candidate = (1.0 - step) * f + step * (K @ a)
         obj_candidate = -0.5 * float(a @ f_candidate) + float(np.sum(_log_sigmoid(y_pm1 * f_candidate)))
         if obj_candidate > old_obj:
@@ -126,18 +132,23 @@ def gpc_laplace(
         return _rejected()
     grad_log_p = y - pi
     b = w * f + grad_log_p
-    a = b - sqrt_w * np.linalg.solve(L.T, np.linalg.solve(L, sqrt_w * (K @ b)))
+    # one inv(B) serves a, R, AND the C-column-norm diagonal below — three
+    # separate LU solves collapsed into a single factorization (L itself
+    # stays: the PSD rejection and log|B| = 2 sum log diag(L) need it)
+    Binv = np.linalg.inv(B)
+    sqrt_wK = sqrt_w[:, None] * K
+    a = b - sqrt_w * (Binv @ (sqrt_w * (K @ b)))
     obj = -0.5 * float(a @ f) + float(np.sum(_log_sigmoid(y_pm1 * f)))
 
     log_z = obj - float(np.sum(np.log(np.diag(L))))
 
-    # R = sqrtW B^-1 sqrtW ;  C = L^-1 (sqrtW K)
-    Binv = np.linalg.solve(L.T, np.linalg.solve(L, np.eye(n)))
+    # R = sqrtW B^-1 sqrtW ;  diag(C'C) with C = L^-1 (sqrtW K) equals
+    # diag((sqrtW K)' B^-1 (sqrtW K))
     R = sqrt_w[:, None] * Binv * sqrt_w[None, :]
-    C = np.linalg.solve(L, sqrt_w[:, None] * K)
+    c_diag = np.einsum("ij,ij->j", sqrt_wK, Binv @ sqrt_wK)
     # pi^2 * exp(-f) == pi * (1 - pi), so d3 = -(2 pi - 1) pi (1 - pi)
     d3_log_p = -(2.0 * pi - 1.0) * pi * (1.0 - pi)
-    s2 = -0.5 * (np.diag(K) - np.einsum("ij,ij->j", C, C)) * d3_log_p
+    s2 = -0.5 * (np.diag(K) - c_diag) * d3_log_p
 
     grads = np.empty(len(dK))
     for j, dKj in enumerate(dK):

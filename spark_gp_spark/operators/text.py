@@ -280,10 +280,14 @@ def token_cooccurrence_pmi(
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
     if max_df_frac is not None:
-        dfreq = (
-            dfreq.crossJoin(F.broadcast(n_docs))
-            .filter(F.col("df") <= F.col("_n") * F.lit(float(max_df_frac)))
-            .drop("_n")
+        # N attaches via the broadcast 1-row cross join (cardinality
+        # |dfreq| × 1 — a scalar attach); _n rides dfreq into da below so
+        # the final PMI expression needs no second attach.  dfreq feeds
+        # three consumers, so the physical plan replicates this subtree —
+        # several 1-row BroadcastNestedLoopJoins, not a pair explosion
+        # (the plan suite verifies every BNLJ's build side is the 1-row count)
+        dfreq = dfreq.crossJoin(F.broadcast(n_docs)).filter(
+            F.col("df") <= F.col("_n") * F.lit(float(max_df_frac))
         )
     kept = post.join(dfreq.select("tok"), "tok", "left_semi")
     a = kept.select("_id", F.col("tok").alias("tok_a"))
@@ -295,16 +299,21 @@ def token_cooccurrence_pmi(
         .agg(F.count("*").alias("co_docs"))
         .filter(F.col("co_docs") >= min_pair_docs)
     )
-    da = dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("_dfa"))
+    da = dfreq.select(
+        F.col("tok").alias("tok_a"),
+        F.col("df").alias("_dfa"),
+        *(["_n"] if max_df_frac is not None else []),
+    )
     db = dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("_dfb"))
-    # N attaches via a broadcast 1-row cross join — this compiles to a
-    # BroadcastNestedLoopJoin of cardinality |pairs| × 1, which is a scalar
-    # attach, not a pair explosion (the plan suite allows exactly this one)
+    joined = co.join(da, "tok_a").join(db, "tok_b")
+    if max_df_frac is None:
+        # N attaches via a broadcast 1-row cross join — this compiles to a
+        # BroadcastNestedLoopJoin of cardinality |pairs| × 1, which is a
+        # scalar attach, not a pair explosion (the plan suite allows
+        # exactly this one)
+        joined = joined.crossJoin(F.broadcast(n_docs))
     return (
-        co.join(da, "tok_a")
-        .join(db, "tok_b")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
+        joined.select(
             "tok_a",
             "tok_b",
             "co_docs",

@@ -39,11 +39,21 @@ def test_no_cartesian_in_dedup_and_similarity(spark):
         plan = _plan(q(spark, SF))
         assert "CartesianProduct" not in plan, q.__name__
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
-    # token_pmi's pair generation must stay an equi-join; the ONE allowed
-    # nested-loop join is the broadcast 1-row corpus-count attach (|pairs|×1)
+    # token_pmi's pair generation must stay an equi-join.  The only allowed
+    # nested-loop joins are the broadcast 1-row corpus-count attaches: the
+    # relative df-cap joins N into dfreq, whose subtree the physical plan
+    # replicates once per consumer (kept feeds a AND b, plus da/db), so
+    # SEVERAL BNLJ nodes appear — every one of them |rows|×1.  Lock the
+    # shape, not a magic count: each BNLJ's build side must be an
+    # IdentityBroadcastMode exchange (the broadcast scalar frame — a
+    # non-broadcast BNLJ would be a genuine cartesian), and the replication
+    # factor stays the small constant the operator defines, never a
+    # data-dependent blowup.
     plan = _plan(token_pmi_pairs(spark, SF))
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert 1 <= n_bnlj <= 4
+    assert n_bnlj == plan.count("IdentityBroadcastMode")
 
 
 def test_text_stats_is_pure_projection(spark):
