@@ -2050,7 +2050,12 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, an (m × k) lookup table is baked driver-side and each corpus
     point scores as m integer lookups — no float vector read at scan time.
     Compose with ivf cells for sublinear scans; recall vs the exact L2
-    baseline is measured in tests/test_pq.py."""
+    baseline is measured in tests/test_pq.py.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``pq_topk_auto``.
+    """
     from .operators.pq import (
         adc_luts,
         pq_encode as _pq_encode,
@@ -2220,7 +2225,12 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query, cell) pair scores through its own residual LUT as m integer
     lookups — the full FAISS IVF+PQ composition (Jégou 2011 §IV), the
     sublinear sketch-scan shape for 100 TB ANN.  Flat pq_topk is the recall
-    ceiling; tests/test_pq.py gates recall ≥ 0.9 against exact L2."""
+    ceiling; tests/test_pq.py gates recall ≥ 0.9 against exact L2.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``ivfadc_topk_auto``.
+    """
     import numpy as np
 
     from .operators.ivf import ivf_probe_frame, train_centroids_from_parquet
@@ -2341,7 +2351,12 @@ def ivfadc_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matching the SAME oracle as ivfadc_topk (the round trip is
     float64-exact, so results are identical by construction).  This
     variant still ENCODES the corpus per invocation; ivfadc_topk_codes
-    completes the lifecycle by reading the persisted codes relation."""
+    completes the lifecycle by reading the persisted codes relation.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``ivfadc_topk_auto``.
+    """
     from .operators.pq import ivfadc_topk as _ivfadc_topk, pq_encode_residual
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -2363,7 +2378,12 @@ def ivfadc_topk_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plan-locked in tests/test_plans.py).  At 100 TB this is the plan a
     production ANN service runs per query batch — join + rank over stored
     codes, encode and training amortized to zero; hash-matches the SAME
-    oracle as ivfadc_topk."""
+    oracle as ivfadc_topk.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``ivfadc_topk_auto``.
+    """
     from .operators.pq import ivfadc_topk as _ivfadc_topk
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -2400,7 +2420,12 @@ def ivfadc_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed-cells partition pruning — no join back to the corpus, no
     post-rank filtering (which would return < k rows); still zero Python
     eval nodes.  Oracle = the ivfadc CTE chain over the label-restricted
-    corpus."""
+    corpus.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``ivfadc_topk_auto``.
+    """
     from .operators.pq import ivfadc_topk as _ivfadc_topk
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -2826,7 +2851,12 @@ def opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection (the rotation rides in the UDF closure), scan scores as m
     integer LUT lookups in whole-stage codegen.  The rotation fold is
     left-to-right over input dims on both engines, so codes and distances
-    are bit-identical."""
+    are bit-identical.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``opq_topk_auto``.
+    """
     import numpy as np
 
     from .operators.pq import (
@@ -3119,7 +3149,12 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k neighbours via multi-table sign-LSH buckets
     (similarity.lsh_bucketed_topk) — the scale path whose candidates per
     query are ~tables·N/2^bits instead of N.  Oracle replays the buckets;
-    tests/test_similarity.py measures recall against the exact baseline."""
+    tests/test_similarity.py measures recall against the exact baseline.
+
+    FROZEN small-corpus parameters kept for oracle parity (sf0.1
+    recall@5 < 0.5); production callers use the auto-sized twin
+    ``lsh_topk_multiprobe``.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     out = S.lsh_bucketed_topk(emb, queries, k=5, bits=8, tables=4, seed=11, dim=64)
@@ -5633,115 +5668,40 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # reaffirmed every round since): any query whose implementation changed
 # since its last official row — plus anything new — must sit inside that
 # window; the remaining slots rotate in the queries whose last official row
-# is OLDEST.  Round-8 window (50 keys exactly): 4 new queries (ANN
-# auto-sizing pair, streaming drift monitor, capstone v2); 20 changed this
-# round (the ANN trainer/oracle parameterization + exact_rerank touched the
-# whole IVF/PQ family and the centroid-cell consumers; the pid-isolated
-# derived-copy path touched the roundtrip artifacts; streaming/budget.py's
-# column threading; the drift-report helper extraction; the
-# InferFiltersFromGenerate exclusion re-planned the shingle-explode
-# pipelines — corpus_prep_pipeline/contamination_check stand in for that
-# family; the gopher SQL builder gained a src param — its two consumers
-# ride along); then ALL 26 entries whose last official row is r5 (VERDICT
-# r7 #5 — they waited two rounds).  Below the divider: entries officially
-# green in r6/r7 on code unchanged this round.  SURVEY.md §2.8's status
-# table maps every query to its operator and last official row.
+# is OLDEST.  Round-9 window (50 keys exactly): 3 NEW queries (the
+# incremental-dedup twins staged in r8, and the deterministic
+# expiry-firing streaming TTL entry); 10 CHANGED this round (the
+# exact_rerank broadcast-scoping fix touched the three refine-step auto
+# entries; the relative df-cap rewrote token_pmi_pairs; the gpc_laplace
+# solve consolidation perturbs low-order bits of every GPC fit, so the
+# three rows-only GPC entries re-window; streaming/neardup.py gained the
+# expiry harness, so its three sibling entries ride along although their
+# own functions are untouched); then ALL 37 remaining entries whose last
+# official row is r6 (SURVEY item #5's rotation math — this clears the
+# entire backlog: after r9 nothing in the registry is older than r7-green).
+# NOT windowed despite a source change: _local_kmeans's grouping rewrite is
+# proven bit-identical (tests compare against the old implementation), so
+# its consumers' outputs cannot have moved.  Below the divider: entries
+# officially green in r7/r8 on code unchanged this round.  SURVEY.md §2.8's
+# status table maps every query to its operator and last official row.
 QUERIES = {
-    # --- new in round 8 ---
-    "ivf_topk_auto": ivf_topk_auto,
+    # --- new in round 9 ---
+    "dedup_incremental": dedup_incremental,
+    "neardup_incremental": neardup_incremental,
+    "streaming_neardup_expiry": streaming_neardup_expiry,
+    # --- changed in round 9 (exact_rerank / df-cap / gpc_laplace / neardup module) ---
     "ivfadc_topk_auto": ivfadc_topk_auto,
-    "streaming_embedding_drift": streaming_embedding_drift,
-    "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
     "pq_topk_auto": pq_topk_auto,
     "opq_topk_auto": opq_topk_auto,
-    "lsh_topk_multiprobe": lsh_topk_multiprobe,
-    # --- changed in round 8 ---
-    "ivf_topk": ivf_topk,
-    "pq_encode": pq_encode,
-    "pq_topk": pq_topk,
-    "ivfadc_topk": ivfadc_topk,
-    "ivfadc_topk_persisted": ivfadc_topk_persisted,
-    "ivfadc_topk_codes": ivfadc_topk_codes,
-    "ivfadc_topk_filtered": ivfadc_topk_filtered,
-    "opq_topk": opq_topk,
-    "streaming_ann_ingest": streaming_ann_ingest,
-    "semdedup_keep": semdedup_keep,
-    "cluster_balance_sample": cluster_balance_sample,
-    "cluster_exemplars": cluster_exemplars,
-    "jsonl_roundtrip": jsonl_roundtrip,
-    "orc_roundtrip": orc_roundtrip,
-    "streaming_token_budget": streaming_token_budget,
-    "embedding_drift": embedding_drift,
-    "corpus_prep_pipeline": corpus_prep_pipeline,
-    # --- rotated in: last official row r5 ---
-    "event_zorder_key": event_zorder_key,
-    "orders_upsert_merge": orders_upsert_merge,
-    "orders_dq_report": orders_dq_report,
-    "orders_profile": orders_profile,
-    "viewers_without_purchase": viewers_without_purchase,
-    "event_type_pivot": event_type_pivot,
-    "doc_fingerprints": doc_fingerprints,
-    "tfidf_top_terms": tfidf_top_terms,
-    "token_budget": token_budget,
-    "doc_chunks": doc_chunks,
-    "redact_pii": redact_pii,
-    "event_group_sample": event_group_sample,
-    "streaming_window_counts": streaming_window_counts,
-    "streaming_window_counts_append": streaming_window_counts_append,
-    "streaming_static_enrich": streaming_static_enrich,
-    "streaming_sessions": streaming_sessions,
-    "streaming_sessions_append": streaming_sessions_append,
-    "streaming_stateful_sessions": streaming_stateful_sessions,
-    "streaming_dedup": streaming_dedup,
-    "streaming_interval_join": streaming_interval_join,
-    "streaming_upsert": streaming_upsert,
-    "multimodal_binary_stats": multimodal_binary_stats,
-    "multimodal_decode_features": multimodal_decode_features,
-    "multimodal_frame_sample": multimodal_frame_sample,
-    "gpr_lineitem": gpr_lineitem,
-    "gpc_embeddings": gpc_embeddings,
-    # ================= below the 50-key official window =================
-    # (officially green in CORRECTNESS_r06/r07 — or rows-only gpr/gpc/
-    #  multimodal entries, pytest-gated — on code unchanged this round;
-    #  gopher_quality_rules / quality_rule_rates sit here although their
-    #  SQL builder gained a `src` parameter this round: the default output
-    #  is byte-identical and their Spark functions are untouched, verified
-    #  in the r8 local window sweep before the swap)
-    "gopher_quality_rules": gopher_quality_rules,
-    "quality_rule_rates": quality_rule_rates,
-    "contamination_check": contamination_check,
-    "embedding_whiten": embedding_whiten,
-    "jl_project": jl_project,
-    "temperature_mix": temperature_mix,
-    "embedding_dim_stats": embedding_dim_stats,
-    "cosine_topk": cosine_topk,
-    "dedup_span_clean": dedup_span_clean,
-    "repetition_clean": repetition_clean,
-    "shard_export_manifest": shard_export_manifest,
-    "doc_logprob": doc_logprob,
-    "gpc_uncertainty_sample": gpc_uncertainty_sample,
-    "streaming_shard_export": streaming_shard_export,
-    "hard_negatives": hard_negatives,
-    "pack_sequences": pack_sequences,
-    "token_budget_fill": token_budget_fill,
-    "dsir_select": dsir_select,
+    "token_pmi_pairs": token_pmi_pairs,
     "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
+    "gpc_embeddings": gpc_embeddings,
+    "gpc_uncertainty_sample": gpc_uncertainty_sample,
     "streaming_neardup": streaming_neardup,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
     "streaming_embedding_neardup": streaming_embedding_neardup,
-    "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
-    "part_type_revenue": part_type_revenue,
-    "revenue_rollup": revenue_rollup,
-    "returnflag_status_cube": returnflag_status_cube,
-    "language_distribution": language_distribution,
-    "user_retention_cohorts": user_retention_cohorts,
-    "session_funnel": session_funnel,
-    "event_value_histogram": event_value_histogram,
-    "customer_revenue_quartiles": customer_revenue_quartiles,
-    "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    # --- rotated in: last official row r6 ---
+    "contamination_check": contamination_check,
     "domain_mix_sample": domain_mix_sample,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "split_assign": split_assign,
@@ -5775,10 +5735,87 @@ QUERIES = {
     "event_distinct_users": event_distinct_users,
     "doc_repetition": doc_repetition,
     "dup_ngram_fraction": dup_ngram_fraction,
-    "token_pmi_pairs": token_pmi_pairs,
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
+    # ================= below the 50-key official window =================
+    # (officially green in CORRECTNESS_r07/r08 — or rows-only gpr/
+    #  multimodal entries, pytest-gated — on code unchanged this round)
+    "ivf_topk_auto": ivf_topk_auto,
+    "streaming_embedding_drift": streaming_embedding_drift,
+    "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
+    "lsh_topk_multiprobe": lsh_topk_multiprobe,
+    "ivf_topk": ivf_topk,
+    "pq_encode": pq_encode,
+    "pq_topk": pq_topk,
+    "ivfadc_topk": ivfadc_topk,
+    "ivfadc_topk_persisted": ivfadc_topk_persisted,
+    "ivfadc_topk_codes": ivfadc_topk_codes,
+    "ivfadc_topk_filtered": ivfadc_topk_filtered,
+    "opq_topk": opq_topk,
+    "streaming_ann_ingest": streaming_ann_ingest,
+    "semdedup_keep": semdedup_keep,
+    "cluster_balance_sample": cluster_balance_sample,
+    "cluster_exemplars": cluster_exemplars,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
+    "streaming_token_budget": streaming_token_budget,
+    "embedding_drift": embedding_drift,
+    "corpus_prep_pipeline": corpus_prep_pipeline,
+    "event_zorder_key": event_zorder_key,
+    "orders_upsert_merge": orders_upsert_merge,
+    "orders_dq_report": orders_dq_report,
+    "orders_profile": orders_profile,
+    "viewers_without_purchase": viewers_without_purchase,
+    "event_type_pivot": event_type_pivot,
+    "doc_fingerprints": doc_fingerprints,
+    "tfidf_top_terms": tfidf_top_terms,
+    "token_budget": token_budget,
+    "doc_chunks": doc_chunks,
+    "redact_pii": redact_pii,
+    "event_group_sample": event_group_sample,
+    "streaming_window_counts": streaming_window_counts,
+    "streaming_window_counts_append": streaming_window_counts_append,
+    "streaming_static_enrich": streaming_static_enrich,
+    "streaming_sessions": streaming_sessions,
+    "streaming_sessions_append": streaming_sessions_append,
+    "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_dedup": streaming_dedup,
+    "streaming_interval_join": streaming_interval_join,
+    "streaming_upsert": streaming_upsert,
+    "multimodal_binary_stats": multimodal_binary_stats,
+    "multimodal_decode_features": multimodal_decode_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+    "gpr_lineitem": gpr_lineitem,
+    "gopher_quality_rules": gopher_quality_rules,
+    "quality_rule_rates": quality_rule_rates,
+    "embedding_whiten": embedding_whiten,
+    "jl_project": jl_project,
+    "temperature_mix": temperature_mix,
+    "embedding_dim_stats": embedding_dim_stats,
+    "cosine_topk": cosine_topk,
+    "dedup_span_clean": dedup_span_clean,
+    "repetition_clean": repetition_clean,
+    "shard_export_manifest": shard_export_manifest,
+    "doc_logprob": doc_logprob,
+    "streaming_shard_export": streaming_shard_export,
+    "hard_negatives": hard_negatives,
+    "pack_sequences": pack_sequences,
+    "token_budget_fill": token_budget_fill,
+    "dsir_select": dsir_select,
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "part_type_revenue": part_type_revenue,
+    "revenue_rollup": revenue_rollup,
+    "returnflag_status_cube": returnflag_status_cube,
+    "language_distribution": language_distribution,
+    "user_retention_cohorts": user_retention_cohorts,
+    "session_funnel": session_funnel,
+    "event_value_histogram": event_value_histogram,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -5901,7 +5938,10 @@ ORACLE_SQL = {
     "streaming_stateful_sessions": _STREAM_STATEFUL_SESSION_SQL,
     "streaming_neardup": _STREAM_NEARDUP_SQL,
     "streaming_neardup_event_ttl": _STREAM_NEARDUP_SQL,
+    "streaming_neardup_expiry": _STREAM_NEARDUP_EXPIRY_SQL,
     "streaming_embedding_neardup": _STREAM_VEC_NEARDUP_SQL,
+    "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
+    "neardup_incremental": _NEARDUP_INCREMENTAL_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "streaming_upsert": _STREAM_UPSERT_SQL,
