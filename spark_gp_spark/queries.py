@@ -829,6 +829,84 @@ GROUP BY bid
 _NEARDUP_INCREMENTAL_SQL = _sql_neardup_incremental()
 
 
+def containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup screen (operators/dedup.py:
+    containment_pairs, Broder 1997): per unordered pair, |A∩B|/|A| and
+    |A∩B|/|B| over 3-gram shingle sets — catches a short doc embedded in a
+    long one (boilerplate/quotes/partial crawls), which symmetric Jaccard
+    structurally misses.  Same posting-join plan as ngram_jaccard_pairs.
+
+    STAGED for the round-10 correctness window (the r9 window is exactly
+    full with the mandated 38-entry rotation + 3 new + 10 changed):
+    built, oracle SQL below, pytest-gated with a planted subset pair
+    (tests/test_containment_editdist.py) — the r8 incremental-twin
+    precedent (SURVEY round-9 continuity note #2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.5)
+
+
+def _sql_containment_screen(threshold: float = 0.5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {_sql_word_ngrams(3)} AS shingles FROM tok
+), post AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS common
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b, common,
+         round(common::DOUBLE / greatest(sa.n, 1), 6) AS cont_a_in_b,
+         round(common::DOUBLE / greatest(sb.n, 1), 6) AS cont_b_in_a
+  FROM common
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON sb.doc_id = id_b
+)
+SELECT * FROM scored WHERE greatest(cont_a_in_b, cont_b_in_a) >= {threshold}
+"""
+
+
+_CONTAINMENT_SCREEN_SQL = _sql_containment_screen()
+
+#: edit-distance screen parameters: 48-char normalized prefix (the "title"
+#: proxy this corpus affords) and the distance cap.  At sf0.01 the corpus's
+#: prefix-distance distribution is bimodal — 25 pairs at dist 0 (the planted
+#: exact dups), nothing until dist 20 — so 22 exercises the genuinely fuzzy
+#: band (48 pairs) rather than replaying exact_dedup.
+_EDITDIST_PREFIX = 48
+_EDITDIST_MAX = 22
+
+
+def editdist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy-dedup screen (operators/dedup.py:editdist_pairs):
+    all pairs with Levenshtein ≤ _EDITDIST_MAX over the 48-char text
+    prefix, via LOSSLESS length-bucket blocking (dist ≥ |len diff|, bucket
+    width max_dist+1 ⇒ qualifying pairs differ by ≤ 1 bucket), so the
+    oracle states the plain quadratic semantics while the Spark plan stays
+    an equi-join.  The verb for short-field dedup (titles, names) where
+    shingle sets are too coarse.  STAGED for round 10 — see
+    containment_screen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.editdist_pairs(
+        docs, F.substring(F.col("text"), 1, _EDITDIST_PREFIX),
+        max_dist=_EDITDIST_MAX,
+    )
+
+
+_EDITDIST_SCREEN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, substr(text, 1, {_EDITDIST_PREFIX}) AS s FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= {_EDITDIST_MAX}
+"""
+
+
 def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DENSE-VECTOR near-dup (streaming/neardup.py:
     streaming_embedding_neardup_matches): multi-table sign-LSH buckets

@@ -1,0 +1,131 @@
+"""Staged round-10 screens: asymmetric shingle containment and
+edit-distance fuzzy dedup (operators/dedup.py).  Planted fixtures pin the
+semantics symmetric Jaccard / exact dedup cannot express."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_gp_spark.operators.dedup import containment_pairs, editdist_pairs
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    short = "alpha beta gamma delta epsilon"  # 3 3-gram shingles
+    long = short + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated text about nothing at all")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a, r.common)
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in out
+    c_ab, c_ba, common = out[(1, 2)]
+    assert common == 3  # every short-doc shingle occurs in the long doc
+    assert c_ab == pytest.approx(1.0)  # short fully contained
+    assert c_ba < 0.1  # symmetric Jaccard would be ~c_ba: below any threshold
+    assert not any(3 in k for k in out)
+
+
+def test_containment_matches_brute_force(spark, sf_dir):
+    """Operator vs an independent per-pair brute force over the real corpus
+    (array_intersect of the staged shingle arrays), unthresholded."""
+    from spark_gp_spark.operators.dedup import _staged_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    got = {
+        (r.id_a, r.id_b): (r.common, r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_pairs(docs, threshold=0.5).collect()
+    }
+    sh = _staged_shingles(docs, "text", "doc_id", 3)
+    a = sh.select(F.col("_id").alias("id_a"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("common"),
+            F.round(inter / F.greatest(F.size("_sa"), F.lit(1)), 6).alias("ca"),
+            F.round(inter / F.greatest(F.size("_sb"), F.lit(1)), 6).alias("cb"),
+        )
+        .filter(F.greatest("ca", "cb") >= 0.5)
+    )
+    want = {
+        (r.id_a, r.id_b): (r.common, r.ca, r.cb) for r in brute.collect()
+    }
+    assert got == want
+    assert want, "fixture slice produced no containment pairs"
+
+
+def test_editdist_blocking_is_lossless(spark):
+    # pairs engineered to straddle length-bucket boundaries: blocking must
+    # still find every pair with dist <= max_dist, and nothing else
+    rows = [
+        (1, "kitten"),
+        (2, "sitting"),        # dist 3
+        (3, "kitte"),          # dist 1 to kitten
+        (4, "a" * 30),         # far from everything
+        (5, "a" * 33),         # dist 3 to #4, next length bucket at w=4
+        (6, "completely different"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): r.dist
+        for r in editdist_pairs(docs, F.col("text"), max_dist=3).collect()
+    }
+    brute = {}
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    for (i1, s1), (i2, s2) in itertools.combinations(rows, 2):
+        d = lev(s1, s2)
+        if d <= 3:
+            brute[(min(i1, i2), max(i1, i2))] = d
+    assert out == brute
+    assert (1, 2) in out and out[(1, 2)] == 3
+    assert (4, 5) in out and out[(4, 5)] == 3  # cross-bucket pair survives
+
+
+def test_staged_screens_match_duckdb_oracle(spark, sf_dir):
+    """The staged registry entries hash the same relation their written
+    oracles produce — the exact check the r10 driver window will run."""
+    import duckdb
+
+    from spark_gp_spark.queries import (
+        _CONTAINMENT_SCREEN_SQL,
+        _EDITDIST_SCREEN_SQL,
+        containment_screen,
+        editdist_screen,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for fn, sql in (
+        (containment_screen, _CONTAINMENT_SCREEN_SQL),
+        (editdist_screen, _EDITDIST_SCREEN_SQL),
+    ):
+        got = fn(spark, sf_dir).toPandas()
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), fn.__name__
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(want) and len(got) > 0, fn.__name__
+        for c in cols:
+            assert (got[c].values == want[c].values).all(), (fn.__name__, c)
