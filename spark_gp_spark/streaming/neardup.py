@@ -327,20 +327,26 @@ def run_streaming_neardup_expiry(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
     c1, c2, ttl_ms = expiry_plan(int(lo), int(hi))
+    # stage all three id-range batches in ONE partitioned write (a
+    # coalesce(1) per batch would serialize three full corpus scans onto
+    # one task each — measured 3× the staging cost at sf0.1); partitionBy
+    # keeps _b out of the stored files, so arrivals carry the plain doc
+    # schema
+    staged = os.path.join(work, "staged")
+    docs.withColumn(
+        "_b",
+        F.when(F.col("doc_id") <= c1, 1)
+        .when(F.col("doc_id") <= c2, 2)
+        .otherwise(3),
+    ).repartition(3, "_b").write.partitionBy("_b").parquet(staged)
     arrivals = []
-    for j, cond in enumerate(
-        [
-            F.col("doc_id") <= c1,
-            (F.col("doc_id") > c1) & (F.col("doc_id") <= c2),
-            F.col("doc_id") > c2,
-        ]
-    ):
-        out_j = os.path.join(work, f"batch-{j}")
-        docs.filter(cond).coalesce(1).write.parquet(out_j)
+    for j in (1, 2, 3):
+        d = os.path.join(staged, f"_b={j}")
         arrivals.append(
-            os.path.join(
-                out_j,
-                next(f for f in sorted(os.listdir(out_j)) if f.endswith(".parquet")),
+            sorted(
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
             )
         )
     stream = (
@@ -363,7 +369,20 @@ def run_streaming_neardup_expiry(
             .queryName(query_name)
             .start()
         )
-    _drive_append_query(q, src, arrivals)
+    # one micro-batch per id-range batch (an arrival may span several part
+    # files — copy them all, then drain, so the batch boundary stays the
+    # CASE cut, which is what the session oracle restates)
+    import shutil
+
+    try:
+        for j, paths in enumerate(arrivals):
+            for i, path in enumerate(paths):
+                shutil.copy(
+                    path, os.path.join(src, f"arrival-{j:02d}-{i:03d}.parquet")
+                )
+            q.processAllAvailable()
+    finally:
+        q.stop()
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     return log.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
 
