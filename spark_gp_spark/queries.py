@@ -907,6 +907,26 @@ WHERE levenshtein(a.s, b.s) <= {_EDITDIST_MAX}
 """
 
 
+def streaming_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-native streaming near-dup (streaming/neardup.py:
+    run_streaming_neardup_join): the stream-stream band SELF-JOIN twin of
+    streaming_neardup — arriving docs inner-join every EARLIER doc sharing
+    an LSH (band, key) bucket, entirely in the JVM (no Python per group),
+    at the cost of the join retaining full banded rows as state — 4 state
+    stores per side — instead of one long per bucket.  MEASURED back to
+    back at sf0.1 (r9): join twin 20.5 s vs state machine 17.3 s — the
+    hypothesis that the per-group Arrow overhead dominates LOST; state-
+    store fixed costs dominate BOTH shapes at bench scale, and the join
+    pays them over 8 stores plus row retention.  The custom-state design
+    stands vindicated on both footprint and wall clock; this twin is kept
+    as the parity-proven JVM alternative and the honest record of the
+    experiment.  Same emitted relation, SAME oracle (_STREAM_NEARDUP_SQL).
+    STAGED for round 10 — see containment_screen."""
+    from .streaming.neardup import run_streaming_neardup_join
+
+    return run_streaming_neardup_join(spark, sf_dir)
+
+
 def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DENSE-VECTOR near-dup (streaming/neardup.py:
     streaming_embedding_neardup_matches): multi-table sign-LSH buckets

@@ -445,3 +445,96 @@ def run_streaming_neardup(
     # bare read would fail schema inference instead of returning 0 rows
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     return log.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+
+
+def run_streaming_neardup_join(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+    query_name: str = "gp_stream_neardup_join",
+    n_files: int = 2,
+) -> DataFrame:
+    """JVM-NATIVE streaming near-dup: the stream-stream band SELF-JOIN twin
+    of ``run_streaming_neardup`` (same id-ordered staged arrivals, same
+    banding projection, SAME no-TTL oracle): each arriving document
+    inner-joins every EARLIER document sharing an LSH (band, key) bucket —
+    earlier by the synthetic event time _TS_EPOCH + doc_id, so "earlier"
+    is exactly "smaller doc id" — and the batch min-per-doc summary of the
+    match log is dup_of(d) = min{d' < d : shares ≥ 1 band}, identical to
+    the custom-state machine's relation.
+
+    Why a twin exists (r9 measurement, sf0.1): applyInPandasWithState pays
+    a fixed ~0.9 ms Arrow/pandas invocation per GROUP, and the banding key
+    space is ~10k buckets per micro-batch — the custom-state entries cost
+    21-23 s at bench scale on engine overhead alone.  This join stays
+    entirely in the JVM (whole-stage codegen on the banding projection,
+    symmetric-hash stream-stream join on (band, key)) at the cost of a
+    DIFFERENT state shape: the join retains the full banded ROWS of both
+    sides (no time-range lower bound — unbounded lookback is the
+    semantics), where the state machine kept one long per bucket.  The
+    scale trade is real and workload-dependent: bounded-state-but-Python
+    vs JVM-but-row-retention; production near-dup at 100 TB wants the
+    state machine's footprint with a TTL, analytics replays want this one.
+
+    Emission timing: an inner stream-stream join emits ON ARRIVAL (no
+    watermark flush needed), so arrivals need no sentinel — matching the
+    state-machine driver's discipline."""
+    work = tempfile.mkdtemp(prefix="gp_stream_neardup_join_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="documents", order_col="doc_id",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn(
+            "_ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id"))
+        )
+        .withWatermark("_ts", "0 seconds")
+    )
+    staged = stream.select(
+        F.col("doc_id").alias("_id"),
+        "_ts",
+        minhash_signature(F.col("text"), num_hashes, shingle_n, seed).alias("sig"),
+    )
+    banded = staged.select(
+        "_id",
+        "_ts",
+        minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk"),
+    ).select(
+        "_id",
+        "_ts",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    new_side = banded.select(
+        F.col("_id").alias("doc_id"), F.col("_ts").alias("n_ts"), "band", "key"
+    )
+    prior_side = banded.select(
+        F.col("_id").alias("dup_cand"), F.col("_ts").alias("p_ts"), "band", "key"
+    )
+    matches = new_side.join(
+        prior_side,
+        on=[
+            new_side["band"] == prior_side["band"],
+            new_side["key"] == prior_side["key"],
+            prior_side["p_ts"] < new_side["n_ts"],
+        ],
+        how="inner",
+    ).select("doc_id", F.col("dup_cand").alias("dup_of"))
+    with _state_partitions(spark):
+        q = (
+            matches.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
+    return log.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))

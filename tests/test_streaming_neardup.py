@@ -364,3 +364,27 @@ def test_streaming_neardup_expiry_fires_and_matches_session_oracle(spark, sf_dir
     # the difference must include at least one SUPPRESSED emission (a doc
     # whose only prior collider expired) — the unambiguous expiry signature
     assert set(no_ttl_map) - set(got_map), "no emission was suppressed by expiry"
+
+
+def test_streaming_neardup_join_matches_state_machine_and_oracle(spark, sf_dir):
+    """The JVM-native stream-stream join twin (staged for r10) must emit
+    the exact relation of the custom-state machine and the shared no-TTL
+    banding oracle."""
+    import duckdb
+
+    from spark_gp_spark.queries import _STREAM_NEARDUP_SQL, streaming_neardup_join
+
+    got = {
+        r.doc_id: r.dup_of
+        for r in streaming_neardup_join(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(_STREAM_NEARDUP_SQL).df()[["doc_id", "dup_of"]].itertuples(
+            index=False, name=None
+        )
+    )
+    assert got == want and want
