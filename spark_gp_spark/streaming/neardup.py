@@ -45,6 +45,18 @@ from .events import _drive_append_query, _staged_arrivals, _state_partitions
 
 NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
 NEARDUP_STATE_SCHEMA = "min_id bigint, last_ms bigint"
+#: sharded machine: one state row per SHARD holding parallel arrays over its
+#: live buckets (bucket key, running min id, running max event ms, expiry
+#: deadline ms)
+NEARDUP_SHARD_STATE_SCHEMA = (
+    "bks array<string>, min_ids array<long>, lasts array<long>, deadlines array<long>"
+)
+#: default shard count: bounds the number of applyInPandasWithState GROUPS
+#: (each group invocation costs ~0.9 ms of Arrow/pandas overhead regardless
+#: of its row count — r9 measured 17-23 s at sf0.1 for ~10k single-bucket
+#: groups/batch); 256 shards amortize that overhead ~40× while per-shard
+#: state stays a small dict.  Scale by cluster width in production.
+NEARDUP_SHARDS = 256
 
 
 def _make_neardup_state_func(ttl_ms: int | None, event_time: bool = False):
@@ -99,6 +111,103 @@ def _make_neardup_state_func(ttl_ms: int | None, event_time: bool = False):
         yield pd.DataFrame(out, columns=["doc_id", "dup_of"]).astype("int64")
 
     return func
+
+
+def _make_sharded_neardup_state_func(ttl_ms: int | None, event_time: bool):
+    """SHARDED bucket-map state machine: one group per hash shard, holding a
+    dict {bucket → (running min id, running max event ms, deadline ms)} as
+    parallel state arrays.  Emission semantics are IDENTICAL to the
+    per-bucket machine (emit (doc, bucket-min-so-far) per colliding row,
+    rows processed in ascending id order), and so is event-time expiry:
+
+    - per-bucket deadline = max(running-max event ms + ttl, wm_at_update+1)
+      — the same re-arm (including the late-data clamp) the per-bucket
+      machine sets via setTimeoutTimestamp;
+    - a bucket is dropped when the EVICTION watermark strictly exceeds its
+      deadline, checked (a) on every data invocation of its shard BEFORE
+      rows apply (the per-bucket engine would have fired its timeout in the
+      preceding timeout-only batch, which runs with the same watermark) and
+      (b) on the shard's own group timeout, armed at the min live deadline
+      (pure garbage collection — expiry is only ever OBSERVABLE via (a)).
+
+    Why sharding: the engine pays a fixed per-GROUP Arrow/pandas invocation,
+    and LSH bucket keys are nearly unique — ~10k groups per micro-batch at
+    sf0.1 cost 17-23 s of pure overhead.  NEARDUP_SHARDS groups amortize it
+    while state volume (one entry per live bucket) is unchanged.
+    ProcessingTimeTimeout keeps the per-bucket machine (a shard-level wall
+    clock cannot expire buckets individually)."""
+
+    def func(
+        key: Tuple, pdf_iter: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        expiring = ttl_ms is not None and event_time
+        wm = state.getCurrentWatermarkMs() if expiring else 0
+        if state.exists:
+            g = state.get
+            st = {
+                b: [int(m), int(l), int(dl)]
+                for b, m, l, dl in zip(g[0], g[1], g[2], g[3])
+            }
+        else:
+            st = {}
+        if expiring:
+            # strict <, mirroring FlatMapGroupsWithState's timeout predicate
+            st = {b: v for b, v in st.items() if not v[2] < wm}
+        if state.hasTimedOut:
+            if st:
+                state.update(_pack_shard_state(st))
+                state.setTimeoutTimestamp(
+                    max(min(v[2] for v in st.values()), wm + 1)
+                )
+            else:
+                state.remove()
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "dup_of": pd.Series(dtype="int64")}
+            )
+            return
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        order = pdf["_id"].astype("int64").argsort(kind="stable")
+        ids = pdf["_id"].astype("int64").to_numpy()[order]
+        bkts = pdf["_bkt"].to_numpy()[order]
+        if event_time:
+            ts_ms = (pdf["_ts"].astype("int64").to_numpy() // 1_000_000)[order]
+        out: list[tuple[int, int]] = []
+        touched = set()
+        for i in range(len(ids)):
+            d = int(ids[i])
+            b = bkts[i]
+            ent = st.get(b)
+            if ent is None:
+                ent = st[b] = [d, 0, 0]
+            else:
+                if ent[0] < d:
+                    out.append((d, ent[0]))
+                ent[0] = min(ent[0], d)
+            if event_time:
+                ent[1] = max(ent[1], int(ts_ms[i]))
+            touched.add(b)
+        if expiring:
+            for b in touched:
+                st[b][2] = max(st[b][1] + ttl_ms, wm + 1)
+        state.update(_pack_shard_state(st))
+        if expiring:
+            state.setTimeoutTimestamp(
+                max(min(v[2] for v in st.values()), wm + 1)
+            )
+        yield pd.DataFrame(out, columns=["doc_id", "dup_of"]).astype("int64")
+
+    return func
+
+
+def _pack_shard_state(st: dict) -> tuple:
+    bks = list(st.keys())
+    return (
+        bks,
+        [st[b][0] for b in bks],
+        [st[b][1] for b in bks],
+        [st[b][2] for b in bks],
+    )
 
 
 def streaming_neardup_matches(
@@ -160,6 +269,24 @@ def streaming_neardup_matches(
         timeout_conf = "EventTimeTimeout" if ttl_ms is not None else "NoTimeout"
     else:
         timeout_conf = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    if timeout_conf != "ProcessingTimeTimeout":
+        # sharded bucket-map machine (see _make_sharded_neardup_state_func):
+        # same emissions and expiry, ~NEARDUP_SHARDS groups instead of one
+        # per (band, key)
+        sharded = banded.select(
+            "_id",
+            *(["_ts"] if event_time else []),
+            F.concat_ws("#", F.col("band").cast("string"), F.col("key")).alias(
+                "_bkt"
+            ),
+        ).withColumn("_shard", F.pmod(F.crc32("_bkt"), F.lit(NEARDUP_SHARDS)))
+        return sharded.groupBy("_shard").applyInPandasWithState(
+            _make_sharded_neardup_state_func(ttl_ms, event_time=event_time),
+            outputStructType=NEARDUP_OUT_SCHEMA,
+            stateStructType=NEARDUP_SHARD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
     return banded.groupBy("band", "key").applyInPandasWithState(
         _make_neardup_state_func(ttl_ms, event_time=event_time),
         outputStructType=NEARDUP_OUT_SCHEMA,
@@ -219,6 +346,21 @@ def streaming_embedding_neardup_matches(
         timeout_conf = "EventTimeTimeout" if ttl_ms is not None else "NoTimeout"
     else:
         timeout_conf = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
+    if timeout_conf != "ProcessingTimeTimeout":
+        sharded = banded.select(
+            "_id",
+            *(["_ts"] if event_time else []),
+            F.concat_ws(
+                "#", F.col("tbl").cast("string"), F.col("bucket").cast("string")
+            ).alias("_bkt"),
+        ).withColumn("_shard", F.pmod(F.crc32("_bkt"), F.lit(NEARDUP_SHARDS)))
+        return sharded.groupBy("_shard").applyInPandasWithState(
+            _make_sharded_neardup_state_func(ttl_ms, event_time=event_time),
+            outputStructType=NEARDUP_OUT_SCHEMA,
+            stateStructType=NEARDUP_SHARD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
     return banded.groupBy("tbl", "bucket").applyInPandasWithState(
         _make_neardup_state_func(ttl_ms, event_time=event_time),
         outputStructType=NEARDUP_OUT_SCHEMA,
