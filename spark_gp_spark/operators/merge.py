@@ -64,3 +64,39 @@ def merge_upsert(
         ],
     )
     return merged
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    fingerprint,
+) -> DataFrame:
+    """Snapshot-to-snapshot DIFF — the crawl-over-crawl audit verb: classify
+    every key across two corpus versions as ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, content fingerprint moved) or
+    ``unchanged``.  The input to incremental re-processing decisions: only
+    added ∪ changed re-enter the pipeline, removed tombstones downstream
+    artifacts.
+
+    ``fingerprint`` is a Column expression evaluated on BOTH sides (e.g.
+    ``F.md5("text")``) — content identity, not row identity.
+
+    Scale shape: each side reduces to (key, fingerprint) at the scan (two
+    narrow projections), then ONE full-outer sort-merge join on the key —
+    the same single-shuffle discipline as merge_upsert; with both snapshots
+    bucketed on the key the exchange disappears.  No window, no driver
+    state, output one row per key in either snapshot."""
+    o = old.select(F.col(key), fingerprint.alias("_fp_old"))
+    n = new.select(F.col(key), fingerprint.alias("_fp_new"))
+    return (
+        o.join(n, key, "full_outer")
+        .select(
+            key,
+            F.when(F.col("_fp_old").isNull(), F.lit("added"))
+            .when(F.col("_fp_new").isNull(), F.lit("removed"))
+            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -907,6 +907,82 @@ WHERE levenshtein(a.s, b.s) <= {_EDITDIST_MAX}
 """
 
 
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl snapshot diff (operators/merge.py:snapshot_diff):
+    classify every doc id across two deterministic corpus versions as
+    added / removed / changed / unchanged by content fingerprint — the
+    audit verb that decides what re-enters an incremental pipeline.
+    Versions: old = doc_id % 7 ≠ 0, new = doc_id % 5 ≠ 0 with docs at
+    doc_id % 11 = 0 carrying a ' v2' text suffix (a deterministic mutation
+    both engines state, so 'changed' is non-vacuous).  One full-outer
+    equi-join over two narrow (id, md5) projections.  STAGED for round 10
+    — see containment_screen."""
+    from .operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", F.md5("text"))
+
+
+_CORPUS_DIFF_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
+def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed heavy hitters (streaming/events.py:
+    run_streaming_trending_terms): per 100-second tumbling event-time
+    window, the top-3 tokens by distinct-document frequency — built-in
+    operators end to end (watermarked append windowed count into a parquet
+    sink of CLOSED windows, one batch row_number for the top-k).  Oracle =
+    integer window arithmetic on ts(doc) = epoch + doc_id with the same
+    closed-window cutoff predicate as streaming_window_counts_append.
+    STAGED for round 10 — see containment_screen."""
+    from .streaming.events import run_streaming_trending_terms
+
+    return run_streaming_trending_terms(spark, sf_dir)
+
+
+_TRENDING_TERMS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), post AS (
+  SELECT DISTINCT doc_id, unnest(toks) AS token FROM tok
+), win AS (
+  SELECT ((1600000000 + doc_id) // 100) * 100 AS ws, token FROM post
+), mx AS (
+  SELECT max(1600000000 + doc_id) AS m FROM documents
+), counts AS (
+  SELECT ws, token, count(*)::BIGINT AS n_docs
+  FROM win, mx WHERE ws + 100 <= m - 30
+  GROUP BY ws, token
+), ranked AS (
+  SELECT ws * 1000000 AS window_start_us, token, n_docs,
+         row_number() OVER (PARTITION BY ws ORDER BY n_docs DESC, token)::BIGINT AS rank
+  FROM counts
+)
+SELECT window_start_us, token, n_docs, rank FROM ranked WHERE rank <= 3
+"""
+
+
 def streaming_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-native streaming near-dup (streaming/neardup.py:
     run_streaming_neardup_join): the stream-stream band SELF-JOIN twin of

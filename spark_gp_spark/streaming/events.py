@@ -595,3 +595,80 @@ def run_streaming_shard_export(
         back, id_col="doc_id",
         extra={"n_chars_sum": F.sum("n_chars").cast("long")},
     )
+
+
+def run_streaming_trending_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "100 seconds",
+    delay: str = "30 seconds",
+    top_k: int = 3,
+    query_name: str = "gp_stream_trending",
+    n_files: int = 2,
+) -> DataFrame:
+    """Windowed TRENDING TERMS over a document stream — the streaming
+    heavy-hitters verb (what's spiking this window?): per tumbling event-
+    time window, the top-k tokens by DISTINCT-document frequency.
+
+    All built-in operators: tokenize → explode distinct tokens (stateless
+    projections) → watermarked APPEND windowed count (bounded state: only
+    open windows' (token, count) pairs) → parquet sink of CLOSED windows →
+    one batch row_number pass for the top-k (ranking happens outside the
+    stream, where the window is complete by construction — ranking inside
+    append mode would re-emit on every update).  Event time is the
+    synthetic ts(doc) = _TS_EPOCH + doc_id of the near-dup harnesses, and
+    the emitted set is the same pure cutoff predicate as
+    run_streaming_window_counts_append: windows with end ≤ max(ts) − delay
+    (the sentinel's duplicated max row lands only in the never-emitted
+    final window)."""
+    from ..operators.text import tokens as _tokens
+    from .neardup import _TS_EPOCH
+
+    work = tempfile.mkdtemp(prefix="gp_stream_trending_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=True,
+        table="documents", order_col="doc_id",
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn(
+            "_ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id"))
+        )
+        .withWatermark("_ts", delay)
+    )
+    post = stream.select(
+        "_ts", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+    )
+    agg = (
+        post.groupBy(F.window("_ts", window).alias("w"), "token")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "token", "n_docs")
+    )
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    from pyspark.sql import Window as W
+
+    closed = spark.read.schema(
+        "window_start timestamp, token string, n_docs bigint"
+    ).parquet(sink)
+    rk = W.partitionBy("window_start").orderBy(F.desc("n_docs"), F.asc("token"))
+    return (
+        closed.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "token",
+            "n_docs",
+            "rank",
+        )
+    )

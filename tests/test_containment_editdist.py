@@ -129,3 +129,55 @@ def test_staged_screens_match_duckdb_oracle(spark, sf_dir):
         assert len(got) == len(want) and len(got) > 0, fn.__name__
         for c in cols:
             assert (got[c].values == want[c].values).all(), (fn.__name__, c)
+
+
+def test_snapshot_diff_classifies_all_four_statuses(spark):
+    from spark_gp_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, "doc_id", F.md5("text")).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_staged_corpus_diff_and_trending_match_oracle(spark, sf_dir):
+    """Same side-by-side DuckDB check the r10 driver window will run, for
+    the two late-staged entries."""
+    import duckdb
+
+    from spark_gp_spark.queries import (
+        _CORPUS_DIFF_SQL,
+        _TRENDING_TERMS_SQL,
+        corpus_diff,
+        streaming_trending_terms,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for fn, sql in (
+        (corpus_diff, _CORPUS_DIFF_SQL),
+        (streaming_trending_terms, _TRENDING_TERMS_SQL),
+    ):
+        got = fn(spark, sf_dir).toPandas()
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), fn.__name__
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(want) and len(got) > 0, (
+            fn.__name__, len(got), len(want)
+        )
+        for c in cols:
+            assert (got[c].values == want[c].values).all(), (fn.__name__, c)
+    # corpus_diff must be non-vacuous in every class at the test corpus
+    statuses = set(corpus_diff(spark, sf_dir).select("status").distinct().toPandas()["status"])
+    assert statuses == {"added", "removed", "changed", "unchanged"}
