@@ -596,8 +596,15 @@ def editdist_pairs(
     return (
         probe.join(base, "_bk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("_sa", "_sb").cast("long"))
-        .filter(F.col("dist") <= max_dist)
+        # threshold form: the JVM DP early-exits once a row of the band
+        # exceeds max_dist (returns -1) — O(len·max_dist) per candidate
+        # instead of O(len²), the verify-step cost that matters when a hot
+        # length bucket makes candidates dense
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("_sa"), F.col("_sb"), int(max_dist)).cast("long"),
+        )
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 
