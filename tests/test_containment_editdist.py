@@ -181,3 +181,32 @@ def test_staged_corpus_diff_and_trending_match_oracle(spark, sf_dir):
     # corpus_diff must be non-vacuous in every class at the test corpus
     statuses = set(corpus_diff(spark, sf_dir).select("status").distinct().toPandas()["status"])
     assert statuses == {"added", "removed", "changed", "unchanged"}
+
+
+def test_length_bucket_blocking_bound_property():
+    """Pure-math invariant behind editdist_pairs' lossless blocking: for any
+    strings with lev(a, b) <= d, the width-(d+1) length buckets differ by at
+    most 1 — hypothesis-driven over random strings and caps (no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        a=st.text(alphabet="abcx", max_size=24),
+        b=st.text(alphabet="abcx", max_size=24),
+        d=st.integers(min_value=1, max_value=8),
+    )
+    def check(a, b, d):
+        w = d + 1
+        if lev(a, b) <= d:
+            assert abs(len(a) // w - len(b) // w) <= 1
+
+    check()
