@@ -388,3 +388,111 @@ def test_streaming_neardup_join_matches_state_machine_and_oracle(spark, sf_dir):
         )
     )
     assert got == want and want
+
+
+class _FakeShardState:
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self.get = None
+        self.deadlines = []
+        self.wm = 0
+
+    def update(self, tup):
+        self.exists = True
+        self.get = tup
+
+    def remove(self):
+        self.exists = False
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+    def setTimeoutTimestamp(self, ms):
+        self.deadlines.append(ms)
+
+
+def _shard_batch(rows):
+    """rows: list of (id, bucket, ts_seconds)."""
+    import pandas as pd
+
+    return [pd.DataFrame({
+        "_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "_bkt": pd.Series([r[1] for r in rows], dtype="object"),
+        "_ts": pd.to_datetime(pd.Series([r[2] for r in rows]), unit="s"),
+    })]
+
+
+def _shard_dict(state):
+    g = state.get
+    return {b: (m, l, d) for b, m, l, d in zip(g[0], g[1], g[2], g[3])}
+
+
+def test_sharded_state_late_batch_never_moves_deadline_backwards():
+    """The per-bucket deadline clamp of the old machine, replicated per
+    bucket inside the shard: a late-only batch must not regress a bucket's
+    deadline, and the shard's group timeout arms at the min live deadline."""
+    from spark_gp_spark.streaming.neardup import _make_sharded_neardup_state_func
+
+    ttl = 10_000
+    func = _make_sharded_neardup_state_func(ttl, event_time=True)
+    state = _FakeShardState()
+    list(func((1,), iter(_shard_batch([(5, "A", 100)])), state))
+    assert _shard_dict(state)["A"] == (5, 100_000, 100_000 + ttl)
+    # late rows only (older event time): deadline stays
+    list(func((1,), iter(_shard_batch([(7, "A", 40)])), state))
+    assert _shard_dict(state)["A"] == (5, 100_000, 100_000 + ttl)
+    # newer event time advances it
+    list(func((1,), iter(_shard_batch([(9, "A", 200)])), state))
+    assert _shard_dict(state)["A"] == (5, 200_000, 200_000 + ttl)
+    assert state.deadlines[-1] == 200_000 + ttl
+
+
+def test_sharded_state_prunes_expired_bucket_on_other_buckets_data():
+    """Prune-on-data: once the watermark strictly passes bucket A's
+    deadline, ANY invocation of its shard drops A — so A's later re-arrival
+    emits fresh (no dup_of), exactly when the per-bucket machine's timeout
+    would have removed it in the preceding timeout-only batch.  A bucket at
+    deadline == watermark (non-strict) must SURVIVE."""
+    from spark_gp_spark.streaming.neardup import _make_sharded_neardup_state_func
+
+    ttl = 10_000
+    func = _make_sharded_neardup_state_func(ttl, event_time=True)
+    state = _FakeShardState()
+    out = list(func((1,), iter(_shard_batch([(5, "A", 100), (6, "B", 100)])), state))
+    assert len(out[0]) == 0
+    # watermark exactly AT A's deadline: strict rule -> survives
+    state.wm = 100_000 + ttl
+    out = list(func((1,), iter(_shard_batch([(20, "B", 300)])), state))
+    d = _shard_dict(state)
+    assert "A" in d and d["B"][0] == 6
+    assert [tuple(r) for r in out[0].itertuples(index=False)] == [(20, 6)]
+    # watermark strictly past A's deadline: pruned on B's data
+    state.wm = 100_000 + ttl + 1
+    list(func((1,), iter(_shard_batch([(30, "B", 400)])), state))
+    assert "A" not in _shard_dict(state)
+    # A's re-arrival starts a fresh session: no emission against old min 5
+    out = list(func((1,), iter(_shard_batch([(40, "A", 500)])), state))
+    assert len(out[0]) == 0
+    assert _shard_dict(state)["A"][0] == 40
+
+
+def test_sharded_state_group_timeout_prunes_and_rearms():
+    from spark_gp_spark.streaming.neardup import _make_sharded_neardup_state_func
+
+    ttl = 10_000
+    func = _make_sharded_neardup_state_func(ttl, event_time=True)
+    state = _FakeShardState()
+    list(func((1,), iter(_shard_batch([(5, "A", 100), (6, "B", 500)])), state))
+    # group timeout with wm past A's deadline but not B's: A pruned, shard
+    # survives, re-armed at B's deadline
+    state.wm = 100_000 + ttl + 1
+    state.hasTimedOut = True
+    out = list(func((1,), iter([]), state))
+    assert len(out[0]) == 0
+    assert state.exists and list(_shard_dict(state)) == ["B"]
+    assert state.deadlines[-1] == 500_000 + ttl
+    # group timeout with everything expired: state removed entirely
+    state.wm = 500_000 + ttl + 1
+    out = list(func((1,), iter([]), state))
+    assert not state.exists
