@@ -454,9 +454,24 @@ def main() -> None:
         t0 = time.time()
         base.select(_warm(F.col("x")).alias("y")).agg({"y": "sum"}).collect()
         py_t.append(time.time() - t0)
+    # Diagnostic-only third probe (NOT used for normalization, so the frozen
+    # REF_CALIBRATION contract is untouched): a single-thread pure-Python
+    # spin.  r9 observed the jvm probe swing 0.90x -> 1.46x on the SAME VM
+    # across two runs 40 min apart; this probe separates "host is loaded /
+    # throttled" (cpu probe moves with jvm probe) from "JVM-specific state"
+    # (cpu probe steady while jvm probe moves) when reading cross-round
+    # numbers.
+    cpu_t = []
+    for _ in range(3):
+        t0 = time.time()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i
+        cpu_t.append(time.time() - t0)
     calibration = {
         "jvm_agg_ms": round(statistics.median(jvm_t) * 1000, 1),
         "pandas_udf_job_ms": round(statistics.median(py_t) * 1000, 1),
+        "cpu_spin_ms": round(statistics.median(cpu_t) * 1000, 1),
     }
     # VM-speed normalization: scale by the fixed round-5 reference probe.
     # Applied PER FAMILY (VERDICT r6 #4): entries whose wall-clock is
