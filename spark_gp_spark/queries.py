@@ -947,6 +947,103 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
 
 
+def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly incremental-refresh composition — snapshot_diff feeding
+    dedup_against_history: classify the new crawl against the previous one
+    (corpus_diff's deterministic versions), re-process ONLY added ∪ changed
+    docs, and screen that batch for exact duplicates against the retained
+    (unchanged) corpus — history never shuffles, the batch broadcasts (the
+    incremental twins' plan), and the diff bounds the work to what actually
+    moved.  Output: the surviving batch rows (doc_id, text_hash, status)
+    that downstream stages ingest tonight.
+
+    The fixture plants the collision class the screen exists for (this
+    corpus has NO exact duplicates, so an unplanted screen would pass
+    vacuously): every added-class doc with doc_id % 3 = 0 carries its
+    successor's text — when that successor is an unchanged-history doc the
+    batch row is a verbatim re-crawl of retained content and MUST be
+    dropped (the oracle replays the same copy rule; 12 of 88 batch rows
+    die at sf0.01).  STAGED for round 10 — see containment_screen."""
+    from .operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next_text")
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .join(nxt, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 7 == 0)
+                & (F.col("doc_id") % 3 == 0)
+                & F.col("_next_text").isNotNull(),
+                F.col("_next_text"),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text")),
+        )
+        .drop("_next_text")
+    )
+    diff = snapshot_diff(old, new, "doc_id", F.md5("text"))
+    batch = new.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            "doc_id", "status"
+        ),
+        "doc_id",
+    )
+    history = new.join(
+        diff.filter(F.col("status") == "unchanged").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    kept = D.dedup_against_history(batch, history)
+    return kept.join(batch.select("doc_id", "status"), "doc_id")
+
+
+_INCREMENTAL_REFRESH_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+), new0 AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 7 = 0 AND d.doc_id % 3 = 0
+                   AND nx.text IS NOT NULL THEN nx.text
+              WHEN d.doc_id % 11 = 0 THEN d.text || ' v2'
+              ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents nx ON nx.doc_id = d.doc_id + 1
+  WHERE d.doc_id % 5 <> 0
+), new AS (
+  SELECT doc_id, text, md5(text) AS fp FROM new0
+), diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+), batch AS (
+  SELECT n.doc_id, n.fp AS text_hash, d.status
+  FROM new n JOIN diff d USING (doc_id)
+  WHERE d.status IN ('added', 'changed')
+), hist AS (
+  SELECT DISTINCT n.fp AS text_hash
+  FROM new n JOIN diff d USING (doc_id)
+  WHERE d.status = 'unchanged'
+), fresh AS (
+  SELECT doc_id, text_hash, status FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_hash = b.text_hash)
+), kept AS (
+  SELECT min(doc_id) AS doc_id, text_hash FROM fresh GROUP BY text_hash
+)
+SELECT k.doc_id, k.text_hash, f.status
+FROM kept k JOIN fresh f ON f.doc_id = k.doc_id AND f.text_hash = k.text_hash
+"""
+
+
 def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed heavy hitters (streaming/events.py:
     run_streaming_trending_terms): per 100-second tumbling event-time

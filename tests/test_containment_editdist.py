@@ -210,3 +210,34 @@ def test_length_bucket_blocking_bound_property():
             assert abs(len(a) // w - len(b) // w) <= 1
 
     check()
+
+
+def test_staged_incremental_refresh_matches_oracle(spark, sf_dir):
+    """The composed nightly verb (diff -> added∪changed batch -> dedup vs
+    retained history) against its written oracle, plus non-vacuity of both
+    batch classes and of the history screen."""
+    import duckdb
+
+    from spark_gp_spark.queries import _INCREMENTAL_REFRESH_SQL, incremental_refresh
+
+    got = incremental_refresh(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(_INCREMENTAL_REFRESH_SQL).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in cols:
+        assert (got[c].values == want[c].values).all(), c
+    assert set(got["status"]) == {"added", "changed"}
+    # the history screen must FIRE on the planted re-crawl copies: fewer
+    # survivors than batch members (batch = added + changed per the diff)
+    n_batch = con.execute(
+        _INCREMENTAL_REFRESH_SQL[: _INCREMENTAL_REFRESH_SQL.index("SELECT k.doc_id")]
+        + "SELECT count(*) FROM batch"
+    ).fetchone()[0]
+    assert len(got) < n_batch, "history screen dropped nothing (vacuous)"
