@@ -132,12 +132,20 @@ def gpc_laplace(
         return _rejected()
     grad_log_p = y - pi
     b = w * f + grad_log_p
-    # one inv(B) serves a, R, AND the C-column-norm diagonal below — three
-    # separate LU solves collapsed into a single factorization (L itself
-    # stays: the PSD rejection and log|B| = 2 sum log diag(L) need it)
-    Binv = np.linalg.inv(B)
+    # ONE multi-RHS solve serves a, R, AND the C-column-norm diagonal
+    # below: RHS = [sqrtW(Kb) | sqrtW K | I] factors B once (same flop
+    # class as the explicit inverse this replaces) but keeps solve-level
+    # accuracy if cond(B) is large — extreme-amplitude line-search probes
+    # can pass the Cholesky PSD check yet be ill-conditioned (ADVICE r9).
+    # L itself stays: the PSD rejection and log|B| = 2 sum log diag(L)
+    # need it.
     sqrt_wK = sqrt_w[:, None] * K
-    a = b - sqrt_w * (Binv @ (sqrt_w * (K @ b)))
+    sol = np.linalg.solve(
+        B,
+        np.hstack([(sqrt_w * (K @ b))[:, None], sqrt_wK, np.eye(n)]),
+    )
+    Binv = sol[:, n + 1:]
+    a = b - sqrt_w * sol[:, 0]
     obj = -0.5 * float(a @ f) + float(np.sum(_log_sigmoid(y_pm1 * f)))
 
     log_z = obj - float(np.sum(np.log(np.diag(L))))
@@ -145,7 +153,7 @@ def gpc_laplace(
     # R = sqrtW B^-1 sqrtW ;  diag(C'C) with C = L^-1 (sqrtW K) equals
     # diag((sqrtW K)' B^-1 (sqrtW K))
     R = sqrt_w[:, None] * Binv * sqrt_w[None, :]
-    c_diag = np.einsum("ij,ij->j", sqrt_wK, Binv @ sqrt_wK)
+    c_diag = np.einsum("ij,ij->j", sqrt_wK, sol[:, 1 : n + 1])
     # pi^2 * exp(-f) == pi * (1 - pi), so d3 = -(2 pi - 1) pi (1 - pi)
     d3_log_p = -(2.0 * pi - 1.0) * pi * (1.0 - pi)
     s2 = -0.5 * (np.diag(K) - c_diag) * d3_log_p

@@ -85,6 +85,34 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return df.join(w_keep, df[id_col] == w_keep["keep_id"], "left_semi")
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text key for normalization-robust exact dedup: lowercase,
+    map every character outside [a-z0-9] to a space, collapse whitespace
+    runs, trim.  Catches re-crawls that differ only in case, punctuation,
+    or layout — the cheap deterministic tier between ``exact_dedup``
+    (byte-identical) and MinHash (token-set similarity).  Pure column
+    expression (whole-stage codegen, no UDF)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), "[^a-z0-9]", " "), " +", " "
+        )
+    )
+
+
+def normalized_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups under the NORMALIZED text key:
+    (norm_hash, keep_id = min id, dup_count).
+
+    Same plan shape as ``exact_dedup`` — one hash-aggregate shuffle on the
+    16-byte md5 of the normalized key with map-side partial aggregation, so
+    at 100 TB the full text never shuffles, only (hash, id) pairs."""
+    return df.groupBy(
+        F.md5(normalize_text(F.col(text_col))).alias("norm_hash")
+    ).agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3, seed: int = 7) -> Column:
     """Array of ``num_hashes`` MinHash values over word n-gram shingles.
 

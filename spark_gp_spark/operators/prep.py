@@ -278,6 +278,65 @@ def contamination_check(
     )
 
 
+def split_leakage_check(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 8,
+    train: int = SPLIT_TRAIN,
+    val: int = SPLIT_VAL,
+) -> DataFrame:
+    """Cross-split decontamination scan: for every TEST document (under the
+    same hash split as ``split_assign``), the number of its distinct
+    ``shingle_n``-gram shingles that also occur in ANY train document —
+    the train/test leakage audit (the GPT-3 appendix-C / Dodge et al. 2021
+    C4-decontamination verb) run BEFORE a split ships.
+
+    Output: (``id_col``, n_shingles, n_leaked, leak_frac), one row per test
+    document.  Plan: one tokenize+shingle projection feeds both sides; the
+    train side reduces to DISTINCT shingles (hash-aggregate with map-side
+    combine — one row per shingle, so hot boilerplate shingles cannot skew
+    the join build side), then one shuffle equi-join on the shingle key and
+    a per-document count.  Nothing broadcasts a corpus-sized relation and
+    the text column never shuffles — only (shingle-hash, id) pairs."""
+    # stage the token array as its own projection so the n-gram lambda
+    # references a materialized column (see text.word_ngrams_of: inlining
+    # re-runs the whitespace split per element)
+    base = df.select(
+        F.col(id_col),
+        split_expr(id_col, train, val).alias("_split"),
+        tokens(F.col(text_col)).alias("_t"),
+    ).select(
+        id_col, "_split", word_ngrams_of(F.col("_t"), shingle_n).alias("_sh")
+    )
+    test_docs = base.filter(F.col("_split") == "test")
+    train_post = (
+        base.filter(F.col("_split") == "train")
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+    )
+    test_post = test_docs.select(id_col, F.explode("_sh").alias("sh"))
+    leaked = (
+        test_post.join(train_post, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_leaked"))
+    )
+    totals = test_docs.select(
+        id_col, F.size("_sh").cast("long").alias("n_shingles")
+    )
+    out = totals.join(leaked, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+        F.round(
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("double")
+            / F.greatest(F.col("n_shingles"), F.lit(1)),
+            6,
+        ).alias("leak_frac"),
+    )
+    return out
+
+
 def token_budget_fill(
     df: DataFrame,
     budgets: dict[str, int] | int,

@@ -625,6 +625,97 @@ FROM documents JOIN keep ON doc_id = keep_id
 """
 
 
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (operators/dedup.py:
+    normalized_dedup): duplicate groups under the canonical text key
+    (lowercase, non-alphanumerics to spaces, whitespace collapsed) — the
+    cheap deterministic tier between exact_dedup and MinHash, catching
+    re-crawls that differ only in case/punctuation/layout.  NEW in r10.
+
+    The corpus has no such variants naturally, so the fixture plants the
+    collision class the verb exists for (the incremental_refresh
+    precedent): every doc with doc_id % 17 = 3 whose successor exists
+    carries ``upper(successor text) + ' !!'`` — a normalized-dup of the
+    successor that exact_dedup structurally misses.  Both engines state
+    the same deterministic mutation; at sf0.01 this collapses ~29 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    mutated = (
+        docs.join(nxt, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 17 == 3) & F.col("_next").isNotNull(),
+                F.concat(F.upper(F.col("_next")), F.lit(" !!")),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_next")
+    )
+    return D.normalized_dedup(mutated)
+
+
+_DEDUP_NORMALIZED_SQL = """
+WITH m AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 17 = 3 AND nx.text IS NOT NULL
+              THEN upper(nx.text) || ' !!' ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents nx ON nx.doc_id = d.doc_id + 1
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM m
+)
+SELECT md5(norm) AS norm_hash, min(doc_id) AS keep_id,
+       count(*)::BIGINT AS dup_count
+FROM n GROUP BY norm
+"""
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split decontamination audit (operators/prep.py:
+    split_leakage_check): for every TEST document under the split_assign
+    hash split, how many of its distinct 8-gram shingles occur in ANY
+    train document — the leakage scan (GPT-3 appendix C, Dodge et al.
+    2021) a pipeline runs before a split ships.  Non-vacuous here because
+    the corpus's planted exact-dup pairs straddle the hash split.  NEW in
+    r10."""
+    return P.split_leakage_check(load_table(spark, sf_dir, "documents"))
+
+
+_SPLIT_LEAKAGE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), lab AS (
+  SELECT doc_id, CASE WHEN b < {P.SPLIT_TRAIN} THEN 'train'
+                      WHEN b < {P.SPLIT_TRAIN + P.SPLIT_VAL} THEN 'val'
+                      ELSE 'test' END AS split
+  FROM (SELECT doc_id, {h32_sql("doc_id::VARCHAR")} % 100 AS b FROM documents)
+), sh AS (
+  SELECT doc_id, {_sql_word_ngrams(8)} AS shingles FROM tok
+), post AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), tr AS (
+  SELECT DISTINCT s FROM post JOIN lab USING (doc_id) WHERE split = 'train'
+), te AS (
+  SELECT post.doc_id, post.s FROM post JOIN lab USING (doc_id)
+  WHERE split = 'test'
+), leak AS (
+  SELECT te.doc_id, count(*)::BIGINT AS n_leaked FROM te JOIN tr USING (s)
+  GROUP BY 1
+), tot AS (
+  SELECT sh.doc_id, len(shingles)::BIGINT AS n_shingles
+  FROM sh JOIN lab USING (doc_id) WHERE split = 'test'
+)
+SELECT tot.doc_id, n_shingles, coalesce(n_leaked, 0) AS n_leaked,
+       round(coalesce(n_leaked, 0)::DOUBLE / greatest(n_shingles, 1), 6)
+         AS leak_frac
+FROM tot LEFT JOIN leak USING (doc_id)
+"""
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature, emitted as a comma-joined string so the
     value-hash comparison is array-representation-agnostic."""
@@ -836,9 +927,8 @@ def containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     long one (boilerplate/quotes/partial crawls), which symmetric Jaccard
     structurally misses.  Same posting-join plan as ngram_jaccard_pairs.
 
-    STAGED for the round-10 correctness window (the r9 window is exactly
-    full with the mandated 38-entry rotation + 3 new + 10 changed):
-    built, oracle SQL below, pytest-gated with a planted subset pair
+    Registered in the round-10 window after a staged r9 round: built,
+    oracle SQL below, pytest-gated with a planted subset pair
     (tests/test_containment_editdist.py) — the r8 incremental-twin
     precedent (SURVEY round-9 continuity note #2)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -887,8 +977,7 @@ def editdist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     width max_dist+1 ⇒ qualifying pairs differ by ≤ 1 bucket), so the
     oracle states the plain quadratic semantics while the Spark plan stays
     an equi-join.  The verb for short-field dedup (titles, names) where
-    shingle sets are too coarse.  STAGED for round 10 — see
-    containment_screen."""
+    shingle sets are too coarse.  Registered in the round-10 window."""
     docs = load_table(spark, sf_dir, "documents")
     return D.editdist_pairs(
         docs, F.substring(F.col("text"), 1, _EDITDIST_PREFIX),
@@ -915,8 +1004,8 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Versions: old = doc_id % 7 ≠ 0, new = doc_id % 5 ≠ 0 with docs at
     doc_id % 11 = 0 carrying a ' v2' text suffix (a deterministic mutation
     both engines state, so 'changed' is non-vacuous).  One full-outer
-    equi-join over two narrow (id, md5) projections.  STAGED for round 10
-    — see containment_screen."""
+    equi-join over two narrow (id, md5) projections.  Registered in the
+    round-10 window."""
     from .operators.merge import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")
@@ -963,7 +1052,7 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     successor's text — when that successor is an unchanged-history doc the
     batch row is a verbatim re-crawl of retained content and MUST be
     dropped (the oracle replays the same copy rule; 12 of 88 batch rows
-    die at sf0.01).  STAGED for round 10 — see containment_screen."""
+    die at sf0.01).  Registered in the round-10 window."""
     from .operators.merge import snapshot_diff
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1052,7 +1141,7 @@ def streaming_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink of CLOSED windows, one batch row_number for the top-k).  Oracle =
     integer window arithmetic on ts(doc) = epoch + doc_id with the same
     closed-window cutoff predicate as streaming_window_counts_append.
-    STAGED for round 10 — see containment_screen."""
+    Registered in the round-10 window."""
     from .streaming.events import run_streaming_trending_terms
 
     return run_streaming_trending_terms(spark, sf_dir)
@@ -1094,7 +1183,7 @@ def streaming_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands vindicated on both footprint and wall clock; this twin is kept
     as the parity-proven JVM alternative and the honest record of the
     experiment.  Same emitted relation, SAME oracle (_STREAM_NEARDUP_SQL).
-    STAGED for round 10 — see containment_screen."""
+    Registered in the round-10 window."""
     from .streaming.neardup import run_streaming_neardup_join
 
     return run_streaming_neardup_join(spark, sf_dir)
@@ -2144,6 +2233,29 @@ def _sql_lsh_buckets(bits: int, tables: int, seed: int, src: str = "e") -> str:
 _IVF_K, _IVF_NPROBE, _IVF_SEED, _IVF_SAMPLE = 16, 4, 5, 4000
 
 
+def _ann_plan_build(kind: str):
+    """Context manager logging the EAGER driver-side portion of an ANN
+    registry entry (param derivation, artifact-cache lookup / train,
+    query-vector read, LUT math, lazy-plan assembly) into
+    operators.ivf.ANN_STAGE_LOG — together with the nested train-stage rows
+    it lets a measuring harness split the entry's wall clock into
+    plan_build vs Spark-execution on the VM THAT MEASURED IT (the official
+    opq/pq auto cost was previously unexplainable from committed
+    builder-VM attributions)."""
+    import contextlib
+    import time
+
+    from .operators.ivf import _log_stage
+
+    @contextlib.contextmanager
+    def _cm():
+        t0 = time.perf_counter()
+        yield
+        _log_stage(kind, "plan_build", time.perf_counter() - t0)
+
+    return _cm()
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-k (operators/ivf.py): coarse k-means cells +
     nprobe probing — candidates per query ≈ nprobe·N/n_centroids.  Centroids
@@ -2270,13 +2382,15 @@ def ivf_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ivf import ivf_topk as _ivf_topk
     from .operators.ivf import train_centroids_from_parquet
 
-    cents = train_centroids_from_parquet(
-        f"{sf_dir}/embeddings.parquet", seed=_IVF_SEED
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 20)
-    out = _ivf_topk(emb, queries, cents, k=5, nprobe=None)
-    return out.withColumn("rank", F.col("rank").cast("long"))
+    with _ann_plan_build("ivf_topk_auto"):
+        cents = train_centroids_from_parquet(
+            f"{sf_dir}/embeddings.parquet", seed=_IVF_SEED
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 20)
+        out = _ivf_topk(emb, queries, cents, k=5, nprobe=None)
+        out = out.withColumn("rank", F.col("rank").cast("long"))
+    return out
 
 
 def _sql_ivf_topk_auto() -> str | None:
@@ -2748,29 +2862,31 @@ def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks_residual_from_parquet,
     )
 
-    path = f"{sf_dir}/embeddings.parquet"
-    n = parquet_num_rows(path)
-    ivf_p, pq_p = auto_ivf_params(n), auto_pq_params(n)
-    cents = train_centroids_from_parquet(
-        path, ivf_p["cells"], _IVF_SEED, ivf_p["sample_rows"]
-    )
-    books = train_pq_codebooks_residual_from_parquet(
-        path, cents, _PQ_M, pq_p["k"], _PQ_SEED, pq_p["sample_rows"]
-    )
-    qs = read_query_vectors(path, max_id=20)
-    Q = np.stack([v for _, v in qs])
-    probe_lists = probe_cells_np(Q, cents, ivf_p["nprobe"])
-    luts = adc_luts_residual(Q, probe_lists, cents, books)
-    query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
-    emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    probes = ivf_probe_frame(
-        emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
-        ivf_p["nprobe"], "query_id",
-    )
-    codes = pq_encode_residual(emb, books, cents)
-    short = _ivfadc_topk(codes, probes, query_cell_luts, k=_ANN_RERANK)
-    return exact_rerank(short, emb, k=5)
+    with _ann_plan_build("ivfadc_topk_auto"):
+        path = f"{sf_dir}/embeddings.parquet"
+        n = parquet_num_rows(path)
+        ivf_p, pq_p = auto_ivf_params(n), auto_pq_params(n)
+        cents = train_centroids_from_parquet(
+            path, ivf_p["cells"], _IVF_SEED, ivf_p["sample_rows"]
+        )
+        books = train_pq_codebooks_residual_from_parquet(
+            path, cents, _PQ_M, pq_p["k"], _PQ_SEED, pq_p["sample_rows"]
+        )
+        qs = read_query_vectors(path, max_id=20)
+        Q = np.stack([v for _, v in qs])
+        probe_lists = probe_cells_np(Q, cents, ivf_p["nprobe"])
+        luts = adc_luts_residual(Q, probe_lists, cents, books)
+        query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
+        emb = load_table(spark, sf_dir, "embeddings")
+        vec = F.col("embedding").cast("array<double>")
+        probes = ivf_probe_frame(
+            emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
+            ivf_p["nprobe"], "query_id",
+        )
+        codes = pq_encode_residual(emb, books, cents)
+        short = _ivfadc_topk(codes, probes, query_cell_luts, k=_ANN_RERANK)
+        out = exact_rerank(short, emb, k=5)
+    return out
 
 
 def streaming_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3039,18 +3155,20 @@ def pq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks_from_parquet,
     )
 
-    path = f"{sf_dir}/embeddings.parquet"
-    pqp = auto_pq_params(parquet_num_rows(path))
-    books = train_pq_codebooks_from_parquet(
-        path, _PQ_M, pqp["k"], _PQ_SEED, pqp["sample_rows"]
-    )
-    qs = read_query_vectors(path, max_id=20)
-    luts = adc_luts(np.stack([v for _, v in qs]), books)
-    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes = _pq_encode(emb, books).select("vec_id", "codes")
-    short = _pq_topk(codes, query_luts, k=_ANN_RERANK)
-    return exact_rerank(short, emb, k=5)
+    with _ann_plan_build("pq_topk_auto"):
+        path = f"{sf_dir}/embeddings.parquet"
+        pqp = auto_pq_params(parquet_num_rows(path))
+        books = train_pq_codebooks_from_parquet(
+            path, _PQ_M, pqp["k"], _PQ_SEED, pqp["sample_rows"]
+        )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(np.stack([v for _, v in qs]), books)
+        query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = _pq_encode(emb, books).select("vec_id", "codes")
+        short = _pq_topk(codes, query_luts, k=_ANN_RERANK)
+        out = exact_rerank(short, emb, k=5)
+    return out
 
 
 def _sql_pq_topk_auto() -> str | None:
@@ -3248,18 +3366,20 @@ def opq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_opq_from_parquet,
     )
 
-    path = f"{sf_dir}/embeddings.parquet"
-    pqp = auto_pq_params(parquet_num_rows(path))
-    R, books = train_opq_from_parquet(
-        path, _PQ_M, pqp["k"], _PQ_SEED, pqp["sample_rows"], _OPQ_ITERS
-    )
-    qs = read_query_vectors(path, max_id=20)
-    luts = adc_luts(_rotate_batch(np.stack([v for _, v in qs]), R), books)
-    query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
-    emb = load_table(spark, sf_dir, "embeddings")
-    codes = opq_encode(emb, R, books).select("vec_id", "codes")
-    short = _pq_topk(codes, query_luts, k=_ANN_RERANK)
-    return exact_rerank(short, emb, k=5)
+    with _ann_plan_build("opq_topk_auto"):
+        path = f"{sf_dir}/embeddings.parquet"
+        pqp = auto_pq_params(parquet_num_rows(path))
+        R, books = train_opq_from_parquet(
+            path, _PQ_M, pqp["k"], _PQ_SEED, pqp["sample_rows"], _OPQ_ITERS
+        )
+        qs = read_query_vectors(path, max_id=20)
+        luts = adc_luts(_rotate_batch(np.stack([v for _, v in qs]), R), books)
+        query_luts = [(qid, luts[i].tolist()) for i, (qid, _) in enumerate(qs)]
+        emb = load_table(spark, sf_dir, "embeddings")
+        codes = opq_encode(emb, R, books).select("vec_id", "codes")
+        short = _pq_topk(codes, query_luts, k=_ANN_RERANK)
+        out = exact_rerank(short, emb, k=5)
+    return out
 
 
 def _sql_opq_topk_auto() -> str | None:
@@ -5939,39 +6059,101 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # reaffirmed every round since): any query whose implementation changed
 # since its last official row — plus anything new — must sit inside that
 # window; the remaining slots rotate in the queries whose last official row
-# is OLDEST.  Round-9 window (50 keys exactly): 3 NEW queries (the
-# incremental-dedup twins staged in r8, and the deterministic
-# expiry-firing streaming TTL entry); 10 CHANGED this round (the
-# exact_rerank broadcast-scoping fix touched the three refine-step auto
-# entries; the relative df-cap rewrote token_pmi_pairs; the gpc_laplace
-# solve consolidation perturbs low-order bits of every GPC fit, so the
-# three rows-only GPC entries re-window; streaming/neardup.py gained the
-# expiry harness, so its three sibling entries ride along although their
-# own functions are untouched); then ALL 37 remaining entries whose last
-# official row is r6 (SURVEY item #5's rotation math — this clears the
-# entire backlog: after r9 nothing in the registry is older than r7-green).
-# NOT windowed despite a source change: _local_kmeans's grouping rewrite is
-# proven bit-identical (tests compare against the old implementation), so
-# its consumers' outputs cannot have moved.  Below the divider: entries
-# officially green in r7/r8 on code unchanged this round.  SURVEY.md §2.8's
+# is OLDEST.  Round-10 window (50 keys exactly): 8 NEW queries (the six
+# staged r9 entries — containment/editdist screens, corpus diff,
+# incremental refresh, streaming trending terms, the parity-proven JVM
+# join twin — VERDICT r9 next #1 — plus two built this round:
+# dedup_normalized and split_leakage); 11 CHANGED this round (the four
+# auto-ANN entries
+# gained plan_build stage-attribution wrappers; the gpc_laplace epilogue's
+# inv(B) became a multi-RHS solve, perturbing low-order bits of every GPC
+# fit, so the three rows-only GPC entries re-window; streaming/neardup.py's
+# arrival staging became atomic, so its four entries re-window); then ALL
+# 29 entries whose last official row is r7 (VERDICT r9 next #1/#5 — after
+# this round nothing in the registry is older than r8-green); finally 2
+# r8-green streaming entries that most directly exercise the r10
+# atomic-arrival change.  Below the divider: entries officially green in
+# r8/r9 — the remaining staged-arrival streaming entries there see the same
+# _arrive_atomically source change, which is output-neutral by construction
+# (same files, same batch boundaries — hidden-copy-then-rename instead of
+# in-place copy) and officially re-verified through the four windowed
+# representatives plus the full streaming pytest suite.  SURVEY.md §2.8's
 # status table maps every query to its operator and last official row.
 QUERIES = {
-    # --- new in round 9 ---
-    "dedup_incremental": dedup_incremental,
-    "neardup_incremental": neardup_incremental,
-    "streaming_neardup_expiry": streaming_neardup_expiry,
-    # --- changed in round 9 (exact_rerank / df-cap / gpc_laplace / neardup module) ---
+    # --- new in round 10: the six entries staged-and-parity-proven in r9
+    #     (VERDICT r9 next #1) ---
+    "containment_screen": containment_screen,
+    "editdist_screen": editdist_screen,
+    "corpus_diff": corpus_diff,
+    "incremental_refresh": incremental_refresh,
+    "streaming_trending_terms": streaming_trending_terms,
+    "streaming_neardup_join": streaming_neardup_join,
+    # --- new in round 10: built this round ---
+    "dedup_normalized": dedup_normalized,
+    "split_leakage": split_leakage,
+    # --- changed in round 10 (ANN stage-attribution wrappers; gpc_laplace
+    #     multi-RHS solve replacing inv(B); streaming/neardup.py atomic
+    #     arrival staging + shard-key comment) ---
+    "ivf_topk_auto": ivf_topk_auto,
     "ivfadc_topk_auto": ivfadc_topk_auto,
     "pq_topk_auto": pq_topk_auto,
     "opq_topk_auto": opq_topk_auto,
-    "token_pmi_pairs": token_pmi_pairs,
     "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
     "gpc_embeddings": gpc_embeddings,
     "gpc_uncertainty_sample": gpc_uncertainty_sample,
     "streaming_neardup": streaming_neardup,
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
+    "streaming_neardup_expiry": streaming_neardup_expiry,
     "streaming_embedding_neardup": streaming_embedding_neardup,
-    # --- rotated in: last official row r6 ---
+    # --- rotated in: last official row r7 (clears the r7 backlog —
+    #     VERDICT r9 next #1/#5; after this round nothing in the registry
+    #     is older than r8-green) ---
+    "gopher_quality_rules": gopher_quality_rules,
+    "quality_rule_rates": quality_rule_rates,
+    "embedding_whiten": embedding_whiten,
+    "jl_project": jl_project,
+    "temperature_mix": temperature_mix,
+    "embedding_dim_stats": embedding_dim_stats,
+    "cosine_topk": cosine_topk,
+    "dedup_span_clean": dedup_span_clean,
+    "repetition_clean": repetition_clean,
+    "shard_export_manifest": shard_export_manifest,
+    "doc_logprob": doc_logprob,
+    "streaming_shard_export": streaming_shard_export,
+    "hard_negatives": hard_negatives,
+    "pack_sequences": pack_sequences,
+    "token_budget_fill": token_budget_fill,
+    "dsir_select": dsir_select,
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "part_type_revenue": part_type_revenue,
+    "revenue_rollup": revenue_rollup,
+    "returnflag_status_cube": returnflag_status_cube,
+    "language_distribution": language_distribution,
+    "user_retention_cohorts": user_retention_cohorts,
+    "session_funnel": session_funnel,
+    "event_value_histogram": event_value_histogram,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    # --- rotated in: oldest r8-green entries that also exercise the
+    #     r10 atomic-arrival staging (events.py:_arrive_atomically) and
+    #     drift.py edit most directly ---
+    "streaming_embedding_drift": streaming_embedding_drift,
+    "streaming_window_counts_append": streaming_window_counts_append,
+    # ================= below the 50-key official window =================
+    # (officially green in CORRECTNESS_r08/r09 — or rows-only gpr/
+    #  multimodal entries, pytest-gated.  The remaining streaming entries
+    #  below DID see a source change this round — every staged-arrival
+    #  driver now routes through events.py:_arrive_atomically — but the
+    #  change is output-neutral by construction: the same files arrive at
+    #  the same batch boundaries, only via hidden-copy-then-rename instead
+    #  of in-place copy, and the full streaming pytest suite plus the four
+    #  windowed representatives above re-verify it officially.)
+    "dedup_incremental": dedup_incremental,
+    "neardup_incremental": neardup_incremental,
+    "token_pmi_pairs": token_pmi_pairs,
     "contamination_check": contamination_check,
     "domain_mix_sample": domain_mix_sample,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
@@ -6009,11 +6191,6 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "embedding_quantize": embedding_quantize,
     "top_docs_per_lang": top_docs_per_lang,
-    # ================= below the 50-key official window =================
-    # (officially green in CORRECTNESS_r07/r08 — or rows-only gpr/
-    #  multimodal entries, pytest-gated — on code unchanged this round)
-    "ivf_topk_auto": ivf_topk_auto,
-    "streaming_embedding_drift": streaming_embedding_drift,
     "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
     "lsh_topk_multiprobe": lsh_topk_multiprobe,
     "ivf_topk": ivf_topk,
@@ -6046,47 +6223,17 @@ QUERIES = {
     "redact_pii": redact_pii,
     "event_group_sample": event_group_sample,
     "streaming_window_counts": streaming_window_counts,
-    "streaming_window_counts_append": streaming_window_counts_append,
+    "streaming_dedup": streaming_dedup,
+    "streaming_interval_join": streaming_interval_join,
     "streaming_static_enrich": streaming_static_enrich,
     "streaming_sessions": streaming_sessions,
     "streaming_sessions_append": streaming_sessions_append,
     "streaming_stateful_sessions": streaming_stateful_sessions,
-    "streaming_dedup": streaming_dedup,
-    "streaming_interval_join": streaming_interval_join,
     "streaming_upsert": streaming_upsert,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "gpr_lineitem": gpr_lineitem,
-    "gopher_quality_rules": gopher_quality_rules,
-    "quality_rule_rates": quality_rule_rates,
-    "embedding_whiten": embedding_whiten,
-    "jl_project": jl_project,
-    "temperature_mix": temperature_mix,
-    "embedding_dim_stats": embedding_dim_stats,
-    "cosine_topk": cosine_topk,
-    "dedup_span_clean": dedup_span_clean,
-    "repetition_clean": repetition_clean,
-    "shard_export_manifest": shard_export_manifest,
-    "doc_logprob": doc_logprob,
-    "streaming_shard_export": streaming_shard_export,
-    "hard_negatives": hard_negatives,
-    "pack_sequences": pack_sequences,
-    "token_budget_fill": token_budget_fill,
-    "dsir_select": dsir_select,
-    "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
-    "part_type_revenue": part_type_revenue,
-    "revenue_rollup": revenue_rollup,
-    "returnflag_status_cube": returnflag_status_cube,
-    "language_distribution": language_distribution,
-    "user_retention_cohorts": user_retention_cohorts,
-    "session_funnel": session_funnel,
-    "event_value_histogram": event_value_histogram,
-    "customer_revenue_quartiles": customer_revenue_quartiles,
-    "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
 }
 
 ORACLE_SQL = {
@@ -6213,6 +6360,14 @@ ORACLE_SQL = {
     "streaming_embedding_neardup": _STREAM_VEC_NEARDUP_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "neardup_incremental": _NEARDUP_INCREMENTAL_SQL,
+    "containment_screen": _CONTAINMENT_SCREEN_SQL,
+    "editdist_screen": _EDITDIST_SCREEN_SQL,
+    "corpus_diff": _CORPUS_DIFF_SQL,
+    "incremental_refresh": _INCREMENTAL_REFRESH_SQL,
+    "streaming_trending_terms": _TRENDING_TERMS_SQL,
+    "streaming_neardup_join": _STREAM_NEARDUP_SQL,
+    "dedup_normalized": _DEDUP_NORMALIZED_SQL,
+    "split_leakage": _SPLIT_LEAKAGE_SQL,
     "streaming_dedup": _STREAM_DEDUP_SQL,
     "streaming_interval_join": _STREAM_INTERVAL_JOIN_SQL,
     "streaming_upsert": _STREAM_UPSERT_SQL,

@@ -72,11 +72,11 @@ def run_streaming_embedding_drift(
             .queryName(query_name)
             .start()
         )
-    import shutil
+    from .events import _arrive_atomically
 
     try:
         for i, path in enumerate(arrivals):
-            shutil.copy(path, os.path.join(src, f"arrival-{i:04d}.parquet"))
+            _arrive_atomically(src, [(path, f"arrival-{i:04d}.parquet")])
             q.processAllAvailable()
     finally:
         q.stop()

@@ -190,12 +190,30 @@ def _staged_arrivals(
     return src, arrivals, schema
 
 
-def _drive_append_query(q, src: str, arrivals) -> None:
+def _arrive_atomically(src: str, paths_and_names) -> None:
+    """Deliver files into the watched source dir without the stream ever
+    seeing a partial or split arrival: copy each to a dot-prefixed temp name
+    (the file stream source's hidden-file filter ignores names starting with
+    '.' or '_'), then os.rename all of them into place in one tight loop.
+    Rename is atomic on the same filesystem, so a micro-batch triggered
+    mid-arrival can never observe a half-written file, and a multi-file
+    arrival's exposure window shrinks from full-copy duration to consecutive
+    rename syscalls (ADVICE r9: batch-boundary flakiness)."""
     import shutil
 
+    staged = []
+    for path, name in paths_and_names:
+        tmp = os.path.join(src, f".{name}.tmp")
+        shutil.copy(path, tmp)
+        staged.append((tmp, os.path.join(src, name)))
+    for tmp, final in staged:
+        os.rename(tmp, final)
+
+
+def _drive_append_query(q, src: str, arrivals) -> None:
     try:
         for i, path in enumerate(arrivals):
-            shutil.copy(path, os.path.join(src, f"arrival-{i:04d}.parquet"))
+            _arrive_atomically(src, [(path, f"arrival-{i:04d}.parquet")])
             q.processAllAvailable()
     finally:
         q.stop()

@@ -272,7 +272,12 @@ def streaming_neardup_matches(
     if timeout_conf != "ProcessingTimeTimeout":
         # sharded bucket-map machine (see _make_sharded_neardup_state_func):
         # same emissions and expiry, ~NEARDUP_SHARDS groups instead of one
-        # per (band, key)
+        # per (band, key).  The '#'-joined _bkt encoding is injective for
+        # ANY key alphabet — band is an integer cast to string, so it can
+        # never contain '#', and the first '#' therefore always delimits
+        # the band prefix; _bkt is only ever used as an opaque dict key
+        # (never split back), so distinct (band, key) pairs can never
+        # merge even if a future key format introduces '#' (ADVICE r9).
         sharded = banded.select(
             "_id",
             *(["_ts"] if event_time else []),
@@ -347,6 +352,8 @@ def streaming_embedding_neardup_matches(
     else:
         timeout_conf = "ProcessingTimeTimeout" if ttl_ms is not None else "NoTimeout"
     if timeout_conf != "ProcessingTimeTimeout":
+        # both segments are integer casts, so the '#'-joined encoding is
+        # trivially injective (same argument as the MinHash path above)
         sharded = banded.select(
             "_id",
             *(["_ts"] if event_time else []),
@@ -512,16 +519,19 @@ def run_streaming_neardup_expiry(
             .start()
         )
     # one micro-batch per id-range batch (an arrival may span several part
-    # files — copy them all, then drain, so the batch boundary stays the
-    # CASE cut, which is what the session oracle restates)
-    import shutil
+    # files — stage them all hidden, rename in atomically, then drain, so
+    # the batch boundary stays the CASE cut the session oracle restates)
+    from .events import _arrive_atomically
 
     try:
         for j, paths in enumerate(arrivals):
-            for i, path in enumerate(paths):
-                shutil.copy(
-                    path, os.path.join(src, f"arrival-{j:02d}-{i:03d}.parquet")
-                )
+            _arrive_atomically(
+                src,
+                [
+                    (path, f"arrival-{j:02d}-{i:03d}.parquet")
+                    for i, path in enumerate(paths)
+                ],
+            )
             q.processAllAvailable()
     finally:
         q.stop()

@@ -1,0 +1,125 @@
+"""Round-10 pipeline verbs: normalization-robust exact dedup
+(operators/dedup.py:normalized_dedup) and the cross-split decontamination
+scan (operators/prep.py:split_leakage_check).
+
+Layers: semantics on hand-built frames (expected values computed
+independently in Python), then the side-by-side DuckDB oracle run the
+driver window repeats at sf0.01."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_normalize_text_canonicalizes_case_punct_whitespace(spark):
+    from spark_gp_spark.operators.dedup import normalize_text
+
+    rows = spark.createDataFrame(
+        [
+            ("Hello,   World!",),
+            ("hello world",),
+            ("HELLO--WORLD",),
+            ("hello worlds",),  # distinct: content differs
+            ("  hello \t world  ",),
+        ],
+        "text string",
+    ).select(normalize_text(F.col("text")).alias("norm")).collect()
+    norms = [r.norm for r in rows]
+    assert norms[0] == norms[1] == norms[2] == norms[4] == "hello world"
+    assert norms[3] == "hello worlds"
+
+
+def test_normalized_dedup_groups_variants_exact_dedup_misses(spark):
+    from spark_gp_spark.operators.dedup import exact_dedup, normalized_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox."),
+            (2, "the QUICK brown fox"),  # normalized-dup of 1
+            (3, "the quick...brown fox!!"),  # normalized-dup of 1
+            (4, "an entirely different doc"),
+            (5, "The quick brown fox."),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r.keep_id: r.dup_count for r in exact_dedup(df).collect()}
+    norm = {r.keep_id: r.dup_count for r in normalized_dedup(df).collect()}
+    # byte-level grouping sees three distinct variants of doc 1
+    assert exact == {1: 2, 2: 1, 3: 1, 4: 1}
+    # normalized grouping collapses all four copies
+    assert norm == {1: 4, 4: 1}
+
+
+def test_split_leakage_counts_shared_distinct_shingles(spark):
+    from spark_gp_spark.operators.prep import split_assign, split_leakage_check
+
+    # derive the hash split for a candidate id range, then PLANT the
+    # leak: one test doc shares its full text with a train doc, another
+    # test doc is disjoint, remaining docs are too short to shingle
+    splits = {
+        r.doc_id: r.split
+        for r in split_assign(
+            spark.range(300).withColumnRenamed("id", "doc_id")
+        ).collect()
+    }
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    test_ids = [i for i, s in splits.items() if s == "test"]
+    assert len(train_ids) >= 1 and len(test_ids) >= 2
+    shared = " ".join(f"w{i}" for i in range(10))  # 10 tokens -> 3 8-grams
+    disjoint = " ".join(f"z{i}" for i in range(9))  # 9 tokens -> 2 8-grams
+    rows = [
+        (train_ids[0], shared),
+        (test_ids[0], shared),
+        (test_ids[1], disjoint),
+    ] + [(i, "too short") for i in test_ids[2:5]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_shingles, r.n_leaked, r.leak_frac)
+        for r in split_leakage_check(df).collect()
+    }
+    assert set(out) == set(test_ids[0:2] + test_ids[2:5])  # one row per test doc
+    assert out[test_ids[0]] == (3, 3, 1.0)  # full leak
+    assert out[test_ids[1]] == (2, 0, 0.0)  # disjoint
+    for i in test_ids[2:5]:
+        # sub-shingle docs clamp to ONE whole-doc gram (word_ngrams
+        # semantics, mirrored by the oracle) and share nothing with train
+        assert out[i] == (1, 0, 0.0)
+
+
+def test_registry_entries_match_duckdb_oracle(spark, sf_dir):
+    """The side-by-side check the r10 driver window runs for the two new
+    entries — and the non-vacuity assertions: planted variants collapse
+    groups, and the corpus's cross-split dup pairs actually leak."""
+    import duckdb
+
+    from spark_gp_spark.queries import (
+        _DEDUP_NORMALIZED_SQL,
+        _SPLIT_LEAKAGE_SQL,
+        dedup_normalized,
+        split_leakage,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    for fn, sql in (
+        (dedup_normalized, _DEDUP_NORMALIZED_SQL),
+        (split_leakage, _SPLIT_LEAKAGE_SQL),
+    ):
+        got = fn(spark, sf_dir).toPandas()
+        want = con.execute(sql).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns), fn.__name__
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(got) == len(want) and len(got) > 0, fn.__name__
+        for c in cols:
+            assert (got[c].values == want[c].values).all(), (fn.__name__, c)
+        if fn is dedup_normalized:
+            # planted upper(successor)+' !!' variants must collapse groups
+            assert len(got) < n_docs
+            assert (got["dup_count"] > 1).any()
+        else:
+            # the corpus's planted exact-dup pairs straddle the hash split
+            assert (got["n_leaked"] > 0).any()

@@ -18,6 +18,27 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _iter_physical_nodes(node):
+    """Walk the JVM physical-plan tree (py4j), unwrapping AdaptiveSparkPlan
+    (whose plan is not exposed through ``children()``)."""
+    yield node
+    if node.nodeName() == "AdaptiveSparkPlan":
+        yield from _iter_physical_nodes(node.initialPlan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_physical_nodes(children.apply(i))
+
+
+def _bnlj_nodes(df):
+    root = df._jdf.queryExecution().executedPlan()
+    return [
+        n
+        for n in _iter_physical_nodes(root)
+        if n.nodeName() == "BroadcastNestedLoopJoin"
+    ]
+
+
 def test_star_join_broadcasts_dimensions(spark):
     from spark_gp_spark.queries import revenue_by_nation
 
@@ -44,16 +65,24 @@ def test_no_cartesian_in_dedup_and_similarity(spark):
     # relative df-cap joins N into dfreq, whose subtree the physical plan
     # replicates once per consumer (kept feeds a AND b, plus da/db), so
     # SEVERAL BNLJ nodes appear — every one of them |rows|×1.  Lock the
-    # shape, not a magic count: each BNLJ's build side must be an
-    # IdentityBroadcastMode exchange (the broadcast scalar frame — a
-    # non-broadcast BNLJ would be a genuine cartesian), and the replication
-    # factor stays the small constant the operator defines, never a
+    # shape, not a magic count: walk the plan tree and assert EACH BNLJ
+    # node's declared build side is a broadcast-exchange subtree in
+    # IdentityBroadcastMode (the broadcast scalar frame — a non-broadcast
+    # BNLJ would be a genuine cartesian), per node rather than by coupling
+    # two global substring counts (ADVICE r9), and the replication factor
+    # stays the small constant the operator defines, never a
     # data-dependent blowup.
-    plan = _plan(token_pmi_pairs(spark, SF))
-    assert "CartesianProduct" not in plan
-    n_bnlj = plan.count("BroadcastNestedLoopJoin")
-    assert 1 <= n_bnlj <= 4
-    assert n_bnlj == plan.count("IdentityBroadcastMode")
+    df = token_pmi_pairs(spark, SF)
+    assert "CartesianProduct" not in _plan(df)
+    bnlj = _bnlj_nodes(df)
+    assert 1 <= len(bnlj) <= 4
+    for node in bnlj:
+        build = node.buildSide().toString()
+        assert build in ("BuildLeft", "BuildRight")
+        side = node.right() if build == "BuildRight" else node.left()
+        subtree = side.toString()
+        assert "BroadcastExchange" in subtree, subtree
+        assert "IdentityBroadcastMode" in subtree, subtree
 
 
 def test_text_stats_is_pure_projection(spark):
