@@ -825,3 +825,57 @@ def gopher_filter(
         df, text_col=text_col, id_col=id_col, extra_cols=passthrough, **thresholds
     )
     return flagged.filter(F.col("keep")).select(id_col, *passthrough)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document vocabulary coverage against the corpus-derived top-k
+    vocab — the tokenizer-fit diagnostic a training pipeline runs before
+    committing a vocab/tokenizer to a corpus mix: documents dominated by
+    out-of-vocabulary tokens are wrong-language, gibberish, or a domain the
+    vocab was not fit on, and a corpus-level OOV-rate shift is an early
+    ingest-drift alarm.
+
+    Vocab = the ``vocab_size`` tokens with the highest DOCUMENT frequency
+    (ties broken by token string, so both engines derive the identical
+    set).  Output: (``id_col``, n_tokens, n_oov, oov_rate) per document
+    with ≥ 1 token, where n_oov counts token OCCURRENCES outside the vocab
+    and oov_rate = round(n_oov / n_tokens, 6).
+
+    Scale shape: document frequency is one hash-aggregate over distinct
+    (doc, token) pairs; the top-k is a TakeOrderedAndProject (never a full
+    sort) whose k rows broadcast back onto the token stream — the corpus
+    text never shuffles, and the only corpus-sized shuffle is the final
+    per-document count."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    occurrences = toks.select(id_col, F.explode("_t").alias("token"))
+    dfreq = (
+        occurrences.distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    vocab = (
+        dfreq.orderBy(F.desc("df"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    return (
+        occurrences.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )

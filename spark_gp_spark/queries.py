@@ -4001,6 +4001,43 @@ FROM tb JOIN c USING (bucket) CROSS JOIN n
 GROUP BY doc_id
 """
 
+#: vocab size for the staged vocab-coverage entry: the synthetic corpus has
+#: 31 distinct whitespace tokens, so 16 exercises a genuine OOV band (the
+#: 15 rarer tokens) instead of a vacuous all-in-vocab pass.
+_VOCAB_COVERAGE_K = 16
+
+
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs the corpus-derived top-16 document-frequency
+    vocab (operators/text.py:vocab_coverage) — the tokenizer-fit /
+    ingest-drift diagnostic.  Vocab ties break by token string, so both
+    engines derive the identical set.  STAGED for the round-11 correctness
+    window (the r10 window is exactly full with the mandated rotation);
+    built, oracle SQL below, pytest side-by-side parity in
+    tests/test_leakage_normdedup.py — the r9 staging precedent."""
+    return T.vocab_coverage(
+        load_table(spark, sf_dir, "documents"), vocab_size=_VOCAB_COVERAGE_K
+    )
+
+
+_VOCAB_COVERAGE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), occ AS (
+  SELECT doc_id, unnest(toks) AS token FROM tok
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM occ GROUP BY token
+), vocab AS (
+  SELECT token FROM dfreq ORDER BY df DESC, token LIMIT {_VOCAB_COVERAGE_K}
+)
+SELECT occ.doc_id, count(*)::BIGINT AS n_tokens,
+       (count(*) FILTER (WHERE v.token IS NULL))::BIGINT AS n_oov,
+       round((count(*) FILTER (WHERE v.token IS NULL))::DOUBLE / count(*), 6)
+         AS oov_rate
+FROM occ LEFT JOIN vocab v ON occ.token = v.token
+GROUP BY occ.doc_id
+"""
+
 
 # --------------------------------------------------------------------------
 # time-series: as-of join, sessionization, windowed aggregation

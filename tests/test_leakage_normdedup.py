@@ -85,6 +85,51 @@ def test_split_leakage_counts_shared_distinct_shingles(spark):
         assert out[i] == (1, 0, 0.0)
 
 
+def test_vocab_coverage_semantics(spark):
+    from spark_gp_spark.operators.text import vocab_coverage
+
+    # 3 docs; vocab_size=2 -> top-df tokens are 'a' (df 3) and 'b' (df 2);
+    # ties at df 1 would break by string but are all out of the top-2
+    df = spark.createDataFrame(
+        [
+            (1, "a b a"),
+            (2, "a b c"),
+            (3, "a x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(df, vocab_size=2).collect()
+    }
+    assert out[1] == (3, 0, 0.0)
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (4, 3, 0.75)
+
+
+def test_staged_vocab_coverage_matches_duckdb_oracle(spark, sf_dir):
+    """Side-by-side parity for the staged-for-r11 entry — the exact check
+    the r11 driver window will run."""
+    import duckdb
+
+    from spark_gp_spark.queries import _VOCAB_COVERAGE_SQL, vocab_coverage_report
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = vocab_coverage_report(spark, sf_dir).toPandas()
+    want = con.execute(_VOCAB_COVERAGE_SQL).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in cols:
+        assert (got[c].values == want[c].values).all(), c
+    assert (got["n_oov"] > 0).any()  # the 16-token vocab leaves a real OOV band
+
+
 def test_registry_entries_match_duckdb_oracle(spark, sf_dir):
     """The side-by-side check the r10 driver window runs for the two new
     entries — and the non-vacuity assertions: planted variants collapse
