@@ -865,6 +865,22 @@ GROUP BY text_hash
 """
 
 
+def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_incremental (streaming/events.py:
+    run_streaming_ingest_dedup): the arriving crawl slice is screened
+    against the static retained history by content hash at INGEST time —
+    a ZERO-state stream-static join (left outer + null filter, the
+    supported rendering of a stream-static anti join), with keep-first as
+    the deterministic batch epilogue over the emitted log.  Same relation
+    as the batch twin, SAME oracle (_DEDUP_INCREMENTAL_SQL).  STAGED for
+    the round-11 correctness window (the r10 window is exactly full);
+    side-by-side parity pytest in tests/test_leakage_normdedup.py."""
+    from .streaming.events import run_streaming_ingest_dedup
+
+    out = run_streaming_ingest_dedup(spark, sf_dir, hist_mod=_HIST_MOD)
+    return out.select("doc_id", "text_hash")
+
+
 def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup screen (operators/dedup.py:
     neardup_against_history) over the same history/batch split: per batch

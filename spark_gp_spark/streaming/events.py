@@ -690,3 +690,70 @@ def run_streaming_trending_terms(
             "rank",
         )
     )
+
+
+def run_streaming_ingest_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    hist_mod: int = 5,
+    n_files: int = 2,
+    query_name: str = "gp_stream_ingest_dedup",
+) -> DataFrame:
+    """Streaming twin of the nightly incremental-dedup verb
+    (operators/dedup.py:dedup_against_history, registry twin
+    ``dedup_incremental``): crawl documents ARRIVE as a stream (the
+    doc_id % hist_mod == 0 slice in id-range files) and each micro-batch is
+    screened against the STATIC retained history (the other slice) by
+    content hash — "have we already trained on this text?" at ingest time.
+
+    Spark shape: md5 projection → stream-static join against the history's
+    DISTINCT-hash relation → survivors append to a parquet sink.  The join
+    is LEFT OUTER + null filter (the supported stream-static rendering of a
+    left anti; Structured Streaming does not list stream-static left_anti),
+    and stream-static joins hold ZERO state — the bounded-state story is
+    trivial: nothing accumulates, the history relation is a static build
+    side reused every micro-batch.  Keep-first WITHIN the arriving crawl is
+    the batch epilogue over the emitted log (min doc_id per hash — the
+    streaming_neardup precedent: arrival racing inside a micro-batch must
+    not decide which duplicate survives, the deterministic min does).
+    Emits the SAME relation as dedup_incremental, so the SAME oracle
+    states it."""
+    work = tempfile.mkdtemp(prefix="gp_stream_ingest_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % hist_mod == 0)
+    history_hashes = (
+        docs.filter(F.col("doc_id") % hist_mod != 0)
+        .select(F.md5(F.col("text")).alias("text_hash"))
+        .distinct()
+        .withColumn("_hist", F.lit(True))
+    )
+    staged = os.path.join(work, "staged")
+    batch.repartitionByRange(n_files, "doc_id").write.parquet(staged)
+    arrivals = sorted(
+        os.path.join(staged, f)
+        for f in os.listdir(staged)
+        if f.endswith(".parquet")
+    )
+    schema = spark.read.parquet(staged).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .join(history_hashes, "text_hash", "left_outer")
+        .filter(F.col("_hist").isNull())
+        .select("doc_id", "text_hash")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    log = spark.read.schema(stream.schema).parquet(sink)
+    return log.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))

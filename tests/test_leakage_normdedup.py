@@ -130,6 +130,23 @@ def test_staged_vocab_coverage_matches_duckdb_oracle(spark, sf_dir):
     assert (got["n_oov"] > 0).any()  # the 16-token vocab leaves a real OOV band
 
 
+def test_staged_streaming_ingest_dedup_matches_batch_twin(spark, sf_dir):
+    """The staged-for-r11 streaming ingest screen emits EXACTLY the batch
+    dedup_incremental relation (same oracle by construction), and the
+    screen is non-vacuous: the batch slice is larger than the survivor
+    set."""
+    from spark_gp_spark.queries import dedup_incremental, streaming_ingest_dedup
+
+    want = {
+        (r.doc_id, r.text_hash) for r in dedup_incremental(spark, sf_dir).collect()
+    }
+    got = {
+        (r.doc_id, r.text_hash)
+        for r in streaming_ingest_dedup(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_registry_entries_match_duckdb_oracle(spark, sf_dir):
     """The side-by-side check the r10 driver window runs for the two new
     entries — and the non-vacuity assertions: planted variants collapse
