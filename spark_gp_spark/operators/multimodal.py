@@ -188,3 +188,29 @@ def binary_stats(df: DataFrame, content_col: str = "content", id_col: str = "doc
         sniff_type(c).alias("sniffed_type"),
         F.md5(c).alias("content_hash"),
     )
+
+
+def media_exact_dedup(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-identical media dedup — the FIRST dedup tier of every multimodal
+    pipeline (re-hosted copies of the same image/audio blob are byte-equal
+    far more often than text re-crawls are): group payloads by content
+    hash, keep the min-id row, report copy count and the bytes reclaimable
+    by dropping the duplicates.
+
+    Output: (content_hash, keep_id, n_copies, dup_bytes) — one row per
+    distinct payload; dup_bytes = payload size × (n_copies − 1).
+
+    Scale shape: identical to exact_dedup — one hash-aggregate shuffle over
+    the 16-byte md5 with map-side partial aggregation; the BINARY payload
+    itself never shuffles (only its hash and length leave the scan)."""
+    size = F.length(F.col(content_col)).cast("long")
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            (F.max(size) * (F.count("*") - 1)).alias("dup_bytes"),
+        )
+    )

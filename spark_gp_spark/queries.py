@@ -5595,6 +5595,54 @@ FROM documents
 """
 
 
+def multimodal_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup over the binary payload column
+    (operators/multimodal.py:media_exact_dedup) — the first dedup tier of a
+    multimodal pipeline: group blobs by content hash, keep min id, report
+    copies and reclaimable bytes.  The test corpus's payloads are UTF-8
+    text bytes (attach_binary), so md5(content) == md5(text); the corpus
+    has NO byte-identical payloads naturally, so the fixture plants the
+    re-hosted-copy class the verb exists for (the dedup_normalized
+    precedent): every doc with doc_id % 23 = 5 whose successor exists
+    carries the successor's payload VERBATIM — ~21 byte-dup groups at
+    sf0.01, stated identically by both engines.  STAGED for the round-11
+    correctness window (r10 window exactly full); parity pytest in
+    tests/test_leakage_normdedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    mutated = (
+        docs.join(nxt, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 23 == 5) & F.col("_next").isNotNull(),
+                F.col("_next"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_next")
+    )
+    return M.media_exact_dedup(M.attach_binary(mutated))
+
+
+_MM_MEDIA_DEDUP_SQL = """
+WITH m AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 23 = 5 AND nx.text IS NOT NULL
+              THEN nx.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents nx ON nx.doc_id = d.doc_id + 1
+), b AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM m
+)
+SELECT content_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies,
+       (max(n_bytes) * (count(*) - 1))::BIGINT AS dup_bytes
+FROM b GROUP BY content_hash
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one row per (doc, frame) with per-frame
     features, exploded inside the Arrow batch.  The per-frame feature hash

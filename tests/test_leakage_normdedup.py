@@ -147,6 +147,40 @@ def test_staged_streaming_ingest_dedup_matches_batch_twin(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_staged_media_dedup_matches_duckdb_oracle(spark, sf_dir):
+    """Side-by-side parity for the staged-for-r11 byte-dedup entry, plus
+    semantics on a hand-built frame (dup_bytes accounting)."""
+    import duckdb
+
+    from spark_gp_spark.operators.multimodal import attach_binary, media_exact_dedup
+    from spark_gp_spark.queries import _MM_MEDIA_DEDUP_SQL, multimodal_media_dedup
+
+    tiny = spark.createDataFrame(
+        [(1, "abcd"), (2, "abcd"), (3, "abcd"), (4, "xy")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.content_hash: (r.keep_id, r.n_copies, r.dup_bytes)
+        for r in media_exact_dedup(attach_binary(tiny)).collect()
+    }
+    assert sorted(out.values()) == [(1, 3, 8), (4, 1, 0)]  # 4 bytes x 2 dups
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = multimodal_media_dedup(spark, sf_dir).toPandas()
+    want = con.execute(_MM_MEDIA_DEDUP_SQL).df()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    want = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in cols:
+        assert (got[c].values == want[c].values).all(), c
+    assert (got["n_copies"] > 1).any()  # the planted verbatim copies collapse
+
+
 def test_registry_entries_match_duckdb_oracle(spark, sf_dir):
     """The side-by-side check the r10 driver window runs for the two new
     entries — and the non-vacuity assertions: planted variants collapse
