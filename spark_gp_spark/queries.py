@@ -834,6 +834,34 @@ _STREAM_NEARDUP_SQL = _sql_streaming_neardup()
 _HIST_MOD = 5
 
 
+def _plant_incremental_recrawls(docs: DataFrame) -> DataFrame:
+    """Plant the collision class the incremental screen exists for: every
+    batch-side doc (doc_id % _HIST_MOD == 0) with doc_id % 3 == 0 whose
+    successor exists carries the successor's text VERBATIM.  The successor
+    (doc_id + 1 ≡ 1 mod _HIST_MOD) is a HISTORY doc, so the batch row is a
+    re-crawl of retained content and MUST die in the screen.  Both engines
+    state the same deterministic mutation (the incremental_refresh fixture
+    precedent) — without it the corpus has no cross-split exact dups and
+    the registry entry would pass vacuously (r10 audit; the token_pmi r8
+    lesson)."""
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    return (
+        docs.join(nxt, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % _HIST_MOD == 0)
+                & (F.col("doc_id") % 3 == 0)
+                & F.col("_next").isNotNull(),
+                F.col("_next"),
+            ).otherwise(F.col("text")),
+        )
+        .drop("_next")
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EXACT dedup (operators/dedup.py:dedup_against_history):
     the nightly-batch hygiene verb over a deterministic history/batch split
@@ -841,11 +869,11 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into one left-semi scan, the bounded collision set broadcasts
     back as an anti-join, and the survivors keep-first within the batch.
 
-    STAGED for the round-9 correctness window (SURVEY continuity note #6):
-    built, unit-tested (tests/test_incremental_dedup.py) and locally
-    oracle-verified in round 8, but deliberately NOT registered — the r8
-    window was exactly full with the mandated 26-entry rotation."""
-    docs = load_table(spark, sf_dir, "documents")
+    R10 fixture fix: _plant_incremental_recrawls makes the screen provably
+    fire (34 of 100 batch rows die at sf0.01 — previously the corpus had no
+    cross-split exact dups, so the r9-green row was a VACUOUS pass; window
+    re-entry this round)."""
+    docs = _plant_incremental_recrawls(load_table(spark, sf_dir, "documents"))
     return D.dedup_against_history(
         docs.filter(F.col("doc_id") % _HIST_MOD == 0),
         docs.filter(F.col("doc_id") % _HIST_MOD != 0),
@@ -853,10 +881,16 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_INCREMENTAL_SQL = f"""
-WITH batch AS (
-  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % {_HIST_MOD} = 0
+WITH m AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_HIST_MOD} = 0 AND d.doc_id % 3 = 0
+                   AND nx.text IS NOT NULL
+              THEN nx.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents nx ON nx.doc_id = d.doc_id + 1
+), batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM m WHERE doc_id % {_HIST_MOD} = 0
 ), hist AS (
-  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % {_HIST_MOD} <> 0
+  SELECT DISTINCT md5(text) AS text_hash FROM m WHERE doc_id % {_HIST_MOD} <> 0
 )
 SELECT min(doc_id) AS doc_id, text_hash
 FROM batch b
@@ -877,7 +911,10 @@ def streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     side-by-side parity pytest in tests/test_leakage_normdedup.py."""
     from .streaming.events import run_streaming_ingest_dedup
 
-    out = run_streaming_ingest_dedup(spark, sf_dir, hist_mod=_HIST_MOD)
+    out = run_streaming_ingest_dedup(
+        spark, sf_dir, hist_mod=_HIST_MOD,
+        docs_transform=_plant_incremental_recrawls,
+    )
     return out.select("doc_id", "text_hash")
 
 
@@ -6164,16 +6201,19 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # staged r9 entries — containment/editdist screens, corpus diff,
 # incremental refresh, streaming trending terms, the parity-proven JVM
 # join twin — VERDICT r9 next #1 — plus two built this round:
-# dedup_normalized and split_leakage); 11 CHANGED this round (the four
+# dedup_normalized and split_leakage); 12 CHANGED this round (the four
 # auto-ANN entries
 # gained plan_build stage-attribution wrappers; the gpc_laplace epilogue's
 # inv(B) became a multi-RHS solve, perturbing low-order bits of every GPC
 # fit, so the three rows-only GPC entries re-window; streaming/neardup.py's
-# arrival staging became atomic, so its four entries re-window); then ALL
-# 29 entries whose last official row is r7 (VERDICT r9 next #1/#5 — after
-# this round nothing in the registry is older than r8-green); finally 2
-# r8-green streaming entries that most directly exercise the r10
-# atomic-arrival change.  Below the divider: entries officially green in
+# arrival staging became atomic, so its four entries re-window; and
+# dedup_incremental's fixture was DE-VACUATED — the r10 audit found its
+# r9-green row was an all-survive vacuous pass, the planted re-crawls now
+# kill 34/100 batch rows); then ALL 29 entries whose last official row is
+# r7 (VERDICT r9 next #1/#5 — after this round nothing in the registry is
+# older than r8-green); finally 1 r8-green streaming entry
+# (streaming_embedding_drift) that most directly exercises the r10
+# atomic-arrival + drift.py changes.  Below the divider: entries officially green in
 # r8/r9 — the remaining staged-arrival streaming entries there see the same
 # _arrive_atomically source change, which is output-neutral by construction
 # (same files, same batch boundaries — hidden-copy-then-rename instead of
@@ -6192,6 +6232,9 @@ QUERIES = {
     # --- new in round 10: built this round ---
     "dedup_normalized": dedup_normalized,
     "split_leakage": split_leakage,
+    # --- changed in round 10: fixture de-vacuated (the screen now provably
+    #     fires — 34/100 batch rows die; was a vacuous all-survive pass) ---
+    "dedup_incremental": dedup_incremental,
     # --- changed in round 10 (ANN stage-attribution wrappers; gpc_laplace
     #     multi-RHS solve replacing inv(B); streaming/neardup.py atomic
     #     arrival staging + shard-key comment) ---
@@ -6242,7 +6285,6 @@ QUERIES = {
     #     r10 atomic-arrival staging (events.py:_arrive_atomically) and
     #     drift.py edit most directly ---
     "streaming_embedding_drift": streaming_embedding_drift,
-    "streaming_window_counts_append": streaming_window_counts_append,
     # ================= below the 50-key official window =================
     # (officially green in CORRECTNESS_r08/r09 — or rows-only gpr/
     #  multimodal entries, pytest-gated.  The remaining streaming entries
@@ -6252,9 +6294,9 @@ QUERIES = {
     #  the same batch boundaries, only via hidden-copy-then-rename instead
     #  of in-place copy, and the full streaming pytest suite plus the four
     #  windowed representatives above re-verify it officially.)
-    "dedup_incremental": dedup_incremental,
     "neardup_incremental": neardup_incremental,
     "token_pmi_pairs": token_pmi_pairs,
+    "streaming_window_counts_append": streaming_window_counts_append,
     "contamination_check": contamination_check,
     "domain_mix_sample": domain_mix_sample,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,

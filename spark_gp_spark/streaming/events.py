@@ -698,6 +698,7 @@ def run_streaming_ingest_dedup(
     hist_mod: int = 5,
     n_files: int = 2,
     query_name: str = "gp_stream_ingest_dedup",
+    docs_transform=None,
 ) -> DataFrame:
     """Streaming twin of the nightly incremental-dedup verb
     (operators/dedup.py:dedup_against_history, registry twin
@@ -723,6 +724,10 @@ def run_streaming_ingest_dedup(
     src = os.path.join(work, "src")
     os.makedirs(src)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs_transform is not None:
+        # the registry twin threads the same planted-re-crawl fixture the
+        # batch dedup_incremental states, so both emit the same relation
+        docs = docs_transform(docs)
     batch = docs.filter(F.col("doc_id") % hist_mod == 0)
     history_hashes = (
         docs.filter(F.col("doc_id") % hist_mod != 0)
