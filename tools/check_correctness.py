@@ -16,7 +16,8 @@ docstring).  Running this tool at sf0.01 is authoritative; at other scale
 factors the refine-step auto entries (ivfadc/pq/opq_topk_auto) are EXPECTED
 to mismatch — the Spark side correctly retrains from the given sf_dir while
 the oracle replays sf0.01 artifacts over the other corpus.  Everything
-non-ANN is scale-generic (r9 measured 47/50 green at sf0.001).
+non-ANN is scale-generic (r10 measured 46/50 green at sf0.001 — the 4
+misses are exactly the refine-step auto entries).
 """
 
 from __future__ import annotations
