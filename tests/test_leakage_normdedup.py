@@ -6,7 +6,11 @@ Layers: semantics on hand-built frames (expected values computed
 independently in Python), then the side-by-side DuckDB oracle run the
 driver window repeats at sf0.01."""
 
+import string
+
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -26,6 +30,55 @@ def test_normalize_text_canonicalizes_case_punct_whitespace(spark):
     norms = [r.norm for r in rows]
     assert norms[0] == norms[1] == norms[2] == norms[4] == "hello world"
     assert norms[3] == "hello worlds"
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=string.printable, min_size=0, max_size=60),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_normalize_text_is_idempotent_and_case_invariant(spark, texts):
+    """normalize(normalize(x)) == normalize(x) (the output alphabet is
+    already canonical) and normalize(upper(x)) == normalize(x) for ASCII —
+    the properties that make the normalized key a well-defined dedup key."""
+    from spark_gp_spark.operators.dedup import normalize_text
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        normalize_text(F.col("text")).alias("once"),
+        normalize_text(normalize_text(F.col("text"))).alias("twice"),
+        normalize_text(F.upper(F.col("text"))).alias("upper_first"),
+    ).collect()
+    for r in rows:
+        assert r.once == r.twice
+        assert r.once == r.upper_first
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_split_leakage_invariants(spark, docs):
+    """0 ≤ n_leaked ≤ n_shingles and leak_frac ∈ [0, 1] for arbitrary
+    corpora; one row per TEST-split document exactly."""
+    from spark_gp_spark.operators.prep import split_assign, split_leakage_check
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    n_test = sum(
+        1 for r in split_assign(df).collect() if r.split == "test"
+    )
+    out = split_leakage_check(df, shingle_n=2).collect()
+    assert len(out) == n_test
+    for r in out:
+        assert 0 <= r.n_leaked <= max(r.n_shingles, 0)
+        assert 0.0 <= r.leak_frac <= 1.0
 
 
 def test_normalized_dedup_groups_variants_exact_dedup_misses(spark):
