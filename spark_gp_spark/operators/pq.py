@@ -86,9 +86,15 @@ def train_pq_codebooks_from_parquet(
 
 
 def train_pq_codebooks(
-    X: np.ndarray, m: int = 8, k: int = 16, seed: int = 5
+    X: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 5,
+    init_books: np.ndarray | None = None,
 ) -> np.ndarray:
-    """(m, k, d/m) codebooks from an in-memory (n, d) sample."""
+    """(m, k, d/m) codebooks from an in-memory (n, d) sample.
+    ``init_books``: optional (m, k, d/m) warm start per subspace (the OPQ
+    alternation reuse — see active_set._local_kmeans)."""
     from ..active_set import _local_kmeans
 
     d = X.shape[1]
@@ -97,7 +103,12 @@ def train_pq_codebooks(
     ds = d // m
     books = np.empty((m, k, ds), dtype=np.float64)
     for s in range(m):
-        books[s] = _local_kmeans(X[:, s * ds : (s + 1) * ds], k, seed + s)
+        books[s] = _local_kmeans(
+            X[:, s * ds : (s + 1) * ds],
+            k,
+            seed + s,
+            init=None if init_books is None else init_books[s],
+        )
     return np.round(books, 6)
 
 
@@ -623,9 +634,16 @@ def train_opq(
         raise ValueError(f"dim {d} not divisible by m={m} subspaces")
     ds = d // m
     R = np.eye(d)
+    # WARM-START the per-subspace k-means across alternations (standard
+    # Cartesian k-means practice, r10): once R stabilizes the centers move
+    # little, so Lloyd converges in 1-3 iterations instead of ~20 — this is
+    # what makes the one-time corpus-sized OPQ train cheap.  Deterministic:
+    # pure numpy, no RNG on the warm path; changes the learned rotation's
+    # numerics, so the opq entries re-windowed the round this landed.
+    books = None
     for _ in range(iters):
         Z = X @ R.T  # training-side rotation: parity-irrelevant, fast path
-        books = train_pq_codebooks(Z, m, k, seed)
+        books = train_pq_codebooks(Z, m, k, seed, init_books=books)
         codes, _ = _encode_batch(Z, books)
         Y = np.concatenate(
             [books[s, codes[:, s]] for s in range(m)], axis=1
@@ -633,7 +651,7 @@ def train_opq(
         U, _, Vt = np.linalg.svd(Y.T @ X)
         R = U @ Vt
     R = np.round(R, 6)
-    books = train_pq_codebooks(_rotate_batch(X, R), m, k, seed)
+    books = train_pq_codebooks(_rotate_batch(X, R), m, k, seed, init_books=books)
     return R, books
 
 

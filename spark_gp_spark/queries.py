@@ -6201,7 +6201,7 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # staged r9 entries — containment/editdist screens, corpus diff,
 # incremental refresh, streaming trending terms, the parity-proven JVM
 # join twin — VERDICT r9 next #1 — plus two built this round:
-# dedup_normalized and split_leakage); 12 CHANGED this round (the four
+# dedup_normalized and split_leakage); 13 CHANGED this round (the four
 # auto-ANN entries
 # gained plan_build stage-attribution wrappers; the gpc_laplace epilogue's
 # inv(B) became a multi-RHS solve, perturbing low-order bits of every GPC
@@ -6209,11 +6209,11 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # arrival staging became atomic, so its four entries re-window; and
 # dedup_incremental's fixture was DE-VACUATED — the r10 audit found its
 # r9-green row was an all-survive vacuous pass, the planted re-crawls now
-# kill 34/100 batch rows); then ALL 29 entries whose last official row is
-# r7 (VERDICT r9 next #1/#5 — after this round nothing in the registry is
-# older than r8-green); finally 1 r8-green streaming entry
-# (streaming_embedding_drift) that most directly exercises the r10
-# atomic-arrival + drift.py changes.  Below the divider: entries officially green in
+# kill 34/100 batch rows; and the OPQ trainer warm-starts its per-subspace
+# k-means across alternations — new learned-rotation numerics, so BOTH opq
+# entries re-window); then ALL 29 entries whose last official row is r7
+# (VERDICT r9 next #1/#5 — after this round nothing in the registry is
+# older than r8-green).  8 + 13 + 29 = 50 exactly.  Below the divider: entries officially green in
 # r8/r9 — the remaining staged-arrival streaming entries there see the same
 # _arrive_atomically source change, which is output-neutral by construction
 # (same files, same batch boundaries — hidden-copy-then-rename instead of
@@ -6249,6 +6249,10 @@ QUERIES = {
     "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
     "streaming_neardup_expiry": streaming_neardup_expiry,
     "streaming_embedding_neardup": streaming_embedding_neardup,
+    # --- changed in round 10: OPQ trainer warm-starts its per-subspace
+    #     k-means across alternations (new learned-rotation numerics; the
+    #     frozen entry rides along with its _auto twin) ---
+    "opq_topk": opq_topk,
     # --- rotated in: last official row r7 (clears the r7 backlog —
     #     VERDICT r9 next #1/#5; after this round nothing in the registry
     #     is older than r8-green) ---
@@ -6281,10 +6285,6 @@ QUERIES = {
     "event_distinct_users_salted": event_distinct_users_salted,
     "order_segment_revenue_salted": order_segment_revenue_salted,
     "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    # --- rotated in: oldest r8-green entries that also exercise the
-    #     r10 atomic-arrival staging (events.py:_arrive_atomically) and
-    #     drift.py edit most directly ---
-    "streaming_embedding_drift": streaming_embedding_drift,
     # ================= below the 50-key official window =================
     # (officially green in CORRECTNESS_r08/r09 — or rows-only gpr/
     #  multimodal entries, pytest-gated.  The remaining streaming entries
@@ -6292,10 +6292,13 @@ QUERIES = {
     #  driver now routes through events.py:_arrive_atomically — but the
     #  change is output-neutral by construction: the same files arrive at
     #  the same batch boundaries, only via hidden-copy-then-rename instead
-    #  of in-place copy, and the full streaming pytest suite plus the four
-    #  windowed representatives above re-verify it officially.)
+    #  of in-place copy, and the full streaming pytest suite plus the five
+    #  windowed representatives above (streaming_trending_terms + the four
+    #  neardup entries, which exercise both arrival shapes) re-verify it
+    #  officially.)
     "neardup_incremental": neardup_incremental,
     "token_pmi_pairs": token_pmi_pairs,
+    "streaming_embedding_drift": streaming_embedding_drift,
     "streaming_window_counts_append": streaming_window_counts_append,
     "contamination_check": contamination_check,
     "domain_mix_sample": domain_mix_sample,
@@ -6343,7 +6346,6 @@ QUERIES = {
     "ivfadc_topk_persisted": ivfadc_topk_persisted,
     "ivfadc_topk_codes": ivfadc_topk_codes,
     "ivfadc_topk_filtered": ivfadc_topk_filtered,
-    "opq_topk": opq_topk,
     "streaming_ann_ingest": streaming_ann_ingest,
     "semdedup_keep": semdedup_keep,
     "cluster_balance_sample": cluster_balance_sample,
