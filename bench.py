@@ -340,6 +340,13 @@ def main() -> None:
         "neardup_components",
         "dedup_incremental",
         "neardup_incremental",
+        # --- new in r10 ---
+        "containment_screen",
+        "editdist_screen",
+        "dedup_normalized",
+        "split_leakage",
+        "corpus_diff",
+        "incremental_refresh",
         "corpus_prep_pipeline",
         "corpus_prep_pipeline_v2",
         "corpus_prep_gpc_filter",
@@ -383,6 +390,11 @@ def main() -> None:
         "streaming_token_budget",
         "streaming_embedding_drift",
         "streaming_neardup_expiry",
+        # --- new in r10: the closed-window heavy hitters and the
+        # parity-proven JVM join twin (kept timed as the honest record of
+        # the state-machine-vs-join experiment) ---
+        "streaming_trending_terms",
+        "streaming_neardup_join",
     ]
 
     # Untimed session warm-up: the first job in a fresh JVM pays parquet

@@ -924,7 +924,11 @@ def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, the earliest history near-duplicate by the shared MinHash-LSH
     banding + exact-Jaccard verify.  Oracle = the shared signature CTEs,
     banded batch-vs-history join filtered by the split, verified at the
-    same 6-dp rounded grain.  STAGED for round 9 — see dedup_incremental."""
+    same 6-dp rounded grain.  Registered since r9 (hash-green).  NOTE: the
+    near-dup screen deliberately does NOT take the planted-re-crawl fixture
+    (_plant_incremental_recrawls is exact-dup bait; this entry's 13 rows
+    come from the corpus's genuine cross-split NEAR-dups, already
+    non-vacuous)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.neardup_against_history(
         docs.filter(F.col("doc_id") % _HIST_MOD == 0),
