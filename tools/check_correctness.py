@@ -13,11 +13,12 @@ Scale caveat: the ANN oracles bake artifacts (centroids, codebooks, LUTs)
 trained on the DRIVER'S correctness corpus, /root/testdata/sf0.01, because
 oracle_sql() is a static dict built at import (documented in each entry's
 docstring).  Running this tool at sf0.01 is authoritative; at other scale
-factors the refine-step auto entries (ivfadc/pq/opq_topk_auto) are EXPECTED
-to mismatch — the Spark side correctly retrains from the given sf_dir while
-the oracle replays sf0.01 artifacts over the other corpus.  Everything
-non-ANN is scale-generic (r10 measured 46/50 green at sf0.001 — the 4
-misses are exactly the refine-step auto entries).
+factors the artifact-baking ANN entries — the refine-step autos
+(ivfadc/pq/opq_topk_auto) and the frozen trained-codebook entries
+(e.g. opq_topk) — are EXPECTED to mismatch: the Spark side correctly
+retrains from the given sf_dir while the oracle replays sf0.01 artifacts
+over the other corpus.  Everything non-ANN is scale-generic (r10 measured
+45/50 green at sf0.001 — the 5 misses are exactly that ANN class).
 """
 
 from __future__ import annotations
