@@ -735,10 +735,12 @@ def main() -> None:
                 "(staged, parity-proven) measured 20.5 s — slower than "
                 "even the unsharded machine, so the bounded-state design "
                 "wins on both footprint and wall clock.  NUMERIC split as "
-                "of r10: the entry logs stage_and_start / per-batch drain "
-                "/ sink-read wall times into stage_times on every run — "
-                "the drains are where state-store commit cost lives, so "
-                "the official VM now attributes its own number"
+                "of r10: the entry logs stage_and_start and per-batch "
+                "drain wall times into stage_times on every run (the "
+                "small remainder vs the timed total is the untimed final "
+                "sink read + plan build) — the drains are where "
+                "state-store commit cost lives, so the official VM now "
+                "attributes its own number"
             ),
         },
         "value": total,

@@ -40,16 +40,32 @@ SPLIT_TRAIN, SPLIT_VAL = 80, 10
 _LIVE_TBF_CACHES: list[DataFrame] = []
 
 
-def _retire_tbf_caches(new: list[DataFrame]) -> None:
-    for old in _LIVE_TBF_CACHES:
+def _retire_caches(registry: list[DataFrame], new: list[DataFrame]) -> None:
+    """Swap a call-site's live persisted frames: unpersist previous entries
+    whose plan differs from every new one (Spark's CacheManager dedupes
+    persisted plans semantically, so a same-input repeat shares the entry
+    and must not be evicted)."""
+    for old in registry:
         try:
             if not any(old.sameSemantics(nw) for nw in new):
                 old.unpersist()
         except Exception:
             # a stale handle from a stopped SparkSession: nothing to free
             pass
-    _LIVE_TBF_CACHES.clear()
-    _LIVE_TBF_CACHES.extend(new)
+    registry.clear()
+    registry.extend(new)
+
+
+def _retire_tbf_caches(new: list[DataFrame]) -> None:
+    _retire_caches(_LIVE_TBF_CACHES, new)
+
+
+#: persisted (id, split, shingles) projection of the LAST
+#: split_leakage_check call — it feeds the train-distinct side, the test
+#: posting side, AND the per-test-doc totals, so without a persist the
+#: corpus-wide tokenize+shingle chain runs three times per invocation
+#: (same retire discipline as _LIVE_TBF_CACHES).
+_LIVE_LEAKAGE_CACHES: list[DataFrame] = []
 
 
 def split_expr(
@@ -301,14 +317,17 @@ def split_leakage_check(
     the text column never shuffles — only (shingle-hash, id) pairs."""
     # stage the token array as its own projection so the n-gram lambda
     # references a materialized column (see text.word_ngrams_of: inlining
-    # re-runs the whitespace split per element)
+    # re-runs the whitespace split per element), and PERSIST it: three
+    # consumers below (train distinct, test postings, test totals) would
+    # otherwise each replay the corpus-wide tokenize+shingle chain
     base = df.select(
         F.col(id_col),
         split_expr(id_col, train, val).alias("_split"),
         tokens(F.col(text_col)).alias("_t"),
     ).select(
         id_col, "_split", word_ngrams_of(F.col("_t"), shingle_n).alias("_sh")
-    )
+    ).persist()
+    _retire_caches(_LIVE_LEAKAGE_CACHES, [base])
     test_docs = base.filter(F.col("_split") == "test")
     train_post = (
         base.filter(F.col("_split") == "train")

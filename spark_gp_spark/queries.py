@@ -625,6 +625,31 @@ FROM documents JOIN keep ON doc_id = keep_id
 """
 
 
+def _plant_successor_copies(docs: DataFrame, cond, transform) -> DataFrame:
+    """Shared fixture-planting core for the dedup-screen entries: every doc
+    satisfying ``cond`` whose successor exists replaces its text with
+    ``transform(successor text)`` — a deterministic mutation both engines
+    state identically (each oracle restates its own CASE twin).  Exists
+    because the corpus has ZERO byte-identical texts naturally, so every
+    exact-hash screen would otherwise pass vacuously (the r10 audit /
+    token_pmi r8 lesson); one Spark-side implementation keeps the three
+    planting sites (dedup_normalized, dedup_incremental,
+    multimodal_media_dedup) from drifting apart."""
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
+    )
+    return (
+        docs.join(nxt, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                cond & F.col("_next").isNotNull(), transform(F.col("_next"))
+            ).otherwise(F.col("text")),
+        )
+        .drop("_next")
+    )
+
+
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalization-robust exact dedup (operators/dedup.py:
     normalized_dedup): duplicate groups under the canonical text key
@@ -639,19 +664,10 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     successor that exact_dedup structurally misses.  Both engines state
     the same deterministic mutation; at sf0.01 this collapses ~29 groups."""
     docs = load_table(spark, sf_dir, "documents")
-    nxt = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
-    )
-    mutated = (
-        docs.join(nxt, "doc_id", "left")
-        .withColumn(
-            "text",
-            F.when(
-                (F.col("doc_id") % 17 == 3) & F.col("_next").isNotNull(),
-                F.concat(F.upper(F.col("_next")), F.lit(" !!")),
-            ).otherwise(F.col("text")),
-        )
-        .drop("_next")
+    mutated = _plant_successor_copies(
+        docs,
+        F.col("doc_id") % 17 == 3,
+        lambda nxt: F.concat(F.upper(nxt), F.lit(" !!")),
     )
     return D.normalized_dedup(mutated)
 
@@ -680,7 +696,8 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash split, how many of its distinct 8-gram shingles occur in ANY
     train document — the leakage scan (GPT-3 appendix C, Dodge et al.
     2021) a pipeline runs before a split ships.  Non-vacuous here because
-    the corpus's planted exact-dup pairs straddle the hash split.  NEW in
+    the corpus's NEAR-duplicate documents share 8-gram shingles across the
+    hash split (it has no exact dups — r10 audit).  NEW in
     r10."""
     return P.split_leakage_check(load_table(spark, sf_dir, "documents"))
 
@@ -844,21 +861,10 @@ def _plant_incremental_recrawls(docs: DataFrame) -> DataFrame:
     precedent) — without it the corpus has no cross-split exact dups and
     the registry entry would pass vacuously (r10 audit; the token_pmi r8
     lesson)."""
-    nxt = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
-    )
-    return (
-        docs.join(nxt, "doc_id", "left")
-        .withColumn(
-            "text",
-            F.when(
-                (F.col("doc_id") % _HIST_MOD == 0)
-                & (F.col("doc_id") % 3 == 0)
-                & F.col("_next").isNotNull(),
-                F.col("_next"),
-            ).otherwise(F.col("text")),
-        )
-        .drop("_next")
+    return _plant_successor_copies(
+        docs,
+        (F.col("doc_id") % _HIST_MOD == 0) & (F.col("doc_id") % 3 == 0),
+        lambda nxt: nxt,
     )
 
 
@@ -5650,19 +5656,8 @@ def multimodal_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness window (r10 window exactly full); parity pytest in
     tests/test_leakage_normdedup.py."""
     docs = load_table(spark, sf_dir, "documents")
-    nxt = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("_next")
-    )
-    mutated = (
-        docs.join(nxt, "doc_id", "left")
-        .withColumn(
-            "text",
-            F.when(
-                (F.col("doc_id") % 23 == 5) & F.col("_next").isNotNull(),
-                F.col("_next"),
-            ).otherwise(F.col("text")),
-        )
-        .drop("_next")
+    mutated = _plant_successor_copies(
+        docs, F.col("doc_id") % 23 == 5, lambda nxt: nxt
     )
     return M.media_exact_dedup(M.attach_binary(mutated))
 

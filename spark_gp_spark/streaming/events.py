@@ -191,14 +191,15 @@ def _staged_arrivals(
 
 
 def _arrive_atomically(src: str, paths_and_names) -> None:
-    """Deliver files into the watched source dir without the stream ever
-    seeing a partial or split arrival: copy each to a dot-prefixed temp name
+    """Deliver SINGLE-file arrivals into the watched source dir without the
+    stream ever seeing a partial file: copy to a dot-prefixed temp name
     (the file stream source's hidden-file filter ignores names starting with
-    '.' or '_'), then os.rename all of them into place in one tight loop.
-    Rename is atomic on the same filesystem, so a micro-batch triggered
-    mid-arrival can never observe a half-written file, and a multi-file
-    arrival's exposure window shrinks from full-copy duration to consecutive
-    rename syscalls (ADVICE r9: batch-boundary flakiness)."""
+    '.' or '_'), then os.rename into place — atomic on the same filesystem,
+    so a micro-batch triggered mid-arrival can never observe a half-written
+    file (ADVICE r9: batch-boundary flakiness).  NOTE: with MULTIPLE files
+    this only narrows the split window to consecutive rename syscalls — a
+    listing between two renames can still split the arrival; multi-file
+    arrivals must use _arrive_dir_atomically with a glob source instead."""
     import shutil
 
     staged = []
@@ -208,6 +209,21 @@ def _arrive_atomically(src: str, paths_and_names) -> None:
         staged.append((tmp, os.path.join(src, name)))
     for tmp, final in staged:
         os.rename(tmp, final)
+
+
+def _arrive_dir_atomically(src: str, arrival_name: str, paths) -> None:
+    """Deliver a MULTI-file arrival as one atomic unit: copy every file into
+    a hidden staging directory, then os.rename the DIRECTORY into place —
+    one syscall, so a source watching the glob ``<src>/*`` either sees the
+    whole arrival or none of it.  This closes the residual multi-file split
+    window _arrive_atomically's per-file renames leave open (r10 review)."""
+    import shutil
+
+    tmp = os.path.join(src, f".{arrival_name}.tmp")
+    os.makedirs(tmp)
+    for i, path in enumerate(paths):
+        shutil.copy(path, os.path.join(tmp, f"part-{i:03d}.parquet"))
+    os.rename(tmp, os.path.join(src, arrival_name))
 
 
 def _drive_append_query(q, src: str, arrivals) -> None:

@@ -508,9 +508,13 @@ def run_streaming_neardup_expiry(
                 if f.endswith(".parquet")
             )
         )
+    # the source watches the glob <src>/* so each id-range arrival can be
+    # a SUBDIRECTORY renamed in with one atomic syscall — a listing can
+    # never observe a partial or split multi-file arrival (r10 review; the
+    # per-file rename variant still had a between-renames split window)
     stream = (
         spark.readStream.schema(docs.schema)
-        .parquet(src)
+        .parquet(os.path.join(src, "*"))
         .withColumn(
             "_event_ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id"))
         )
@@ -529,22 +533,17 @@ def run_streaming_neardup_expiry(
             .start()
         )
     # one micro-batch per id-range batch (an arrival may span several part
-    # files — stage them all hidden, rename in atomically, then drain, so
-    # the batch boundary stays the CASE cut the session oracle restates)
-    from .events import _arrive_atomically
+    # files — stage them in a hidden dir, rename the DIR in atomically,
+    # then drain, so the batch boundary stays the CASE cut the session
+    # oracle restates, regardless of trigger timing)
+    from .events import _arrive_dir_atomically
 
     _log_stage(
         "streaming_neardup_expiry", "stage_and_start", _time.perf_counter() - _t0
     )
     try:
         for j, paths in enumerate(arrivals):
-            _arrive_atomically(
-                src,
-                [
-                    (path, f"arrival-{j:02d}-{i:03d}.parquet")
-                    for i, path in enumerate(paths)
-                ],
-            )
+            _arrive_dir_atomically(src, f"arrival-{j:02d}", paths)
             _tb = _time.perf_counter()
             q.processAllAvailable()
             _log_stage(

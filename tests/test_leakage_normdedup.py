@@ -270,5 +270,5 @@ def test_registry_entries_match_duckdb_oracle(spark, sf_dir):
             assert len(got) < n_docs
             assert (got["dup_count"] > 1).any()
         else:
-            # the corpus's planted exact-dup pairs straddle the hash split
+            # the corpus's near-dup documents share 8-grams across the hash split
             assert (got["n_leaked"] > 0).any()
