@@ -123,7 +123,13 @@ def test_bench_compact_line_ladder():
                 "full": "BENCH_local_r8.json"}, t
 
     # the REAL current suite (names + magnitudes from the latest committed
-    # payload): the whole map must survive, at 2 or 1 dp
+    # payload): as of r10's 84-entry list the full map no longer fits the
+    # driver's 2000-char stdout tail, and shedding the cheapest entries is
+    # the designed behavior — the official full per-query map still lands
+    # in the committed BENCH_local file (the driver's own run overwrites
+    # it).  Invariants: the line fits and parses, the expensive entries
+    # all survive, only a cheap tail is shed, and the omitted count is
+    # stated.
     import glob
     import re
 
@@ -137,7 +143,17 @@ def test_bench_compact_line_ladder():
     line = compact_stdout_line(compact, real)
     parsed = json.loads(line)
     assert len(line) <= 1985
-    assert len(parsed["queries"]) == len(real)
+    kept = parsed["queries"]
+    n_omitted = parsed.get("queries_omitted", 0)
+    assert len(kept) + n_omitted == len(real)
+    assert len(kept) >= min(len(real), 50)  # never sheds into the meat
+    top10 = sorted(real, key=real.get, reverse=True)[:10]
+    assert all(k in kept for k in top10)
+    if n_omitted:  # shed entries are cheaper than kept ones, up to the
+        # rounding grain the ladder sorts at (ties can cross within 0.1)
+        assert max(v for k, v in real.items() if k not in kept) <= 0.1 + min(
+            real[k] for k in kept
+        )
 
     # a much larger suite sheds cheapest-first but keeps the expensive tail
     compact, t = mk(300)
