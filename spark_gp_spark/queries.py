@@ -690,6 +690,119 @@ FROM n GROUP BY norm
 """
 
 
+def _plant_exact_dups(docs: DataFrame) -> DataFrame:
+    """Fixture for the corpus-wide exact-dedup pair (r10 audit item 7b):
+    every doc with doc_id % 19 = 6 whose successor exists becomes a
+    VERBATIM copy of the successor, so dup_count > 1 groups actually occur
+    (the natural corpus has zero byte-identical texts — exact_dedup's and
+    dedup_keep_first's green rows were computing over an all-singleton
+    relation).  Deterministic, stated identically by both engines."""
+    return _plant_successor_copies(
+        docs, F.col("doc_id") % 19 == 6, lambda nxt: nxt
+    )
+
+
+#: shared CASE twin of _plant_exact_dups for the DuckDB oracles below.
+_PLANT_EXACT_DUPS_CTE = """
+m AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 19 = 6 AND nx.text IS NOT NULL
+              THEN nx.text ELSE d.text END AS text
+  FROM documents d LEFT JOIN documents nx ON nx.doc_id = d.doc_id + 1
+)
+"""
+
+
+def exact_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup over the planted-verbatim-copy fixture — the de-vacuated
+    replacement for the `exact_dedup` registry entry (r10 audit item 7b:
+    the natural corpus has no byte-identical texts, so every dup_count was
+    1 and the dedup never collapsed anything).  ~26 groups collapse at
+    sf0.01.  STAGED for the round-11 correctness window (the r10 window is
+    exactly full); side-by-side parity pytest in
+    tests/test_leakage_normdedup.py."""
+    return D.exact_dedup(_plant_exact_dups(load_table(spark, sf_dir, "documents")))
+
+
+_EXACT_DEDUP_PLANTED_SQL = f"""
+WITH {_PLANT_EXACT_DUPS_CTE}
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM m GROUP BY md5(text)
+"""
+
+
+def dedup_keep_first_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_keep_first over the planted-verbatim-copy fixture — the
+    de-vacuated replacement for the `dedup_keep_first` registry entry
+    (r10 audit item 7b): the survivor relation is now provably SMALLER
+    than the input (planted copies die; keep-first actually chooses).
+    STAGED for the round-11 correctness window."""
+    out = D.dedup_keep_first(
+        _plant_exact_dups(load_table(spark, sf_dir, "documents"))
+    )
+    return out.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+
+
+_DEDUP_KEEP_FIRST_PLANTED_SQL = f"""
+WITH {_PLANT_EXACT_DUPS_CTE},
+keep AS (
+  SELECT min(doc_id) AS keep_id FROM m GROUP BY md5(text)
+)
+SELECT doc_id, md5(text) AS text_hash
+FROM m JOIN keep ON doc_id = keep_id
+"""
+
+
+def redact_pii_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """redact_pii over a planted-PII fixture — the de-vacuated replacement
+    for the `redact_pii` registry entry (r10 audit, this session: the
+    synthetic corpus contains ZERO emails or 9+-digit runs, so the
+    registered entry's green row never exercised a single replacement —
+    clean_text == text on all 500 rows).  The fixture plants both PII
+    classes deterministically: doc_id % 13 = 2 appends a doc-id-unique
+    email, doc_id % 13 = 9 appends a 16-digit card number; both engines
+    state the identical mutation, and at sf0.01 ~38 emails and ~38 long
+    numbers are redacted.  STAGED for the round-11 correctness window."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 9,
+            F.concat(F.col("text"), F.lit(" card 4111222233334444 on file")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return P.redact_pii(planted)
+
+
+_REDACT_PLANTED_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 2
+              THEN text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+              WHEN doc_id % 13 = 9
+              THEN text || ' card 4111222233334444 on file'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{P.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{P.LONG_DIGITS_RE}'))::BIGINT AS n_long_numbers,
+       regexp_replace(regexp_replace(text, '{P.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{P.LONG_DIGITS_RE}', '<NUMBER>', 'g') AS clean_text
+FROM m
+"""
+
+
 def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split decontamination audit (operators/prep.py:
     split_leakage_check): for every TEST document under the split_assign
