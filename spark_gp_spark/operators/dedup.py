@@ -1167,3 +1167,72 @@ def neardup_against_history(
         )
         .select(F.col("bid").alias(id_col), "dup_of", "n_matches", "best_jaccard")
     )
+
+
+def neardup_threshold_sweep(
+    df: DataFrame,
+    thresholds: tuple[float, ...] = (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Threshold-sensitivity sweep for the near-dup verify cut — the
+    diagnostic a corpus team runs BEFORE picking the dedup threshold: for
+    each candidate threshold, how many pairs would be flagged and how many
+    documents those pairs touch.  Candidate generation (the inverted-index
+    join) is threshold-independent; only the verify cut moves, so the whole
+    sweep costs ONE pair computation at the loosest threshold plus a
+    per-threshold aggregate over the (small) surviving pair set.
+
+    Output: (threshold, n_pairs, n_docs) — one row per threshold in the
+    grid, zeros kept (a threshold that flags nothing is exactly the signal
+    the sweep exists to show).
+
+    Scale shape: the expensive relation (pairs at min(thresholds)) is the
+    same inverted-index equi-join as ngram_jaccard_pairs — linear postings,
+    no cartesian; the grid explode multiplies only the FLAGGED pairs
+    (|pairs| × |grid| thin rows), never the corpus."""
+    grid = sorted(float(t) for t in thresholds)
+    pairs = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=grid[0],
+        shingle_n=shingle_n,
+    )
+    ex = (
+        pairs.select(
+            F.explode(F.array(*[F.lit(t) for t in grid])).alias("threshold"),
+            "id_a",
+            "id_b",
+            "jaccard",
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .persist()
+    )
+    # register alongside (not instead of) the shingle cache the inner
+    # ngram_jaccard_pairs call just staged — retiring that now would force
+    # a shingle recompute for each aggregate branch below
+    _retire_shingle_caches([*_LIVE_SHINGLE_CACHES, ex])
+    n_pairs = ex.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    n_docs = (
+        ex.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("_doc")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    base = df.sparkSession.createDataFrame(
+        [(t,) for t in grid], "threshold double"
+    )
+    out = (
+        base.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+    return out

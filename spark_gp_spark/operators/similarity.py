@@ -616,3 +616,37 @@ def drift_report_from_stats(a_stats: DataFrame, b_stats: DataFrame) -> DataFrame
         .otherwise(F.lit(0.0))
         .alias("shift"),
     )
+
+
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall of an approximate top-k relation against the exact one — the
+    index-quality audit every ANN deployment runs before trusting an index
+    (Jégou et al. 2011 report exactly this recall@k curve for IVF/PQ).
+    Per query: how many of the exact neighbours the index recovered.
+
+    Output: (``query_col``, n_exact, n_hit, recall) — recall = n_hit /
+    n_exact, rounded to 6 dp; one row per query present in ``exact``.
+
+    Scale shape: both inputs are top-k relations — O(|queries|·k) rows, not
+    corpus-sized — so the left join and the per-query aggregate are
+    negligible next to the scans that produced them; each input DataFrame
+    is computed once (Spark plans both subtrees into one job)."""
+    hits = exact.select(query_col, neighbor_col).join(
+        approx.select(
+            query_col, neighbor_col, F.lit(1).alias("_hit")
+        ),
+        [query_col, neighbor_col],
+        "left",
+    )
+    return hits.groupBy(query_col).agg(
+        F.count("*").alias("n_exact"),
+        F.count("_hit").alias("n_hit"),
+        F.round(F.count("_hit").cast("double") / F.count("*"), 6).alias(
+            "recall"
+        ),
+    )

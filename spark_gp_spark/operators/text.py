@@ -879,3 +879,54 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    buckets: int = 1 << 16,
+    alpha: float = 0.5,
+    seed: int = 9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §3.2): rank every
+    document by LM score WITHIN its language and cut into per-language
+    terciles — head = the most fluent third, tail = the least.  CCNet keeps
+    head+middle by default; downstream mixing verbs weight the buckets.
+    Composes doc_logprob (the corpus-self-trained hashed-unigram LM) with a
+    rank-based ntile, so the split is exactly reproducible across engines —
+    unlike cutoff-by-interpolated-percentile, whose interpolation rules
+    differ between engines and float between runs at quantile boundaries.
+
+    Output: (``id_col``, lang, avg_logprob, ppl_bucket) — one row per
+    document with at least one token; ppl_bucket ∈ {head, middle, tail}.
+
+    Scale shape: doc_logprob's two shuffles (one bucket-sized, one per-doc)
+    plus ONE ntile window partitioned by language — a per-language range
+    sort over (score, id) pairs, 3 narrow columns, NOT the corpus text.
+    At 100 TB with few languages the sort keys are ~tens of GB and Spark
+    range-partitions each language across the cluster; if even that sort
+    is unwanted, the production relaxation is approx_percentile cutoffs
+    broadcast back (O(1) state), traded here for exact cross-engine
+    determinism.  Ties in the 6-dp score break on ``id_col``."""
+    from pyspark.sql import Window
+
+    lp = doc_logprob(
+        df, buckets=buckets, alpha=alpha, seed=seed,
+        text_col=text_col, id_col=id_col,
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logprob"), F.asc(id_col)
+    )
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return (
+        lp.join(df.select(id_col, lang_col), id_col)
+        .withColumn("_t", F.ntile(3).over(w))
+        .select(
+            id_col,
+            lang_col,
+            "avg_logprob",
+            F.element_at(names, F.col("_t")).alias("ppl_bucket"),
+        )
+    )

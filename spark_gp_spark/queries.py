@@ -1549,6 +1549,50 @@ tok AS (
 
 _NGRAM_JACCARD_SQL = "WITH " + _sql_ngram_jaccard_ctes() + "\nSELECT * FROM pairs"
 
+#: verify-cut grid for the staged threshold sweep, placed where THIS
+#: corpus's pair-jaccard mass actually lives (measured: ~11.5k incidental
+#: pairs below 0.06, a clean gap, 25 near-dup pairs at >= 0.9): the low
+#: rungs resolve the noise floor, the high rungs resolve the near-dup
+#: band, and the flat middle IS the signal — any cut in [0.1, 0.9]
+#: separates identically.
+_SWEEP_GRID = (0.01, 0.02, 0.05, 0.1, 0.5, 0.9, 0.95, 0.98)
+
+
+def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity sweep for the near-dup verify cut
+    (operators/dedup.py:neardup_threshold_sweep) — per candidate threshold,
+    the pairs flagged and the documents touched, from ONE inverted-index
+    pair pass at the loosest cut.  The diagnostic that picks the dedup
+    threshold before committing a corpus-sized run.  Non-vacuous: at
+    sf0.01 the grid steps through five distinct (n_pairs, n_docs) levels —
+    a real elbow from the incidental-overlap floor down to the 25-pair
+    near-dup band.  STAGED for the round-11 correctness window."""
+    return D.neardup_threshold_sweep(
+        load_table(spark, sf_dir, "documents"), thresholds=_SWEEP_GRID
+    )
+
+
+_SWEEP_SQL = (
+    "WITH "
+    + _sql_ngram_jaccard_ctes(threshold=_SWEEP_GRID[0])
+    + f""",
+grid(threshold) AS (VALUES {", ".join(f"({t!r})" for t in _SWEEP_GRID)}),
+ex AS (
+  SELECT g.threshold, p.id_a, p.id_b
+  FROM grid g JOIN pairs p ON p.jaccard >= g.threshold
+), np AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs FROM ex GROUP BY threshold
+), nd AS (
+  SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs
+  FROM (SELECT threshold, unnest([id_a, id_b]) AS doc FROM ex)
+  GROUP BY threshold
+)
+SELECT g.threshold, coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(nd.n_docs, 0)::BIGINT AS n_docs
+FROM grid g LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+"""
+)
+
 
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse near-duplicates: connected components over the exact
@@ -2527,6 +2571,83 @@ SELECT query_id, neighbor_id, cosine, rank::BIGINT AS rank FROM ranked WHERE ran
 
 
 _IVF_TOPK_SQL = _sql_ivf_topk()
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index against exact brute force, per query
+    (operators/similarity.py:topk_recall) — the index-quality audit as an
+    oracle-backed RELATION rather than a pytest-only gate: both engines
+    independently derive the exact top-5, the IVF top-5, and their overlap.
+    Composes the registered cosine_topk and ivf_topk entries verbatim, so
+    parity inherits their proven determinism (shared quantizer trained from
+    the same parquet, identical fold order, 6-dp rounding, id tie-breaks).
+    Non-vacuous both ways: at sf0.01 the 20 queries span recall 0.0..1.0
+    (mean 0.57) — the report actually distinguishes good cells from bad.
+    STAGED for the round-11 correctness window."""
+    exact = cosine_topk(spark, sf_dir)
+    approx = ivf_topk(spark, sf_dir)
+    return S.topk_recall(approx, exact)
+
+
+def _sql_ann_recall() -> str | None:
+    """Oracle for ann_recall_report: the _COSINE_TOPK_SQL ranking chain and
+    the _sql_ivf_topk candidate/ranking chain (each restated faithfully —
+    exact ranks on the unrounded similarity, IVF on the 6-dp rounded one,
+    exactly as the constituent oracles do), left-joined per (query,
+    neighbor) and aggregated to recall.  None when the testdata file is
+    unavailable (rows-only fallback)."""
+    ds = _sql_centroid_dists()
+    if ds is None:
+        return None
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), xs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, e.v) AS c
+  FROM e q CROSS JOIN e WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+), xr AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+  FROM xs
+), x AS (
+  SELECT query_id, neighbor_id FROM xr WHERE rank <= 5
+), ad AS (
+  SELECT vec_id, {ds} AS ds FROM e
+), cb AS (
+  SELECT vec_id AS neighbor_id, list_position(ds, list_min(ds)) AS cell FROM ad
+), qb AS (
+  SELECT vec_id AS query_id,
+         unnest(list_transform(
+           list_sort(list_transform(range(1, {_IVF_K} + 1),
+                                    i -> {{'d': ds[i], 'i': i}}))[1:{_IVF_NPROBE}],
+           s -> s.i)) AS cell
+  FROM ad WHERE vec_id < 20
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (cell)
+  WHERE query_id <> neighbor_id
+), iscored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv.v, cv.v), 6) AS cosine
+  FROM cand JOIN e qv ON cand.query_id = qv.vec_id
+            JOIN e cv ON cand.neighbor_id = cv.vec_id
+), ir AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM iscored
+), a AS (
+  SELECT query_id, neighbor_id FROM ir WHERE rank <= 5
+)
+SELECT x.query_id, count(*)::BIGINT AS n_exact,
+       count(a.neighbor_id)::BIGINT AS n_hit,
+       round(count(a.neighbor_id)::DOUBLE / count(*), 6) AS recall
+FROM x LEFT JOIN a USING (query_id, neighbor_id)
+GROUP BY x.query_id
+"""
+
+
+_ANN_RECALL_SQL = _sql_ann_recall()
 
 
 def _auto_ann_sf001() -> dict | None:
@@ -4176,6 +4297,48 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM tb JOIN c USING (bucket) CROSS JOIN n
 GROUP BY doc_id
 """
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language (operators/text.py:
+    perplexity_buckets) — the step AFTER doc_logprob in the CCNet pipeline
+    (Wenzek et al. 2020 §3.2): rank by LM score within each language and
+    cut into thirds; downstream mixing keeps/weights the buckets.
+    Rank-based (ntile over the shared 6-dp score, ties on doc_id), so both
+    engines derive the identical split.  Non-vacuous by construction: every
+    language yields all three buckets (~55/56 docs per (lang, bucket) cell
+    at sf0.01).  STAGED for the round-11 correctness window."""
+    return T.perplexity_buckets(
+        load_table(spark, sf_dir, "documents"),
+        buckets=_LM_BUCKETS,
+        alpha=_LM_ALPHA,
+        seed=_LM_SEED,
+    )
+
+
+_PPL_BUCKETS_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+), tb AS (
+  SELECT doc_id, {h32_sql(f"'lm{_LM_SEED}_' || tok")} % {_LM_BUCKETS} AS bucket FROM tk
+), c AS (
+  SELECT bucket, count(*)::BIGINT AS cnt FROM tb GROUP BY bucket
+), n AS (
+  SELECT sum(cnt) AS n_total FROM c
+), lp AS (
+  SELECT doc_id,
+         round(avg(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r}))), 6)
+           AS avg_logprob
+  FROM tb JOIN c USING (bucket) CROSS JOIN n
+  GROUP BY doc_id
+)
+SELECT lp.doc_id, d.lang, lp.avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY lp.avg_logprob DESC, lp.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM lp JOIN documents d USING (doc_id)
+"""
+
 
 #: vocab size for the staged vocab-coverage entry: the synthetic corpus has
 #: 31 distinct whitespace tokens, so 16 exercises a genuine OOV band (the
