@@ -531,3 +531,48 @@ def test_r10_verbs_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
     plan = _plan(split_leakage(spark, SF))
     assert "HashAggregate" in plan  # the train-side distinct
+
+
+def test_threshold_sweep_candidate_generation_is_equi_join(spark):
+    # the sweep must inherit ngram_jaccard's inverted-index shape: the
+    # grid explode multiplies only flagged pairs, never the corpus, and
+    # candidate generation stays a bucketed equi-join
+    from spark_gp_spark.queries import neardup_threshold_sweep
+
+    plan = _plan(neardup_threshold_sweep(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perplexity_buckets_model_joins_broadcast(spark):
+    # doc_logprob's bucket-count model must broadcast back onto the token
+    # stream (map-side join, no corpus shuffle); the only nested-loop
+    # joins allowed are the 1-row total-count attaches in
+    # IdentityBroadcastMode — same contract as token_pmi's scalar attach
+    from spark_gp_spark.queries import perplexity_buckets
+
+    df = perplexity_buckets(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # counts join back by bucket key
+    for node in _bnlj_nodes(df):
+        build = node.buildSide().toString()
+        side = node.right() if build == "BuildRight" else node.left()
+        subtree = side.toString()
+        assert "BroadcastExchange" in subtree, subtree
+        assert "IdentityBroadcastMode" in subtree, subtree
+
+
+def test_ann_recall_report_broadcasts_query_side_only(spark):
+    # both scans score against a FIXED 20-query broadcast side; the corpus
+    # must never be the build side of any nested-loop join, and the final
+    # recall join over two top-k-sized relations must be an equi-join
+    from spark_gp_spark.queries import ann_recall_report
+
+    df = ann_recall_report(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    for node in _bnlj_nodes(df):
+        build = node.buildSide().toString()
+        side = node.right() if build == "BuildRight" else node.left()
+        assert "BroadcastExchange" in side.toString(), side.toString()

@@ -142,3 +142,85 @@ def test_staged_threshold_sweep_matches_duckdb_oracle(spark, sf_dir):
     assert s["n_pairs"].nunique() >= 4
     assert (s["n_pairs"].diff().dropna() <= 0).all()
     assert (s["n_docs"].diff().dropna() <= 0).all()
+
+
+# ---------------------------------------------------------------- properties
+
+
+def test_topk_recall_invariants_property(spark):
+    """Invariants over arbitrary exact/approx top-k relations: counts
+    bounded, recall = n_hit/n_exact at 6 dp, recall = 1 iff the index
+    recovered every exact neighbour."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_gp_spark.operators.similarity import topk_recall
+
+    pair = st.tuples(st.integers(0, 3), st.integers(0, 9))
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        exact=st.sets(pair, min_size=1, max_size=20),
+        approx=st.sets(pair, max_size=20),
+    )
+    def run(exact, approx):
+        e = spark.createDataFrame(
+            sorted(exact), "query_id long, neighbor_id long"
+        )
+        a = spark.createDataFrame(
+            sorted(approx) or [(-(10 ** 6), -(10 ** 6))],
+            "query_id long, neighbor_id long",
+        )
+        out = topk_recall(a, e).collect()
+        exact_by_q = {}
+        for q, n in exact:
+            exact_by_q.setdefault(q, set()).add(n)
+        approx_by_q = {}
+        for q, n in approx:
+            approx_by_q.setdefault(q, set()).add(n)
+        assert {r.query_id for r in out} == set(exact_by_q)
+        for r in out:
+            got_approx = approx_by_q.get(r.query_id, set())
+            want_hit = len(exact_by_q[r.query_id] & got_approx)
+            assert r.n_exact == len(exact_by_q[r.query_id])
+            assert r.n_hit == want_hit
+            assert r.recall == round(want_hit / r.n_exact, 6)
+            assert (r.recall == 1.0) == (exact_by_q[r.query_id] <= got_approx)
+
+    run()
+
+
+def test_threshold_sweep_monotone_property(spark):
+    """n_pairs and n_docs are non-increasing in the threshold for ANY
+    corpus, and every grid rung yields exactly one row (zeros kept)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_gp_spark.operators.dedup import neardup_threshold_sweep
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        docs=st.lists(
+            st.text(alphabet="ab ", min_size=0, max_size=30),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def run(docs):
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        grid = (0.1, 0.4, 0.8)
+        rows = sorted(
+            neardup_threshold_sweep(df, thresholds=grid).collect(),
+            key=lambda r: r.threshold,
+        )
+        assert [r.threshold for r in rows] == list(grid)
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_pairs >= b.n_pairs
+            assert a.n_docs >= b.n_docs
+        for r in rows:
+            assert 0 <= r.n_docs <= len(docs)
+            assert r.n_pairs <= r.n_docs * (r.n_docs - 1) // 2
+
+    run()
