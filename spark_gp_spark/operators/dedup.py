@@ -1236,3 +1236,49 @@ def neardup_threshold_sweep(
         )
     )
     return out
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Which sources copy from each other: the near-dup pair graph rolled
+    up to (source, source) cells — the provenance diagnostic behind
+    domain-level dedup decisions (mirror domains, syndicated boilerplate,
+    scraper-of-scraper chains show up as hot off-diagonal cells).
+
+    Output: (src_a, src_b, n_pairs) with src_a <= src_b (unordered cell),
+    one row per source pair that shares at least one near-dup pair.
+
+    Scale shape: the pair relation is the inverted-index equi-join of
+    ngram_jaccard_pairs; the two provenance attaches join a 2-column
+    (id, source) projection — never the text — and the final rollup
+    aggregates |pairs| thin rows."""
+    pairs = ngram_jaccard_pairs(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    a = src.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("_sa")
+    )
+    b = src.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("_sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

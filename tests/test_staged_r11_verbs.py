@@ -1,11 +1,14 @@
 """Round-10-built verbs staged for the round-11 window: CCNet
 head/middle/tail perplexity buckets (operators/text.py:perplexity_buckets),
 the ANN recall audit as an oracle-backed relation
-(operators/similarity.py:topk_recall), and the near-dup
-threshold-sensitivity sweep (operators/dedup.py:neardup_threshold_sweep).
+(operators/similarity.py:topk_recall), the near-dup threshold-sensitivity
+sweep (operators/dedup.py:neardup_threshold_sweep), BPE merge candidates
+(operators/text.py:bpe_merge_candidates), and the source overlap matrix
+(operators/dedup.py:source_overlap_matrix).
 
 Layers: semantics on hand-built frames (expected values computed by hand),
-then the sf0.01 side-by-side DuckDB parity the r11 driver window will run."""
+hypothesis invariants, then the side-by-side DuckDB parity the r11 driver
+window will run."""
 
 import duckdb
 from pyspark.sql import functions as F
@@ -224,3 +227,66 @@ def test_threshold_sweep_monotone_property(spark):
             assert r.n_pairs <= r.n_docs * (r.n_docs - 1) // 2
 
     run()
+
+
+# ------------------------------------------- bpe merges + source overlap
+
+
+def test_bpe_merge_candidates_counts_by_hand(spark):
+    """'abab' contributes ab,ba,ab; 'ab' contributes ab; 'x' nothing.
+    Totals: ab=3, ba=1."""
+    from spark_gp_spark.operators.text import bpe_merge_candidates
+
+    df = spark.createDataFrame(
+        [(1, "abab ab x"), (2, "")], "doc_id long, text string"
+    )
+    out = [(r.pair, r.n_occurrences, r.rank) for r in
+           bpe_merge_candidates(df, k=10).orderBy("rank").collect()]
+    assert out == [("ab", 3, 1), ("ba", 1, 2)]
+
+
+def test_source_overlap_matrix_by_hand(spark):
+    """Two verbatim near-dups across sources s1/s2 plus one within s1 —
+    cells (s1,s1)=1 and (s1,s2)=2 regardless of input source order."""
+    from spark_gp_spark.operators.dedup import source_overlap_matrix
+
+    t1 = "w1 w2 w3 w4 w5"
+    t2 = "z1 z2 z3 z4 z5"
+    df = spark.createDataFrame(
+        [
+            (1, t1, "s1"),
+            (2, t1, "s2"),   # cross-source dup with 1
+            (3, t1, "s1"),   # within-s1 dup with 1; cross with 2
+            (4, t2, "s2"),
+            (5, "q r s t u", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.src_a, r.src_b): r.n_pairs
+        for r in source_overlap_matrix(df, threshold=0.9).collect()
+    }
+    assert out == {("s1", "s1"): 1, ("s1", "s2"): 2}
+
+
+def test_staged_bpe_merge_candidates_matches_duckdb_oracle(spark, sf_dir):
+    from spark_gp_spark.queries import _BPE_MERGE_SQL, bpe_merge_candidates
+
+    got = bpe_merge_candidates(spark, sf_dir).toPandas()
+    want = _con(sf_dir, "documents").execute(_BPE_MERGE_SQL).df()
+    _assert_parity(got, want)
+    assert len(got) == 20
+    # non-vacuity: a real frequency gradient, not a flat tie table
+    assert got["n_occurrences"].nunique() >= 10
+
+
+def test_staged_source_overlap_matches_duckdb_oracle(spark, sf_dir):
+    from spark_gp_spark.queries import _SOURCE_OVERLAP_SQL, source_overlap_matrix
+
+    got = source_overlap_matrix(spark, sf_dir).toPandas()
+    want = _con(sf_dir, "documents").execute(_SOURCE_OVERLAP_SQL).df()
+    _assert_parity(got, want)
+    # non-vacuity: off-diagonal cells exist (cross-source copying) and the
+    # cell key is normalized (src_a <= src_b)
+    assert (got["src_a"] <= got["src_b"]).all()
+    assert (got["src_a"] != got["src_b"]).any()
