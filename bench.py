@@ -577,6 +577,38 @@ def main() -> None:
         # cost, so drop all cached blocks between timed queries.
         spark.catalog.clearCache()
 
+    # STAGED-for-r11 entries (registered in QUERIES only at r11): timed
+    # under a SEPARATE payload key — "measure, don't guess" for next
+    # round's registration decision — without moving the headline value
+    # or the timed-suite composition (cross-round comparability).  Any
+    # entry that fails here is recorded as null rather than killing the
+    # bench (staged code must never take the headline down).
+    staged_names = [
+        "vocab_coverage_report",
+        "streaming_ingest_dedup",
+        "multimodal_media_dedup",
+        "exact_dedup_planted",
+        "dedup_keep_first_planted",
+        "redact_pii_planted",
+        "perplexity_buckets",
+        "ann_recall_report",
+        "neardup_threshold_sweep",
+        "bpe_merge_candidates",
+        "source_overlap_matrix",
+    ]
+    import spark_gp_spark.queries as _qmod
+
+    staged_times: dict[str, float | None] = {}
+    for name in staged_names:
+        try:
+            fn = getattr(_qmod, name)
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            staged_times[name] = round(time.time() - t0, 3)
+        except Exception:
+            staged_times[name] = None
+        spark.catalog.clearCache()
+
     # The GP fit runs in the SAME session as the query suite.  Round 1
     # isolated it in a fresh session to dodge an apparent ~10x per-job
     # slowdown; A/B measurement this round (both the round-1 snapshot and
@@ -762,6 +794,9 @@ def main() -> None:
             **stage_times,
             "_warmup_cold_train": warmup_cold_train,
         },
+        # staged-for-r11 entries, timed OUTSIDE the headline (registered
+        # in QUERIES only at r11; numbers here inform that registration)
+        "staged_times": staged_times,
     }
     if fit_matrix is not None:
         result["fit_matrix"] = fit_matrix
