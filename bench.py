@@ -595,6 +595,7 @@ def main() -> None:
         "neardup_threshold_sweep",
         "bpe_merge_candidates",
         "source_overlap_matrix",
+        "band_skew_report",
     ]
     import spark_gp_spark.queries as _qmod
 

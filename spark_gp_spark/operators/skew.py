@@ -80,3 +80,45 @@ def salted_count_distinct(
         .agg(F.countDistinct(distinct_col).alias("__part"))
     )
     return cell.groupBy(group_col).agg(F.sum("__part").cast("long").alias(out_col))
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic — the relation that decides WHETHER a join/agg
+    key needs salting (salted_join), a posting cap (max_band_size /
+    max_posting_size), or AQE skew handling before a corpus-sized run: the
+    ``top_k`` hottest keys, each with its row count, share of all rows, and
+    skew factor (count ÷ mean rows per key; 1.0 = perfectly uniform).
+
+    Output: (*key_cols, n_rows, share, skew_factor, rank), rank 1..top_k,
+    ties broken on the key columns.
+
+    Scale shape: one hash aggregate over the keys (map-side combine), a
+    1-row stats aggregate broadcast back, and the top-k taken by
+    ``orderBy().limit()`` — Spark compiles that to TakeOrderedAndProject
+    (per-partition heaps + one k-row merge), so the corpus-sized count
+    relation is never globally sorted; the rank window runs over the
+    ALREADY-LIMITED k rows."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    order = [F.desc("n_rows"), *[F.asc(k) for k in key_cols]]
+    top = counts.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return (
+        top.join(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 6
+            ).alias("skew_factor"),
+            "rank",
+        )
+    )

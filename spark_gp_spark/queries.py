@@ -921,6 +921,54 @@ WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
 _MINHASH_PAIRS_SQL = _sql_minhash_pairs()
 
 
+def band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py:key_skew_report) over the
+    MinHash LSH band keys — the genuinely skew-prone relation in this
+    engine's own dedup path (hot band buckets = boilerplate; exactly what
+    ``max_band_size`` exists to cap): the 10 hottest (band, key) buckets
+    with row count, share, and skew factor (count ÷ mean occupancy).  The
+    relation that decides cap/salt/AQE BEFORE a corpus-sized run.
+    Non-vacuous: sf0.01's near-dups collide in their bands, so the head of
+    the report carries multi-occupant buckets with skew_factor > 1 while
+    the mean bucket is ~singleton.  STAGED for the round-11 correctness
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    banded = sigs.select(
+        D.minhash_band_struct(F.col("signature"), 16, 4).alias("bk")
+    ).select(
+        F.col("bk.band").cast("long").alias("band"), F.col("bk.key").alias("key")
+    )
+    return SK.key_skew_report(banded, ["band", "key"], top_k=10)
+
+
+_BAND_SKEW_SQL = (
+    _sql_minhash_sig()
+    + f""",
+banded AS (
+  SELECT doc_id, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {", ".join(
+             "(" + str(bi) + ", concat_ws('_', "
+             + ", ".join(f"sig[{bi * 4 + r + 1}]" for r in range(4))
+             + "))" for bi in range(4)
+         )}) v(band, key)) b
+), counts AS (
+  SELECT band::BIGINT AS band, key, count(*)::BIGINT AS n_rows
+  FROM banded GROUP BY 1, 2
+), stats AS (
+  SELECT sum(n_rows)::DOUBLE AS total, count(*)::DOUBLE AS nkeys FROM counts
+), ranked AS (
+  SELECT band, key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, band, key)::BIGINT AS rank
+  FROM counts
+)
+SELECT band, key, n_rows, round(n_rows / total, 6) AS share,
+       round(n_rows * nkeys / total, 6) AS skew_factor, rank
+FROM ranked CROSS JOIN stats WHERE rank <= 10
+"""
+)
+
+
 def streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-duplicate detection (streaming/neardup.py): MinHash-LSH
     banding over an id-ordered document STREAM with a custom

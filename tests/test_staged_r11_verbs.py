@@ -3,8 +3,9 @@ head/middle/tail perplexity buckets (operators/text.py:perplexity_buckets),
 the ANN recall audit as an oracle-backed relation
 (operators/similarity.py:topk_recall), the near-dup threshold-sensitivity
 sweep (operators/dedup.py:neardup_threshold_sweep), BPE merge candidates
-(operators/text.py:bpe_merge_candidates), and the source overlap matrix
-(operators/dedup.py:source_overlap_matrix).
+(operators/text.py:bpe_merge_candidates), the source overlap matrix
+(operators/dedup.py:source_overlap_matrix), and the key-skew diagnostic
+over LSH band buckets (operators/skew.py:key_skew_report).
 
 Layers: semantics on hand-built frames (expected values computed by hand),
 hypothesis invariants, then the side-by-side DuckDB parity the r11 driver
@@ -290,3 +291,52 @@ def test_staged_source_overlap_matches_duckdb_oracle(spark, sf_dir):
     # cell key is normalized (src_a <= src_b)
     assert (got["src_a"] <= got["src_b"]).all()
     assert (got["src_a"] != got["src_b"]).any()
+
+
+# ----------------------------------------------------------- key skew report
+
+
+def test_key_skew_report_by_hand(spark):
+    """9 rows over keys a(5) b(3) c(1): mean = 3 rows/key, so skew factors
+    are 5/3, 1, 1/3; shares 5/9, 3/9, 1/9; ranks by count then key."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "k string"
+    )
+    from spark_gp_spark.operators.skew import key_skew_report
+
+    out = [
+        (r.k, r.n_rows, r.share, r.skew_factor, r.rank)
+        for r in key_skew_report(df, ["k"], top_k=2).orderBy("rank").collect()
+    ]
+    assert out == [
+        ("a", 5, round(5 / 9, 6), round(5 / 3, 6), 1),
+        ("b", 3, round(3 / 9, 6), 1.0, 2),
+    ]
+
+
+def test_key_skew_report_top_k_is_take_ordered_not_global_sort(spark):
+    """The corpus-sized count relation must reach the top-k through
+    TakeOrderedAndProject (per-partition heaps), never a global Sort —
+    the plan property that keeps the diagnostic cheap at 100 TB."""
+    df = spark.range(0, 1000).selectExpr("id % 37 AS k")
+    from spark_gp_spark.operators.skew import key_skew_report
+
+    plan = (
+        key_skew_report(df, ["k"], top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_staged_band_skew_report_matches_duckdb_oracle(spark, sf_dir):
+    from spark_gp_spark.queries import _BAND_SKEW_SQL, band_skew_report
+
+    got = band_skew_report(spark, sf_dir).toPandas()
+    want = _con(sf_dir, "documents").execute(_BAND_SKEW_SQL).df()
+    _assert_parity(got, want)
+    # non-vacuity: the head of the report is a real multi-occupant bucket
+    s = got.sort_values("rank")
+    assert s.iloc[0]["n_rows"] > 1
+    assert s.iloc[0]["skew_factor"] > 1.0
