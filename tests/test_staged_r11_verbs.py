@@ -4,8 +4,10 @@ the ANN recall audit as an oracle-backed relation
 (operators/similarity.py:topk_recall), the near-dup threshold-sensitivity
 sweep (operators/dedup.py:neardup_threshold_sweep), BPE merge candidates
 (operators/text.py:bpe_merge_candidates), the source overlap matrix
-(operators/dedup.py:source_overlap_matrix), and the key-skew diagnostic
-over LSH band buckets (operators/skew.py:key_skew_report).
+(operators/dedup.py:source_overlap_matrix), the key-skew diagnostic
+over LSH band buckets (operators/skew.py:key_skew_report), and the
+quality-score calibration curve against the Gopher gate
+(operators/text.py:quality_calibration_bins).
 
 Layers: semantics on hand-built frames (expected values computed by hand),
 hypothesis invariants, then the side-by-side DuckDB parity the r11 driver
@@ -340,3 +342,46 @@ def test_staged_band_skew_report_matches_duckdb_oracle(spark, sf_dir):
     s = got.sort_values("rank")
     assert s.iloc[0]["n_rows"] > 1
     assert s.iloc[0]["skew_factor"] > 1.0
+
+
+# ------------------------------------------------------ quality calibration
+
+
+def test_quality_calibration_bins_by_hand(spark):
+    """20 docs, 2 bins, forced separation: 10 symbol-junk docs score low
+    on the composite (alpha ratio ≈ 0.3, no stopwords ⇒ quality ≈ 0.58)
+    AND fail the gate (too short, non-alpha words, no stopwords); 10
+    fluent docs score high (≈ 0.97) and pass every Gopher rule (24
+    tokens, mwl 4.75, stopword-rich, alpha-only).  So bin 1 must be the
+    junk (keep_rate 0) and bin 2 the fluent (keep_rate 1)."""
+    from spark_gp_spark.operators.text import quality_calibration_bins
+
+    junk = "@@ ## $$ %% ^^ && ** (( )) !!"  # 10 symbol tokens
+    fluent = " ".join(["the house and garden with window table before"] * 3)
+    rows = [(i, junk) for i in range(10)] + [(i + 10, fluent) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.decile: r
+        for r in quality_calibration_bins(df, n_bins=2, min_tokens=20).collect()
+    }
+    assert out[1].n_docs == 10 and out[2].n_docs == 10
+    assert out[1].keep_rate == 0.0
+    assert out[2].keep_rate == 1.0
+    assert out[1].max_quality < out[2].min_quality
+
+
+def test_staged_quality_calibration_matches_duckdb_oracle(spark, sf_dir):
+    from spark_gp_spark.queries import (
+        _QUALITY_CALIBRATION_SQL,
+        quality_calibration_bins,
+    )
+
+    got = quality_calibration_bins(spark, sf_dir).toPandas()
+    want = _con(sf_dir, "documents").execute(_QUALITY_CALIBRATION_SQL).df()
+    _assert_parity(got, want)
+    assert len(got) == 10
+    # non-vacuity: a real calibration signal — the bottom decile keeps
+    # (much) less than the top, and rates are not all equal
+    s = got.sort_values("decile")
+    assert s.iloc[0]["keep_rate"] < s.iloc[-1]["keep_rate"]
+    assert s["keep_rate"].nunique() >= 3
