@@ -583,27 +583,11 @@ def main() -> None:
     # or the timed-suite composition (cross-round comparability).  Any
     # entry that fails here is recorded as null rather than killing the
     # bench (staged code must never take the headline down).
-    staged_names = [
-        "vocab_coverage_report",
-        "streaming_ingest_dedup",
-        "multimodal_media_dedup",
-        "exact_dedup_planted",
-        "dedup_keep_first_planted",
-        "redact_pii_planted",
-        "perplexity_buckets",
-        "ann_recall_report",
-        "neardup_threshold_sweep",
-        "bpe_merge_candidates",
-        "source_overlap_matrix",
-        "band_skew_report",
-        "quality_calibration_bins",
-    ]
-    import spark_gp_spark.queries as _qmod
+    from spark_gp_spark.queries import STAGED_QUERIES
 
     staged_times: dict[str, float | None] = {}
-    for name in staged_names:
+    for name, (fn, _oracle) in STAGED_QUERIES.items():
         try:
-            fn = getattr(_qmod, name)
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             staged_times[name] = round(time.time() - t0, 3)

@@ -6943,3 +6943,34 @@ ORACLE_SQL = {
     # instead (corpus_prep_gpc_filter: held-out accuracy >= 0.95 +
     # transform-adds-no-shuffle plan lock).
 }
+
+
+#: Staged-for-r11 inventory — the single source of truth for what is built,
+#: parity-proven, and timed (bench.py staged_times) but NOT yet registered:
+#: name -> (query fn, oracle SQL).  At r11, move each pair into
+#: QUERIES/ORACLE_SQL at the top of the window; the three planted twins
+#: REPLACE their vacuous originals (`exact_dedup`, `dedup_keep_first`,
+#: `redact_pii` leave the registry — same verbs, de-vacuated fixtures).
+#: Parity pytests: test_leakage_normdedup.py (first wave),
+#: test_planted_devacuations.py + test_staged_r11_verbs.py (second wave).
+STAGED_QUERIES = {
+    "vocab_coverage_report": (vocab_coverage_report, _VOCAB_COVERAGE_SQL),
+    "streaming_ingest_dedup": (streaming_ingest_dedup, _DEDUP_INCREMENTAL_SQL),
+    "multimodal_media_dedup": (multimodal_media_dedup, _MM_MEDIA_DEDUP_SQL),
+    "exact_dedup_planted": (exact_dedup_planted, _EXACT_DEDUP_PLANTED_SQL),
+    "dedup_keep_first_planted": (
+        dedup_keep_first_planted,
+        _DEDUP_KEEP_FIRST_PLANTED_SQL,
+    ),
+    "redact_pii_planted": (redact_pii_planted, _REDACT_PLANTED_SQL),
+    "perplexity_buckets": (perplexity_buckets, _PPL_BUCKETS_SQL),
+    "ann_recall_report": (ann_recall_report, _ANN_RECALL_SQL),
+    "neardup_threshold_sweep": (neardup_threshold_sweep, _SWEEP_SQL),
+    "bpe_merge_candidates": (bpe_merge_candidates, _BPE_MERGE_SQL),
+    "source_overlap_matrix": (source_overlap_matrix, _SOURCE_OVERLAP_SQL),
+    "band_skew_report": (band_skew_report, _BAND_SKEW_SQL),
+    "quality_calibration_bins": (
+        quality_calibration_bins,
+        _QUALITY_CALIBRATION_SQL,
+    ),
+}

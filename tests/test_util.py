@@ -174,3 +174,26 @@ def test_bench_compact_line_ladder():
     assert len(parsed.get("queries", {})) < 10
     if parsed.get("queries"):
         assert max(t, key=t.get) in parsed["queries"]
+
+
+def test_staged_inventory_is_consistent():
+    """STAGED_QUERIES is the single source of truth for what r11 registers:
+    disjoint from the live registry, every entry a (callable, oracle SQL)
+    pair, and the three planted twins shadow exactly the vacuous originals
+    they will replace."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from spark_gp_spark.queries import ORACLE_SQL, QUERIES, STAGED_QUERIES
+
+    assert not set(STAGED_QUERIES) & set(QUERIES)
+    for name, (fn, sql) in STAGED_QUERIES.items():
+        assert callable(fn), name
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+    for twin, original in [
+        ("exact_dedup_planted", "exact_dedup"),
+        ("dedup_keep_first_planted", "dedup_keep_first"),
+        ("redact_pii_planted", "redact_pii"),
+    ]:
+        assert twin in STAGED_QUERIES
+        assert original in QUERIES and original in ORACLE_SQL
