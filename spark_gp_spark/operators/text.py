@@ -1022,3 +1022,55 @@ def quality_calibration_bins(
             F.max("quality").alias("max_quality"),
         )
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame,
+    shingle_n: int = 3,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps-law vocabulary growth: cut the corpus into ``n_bins``
+    id-ordered slices and report how many NEW distinct word ``shingle_n``-
+    grams each slice introduces — the is-more-data-adding-diversity-or-
+    repetition diagnostic (a curve that flattens early says the crawl is
+    re-crawling itself; dedup budgets and stop-crawling decisions read
+    exactly this).
+
+    Output: (decile, new_shingles, vocab_size) — vocab_size cumulative;
+    slices that introduce nothing still appear with zeros.  All values are
+    exact integers: first-occurrence is a min over doc ids, so the
+    relation is reproducible across engines bit-for-bit.
+
+    Scale shape: explode shingles → ONE linear groupBy(shingle) min
+    aggregate (thin (hashable-gram, id) rows; map-side combine) → the
+    first-occurrence relation joins the id→slice map (a window over doc
+    IDS ONLY, never the text) → an ``n_bins``-row rollup + running sum
+    over those ``n_bins`` rows."""
+    from pyspark.sql import Window
+
+    bins = df.select(
+        F.col(id_col),
+        F.ntile(n_bins).over(Window.orderBy(id_col)).alias("_bin"),
+    )
+    post = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
+    )
+    first = post.groupBy("_s").agg(F.min(id_col).alias(id_col))
+    per_bin = (
+        first.join(bins, id_col)
+        .groupBy("_bin")
+        .agg(F.count("*").alias("new_shingles"))
+    )
+    spine = bins.select("_bin").distinct()
+    cum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(per_bin, "_bin", "left")
+        .withColumn("new_shingles", F.coalesce(F.col("new_shingles"), F.lit(0)))
+        .select(
+            F.col("_bin").cast("long").alias("decile"),
+            F.col("new_shingles").cast("long").alias("new_shingles"),
+            F.sum("new_shingles").over(cum).cast("long").alias("vocab_size"),
+        )
+    )

