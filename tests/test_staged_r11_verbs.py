@@ -425,3 +425,91 @@ def test_staged_vocab_growth_matches_duckdb_oracle(spark, sf_dir):
     s = got.sort_values("decile")
     assert s.iloc[0]["new_shingles"] > s.iloc[-1]["new_shingles"]
     assert (s["vocab_size"].diff().dropna() > 0).all()
+
+
+def test_perplexity_buckets_partition_property(spark):
+    """For ANY corpus: every doc with ≥1 token is assigned exactly one
+    bucket, per-language bucket sizes differ by at most 1 (ntile
+    contract), and bucket membership respects the score order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_gp_spark.operators.text import perplexity_buckets
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.text(alphabet="ab c", min_size=1, max_size=20),
+                st.sampled_from(["en", "de"]),
+            ),
+            min_size=3,
+            max_size=15,
+        )
+    )
+    def run(docs):
+        rows = [(i, t, l) for i, (t, l) in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        n_tokenful = sum(1 for t, _ in docs if t.strip())
+        out = perplexity_buckets(df).collect()
+        assert len(out) == n_tokenful
+        sizes = {}
+        for r in out:
+            assert r.ppl_bucket in ("head", "middle", "tail")
+            sizes.setdefault(r.lang, []).append(r.ppl_bucket)
+        order = {"head": 0, "middle": 1, "tail": 2}
+        for lang, buckets in sizes.items():
+            counts = [buckets.count(b) for b in ("head", "middle", "tail")]
+            nz = [c for c in counts if c]
+            assert max(nz) - min(nz) <= 1
+        # score order respected: every head score >= every tail score per lang
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r.lang, []).append((order[r.ppl_bucket], r.avg_logprob))
+        for pairs in by_lang.values():
+            heads = [s for b, s in pairs if b == 0]
+            tails = [s for b, s in pairs if b == 2]
+            if heads and tails:
+                assert min(heads) >= max(tails)
+
+    run()
+
+
+def test_vocab_growth_conservation_property(spark):
+    """For ANY corpus: per-bin new_shingles sums to the corpus's total
+    distinct shingle count, vocab_size is its running sum, and the curve
+    never decreases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spark_gp_spark.operators.text import vocab_growth_curve, word_ngrams
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        docs=st.lists(
+            st.text(alphabet="xy z", min_size=0, max_size=25),
+            min_size=2,
+            max_size=12,
+        )
+    )
+    def run(docs):
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        total_distinct = (
+            df.select(F.explode(word_ngrams(F.col("text"), 3)).alias("s"))
+            .select("s")
+            .distinct()
+            .count()
+        )
+        rows = sorted(
+            vocab_growth_curve(df, n_bins=3).collect(), key=lambda r: r.decile
+        )
+        assert sum(r.new_shingles for r in rows) == total_distinct
+        run_sum = 0
+        for r in rows:
+            run_sum += r.new_shingles
+            assert r.vocab_size == run_sum
+
+    run()
