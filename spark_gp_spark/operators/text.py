@@ -827,6 +827,30 @@ def gopher_filter(
     return flagged.filter(F.col("keep")).select(id_col, *passthrough)
 
 
+def top_df_vocab(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The corpus-derived top-``vocab_size`` DOCUMENT-frequency vocab as a
+    broadcastable (token, _in_vocab) frame — shared by vocab_coverage and
+    the streaming OOV-drift monitor so the two can never derive different
+    vocabs.  Ties break by token string (engine-identical); the top-k is a
+    TakeOrderedAndProject over the df aggregate, never a full sort."""
+    occurrences = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    dfreq = (
+        occurrences.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    )
+    return (
+        dfreq.orderBy(F.desc("df"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+
+
 def vocab_coverage(
     df: DataFrame,
     vocab_size: int = 1000,
@@ -853,16 +877,7 @@ def vocab_coverage(
     per-document count."""
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     occurrences = toks.select(id_col, F.explode("_t").alias("token"))
-    dfreq = (
-        occurrences.distinct()
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
-    )
-    vocab = (
-        dfreq.orderBy(F.desc("df"), F.asc("token"))
-        .limit(vocab_size)
-        .select("token", F.lit(True).alias("_in_vocab"))
-    )
+    vocab = top_df_vocab(df, vocab_size, text_col=text_col, id_col=id_col)
     return (
         occurrences.join(F.broadcast(vocab), "token", "left")
         .groupBy(id_col)

@@ -3280,6 +3280,42 @@ def streaming_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_embedding_drift(spark, sf_dir)
 
 
+def streaming_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-side twin of streaming_embedding_drift (streaming/drift.py:
+    run_streaming_vocab_drift): the documents corpus's odd-id half STREAMS
+    through a complete-mode per-crawl-slice OOV aggregation against the
+    frozen top-16 vocab of the even-id baseline — the tokenizer-fit /
+    ingest-drift alarm at arrival time.  All counts are exact integers,
+    so cross-batch merge correctness is gated bit-hard by the oracle
+    (no float grain to hide in).  Vocab derivation shared with
+    vocab_coverage (operators/text.py:top_df_vocab).  STAGED for the
+    round-11 correctness window."""
+    from .streaming.drift import run_streaming_vocab_drift
+
+    return run_streaming_vocab_drift(spark, sf_dir)
+
+
+_STREAM_VOCAB_DRIFT_SQL = f"""
+WITH occ0 AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+  WHERE doc_id % 2 = 0
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM occ0 GROUP BY token
+), vocab AS (
+  SELECT token FROM dfreq ORDER BY df DESC, token LIMIT 16
+), s AS (
+  SELECT doc_id % 3 AS crawl_slice, unnest({_SQL_TOKENS}) AS token
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT crawl_slice::BIGINT AS crawl_slice, count(*)::BIGINT AS n_tokens,
+       (count(*) FILTER (WHERE v.token IS NULL))::BIGINT AS n_oov,
+       round((count(*) FILTER (WHERE v.token IS NULL))::DOUBLE / count(*), 6)
+         AS oov_rate
+FROM s LEFT JOIN vocab v USING (token)
+GROUP BY crawl_slice
+"""
+
+
 def streaming_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming training-shard export (streaming/events.py:
     run_streaming_shard_export): documents stream straight into the
@@ -7008,4 +7044,5 @@ STAGED_QUERIES = {
         _QUALITY_CALIBRATION_SQL,
     ),
     "vocab_growth_curve": (vocab_growth_curve, _VOCAB_GROWTH_SQL),
+    "streaming_vocab_drift": (streaming_vocab_drift, _STREAM_VOCAB_DRIFT_SQL),
 }

@@ -85,3 +85,85 @@ def run_streaming_embedding_drift(
 
     base = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 2 == 0)
     return drift_report_from_stats(embedding_dim_stats(base), cand_stats)
+
+
+def run_streaming_vocab_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "gp_stream_vocab_drift",
+    n_files: int = 2,
+    vocab_size: int = 16,
+    n_slices: int = 3,
+) -> DataFrame:
+    """Text-side twin of the embedding-drift monitor: as crawl documents
+    stream in, their OOV rate against a FROZEN baseline vocab — the
+    tokenizer-fit / ingest-drift alarm AT ARRIVAL TIME (a rising OOV rate
+    means the crawl drifted to a language/domain the vocab was not fit on,
+    before any model metric moves).
+
+    Baseline = the EVEN-id half of `documents` (static); its top-k
+    document-frequency vocab (operators/text.py:top_df_vocab — the SAME
+    derivation vocab_coverage uses) broadcasts into the arriving ODD-id
+    stream via a stream-static left join, and a complete-mode aggregation
+    folds every micro-batch into per-crawl-slice (doc_id % n_slices —
+    the deterministic stand-in for a crawl-day key) OOV counts.
+
+    Output: (crawl_slice, n_tokens, n_oov, oov_rate) — all counts exact
+    integers, so any cross-batch merge error fails the oracle HARD (no
+    float-fold grain to hide in, unlike the moment-merging embedding twin).
+
+    Scale shape: the vocab is k rows broadcast once; per micro-batch the
+    work is explode → map-side joined flags → partial counts into
+    ≤ n_slices aggregation buffers — streaming state constant in the
+    stream length, the same cheapest-possible-monitor contract as
+    run_streaming_embedding_drift."""
+    from ..operators.text import tokens, top_df_vocab
+    from ..sources.tables import load_table
+    from .events import _arrive_atomically
+
+    work = tempfile.mkdtemp(prefix="gp_stream_vocab_")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="documents", order_col="doc_id",
+    )
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    vocab = top_df_vocab(base, vocab_size)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .filter(F.col("doc_id") % 2 == 1)
+    )
+    occ = stream.select(
+        (F.col("doc_id") % n_slices).alias("crawl_slice"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    agg = (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .groupBy("crawl_slice")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("_in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            F.col("crawl_slice").cast("long").alias("crawl_slice"),
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+    try:
+        for i, path in enumerate(arrivals):
+            _arrive_atomically(src, [(path, f"arrival-{i:04d}.parquet")])
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(query_name)

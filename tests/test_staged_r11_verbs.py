@@ -513,3 +513,27 @@ def test_vocab_growth_conservation_property(spark):
             assert r.vocab_size == run_sum
 
     run()
+
+
+# ------------------------------------------------------ streaming vocab drift
+
+
+def test_staged_streaming_vocab_drift_matches_duckdb_oracle(spark, sf_dir):
+    """The streaming OOV monitor's complete-mode relation must equal the
+    batch oracle EXACTLY — counts are integers, so a single row lost or
+    double-counted in the cross-batch merge fails hard.  The merge is
+    genuinely exercised: arrivals are id-RANGE files while slices key on
+    id % 3, so every slice receives rows from every micro-batch."""
+    from spark_gp_spark.queries import (
+        _STREAM_VOCAB_DRIFT_SQL,
+        streaming_vocab_drift,
+    )
+
+    got = streaming_vocab_drift(spark, sf_dir).toPandas()
+    want = _con(sf_dir, "documents").execute(_STREAM_VOCAB_DRIFT_SQL).df()
+    _assert_parity(got, want)
+    assert len(got) == 3
+    # non-vacuity: a real OOV band (the 16-token vocab leaves it), and the
+    # slices genuinely differ
+    assert (got["n_oov"] > 0).all()
+    assert got["oov_rate"].nunique() == 3
