@@ -6708,6 +6708,14 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # in-place copy) and officially re-verified through the four windowed
 # representatives plus the full streaming pytest suite.  SURVEY.md §2.8's
 # status table maps every query to its operator and last official row.
+#
+# ROUND-11 PLAN (see STAGED_QUERIES at the bottom of this module): move the
+# fifteen staged (fn, oracle) pairs to the top of this dict + ORACLE_SQL;
+# the three planted twins REPLACE `exact_dedup`, `dedup_keep_first`, and
+# `redact_pii` (delete the originals — same verbs, de-vacuated fixtures);
+# fill the remaining window slots with any r11-changed entries, then the
+# oldest r8-green rotations.  `tools/check_correctness.py --staged`
+# replays the exact check the staged entries will face.
 QUERIES = {
     # --- new in round 10: the six entries staged-and-parity-proven in r9
     #     (VERDICT r9 next #1) ---
