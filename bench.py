@@ -586,13 +586,17 @@ def main() -> None:
     from spark_gp_spark.queries import STAGED_QUERIES
 
     staged_times: dict[str, float | None] = {}
+    staged_errors: dict[str, str] = {}
     for name, (fn, _oracle) in STAGED_QUERIES.items():
         try:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             staged_times[name] = round(time.time() - t0, 3)
-        except Exception:
+        except Exception as exc:  # keep the diagnostic in the payload
+            # (ADVICE r10): a silently-broken staged entry must be
+            # explainable from the committed JSON at registration time
             staged_times[name] = None
+            staged_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         spark.catalog.clearCache()
 
     # The GP fit runs in the SAME session as the query suite.  Round 1
@@ -780,9 +784,13 @@ def main() -> None:
             **stage_times,
             "_warmup_cold_train": warmup_cold_train,
         },
-        # staged-for-r11 entries, timed OUTSIDE the headline (registered
-        # in QUERIES only at r11; numbers here inform that registration)
+        # staged-for-next-round entries, timed OUTSIDE the headline
+        # (registered in QUERIES only at the next rotation; numbers here
+        # inform that registration).  staged_errors carries the
+        # class+message for any null so a failed staged run is diagnosable
+        # from this payload alone (ADVICE r10).
         "staged_times": staged_times,
+        "staged_errors": staged_errors,
     }
     if fit_matrix is not None:
         result["fit_matrix"] = fit_matrix

@@ -635,11 +635,16 @@ def topk_recall(
     Scale shape: both inputs are top-k relations — O(|queries|·k) rows, not
     corpus-sized — so the left join and the per-query aggregate are
     negligible next to the scans that produced them; each input DataFrame
-    is computed once (Spark plans both subtrees into one job)."""
-    hits = exact.select(query_col, neighbor_col).join(
-        approx.select(
-            query_col, neighbor_col, F.lit(1).alias("_hit")
-        ),
+    is computed once (Spark plans both subtrees into one job).  Both sides
+    are de-duplicated on (query, neighbor) first: a duplicate pair in
+    either input would otherwise multiply join rows and inflate
+    n_exact/n_hit (ADVICE r10) — for already-unique top-k relations the
+    dedup is one cheap aggregate over O(|queries|·k) rows."""
+    hits = exact.select(query_col, neighbor_col).dropDuplicates(
+        [query_col, neighbor_col]
+    ).join(
+        approx.select(query_col, neighbor_col, F.lit(1).alias("_hit"))
+        .dropDuplicates([query_col, neighbor_col]),
         [query_col, neighbor_col],
         "left",
     )

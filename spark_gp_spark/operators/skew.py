@@ -116,8 +116,14 @@ def key_skew_report(
             *key_cols,
             "n_rows",
             F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            # double BEFORE the multiply: n_rows·_nkeys as int64·int64
+            # overflows near 9.2e18 row·keys (reachable at 100 TB), and the
+            # DuckDB oracle computes this product in DOUBLE
             F.round(
-                F.col("n_rows") * F.col("_nkeys") / F.col("_total"), 6
+                F.col("n_rows").cast("double")
+                * F.col("_nkeys")
+                / F.col("_total"),
+                6,
             ).alias("skew_factor"),
             "rank",
         )
