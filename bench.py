@@ -390,11 +390,14 @@ def main() -> None:
         "streaming_token_budget",
         "streaming_embedding_drift",
         "streaming_neardup_expiry",
-        # --- new in r10: the closed-window heavy hitters and the
-        # parity-proven JVM join twin (kept timed as the honest record of
-        # the state-machine-vs-join experiment) ---
+        # --- new in r10: the closed-window heavy hitters ---
         "streaming_trending_terms",
-        "streaming_neardup_join",
+        # --- r11 (VERDICT r10 next #3): the bounded-horizon join variant
+        # REPLACES the unbounded twin in the timed suite — the twin stays
+        # registered (correctness-only) as the analytics-replay shape, but
+        # its ~18 s re-measured a documented losing experiment; the bounded
+        # variant is the production shape (evictable JVM state) ---
+        "streaming_neardup_join_bounded",
     ]
 
     # Untimed session warm-up: the first job in a fresh JVM pays parquet

@@ -1413,6 +1413,76 @@ def streaming_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_neardup_join(spark, sf_dir)
 
 
+#: Retention horizon for the bounded join variant, in event-time seconds
+#: (= doc-id gap, since ts = _TS_EPOCH + doc_id).  200 splits sf0.01's 25
+#: band-collision pairs into 13 in-horizon and 12 beyond it (measured), so
+#: BOTH the keep and the evict branches provably fire at correctness scale.
+_NEARDUP_JOIN_HORIZON_S = 200
+
+
+def streaming_neardup_join_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION shape of the JVM stream-stream near-dup join
+    (streaming/neardup.py:run_streaming_neardup_join with ``horizon_s``,
+    VERDICT r10 next #3): arriving docs inner-join earlier docs sharing an
+    LSH (band, key) bucket WITHIN a retention horizon — p_ts ∈
+    [n_ts − 200 s, n_ts).  The time-range lower bound lets Spark derive a
+    state watermark, so the join's row-retention state is EVICTED as the
+    event-time watermark advances (numRowsRemoved asserted in
+    tests/test_streaming_dedup_join.py) — bounded state AND zero per-group
+    Python overhead, resolving the unbounded twin's documented trade for
+    horizon-scoped workloads ("have I crawled this in the last H?").
+    dup_of(d) = min{d' : d − H ≤ d' < d, shares ≥ 1 band}; at sf0.01 that
+    keeps 13 of the unbounded twin's 24 dup'd docs and re-points the mins
+    of several others — non-vacuous in both directions.  The unbounded
+    twin stays registered as the analytics-replay variant but leaves the
+    timed suite (its ~18 s re-measured a documented losing experiment)."""
+    from .streaming.neardup import run_streaming_neardup_join
+
+    return run_streaming_neardup_join(
+        spark,
+        sf_dir,
+        query_name="gp_stream_neardup_join_bounded",
+        horizon_s=_NEARDUP_JOIN_HORIZON_S,
+    )
+
+
+def _sql_streaming_neardup_bounded(
+    bands: int = 4, rows_per_band: int = 4, horizon: int = 200
+) -> str:
+    band_structs = ", ".join(
+        "("
+        + str(bi)
+        + ", concat_ws('_', "
+        + ", ".join(
+            f"sig[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        )
+        + "))"
+        for bi in range(bands)
+    )
+    return (
+        _sql_minhash_sig()
+        + f""",
+banded AS (
+  SELECT doc_id, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {band_structs}) v(band, key)) b
+)
+SELECT r.doc_id, min(l.doc_id) AS dup_of
+FROM banded l
+JOIN banded r ON l.band = r.band AND l.key = r.key
+             AND l.doc_id < r.doc_id
+             AND l.doc_id >= r.doc_id - {horizon}
+GROUP BY r.doc_id
+"""
+    )
+
+
+_STREAM_NEARDUP_BOUNDED_SQL = _sql_streaming_neardup_bounded(
+    horizon=_NEARDUP_JOIN_HORIZON_S
+)
+
+
 def streaming_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DENSE-VECTOR near-dup (streaming/neardup.py:
     streaming_embedding_neardup_matches): multi-table sign-LSH buckets

@@ -44,6 +44,12 @@ from ..operators.dedup import minhash_band_struct, minhash_signature
 from .events import _drive_append_query, _staged_arrivals, _state_partitions
 
 NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
+
+#: State-store metrics of the LAST run_streaming_neardup_join drive —
+#: numRowsRemoved summed over every micro-batch's state operators.  The
+#: bounded-horizon variant's whole point is evictable join state; tests
+#: assert removal actually happened here rather than trusting the plan.
+LAST_JOIN_STATE_METRICS: dict = {}
 NEARDUP_STATE_SCHEMA = "min_id bigint, last_ms bigint"
 #: sharded machine: one state row per SHARD holding parallel arrays over its
 #: live buckets (bucket key, running min id, running max event ms, expiry
@@ -626,6 +632,7 @@ def run_streaming_neardup_join(
     seed: int = 7,
     query_name: str = "gp_stream_neardup_join",
     n_files: int = 2,
+    horizon_s: int | None = None,
 ) -> DataFrame:
     """JVM-NATIVE streaming near-dup: the stream-stream band SELF-JOIN twin
     of ``run_streaming_neardup`` (same id-ordered staged arrivals, same
@@ -651,7 +658,20 @@ def run_streaming_neardup_join(
 
     Emission timing: an inner stream-stream join emits ON ARRIVAL (no
     watermark flush needed), so arrivals need no sentinel — matching the
-    state-machine driver's discipline."""
+    state-machine driver's discipline.
+
+    ``horizon_s`` (VERDICT r10 next #3) resolves the unbounded-state trade:
+    with it set, the join keeps only priors within an event-time horizon —
+    ``p_ts >= n_ts - horizon`` — so dup_of(d) = min{d' : d-H <= d' < d,
+    shares >= 1 band}: "near-dup within a retention horizon", the actual
+    production shape.  The time-range lower bound lets Spark derive a state
+    watermark for BOTH sides (evict prior rows once the event-time
+    watermark passes p_ts + horizon — no future arrival above the watermark
+    can need them), making the JVM join's row-retention state EVICTABLE:
+    bounded state AND no per-group Python overhead, strictly dominating
+    both prior variants for horizon-scoped workloads.  Eviction is asserted
+    functionally in tests/test_streaming_dedup_join.py via the state
+    operator's numRowsRemoved metric."""
     work = tempfile.mkdtemp(prefix="gp_stream_neardup_join_")
     sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
     src, arrivals, schema = _staged_arrivals(
@@ -687,15 +707,19 @@ def run_streaming_neardup_join(
     prior_side = banded.select(
         F.col("_id").alias("dup_cand"), F.col("_ts").alias("p_ts"), "band", "key"
     )
-    matches = new_side.join(
-        prior_side,
-        on=[
-            new_side["band"] == prior_side["band"],
-            new_side["key"] == prior_side["key"],
-            prior_side["p_ts"] < new_side["n_ts"],
-        ],
-        how="inner",
-    ).select("doc_id", F.col("dup_cand").alias("dup_of"))
+    conds = [
+        new_side["band"] == prior_side["band"],
+        new_side["key"] == prior_side["key"],
+        prior_side["p_ts"] < new_side["n_ts"],
+    ]
+    if horizon_s is not None:
+        conds.append(
+            prior_side["p_ts"]
+            >= new_side["n_ts"] - F.expr(f"INTERVAL {int(horizon_s)} SECONDS")
+        )
+    matches = new_side.join(prior_side, on=conds, how="inner").select(
+        "doc_id", F.col("dup_cand").alias("dup_of")
+    )
     with _state_partitions(spark):
         q = (
             matches.writeStream.outputMode("append")
@@ -706,5 +730,16 @@ def run_streaming_neardup_join(
             .start()
         )
     _drive_append_query(q, src, arrivals)
+    LAST_JOIN_STATE_METRICS.clear()
+    LAST_JOIN_STATE_METRICS.update(
+        {
+            "horizon_s": horizon_s,
+            "num_rows_removed": sum(
+                int(so.get("numRowsRemoved") or 0)
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+            ),
+        }
+    )
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     return log.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))

@@ -496,3 +496,37 @@ def test_sharded_state_group_timeout_prunes_and_rearms():
     state.wm = 500_000 + ttl + 1
     out = list(func((1,), iter([]), state))
     assert not state.exists
+
+
+def test_streaming_neardup_join_bounded_matches_oracle_and_evicts(spark, sf_dir):
+    """The bounded-horizon join variant (VERDICT r10 next #3) must (a) emit
+    exactly the horizon-scoped relation — dup_of(d) = min earlier partner
+    within 200 event-time seconds sharing >= 1 band — and (b) actually
+    EVICT prior-side state as the watermark advances (numRowsRemoved > 0):
+    sf0.001 spans ids 0..499 over 2 arrival batches, so after batch 1 the
+    watermark sits ~249 and priors below ~49 fall outside every future
+    row's [n_ts-200, n_ts) window."""
+    import duckdb
+
+    from spark_gp_spark.queries import (
+        _STREAM_NEARDUP_BOUNDED_SQL,
+        streaming_neardup_join_bounded,
+    )
+    from spark_gp_spark.streaming import neardup as N
+
+    got = {
+        r.doc_id: r.dup_of
+        for r in streaming_neardup_join_bounded(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(_STREAM_NEARDUP_BOUNDED_SQL)
+        .df()[["doc_id", "dup_of"]]
+        .itertuples(index=False, name=None)
+    )
+    assert got == want
+    assert N.LAST_JOIN_STATE_METRICS["horizon_s"] == 200
+    assert N.LAST_JOIN_STATE_METRICS["num_rows_removed"] > 0
