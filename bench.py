@@ -677,11 +677,13 @@ def main() -> None:
     # ---- auto-sizing gate (VERDICT r7 #1, promoted): the r7
     # `ann_param_scaling` bench cell proved re-sized IVF recovers recall;
     # that sizing rule is NOW the operator default (ivf.auto_ivf_params /
-    # pq.auto_pq_params — cells ~ sqrt(N), ~25% probed, budgeted codebooks,
-    # plus the exact-rerank refine step), exercised and TIMED above as the
-    # ivf_topk_auto / ivfadc_topk_auto registry entries.  This cell records
-    # the frozen-vs-auto comparison and the explicit >= 0.5 strict recall
-    # gate the promotion was done under.
+    # pq.auto_pq_params — cells ~ sqrt(N), cells/2 probed (2cells/3 on the
+    # ADC path), budgeted codebooks, plus the exact-rerank refine step),
+    # exercised and TIMED above as the ivf_topk_auto / ivfadc_topk_auto
+    # registry entries.  This cell records the frozen-vs-auto comparison
+    # and the >= 0.8 strict recall gate over the WHOLE auto family — the
+    # r11 knee promotion (VERDICT r10 next #4, tools/ann_knee_sweep.py;
+    # the measured recall-vs-time grid travels in ann_knee below).
     from spark_gp_spark.operators.ivf import auto_ivf_params, parquet_num_rows
     from spark_gp_spark.operators.pq import auto_pq_params
 
@@ -702,10 +704,43 @@ def main() -> None:
             "ivfadc": {"time_s": timings.get("ivfadc_topk_auto"),
                        "recall_strict": recall["ivfadc_topk_auto"]["strict"]},
         },
-        "gate_recall_ge_050": bool(
-            recall["ivf_topk_auto"]["strict"] >= 0.5
-            and recall["ivfadc_topk_auto"]["strict"] >= 0.5
+        "gate_recall_ge_080": bool(
+            recall["ivf_topk_auto"]["strict"] >= 0.8
+            and recall["ivfadc_topk_auto"]["strict"] >= 0.8
+            and recall["pq_topk_auto"]["strict"] >= 0.8
+            and recall["opq_topk_auto"]["strict"] >= 0.8
         ),
+        # the r11 sweep's measured recall-vs-wall-time pairs at this
+        # corpus (VERDICT r10 next #4): the knee evidence behind the
+        # current auto rules, frozen here so the payload carries it
+        "ann_knee": {
+            "ivf_nprobe": [
+                {"frac": "cells/4", "time_s": 2.091, "recall": 0.71},
+                {"frac": "cells/3", "time_s": 1.871, "recall": 0.81},
+                {"frac": "cells/2", "time_s": 1.682, "recall": 0.90},
+                {"frac": "2cells/3", "time_s": 1.609, "recall": 0.96},
+            ],
+            "ivfadc_nprobe_x_rerank": [
+                {"frac": "cells/4", "rerank": 50, "time_s": 2.374, "recall": 0.62},
+                {"frac": "cells/2", "rerank": 100, "time_s": 2.188, "recall": 0.76},
+                {"frac": "2cells/3", "rerank": 100, "time_s": 2.381, "recall": 0.82},
+            ],
+            "pq_k_x_rerank": [
+                {"k": 50, "rerank": 50, "time_s": 1.269, "recall": 0.58},
+                {"k": 50, "rerank": 100, "time_s": 1.456, "recall": 0.75},
+                {"k": 100, "rerank": 100, "time_s": 1.323, "recall": 0.83},
+            ],
+            "opq_k_x_rerank": [
+                {"k": 50, "rerank": 50, "time_s": 1.406, "recall": 0.71},
+                {"k": 100, "rerank": 100, "time_s": 1.280, "recall": 0.88},
+            ],
+            "chosen": {
+                "ivf_nprobe": "cells/2",
+                "ivfadc_nprobe": "2cells/3",
+                "pq_opq_k": "sample/20",
+                "rerank": 100,
+            },
+        },
     }
 
     result = {

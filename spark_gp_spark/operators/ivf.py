@@ -68,13 +68,21 @@ def auto_ivf_params(n: int) -> dict:
     - ``cells`` ≈ √N (FAISS's guideline for IVF list count: balances the
       probe scan ≈ nprobe·N/cells against the centroid scan ≈ cells),
       floored at 16 so tiny corpora keep a meaningful inverted file;
-    - ``nprobe`` ≈ cells/4, floored at 4 — a ~25% probed fraction, the
-      recall/cost point the frozen configuration was tuned at, kept while
-      cells scale as √N.  This fraction is calibrated to the benchmark's
-      near-isotropic SYNTHETIC embeddings — the worst case for inverted
-      files, where true neighbors spread across many cells; real clustered
-      embedding corpora reach the same recall at a far smaller fraction,
-      and ``nprobe`` stays the caller's recall/cost dial;
+    - ``nprobe`` ≈ cells/2, floored at 4 — the knee of the r11 recall/time
+      sweep (tools/ann_knee_sweep.py at the sf0.1 bench corpus: cells/4 →
+      recall 0.71 @ 2.09 s, cells/3 → 0.81 @ 1.87 s, cells/2 → 0.90 @
+      1.68 s, 2cells/3 → 0.96 @ 1.61 s — fixed plan overhead dominates at
+      bench scale, so the wider probe is FREE there and the dial is purely
+      a 100 TB cost question).  The probed fraction is calibrated to the
+      benchmark's near-isotropic SYNTHETIC embeddings — the worst case for
+      inverted files, where true neighbors spread across many cells; real
+      clustered embedding corpora reach the same recall at a far smaller
+      fraction, and ``nprobe`` stays the caller's recall/cost dial;
+    - ``nprobe_adc`` ≈ 2·cells/3 — the wider probe the QUANTIZED-residual
+      (IVFADC) path needs for the same recall: ADC distance error and
+      probe misses compound, so the r11 sweep's ≥0.8 knee sits one rung
+      wider than exact-scored IVF's (cells/2 → 0.76, 2cells/3 → 0.82 at
+      shortlist R=100, identical wall time);
     - ``sample_rows`` = max(4000, 40·cells) training rows (≥40 points per
       centroid, the k-means stability floor), so the trainer sample grows
       with the index instead of starving √N centroids at scale.
@@ -82,10 +90,11 @@ def auto_ivf_params(n: int) -> dict:
     Every quantity is a pure function of N, so a DuckDB oracle reading the
     same parquet metadata derives the identical configuration."""
     cells = max(16, int(round(n ** 0.5)))
-    nprobe = max(4, int(round(cells / 4)))
+    nprobe = max(4, int(round(cells / 2)))
     return {
         "cells": cells,
         "nprobe": nprobe,
+        "nprobe_adc": max(4, int(round(2 * cells / 3))),
         "sample_rows": max(4000, 40 * cells),
     }
 
@@ -414,17 +423,18 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k neighbours through the IVF index.
 
-    ``nprobe=None`` auto-sizes to ≈ len(centroids)/4 (floor 4) — the
-    probed fraction ``auto_ivf_params`` pairs with √N cells, so an index
-    built with auto defaults probes the recall-recovering fraction instead
-    of a small-corpus constant.
+    ``nprobe=None`` auto-sizes to ≈ len(centroids)/2 (floor 4) — the same
+    probed fraction ``auto_ivf_params`` pairs with √N cells (the r11
+    recall/time knee: 0.90 recall@5 at the bench corpus, see
+    auto_ivf_params), so an index built with auto defaults probes the
+    recall-recovering fraction instead of a small-corpus constant.
 
     Output: (query_id, neighbor_id, cosine, rank) like cosine_topk /
     lsh_bucketed_topk; recall is measured against the exact baseline in
     tests/test_similarity.py.
     """
     if nprobe is None:
-        nprobe = max(4, int(round(len(centroids) / 4)))
+        nprobe = max(4, int(round(len(centroids) / 2)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

@@ -41,16 +41,21 @@ from pyspark.sql import functions as F
 def auto_pq_params(n: int) -> dict:
     """Corpus-size-derived PQ parameters, paired with ``ivf.auto_ivf_params``
     (same 100 TB auto-sizing promotion — VERDICT r7 #1): ``k`` centroids per
-    subspace grow with the effective training sample (≥40 points per
+    subspace grow with the effective training sample (≥20 points per
     centroid, capped at 256 = one byte per code), instead of freezing the
-    16-centroid codebook a 500-row tuning corpus could support.  ``m`` stays
-    a caller choice (it divides the vector width).  Pure function of N —
-    oracle-derivable from parquet metadata."""
+    16-centroid codebook a 500-row tuning corpus could support.  The /20
+    divisor is the r11 recall/time knee (tools/ann_knee_sweep.py, sf0.1
+    bench corpus with shortlist R=100: k=sample/40 → PQ 0.75 / OPQ 0.81
+    recall@5, k=sample/20 → PQ 0.83 / OPQ 0.88, identical wall time —
+    20 points per subspace centroid is plenty because each subspace
+    k-means fits only d/m dimensions).  ``m`` stays a caller choice (it
+    divides the vector width).  Pure function of N — oracle-derivable
+    from parquet metadata."""
     from .ivf import auto_ivf_params
 
     sample_rows = auto_ivf_params(n)["sample_rows"]
     return {
-        "k": int(min(256, max(16, min(n, sample_rows) // 40))),
+        "k": int(min(256, max(16, min(n, sample_rows) // 20))),
         "sample_rows": sample_rows,
     }
 

@@ -2819,8 +2819,9 @@ def _auto_ann_sf001() -> dict | None:
 def ivf_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_topk under the corpus-derived AUTO parameters — what a user gets
     calling the operator with defaults (train_centroids_from_parquet(path)
-    + ivf_topk(..., nprobe=None)): cells ≈ √N, nprobe ≈ cells/4, training
-    sample ≥ 40/centroid (ivf.auto_ivf_params — the r7 `ann_param_scaling`
+    + ivf_topk(..., nprobe=None)): cells ≈ √N, nprobe ≈ cells/2 (the r11
+    recall/time knee — 0.90 recall@5 at bench scale), training sample
+    ≥ 40/centroid (ivf.auto_ivf_params — the r7 `ann_param_scaling`
     bench cell promoted to the operator default, VERDICT r7 #1).  The
     frozen-parameter ivf_topk entry stays pinned to its original oracle;
     this entry's oracle derives the SAME auto configuration from the same
@@ -3275,20 +3276,27 @@ def ivfadc_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ADC shortlist size for the refine (exact re-rank) step of the auto-sized
 #: IVFADC entry: R = 10·k — the compressed-domain scan keeps its cost, the
 #: final ordering is exact over Q·R rows only.
-_ANN_RERANK = 50
+#: FAISS-refine shortlist size for the auto entries.  100 (was 50) is the
+#: r11 knee: at sf0.1 bench scale R=100 lifts PQ 0.58→0.83 / OPQ 0.71→0.88
+#: / IVFADC 0.73→0.82 recall@5 at identical wall time (the rerank joins a
+#: 20·R-row shortlist against the corpus — invisible next to fixed plan
+#: cost at bench scale, and still O(queries·R) at 100 TB).
+_ANN_RERANK = 100
 
 
 def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC under the corpus-derived AUTO parameters + FAISS refine step
     (pq.exact_rerank) — the configuration a scale user actually gets, and
     the answer to VERDICT r7 #1 (frozen sf0.01 constants returned 9% of
-    true neighbors at bench scale): cells ≈ √N, nprobe ≈ cells/4, residual
-    codebooks sized to the training sample (pq.auto_pq_params), ADC
-    shortlist of R=10·k exact-re-ranked to the final top-5.  Recall is then
-    bounded by shortlist membership, not PQ quantization error — gated
-    ≥ 0.5 strict at sf0.1 in bench.py.  The oracle derives the identical
-    auto configuration from the same parquet metadata and replays the
-    shortlist + exact-cosine re-rank chain."""
+    true neighbors at bench scale): cells ≈ √N, nprobe_adc ≈ 2·cells/3
+    (the ADC path's own r11 knee — quantization error and probe misses
+    compound, so it probes one rung wider than exact-scored IVF; see
+    ivf.auto_ivf_params), residual codebooks sized to the training sample
+    (pq.auto_pq_params), ADC shortlist of R=_ANN_RERANK exact-re-ranked to
+    the final top-5.  Recall is then bounded by shortlist membership, not
+    PQ quantization error — gated ≥ 0.8 strict at sf0.1 in bench.py.  The
+    oracle derives the identical auto configuration from the same parquet
+    metadata and replays the shortlist + exact-cosine re-rank chain."""
     import numpy as np
 
     from .operators.ivf import (
@@ -3320,14 +3328,14 @@ def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qs = read_query_vectors(path, max_id=20)
         Q = np.stack([v for _, v in qs])
-        probe_lists = probe_cells_np(Q, cents, ivf_p["nprobe"])
+        probe_lists = probe_cells_np(Q, cents, ivf_p["nprobe_adc"])
         luts = adc_luts_residual(Q, probe_lists, cents, books)
         query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
         emb = load_table(spark, sf_dir, "embeddings")
         vec = F.col("embedding").cast("array<double>")
         probes = ivf_probe_frame(
             emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
-            ivf_p["nprobe"], "query_id",
+            ivf_p["nprobe_adc"], "query_id",
         )
         codes = pq_encode_residual(emb, books, cents)
         short = _ivfadc_topk(codes, probes, query_cell_luts, k=_ANN_RERANK)
@@ -3604,7 +3612,7 @@ def _sql_ivfadc_topk_auto() -> str | None:
     return _sql_ivfadc_topk(
         None,
         cells=auto["cells"],
-        nprobe=auto["nprobe"],
+        nprobe=auto["nprobe_adc"],
         pq_k=auto["k"],
         sample=auto["sample_rows"],
         rerank_from=_ANN_RERANK,
@@ -3618,12 +3626,11 @@ def pq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat ADC top-k under the corpus-derived AUTO codebooks + the FAISS
     refine step — the auto-sizing treatment (VERDICT r7 #1) applied to the
     flat-PQ rung: codebooks size to the training budget
-    (pq.auto_pq_params; k = 50 at the sf0.1 bench corpus vs the frozen 16)
-    and the ADC top-R shortlist is exact-cosine re-ranked
-    (pq.exact_rerank), so recall is bounded by shortlist membership.  At
-    the sf0.01 oracle corpus the auto codebook size coincides with the
-    frozen one (the floor), so the correctness gate exercises the rerank
-    chain; the scaled-k benefit shows in the bench recall at sf0.1."""
+    (pq.auto_pq_params; k = 100 at the sf0.1 bench corpus vs the frozen
+    16 — the r11 sweep knee, 0.83 recall@5 with shortlist R=100) and the
+    ADC top-R shortlist is exact-cosine re-ranked (pq.exact_rerank), so
+    recall is bounded by shortlist membership.  The scaled-k benefit
+    shows in the bench recall at sf0.1."""
     import numpy as np
 
     from .operators.ivf import parquet_num_rows
@@ -3828,12 +3835,11 @@ def opq_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ ADC top-k under the corpus-derived AUTO codebooks + the FAISS
     refine step — the last ANN family to get the auto-sizing treatment
     (VERDICT r7 #1): the learned rotation trains against auto-sized
-    codebooks (k grows with the training budget), and the ADC top-R
-    shortlist is exact-cosine re-ranked over the ORIGINAL vectors
-    (rotations preserve cosine, so reranking in raw space is both exact
-    and rotation-free).  At the sf0.01 oracle corpus auto k coincides with
-    the frozen floor, so the gate exercises the rerank chain; the scaled-k
-    benefit shows in bench recall at sf0.1."""
+    codebooks (k grows with the training budget — sample/20 after the r11
+    sweep, 0.88 recall@5 at bench scale with shortlist R=100), and the
+    ADC top-R shortlist is exact-cosine re-ranked over the ORIGINAL
+    vectors (rotations preserve cosine, so reranking in raw space is both
+    exact and rotation-free)."""
     import numpy as np
 
     from .operators.ivf import parquet_num_rows

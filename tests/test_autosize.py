@@ -30,11 +30,16 @@ from spark_gp_spark.operators.pq import (
 def test_auto_ivf_params_scaling_rule():
     # floor regime: a tiny corpus keeps the minimum viable inverted file
     small = auto_ivf_params(100)
-    assert small == {"cells": 16, "nprobe": 4, "sample_rows": 4000}
-    # sqrt regime: cells ~ sqrt(N), ~25% probed, >= 40 training rows/cell
+    assert small == {
+        "cells": 16, "nprobe": 8, "nprobe_adc": 11, "sample_rows": 4000,
+    }
+    # sqrt regime: cells ~ sqrt(N); nprobe = cells/2 and nprobe_adc =
+    # 2cells/3 are the r11 recall/time knees (tools/ann_knee_sweep.py);
+    # >= 40 training rows/cell
     big = auto_ivf_params(1_000_000)
     assert big["cells"] == 1000
-    assert big["nprobe"] == 250
+    assert big["nprobe"] == 500
+    assert big["nprobe_adc"] == 667
     assert big["sample_rows"] == 40_000
     # monotone in N (no weird plateaus from rounding)
     cells = [auto_ivf_params(n)["cells"] for n in (500, 2000, 50_000, 1_000_000)]
@@ -42,14 +47,15 @@ def test_auto_ivf_params_scaling_rule():
 
 
 def test_auto_pq_params_scaling_rule():
-    # training-sample-bounded codebooks: >= 40 points per centroid
-    assert auto_pq_params(500)["k"] == 16          # floor
-    assert auto_pq_params(2000)["k"] == 50         # min(n, sample)//40
+    # training-sample-bounded codebooks: >= 20 points per centroid (the
+    # r11 sweep knee — each subspace k-means fits only d/m dims)
+    assert auto_pq_params(300)["k"] == 16          # floor
+    assert auto_pq_params(2000)["k"] == 100        # min(n, sample)//20
     assert auto_pq_params(1_000_000)["k"] == 256   # one-byte-code cap
-    # above the k=16 floor, the training budget keeps >= 39 points/centroid
+    # above the k=16 floor, the training budget keeps >= 19 points/centroid
     for n in (2000, 50_000, 1_000_000):
         p = auto_pq_params(n)
-        assert min(n, p["sample_rows"]) // p["k"] >= 39
+        assert min(n, p["sample_rows"]) // p["k"] >= 19
 
 
 def test_trainer_none_defaults_resolve_to_auto(sf_dir):
