@@ -192,8 +192,20 @@ def ppa_solve(
     sigma2 = kernel.white_noise_var
     pdm = sigma2 * train_kernel + matrix_kmn_knm
     assert_sym_positive_definite(pdm)
-    magic_vector = np.linalg.solve(pdm, vector_kmny)
-    magic_matrix = np.linalg.inv(pdm) * sigma2 - np.linalg.inv(train_kernel)
+    # one multi-RHS solve of pdm against [K_mn y | I] replaces the explicit
+    # inv(pdm) (VERDICT r10 #5, mirroring the r10 Laplace-epilogue fix):
+    # same flop order, factors once, avoids forming an inverse of a system
+    # whose condition number routinely exceeds 1e12 at optimized hypers.
+    m = pdm.shape[0]
+    y2d = vector_kmny.reshape(m, -1)
+    sol = np.linalg.solve(pdm, np.hstack([y2d, np.eye(m)]))
+    magic_vector = sol[:, : y2d.shape[1]].reshape(vector_kmny.shape)
+    # inv(train_kernel) likewise becomes a multi-RHS LU solve vs I (same
+    # failure envelope as inv: K_mm is PD in exact arithmetic but often
+    # near-singular in floats, where a strict Cholesky would refuse)
+    magic_matrix = sol[:, y2d.shape[1]:] * sigma2 - np.linalg.solve(
+        train_kernel, np.eye(m)
+    )
     return magic_vector, magic_matrix
 
 
