@@ -965,8 +965,13 @@ def bpe_merge_candidates(
 
     Scale shape: explode words → explode adjacent 2-char slices (linear in
     corpus chars) → ONE aggregate over the bigram alphabet (≤ |charset|²
-    keys — hundreds, not corpus-sized) → global top-k via one window over
-    that tiny aggregate.  Nothing corpus-sized survives the aggregate."""
+    keys — hundreds, not corpus-sized) → top-k via ``orderBy().limit(k)``
+    (TakeOrderedAndProject: per-partition heaps + one k-row merge, so the
+    count relation is never globally sorted even if a pathological corpus
+    blows the alphabet up) → the rank window runs over the
+    ALREADY-LIMITED k rows.  (count desc, pair) is a total order, so
+    limit-then-rank emits exactly rank-then-filter's relation.  Nothing
+    corpus-sized survives the aggregate."""
     from pyspark.sql import Window
 
     words = df.select(F.explode(tokens(F.col(text_col))).alias("_w"))
@@ -982,10 +987,13 @@ def bpe_merge_candidates(
         .groupBy("pair")
         .agg(F.count("*").alias("n_occurrences"))
     )
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    order = [F.desc("n_occurrences"), F.asc("pair")]
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        counts.orderBy(*order)
+        .limit(k)
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
         .select("pair", "n_occurrences", "rank")
     )
 
