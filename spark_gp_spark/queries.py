@@ -2696,14 +2696,19 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_recall(approx, exact)
 
 
-def _sql_ann_recall() -> str | None:
-    """Oracle for ann_recall_report: the _COSINE_TOPK_SQL ranking chain and
-    the _sql_ivf_topk candidate/ranking chain (each restated faithfully —
-    exact ranks on the unrounded similarity, IVF on the 6-dp rounded one,
-    exactly as the constituent oracles do), left-joined per (query,
-    neighbor) and aggregated to recall.  None when the testdata file is
-    unavailable (rows-only fallback)."""
-    ds = _sql_centroid_dists()
+def _sql_ann_recall(
+    cells: int = _IVF_K,
+    nprobe: int = _IVF_NPROBE,
+    sample: int | None = None,
+) -> str | None:
+    """Oracle for ann_recall_report (and, parameterized with the derived
+    auto configuration, ann_recall_report_auto): the _COSINE_TOPK_SQL
+    ranking chain and the _sql_ivf_topk candidate/ranking chain (each
+    restated faithfully — exact ranks on the unrounded similarity, IVF on
+    the 6-dp rounded one, exactly as the constituent oracles do),
+    left-joined per (query, neighbor) and aggregated to recall.  None when
+    the testdata file is unavailable (rows-only fallback)."""
+    ds = _sql_centroid_dists(cells, sample)
     if ds is None:
         return None
     return f"""
@@ -2726,8 +2731,8 @@ WITH e AS (
 ), qb AS (
   SELECT vec_id AS query_id,
          unnest(list_transform(
-           list_sort(list_transform(range(1, {_IVF_K} + 1),
-                                    i -> {{'d': ds[i], 'i': i}}))[1:{_IVF_NPROBE}],
+           list_sort(list_transform(range(1, {cells} + 1),
+                                    i -> {{'d': ds[i], 'i': i}}))[1:{nprobe}],
            s -> s.i)) AS cell
   FROM ad WHERE vec_id < 20
 ), cand AS (
@@ -2755,6 +2760,36 @@ GROUP BY x.query_id
 
 
 _ANN_RECALL_SQL = _sql_ann_recall()
+
+
+def ann_recall_report_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the AUTO-sized IVF index against exact brute force, per
+    query — the oracle-backed form of the r11 knee promotion's claim
+    (VERDICT r10 next #4): where ann_recall_report audits the FROZEN
+    small-corpus configuration (mean 0.57 at sf0.01 — the motivating
+    evidence), this relation audits what a user actually gets from the
+    auto defaults (cells ≈ √N, nprobe ≈ cells/2): mean recall ≈ 0.9 at
+    sf0.01/sf0.1.  Both engines independently derive the exact top-5, the
+    auto-IVF top-5 (the oracle re-derives cells/nprobe/sample from the
+    same parquet metadata), and their overlap.  STAGED for the round-12
+    window."""
+    exact = cosine_topk(spark, sf_dir)
+    approx = ivf_topk_auto(spark, sf_dir)
+    return S.topk_recall(approx, exact)
+
+
+def _sql_ann_recall_auto() -> str | None:
+    auto = _auto_ann_sf001()
+    if auto is None:
+        return None
+    return _sql_ann_recall(
+        cells=auto["cells"],
+        nprobe=auto["nprobe"],
+        sample=auto["sample_rows"],
+    )
+
+
+# (the constant is assigned after _auto_ann_sf001's definition below)
 
 
 def _auto_ann_sf001() -> dict | None:
@@ -2806,6 +2841,7 @@ def _sql_ivf_topk_auto() -> str | None:
 
 
 _IVF_TOPK_AUTO_SQL = _sql_ivf_topk_auto()
+_ANN_RECALL_AUTO_SQL = _sql_ann_recall_auto()
 
 
 # --------------------------------------------------------------------------
@@ -7109,8 +7145,15 @@ ORACLE_SQL = {
 
 #: Staged-for-NEXT-round inventory: name -> (query fn, oracle SQL) pairs
 #: that are built, parity-proven, and timed (bench.py staged_times /
-#: staged_errors) but NOT yet registered in QUERIES/ORACLE_SQL.  Empty at
-#: the moment: the fifteen r10-staged entries registered at the top of the
-#: round-11 window (see the QUERIES ordering comment).  Entries staged
-#: here must carry a NON-None oracle or be skipped (ADVICE r10).
-STAGED_QUERIES: dict = {}
+#: staged_errors) but NOT yet registered in QUERIES/ORACLE_SQL.  The
+#: fifteen r10-staged entries registered at the top of the round-11
+#: window (see the QUERIES ordering comment); the entries below stage for
+#: r12.  Entries staged here must carry a NON-None oracle or be skipped
+#: at staging time (ADVICE r10) — hence the conditional spreads.
+STAGED_QUERIES: dict = {
+    **(
+        {"ann_recall_report_auto": (ann_recall_report_auto, _ANN_RECALL_AUTO_SQL)}
+        if _ANN_RECALL_AUTO_SQL
+        else {}
+    ),
+}

@@ -95,6 +95,23 @@ def test_group_sample_deterministic_and_partition_invariant(spark, docs):
     assert a == b and len(out1) == 4
 
 
+def test_group_sample_small_group_keeps_all_rows(spark):
+    """The under-k regime the corpus never exercises (every sf0.01 event
+    type has ~2000 rows vs k=5 — r11 sampler audit): a group SMALLER than
+    k must survive whole, ranked 1..n, while a larger group is cut to
+    exactly k."""
+    df = spark.createDataFrame(
+        [("a", i) for i in range(3)] + [("b", i) for i in range(10, 22)],
+        "g string, id int",
+    )
+    out = P.group_sample(df, "g", "id", k=5, seed=7).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r[0], []).append(r[2])
+    assert sorted(by_g["a"]) == [1, 2, 3]  # all 3 rows, contiguous ranks
+    assert sorted(by_g["b"]) == [1, 2, 3, 4, 5]  # cut to exactly k
+
+
 def test_stratified_sample_deterministic_monotone(spark):
     """Domain-mix sampling contract: reproducible (pure function of id,
     seed, rates), MONOTONE in the rate (raising a domain's share only adds
