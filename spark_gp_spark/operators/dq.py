@@ -197,3 +197,64 @@ def profile_table(
     return one.selectExpr(
         f"stack({len(cols)}, {stack}) AS (col, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list,
+    probs: tuple = (0.25, 0.5, 0.75),
+    buckets: int = 32,
+) -> DataFrame:
+    """EXACT order-statistic quantiles of a corpus-sized column,
+    distributed — the profiling number ``approx_percentile`` only
+    estimates, computed without a single-task sort via the shared
+    ``prep.exact_global_rank`` core (repartitionByRange + per-partition
+    prefix counts).  Exactness matters when the quantile IS the contract:
+    cross-engine-reproducible split thresholds, regression-pinned DQ
+    baselines, billing tiers.
+
+    Semantics: quantile(p) = the value at global rank ``ceil(p·N)`` under
+    ORDER BY (value, *tiebreak) — the inverted-CDF / SQL
+    ``quantile_disc`` definition, restated by the oracle with the same
+    ``row_number`` arithmetic.  ``probs`` must be exactly-representable
+    doubles (quarters, eighths, …) so ``ceil(p·N)`` is bit-identical in
+    any IEEE-754 engine.  ``tiebreak_cols`` must make the composite key
+    unique (duplicate VALUES are fine — selecting by rank returns the
+    same value whichever duplicate holds it).
+
+    Output: (prob, rank, n_rows, value) — |probs| rows.
+
+    Scale shape: one ranged shuffle of the (value, tiebreak) projection +
+    the buckets-row prefix aggregate; the target-rank filter
+    ``array_contains`` compiles into the scan of the ranked relation, so
+    only |probs| rows survive to the prob-attach explode."""
+    order_cols = [value_col, *tiebreak_cols]
+    from .prep import exact_global_rank
+
+    ranked = exact_global_rank(
+        df.select(*order_cols), order_cols, buckets=buckets
+    )
+    targets = F.array(
+        *[F.ceil(F.lit(float(p)) * F.col("_n")).cast("long") for p in probs]
+    )
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    hits = ranked.filter(F.array_contains(targets, F.col("_rank")))
+    return (
+        hits.select(
+            F.col(value_col),
+            F.col("_rank").alias("rank"),
+            F.col("_n").alias("n_rows"),
+            F.explode(probs_arr).alias("prob"),
+        )
+        .filter(
+            F.col("rank")
+            == F.ceil(F.col("prob") * F.col("n_rows")).cast("long")
+        )
+        .select(
+            "prob",
+            "rank",
+            "n_rows",
+            F.round(F.col(value_col).cast("double"), 6).alias("value"),
+        )
+    )

@@ -595,3 +595,56 @@ def temperature_mix_sample(
         .filter(hv < F.col("thresh_bp"))
         .select(id_col, group_col, "n_group", "thresh_bp")
     )
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    buckets: int = 32,
+    rank_col: str = "_rank",
+    n_col: str = "_n",
+) -> DataFrame:
+    """Exact 1-based GLOBAL rank by ``order_cols`` without a single-task
+    sort — the shared distributed-order-statistic core under
+    text.exact_ntile (decile diagnostics) and dq.exact_quantiles:
+    ``repartitionByRange`` on the sort key spreads the sort across the
+    cluster (range partition i holds keys strictly below partition i+1's);
+    per-partition row counts — a ``buckets``-row relation — get a prefix
+    sum + total via one tiny unpartitioned window; broadcasting those
+    offsets back turns each row's per-partition ``row_number`` into its
+    exact global rank.  Adds ``rank_col`` and ``n_col`` (total rows) to
+    the input columns.
+
+    The composite sort key MUST be unique (callers append an id
+    tiebreaker): range partitioning fixes only the BETWEEN-partition
+    order, per-partition ``row_number`` the within-partition order —
+    unique keys make both total, hence the rank deterministic and
+    bit-identical to any engine's ``row_number() OVER (ORDER BY ...)``.
+    The only single-partition exchange feeds the ``buckets``-row counts
+    aggregate, never the input relation (plan-locked in test_plans.py)."""
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(buckets, *cols).withColumn(
+        "_egr_pid", F.spark_partition_id()
+    )
+    offw = Window.orderBy("_egr_pid").rowsBetween(Window.unboundedPreceding, -1)
+    totw = Window.orderBy("_egr_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        part.groupBy("_egr_pid")
+        .agg(F.count("*").cast("long").alias("_egr_c"))
+        .select(
+            "_egr_pid",
+            F.coalesce(F.sum("_egr_c").over(offw), F.lit(0)).alias("_egr_off"),
+            F.sum("_egr_c").over(totw).alias(n_col),
+        )
+    )
+    inw = Window.partitionBy("_egr_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(offsets), "_egr_pid")
+        .withColumn(
+            rank_col,
+            F.col("_egr_off") + F.row_number().over(inw).cast("long"),
+        )
+        .drop("_egr_pid", "_egr_off")
+    )

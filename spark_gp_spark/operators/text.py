@@ -1028,32 +1028,13 @@ def exact_ntile(
 
     The only single-partition exchange in the plan feeds the
     ``buckets``-row counts aggregate, never the input relation; a
-    plan-lock test (test_plans.py) asserts exactly that."""
-    from pyspark.sql import Window
+    plan-lock test (test_plans.py) asserts exactly that.  The rank core is
+    the shared ``prep.exact_global_rank`` (dq.exact_quantiles is the other
+    consumer); this wrapper adds only the rank→bin arithmetic."""
+    from .prep import exact_global_rank
 
-    cols = [F.col(c) for c in order_cols]
-    part = df.repartitionByRange(buckets, *cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    offw = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    totw = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    offsets = (
-        part.groupBy("_pid")
-        .agg(F.count("*").cast("long").alias("_c"))
-        .select(
-            "_pid",
-            F.coalesce(F.sum("_c").over(offw), F.lit(0)).alias("_off"),
-            F.sum("_c").over(totw).alias("_n"),
-        )
-    )
-    inw = Window.partitionBy("_pid").orderBy(*cols)
     ranked = (
-        part.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "_rank", F.col("_off") + F.row_number().over(inw).cast("long")
-        )
+        exact_global_rank(df, order_cols, buckets=buckets)
         .withColumn("_rem", F.expr(f"_n % {int(n_bins)}"))
         .withColumn("_small", F.expr(f"_n div {int(n_bins)}"))
     )
@@ -1064,7 +1045,7 @@ def exact_ntile(
         " + 1)"
     )
     return ranked.withColumn(out_col, bin_expr).drop(
-        "_pid", "_off", "_n", "_rank", "_rem", "_small"
+        "_n", "_rank", "_rem", "_small"
     )
 
 
@@ -1165,5 +1146,71 @@ def vocab_growth_curve(
             F.col("_bin").cast("long").alias("decile"),
             F.col("new_shingles").cast("long").alias("new_shingles"),
             F.sum("new_shingles").over(cum).cast("long").alias("vocab_size"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    shingle_n: int = 3,
+    n_bins: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-slice shingle NOVELTY — the complement of ``vocab_growth_curve``
+    and the direct repeat-rate diagnostic: for each of ``n_bins``
+    id-ordered corpus slices, what fraction of the slice's (doc, distinct
+    shingle) instances are FIRST occurrences (the shingle appears in no
+    earlier doc)?  A crawl that keeps re-crawling itself shows novelty
+    collapsing toward 0 in later slices; dedup budgets and continue-vs-stop
+    crawling calls read exactly this rate, per slice rather than
+    cumulatively.
+
+    Output: (decile, n_docs, total_shingles, new_shingles, novelty_rate) —
+    integer sums end to end with ONE exactly-rounded division per output
+    row, so the relation is bit-identical across engines (no float
+    accumulation order anywhere).  Docs with no shingles still count in
+    n_docs with zero contributions.
+
+    Scale shape: explode distinct (doc, shingle) pairs → ONE linear
+    groupBy(shingle) min aggregate (first occurrence) → equi-join back on
+    the shingle (both sides thin hashable-gram rows; text never shuffles)
+    → per-doc integer counts → the id→slice map from ``exact_ntile``
+    (repartitionByRange exact rank, no single-task sort) → an
+    ``n_bins``-row rollup."""
+    post = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s"),
+    ).distinct()
+    first = post.groupBy("_s").agg(F.min(id_col).alias("_first"))
+    per_doc = (
+        post.join(first, "_s")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n_sh"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("_n_new"),
+        )
+    )
+    bins = exact_ntile(df.select(F.col(id_col)), n_bins, [id_col], out_col="_bin")
+    return (
+        bins.join(per_doc, id_col, "left")
+        .groupBy("_bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("_n_sh"), F.lit(0)).cast("long").alias("total_shingles"),
+            F.coalesce(F.sum("_n_new"), F.lit(0)).cast("long").alias("new_shingles"),
+        )
+        .select(
+            F.col("_bin").cast("long").alias("decile"),
+            "n_docs",
+            "total_shingles",
+            "new_shingles",
+            F.round(
+                F.col("new_shingles")
+                / F.greatest(F.col("total_shingles"), F.lit(1)),
+                6,
+            ).alias("novelty_rate"),
         )
     )

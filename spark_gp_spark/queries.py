@@ -1740,6 +1740,35 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_components(docs, threshold=0.5, algorithm="star")
 
 
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components relation
+    (operators/dedup.py:component_size_histogram) — the pre-collapse shape
+    report: singleton count, pair count, and any mega-cluster (chained
+    boilerplate) at a glance.  Composes the registered neardup_components
+    verbatim, so parity inherits its proven CC determinism; one bounded
+    aggregate on top.  Non-vacuous at sf0.01: 453 singletons, 22 pairs,
+    one triple — three genuinely distinct size classes.  STAGED for the
+    round-12 window."""
+    comps = neardup_components(spark, sf_dir)
+    return D.component_size_histogram(comps)
+
+
+_CLUSTER_SIZE_HIST_SQL = (
+    "WITH comps AS ("
+    + _NEARDUP_COMPONENTS_SQL
+    + """), h AS (
+  SELECT component_size, count(DISTINCT component) AS n_components,
+         count(*) AS n_docs
+  FROM comps GROUP BY component_size
+), t AS (SELECT count(*)::DOUBLE AS total FROM comps)
+SELECT component_size::BIGINT AS component_size,
+       n_components::BIGINT AS n_components, n_docs::BIGINT AS n_docs,
+       round(n_docs / total, 6) AS doc_share
+FROM h CROSS JOIN t
+"""
+)
+
+
 #: absolute document-frequency cap for the tfidf registry query: tokens in
 #: more than this many documents are cut from the vocabulary.  250 =
 #: 0.5·N at the sf0.01 oracle fixture (result-identical to the former
@@ -4559,6 +4588,42 @@ FROM spine LEFT JOIN nb USING (bin)
 """
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice shingle novelty (operators/text.py:ngram_novelty) — the
+    repeat-rate complement of vocab_growth_curve: fraction of each
+    id-ordered decile's (doc, distinct 3-gram) instances that are FIRST
+    occurrences.  Integer sums + one exactly-rounded division per row, so
+    parity is structural; slices rank via exact_ntile (no single-task
+    sort).  Non-vacuous: the sf0.01 rates decay across deciles (first
+    slice ≈ 1.0 by construction, later slices measurably lower).  STAGED
+    for the round-12 window."""
+    return T.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+_NGRAM_NOVELTY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({_sql_word_ngrams(3)}) AS s FROM tok
+), f AS (
+  SELECT s, min(doc_id) AS fd FROM sh GROUP BY s
+), per AS (
+  SELECT sh.doc_id, count(*) AS n_sh,
+         sum(CASE WHEN f.fd = sh.doc_id THEN 1 ELSE 0 END) AS n_new
+  FROM sh JOIN f USING (s) GROUP BY sh.doc_id
+), d AS (
+  SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bin FROM documents
+)
+SELECT bin::BIGINT AS decile, count(*)::BIGINT AS n_docs,
+       coalesce(sum(n_sh), 0)::BIGINT AS total_shingles,
+       coalesce(sum(n_new), 0)::BIGINT AS new_shingles,
+       round(coalesce(sum(n_new), 0)::DOUBLE
+             / greatest(coalesce(sum(n_sh), 0), 1), 6) AS novelty_rate
+FROM d LEFT JOIN per USING (doc_id)
+GROUP BY bin
+"""
+
+
 #: vocab size for the staged vocab-coverage entry: the synthetic corpus has
 #: 31 distinct whitespace tokens, so 16 exercises a genuine OOV band (the
 #: 15 rarer tokens) instead of a vacuous all-in-vocab pass.
@@ -4861,6 +4926,38 @@ SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        h.status, h.version AS status_version
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN hist1 h ON p.user_id = h.user_id AND p.ts >= h.valid_from
+"""
+
+
+def price_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quartiles of lineitem extended price (operators/dq.py:
+    exact_quantiles) — distributed order statistics over a corpus-sized
+    column via the shared exact-rank core (repartitionByRange +
+    per-partition prefix counts; no single-task sort), where
+    approx_percentile would only estimate.  quantile(p) = value at rank
+    ceil(p·N) under ORDER BY (price, orderkey, linenumber); the oracle
+    restates the identical row_number arithmetic, so parity is structural.
+    STAGED for the round-12 window."""
+    from .operators.dq import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"]
+    )
+
+
+_PRICE_QUANTILES_SQL = """
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+), p(prob) AS (VALUES (0.25), (0.5), (0.75))
+SELECT prob, rn::BIGINT AS rank, n::BIGINT AS n_rows,
+       round(v::DOUBLE, 6) AS value
+FROM s JOIN p ON rn = ceil(prob * n)
 """
 
 
@@ -7156,4 +7253,10 @@ STAGED_QUERIES: dict = {
         if _ANN_RECALL_AUTO_SQL
         else {}
     ),
+    "ngram_novelty": (ngram_novelty, _NGRAM_NOVELTY_SQL),
+    "dedup_cluster_size_histogram": (
+        dedup_cluster_size_histogram,
+        _CLUSTER_SIZE_HIST_SQL,
+    ),
+    "price_exact_quantiles": (price_exact_quantiles, _PRICE_QUANTILES_SQL),
 }
