@@ -5811,6 +5811,44 @@ GROUP BY 1, 2
 """
 
 
+def streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC as-of enrichment (streaming/events.py:
+    run_streaming_asof_enrich): arriving purchases pick up the latest view
+    from a static user-history snapshot within a 1-hour lookback — the
+    feature-store online lookup at ingest, rendered as a STATELESS
+    time-bucketed equi-join (the interval_join lowering transplanted to
+    stream-static; candidates emit on arrival, zero streaming state) with
+    the latest-view pick as a batch max(struct) epilogue over the sink
+    log.  Oracle = the same bounded as-of stated with one window.
+    Non-vacuous: ~38 of 1981 purchases carry an in-window view at sf0.01
+    (measured in the r11 join-shaped audit).  STAGED for the round-12
+    window."""
+    from .streaming.events import run_streaming_asof_enrich
+
+    return run_streaming_asof_enrich(spark, sf_dir)
+
+
+_STREAM_ASOF_ENRICH_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, event_id AS view_id, ts AS v_ts FROM events
+  WHERE event_type = 'view'
+), j AS (
+  SELECT p.user_id, purchase_id, epoch_us(p_ts) AS purchase_ts_us,
+         view_id, epoch_us(v_ts) AS view_ts_us,
+         row_number() OVER (
+           PARTITION BY purchase_id ORDER BY v_ts DESC, view_id DESC
+         ) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v_ts <= p_ts AND v_ts > p_ts - INTERVAL 1 HOUR
+)
+SELECT user_id, purchase_id, purchase_ts_us, view_id, view_ts_us
+FROM j WHERE rn = 1
+"""
+
+
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment (dimension lookup on a stream —
     stateless join, no stream-stream state) feeding an APPEND windowed agg
@@ -7259,4 +7297,5 @@ STAGED_QUERIES: dict = {
         _CLUSTER_SIZE_HIST_SQL,
     ),
     "price_exact_quantiles": (price_exact_quantiles, _PRICE_QUANTILES_SQL),
+    "streaming_asof_enrich": (streaming_asof_enrich, _STREAM_ASOF_ENRICH_SQL),
 }

@@ -778,3 +778,120 @@ def run_streaming_ingest_dedup(
     _drive_append_query(q, src, arrivals)
     log = spark.read.schema(stream.schema).parquet(sink)
     return log.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+
+
+def run_streaming_asof_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    lookback_us: int = 3_600_000_000,
+    query_name: str = "gp_stream_asof_enrich",
+    n_files: int = 2,
+) -> DataFrame:
+    """Stream-STATIC as-of enrichment — the feature-store online lookup at
+    ingest time: each ARRIVING purchase is enriched with the latest view
+    from a STATIC user-history snapshot within a bounded ``lookback_us``
+    window.  Complements run_streaming_interval_join (stream-stream,
+    stateful): here the history side is a batch relation, so the join is
+    completely STATELESS — candidates emit on arrival, nothing is retained
+    across micro-batches, the bounded-state question doesn't even arise.
+
+    Plan shape: the interval_join time-bucket lowering (operators/asof.py)
+    transplanted to stream-static — static views carry bucket
+    floor(v_us/W); each arriving purchase explodes into its ≤2 covering
+    buckets (a stateless projection); one equi-join on (user, bucket) +
+    the window filter.  No inequality-join state, no per-row lookups; at
+    100 TB the static side shuffles once per micro-batch plan and the
+    candidate set per purchase is bounded by per-user view rate × W.
+
+    The sink collects the candidate log; the LATEST-view pick is the batch
+    epilogue ``max(struct(v_ts, view_id))`` per purchase — the same
+    log-then-summarize discipline as the streaming near-dup family, so
+    emission timing never races the summary.
+
+    Output: (user_id, purchase_id, purchase_ts_us, view_id, view_ts_us) —
+    one row per purchase that HAS an in-window prior view."""
+    from ..sources.tables import load_events
+
+    work = tempfile.mkdtemp(prefix="gp_stream_asof_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False
+    )
+
+    stream = normalize_event_ts(
+        spark, spark.readStream.schema(schema).parquet(src)
+    )
+    w = lookback_us
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.unix_micros("ts").alias("p_us"),
+        )
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("p_us") / w) - 1, F.floor(F.col("p_us") / w)
+                )
+            ),
+        )
+    )
+    views = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.unix_micros("ts").alias("v_us"),
+        )
+        .withColumn("_bucket", F.floor(F.col("v_us") / w))
+    )
+    log = (
+        purchases.join(
+            views,
+            on=[
+                purchases["p_user"] == views["v_user"],
+                purchases["_bucket"] == views["_bucket"],
+            ],
+        )
+        .filter(
+            (F.col("v_us") <= F.col("p_us"))
+            & (F.col("v_us") > F.col("p_us") - w)
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            F.col("p_us").alias("purchase_ts_us"),
+            "view_id",
+            F.col("v_us").alias("view_ts_us"),
+        )
+    )
+    with _state_partitions(spark):
+        q = (
+            log.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .queryName(query_name)
+            .start()
+        )
+    _drive_append_query(q, src, arrivals)
+    out_schema = (
+        "user_id bigint, purchase_id bigint, purchase_ts_us bigint,"
+        " view_id bigint, view_ts_us bigint"
+    )
+    sunk = spark.read.schema(out_schema).parquet(sink)
+    pick = F.max(F.struct("view_ts_us", "view_id")).alias("_m")
+    return (
+        sunk.groupBy("user_id", "purchase_id", "purchase_ts_us")
+        .agg(pick)
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts_us",
+            F.col("_m.view_id").alias("view_id"),
+            F.col("_m.view_ts_us").alias("view_ts_us"),
+        )
+    )

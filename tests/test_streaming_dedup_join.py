@@ -51,3 +51,46 @@ def test_streaming_interval_join_equals_batch_range_join(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_asof_enrich_equals_batch_bounded_asof(spark, sf_dir):
+    """The stream-static as-of enrichment (stateless time-bucketed
+    equi-join + batch latest-pick epilogue) must equal the plain batch
+    bounded as-of: per purchase, the latest view within 1 hour."""
+    from spark_gp_spark.streaming.events import run_streaming_asof_enrich
+
+    got = {
+        (r.purchase_id, r.view_id, r.view_ts_us)
+        for r in run_streaming_asof_enrich(spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+    )
+    j = p.join(
+        v,
+        F.expr(
+            "p_user = v_user AND v_us <= p_us AND v_us > p_us - 3600000000"
+        ),
+    )
+    want = {
+        (r.purchase_id, r["_m"].view_id, r["_m"].view_ts_us)
+        for r in j.groupBy("purchase_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("v_us").alias("view_ts_us"),
+                    F.col("view_id").alias("view_id"),
+                )
+            ).alias("_m")
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
