@@ -588,11 +588,18 @@ def test_exact_ntile_diagnostics_no_corpus_single_partition_sort(spark):
     SinglePartition fed by an aggregate (the buckets-row counts relation
     or the n_bins-row rollup), never a raw scan."""
     from spark_gp_spark.queries import (
+        ngram_novelty,
+        price_exact_quantiles,
         quality_calibration_bins,
         vocab_growth_curve,
     )
 
-    for fn in (quality_calibration_bins, vocab_growth_curve):
+    for fn in (
+        quality_calibration_bins,
+        vocab_growth_curve,
+        ngram_novelty,
+        price_exact_quantiles,
+    ):
         df = fn(spark, SF)
         plan = _plan(df)
         assert "rangepartitioning" in plan, fn.__name__
