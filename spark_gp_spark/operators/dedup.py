@@ -1315,3 +1315,87 @@ def component_size_histogram(components: DataFrame) -> DataFrame:
             F.round(F.col("n_docs") / F.col("_total"), 6).alias("doc_share"),
         )
     )
+
+
+def minhash_estimate_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    seed: int = 7,
+    max_band_size: int | None = 1000,
+) -> DataFrame:
+    """Estimator-calibration audit for the MinHash dedup tier — the
+    signature-family parallel of the ANN recall reports: for every banded
+    candidate pair, the Broder (1997) signature-agreement ESTIMATE of
+    Jaccard next to the EXACT shingle Jaccard and their signed error.
+    This is the relation that justifies (or indicts) num_hashes: a 16-hash
+    signature estimates at ±1/16 granularity, and band-selected candidates
+    are biased HIGH (they were selected for agreeing on ≥ 1 band) — the
+    audit shows both effects on real data before anyone trusts the
+    estimate as a dedup threshold.
+
+    Output: (id_a, id_b, est_sim, exact_jaccard, err) — one row per
+    candidate pair (NO similarity threshold: the noisy low-sim candidates
+    are exactly the calibration-relevant ones); err computed from the two
+    6-dp-rounded values so it is bit-identical across engines.
+
+    Scale shape: identical candidate generation to minhash_lsh_pairs
+    (banded equi-join, hot-band cap, heavy arrays fetched by id AFTER
+    candidate dedup); the estimate adds one zip_with fold over two
+    16-element arrays per candidate."""
+    sigs = _minhash_staged(df, text_col, id_col, num_hashes, shingle_n, seed).persist()
+    _retire_shingle_caches([sigs])
+    banded = sigs.select(
+        "_id", minhash_band_struct(F.col("sig"), num_hashes, bands).alias("bk")
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_band_size is not None:
+        sizes = (
+            banded.groupBy("band", "key")
+            .count()
+            .filter(F.col("count") <= max_band_size)
+        )
+        banded = banded.join(sizes.select("band", "key"), ["band", "key"], "left_semi")
+    left = banded.select("band", "key", F.col("_id").alias("id_a"))
+    right = banded.select("band", "key", F.col("_id").alias("id_b"))
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = sigs.select(
+        F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sigs.select(
+        F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "est_sim", F.round(matches.cast("double") / num_hashes, 6)
+        )
+        .withColumn(
+            "exact_jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "est_sim",
+            "exact_jaccard",
+            F.round(F.col("est_sim") - F.col("exact_jaccard"), 6).alias("err"),
+        )
+    )

