@@ -1178,10 +1178,12 @@ def ngram_novelty(
     → per-doc integer counts → the id→slice map from ``exact_ntile``
     (repartitionByRange exact rank, no single-task sort) → an
     ``n_bins``-row rollup."""
+    # word_ngrams is distinct-per-doc by construction, so the exploded
+    # (doc, shingle) pairs are already unique — no dedup shuffle needed
     post = df.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s"),
-    ).distinct()
+    )
     first = post.groupBy("_s").agg(F.min(id_col).alias("_first"))
     per_doc = (
         post.join(first, "_s")

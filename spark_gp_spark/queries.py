@@ -1454,7 +1454,15 @@ def streaming_neardup_join_bounded(
     keeps 13 of the unbounded twin's 24 dup'd docs and re-points the mins
     of several others — non-vacuous in both directions.  The unbounded
     twin stays registered as the analytics-replay variant but leaves the
-    timed suite (its ~18 s re-measured a documented losing experiment)."""
+    timed suite.  Measured honestly (same VM, back to back at sf0.1):
+    eviction is NOT free at replay scale — bounded 22.1 s vs unbounded
+    16.2 s, because value-watermark cleanup scans the stores each batch
+    (the dedicated no-data eviction batches alone cost ~7 s of
+    commitTimeMs before _no_nodata_batches folded them into data
+    batches).  The trade the entry buys is ASYMPTOTIC: state stays
+    O(horizon·rate) on an unbounded stream where the twin's grows without
+    bound — the only deployable shape, priced with its real replay-scale
+    overhead rather than advertised as free."""
     from .streaming.neardup import run_streaming_neardup_join
 
     return run_streaming_neardup_join(

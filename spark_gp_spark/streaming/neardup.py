@@ -41,7 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_band_struct, minhash_signature
-from .events import _drive_append_query, _staged_arrivals, _state_partitions
+from .events import (
+    _drive_append_query,
+    _no_nodata_batches,
+    _staged_arrivals,
+    _state_partitions,
+)
 
 NEARDUP_OUT_SCHEMA = "doc_id bigint, dup_of bigint"
 
@@ -720,7 +725,10 @@ def run_streaming_neardup_join(
     matches = new_side.join(prior_side, on=conds, how="inner").select(
         "doc_id", F.col("dup_cand").alias("dup_of")
     )
-    with _state_partitions(spark):
+    # inner join => emits on arrival; no-data batches would only pay
+    # state commits (see _no_nodata_batches: 29.8 -> 22.1 s bounded /
+    # 21.7 -> 16.2 s unbounded at sf0.1, same VM)
+    with _state_partitions(spark), _no_nodata_batches(spark):
         q = (
             matches.writeStream.outputMode("append")
             .format("parquet")
@@ -729,7 +737,7 @@ def run_streaming_neardup_join(
             .queryName(query_name)
             .start()
         )
-    _drive_append_query(q, src, arrivals)
+        _drive_append_query(q, src, arrivals)
     LAST_JOIN_STATE_METRICS.clear()
     LAST_JOIN_STATE_METRICS.update(
         {
