@@ -368,7 +368,10 @@ def run_streaming_dedup(
         .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour_start"])
         .select("user_id", "event_type", "hour_start")
     )
-    with _state_partitions(spark):
+    # dropDuplicatesWithinWatermark emits first-seen rows ON ARRIVAL;
+    # no-data batches would only pay state-eviction commits (see
+    # _no_nodata_batches) — eviction folds into the next data batch
+    with _state_partitions(spark), _no_nodata_batches(spark):
         q = (
             deduped.writeStream.outputMode("append")
             .format("parquet")
@@ -377,7 +380,7 @@ def run_streaming_dedup(
             .queryName(query_name)
             .start()
         )
-    _drive_append_query(q, src, arrivals)
+        _drive_append_query(q, src, arrivals)
     return spark.read.parquet(sink)
 
 
@@ -438,7 +441,9 @@ def run_streaming_interval_join(
     # a stream-stream join keeps 4 state stores PER SIDE per partition, but
     # at sf0.1 the join's shuffle parallelism dominates the fixed commit
     # cost: 8 partitions measured ~2× faster than 4 (A/B at sf0.1)
-    with _state_partitions(spark):
+    # inner join => emits on arrival; no-data batches only pay state
+    # commits (see _no_nodata_batches) — eviction folds into data batches
+    with _state_partitions(spark), _no_nodata_batches(spark):
         q = (
             joined.writeStream.outputMode("append")
             .format("parquet")
@@ -447,7 +452,7 @@ def run_streaming_interval_join(
             .queryName(query_name)
             .start()
         )
-    _drive_append_query(q, src, arrivals)
+        _drive_append_query(q, src, arrivals)
     return spark.read.parquet(sink)
 
 
