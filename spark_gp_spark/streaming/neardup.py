@@ -412,7 +412,8 @@ def run_streaming_embedding_neardup(
     matches = streaming_embedding_neardup_matches(
         stream, bits=bits, tables=tables, seed=seed, dim=dim
     )
-    with _state_partitions(spark):
+    # no TTL is armed here, so no-data batches only re-commit stores
+    with _state_partitions(spark), _no_nodata_batches(spark):
         q = (
             matches.writeStream.outputMode("append")
             .format("parquet")
@@ -421,7 +422,7 @@ def run_streaming_embedding_neardup(
             .queryName(query_name)
             .start()
         )
-    _drive_append_query(q, src, arrivals)
+        _drive_append_query(q, src, arrivals)
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
     return (
         log.groupBy("doc_id")
@@ -612,7 +613,15 @@ def run_streaming_neardup(
         stream, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n, seed=seed,
         ttl_ms=ttl_ms, ts_col=ts_col,
     )
-    with _state_partitions(spark):
+    # without a TTL the state machine never times out, so no-data batches
+    # only re-commit the stores (see _no_nodata_batches); TTL variants NEED
+    # them — that's where the engine fires timeouts
+    import contextlib
+
+    nodata_ctx = (
+        _no_nodata_batches(spark) if ttl_ms is None else contextlib.nullcontext()
+    )
+    with _state_partitions(spark), nodata_ctx:
         q = (
             matches.writeStream.outputMode("append")
             .format("parquet")
@@ -621,7 +630,7 @@ def run_streaming_neardup(
             .queryName(query_name)
             .start()
         )
-    _drive_append_query(q, src, arrivals)
+        _drive_append_query(q, src, arrivals)
     # explicit schema: a collision-free corpus commits ZERO part files and a
     # bare read would fail schema inference instead of returning 0 rows
     log = spark.read.schema(NEARDUP_OUT_SCHEMA).parquet(sink)
