@@ -258,3 +258,43 @@ def exact_quantiles(
             F.round(F.col(value_col).cast("double"), 6).alias("value"),
         )
     )
+
+
+def column_integrity_report(
+    df: DataFrame,
+    meta_col: str,
+    derived: Column,
+    group_col: str,
+) -> DataFrame:
+    """Metadata-integrity audit: per ``group_col``, how often a STORED
+    metadata column disagrees with the value recomputed from the payload
+    (``derived``) — the ingest check that catches truncated payloads,
+    stale re-crawl metadata, and encoding drift before any verb trusts
+    the metadata column as a cheap stand-in for scanning the payload.
+
+    Output: (group, n_docs, n_mismatched, mismatch_rate, max_abs_drift) —
+    integer counts, one exactly-rounded division, and an integer max, so
+    the relation is bit-identical across engines.
+
+    Scale shape: ONE aggregate over a scan projection (the recomputation
+    is a column expression; nothing shuffles but the group keys)."""
+    d = df.withColumn("_derived", derived)
+    mism = F.col(meta_col).cast("long") != F.col("_derived").cast("long")
+    drift = F.abs(F.col(meta_col).cast("long") - F.col("_derived").cast("long"))
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(mism, 1).otherwise(0)).cast("long").alias("n_mismatched"),
+            F.max(F.when(mism, drift).otherwise(0)).cast("long").alias("max_abs_drift"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_mismatched",
+            F.round(F.col("n_mismatched") / F.col("n_docs"), 6).alias(
+                "mismatch_rate"
+            ),
+            "max_abs_drift",
+        )
+    )

@@ -5028,6 +5028,51 @@ FROM s JOIN p ON rn = ceil(prob * n)
 """
 
 
+def metadata_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-integrity audit (operators/dq.py:column_integrity_report):
+    per source, how often the stored n_chars column disagrees with
+    length(text) recomputed from the payload — the ingest check run before
+    any verb trusts metadata over scanning.  The natural corpus is
+    perfectly consistent (n_chars == length(text) on all 500 rows — a
+    vacuous pass, the r10 audit lesson), so the fixture plants a
+    deterministic drift both engines restate: docs at doc_id % 29 == 7
+    carry n_chars + (doc_id % 5) + 1 (17 rows corrupt at sf0.01, drift
+    1..5, spread over 13 of 20 sources).  STAGED for the round-12
+    window."""
+    from .operators.dq import column_integrity_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    planted = docs.withColumn(
+        "n_chars",
+        F.when(k % 29 == 7, F.col("n_chars") + k % 5 + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    return column_integrity_report(
+        planted, "n_chars", F.length("text"), "source"
+    )
+
+
+_METADATA_INTEGRITY_SQL = """
+WITH m AS (
+  SELECT source,
+         CASE WHEN doc_id % 29 = 7 THEN n_chars + doc_id % 5 + 1
+              ELSE n_chars END AS n_chars,
+         length(text) AS derived
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_chars <> derived THEN 1 ELSE 0 END)::BIGINT
+         AS n_mismatched,
+       round(sum(CASE WHEN n_chars <> derived THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS mismatch_rate,
+       max(CASE WHEN n_chars <> derived THEN abs(n_chars - derived)
+                ELSE 0 END)::BIGINT AS max_abs_drift
+FROM m GROUP BY source
+"""
+
+
 def orders_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report (operators/dq.py): six rules over
     orders — all row-level + uniqueness rules fused into ONE aggregate pass,
@@ -7368,5 +7413,9 @@ STAGED_QUERIES: dict = {
     "minhash_estimate_report": (
         minhash_estimate_report,
         _MINHASH_ESTIMATE_SQL,
+    ),
+    "metadata_integrity_report": (
+        metadata_integrity_report,
+        _METADATA_INTEGRITY_SQL,
     ),
 }
