@@ -5037,7 +5037,7 @@ def metadata_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuous pass, the r10 audit lesson), so the fixture plants a
     deterministic drift both engines restate: docs at doc_id % 29 == 7
     carry n_chars + (doc_id % 5) + 1 (17 rows corrupt at sf0.01, drift
-    1..5, spread over 13 of 20 sources).  STAGED for the round-12
+    1..5, spread over 17 of 20 sources).  STAGED for the round-12
     window."""
     from .operators.dq import column_integrity_report
 
