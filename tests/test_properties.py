@@ -101,3 +101,70 @@ def test_laplace_mode_is_start_point_independent(seed, n):
     nll_w, g_w, f_w, _ = gpc_laplace(y, X, make(), x0, tol=1e-12, f0=warm_start)
     assert nll_w == pytest.approx(nll_c, rel=1e-6, abs=1e-8)
     assert np.allclose(f_w, f_c, atol=1e-5)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    n_bins=st.integers(1, 12),
+    buckets=st.integers(2, 7),
+    seed=st.integers(0, 10_000),
+)
+def test_exact_ntile_matches_sql_ntile(spark, n, n_bins, buckets, seed):
+    """exact_ntile's distributed rank→bin arithmetic must be bit-identical
+    to Spark's own ntile over an unpartitioned window for ANY (n, n_bins,
+    bucket count) — including n < n_bins (empty tail bins), n not
+    divisible by n_bins (the first n%n_bins bins take one extra row), and
+    more range-buckets than rows."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.text import exact_ntile
+
+    rng = random.Random(seed)
+    keys = rng.sample(range(100_000), n)
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(3)
+    got = {
+        (r.k, r.b)
+        for r in exact_ntile(df, n_bins, ["k"], out_col="b", buckets=buckets)
+        .select("k", F.col("b").cast("long").alias("b"))
+        .collect()
+    }
+    want = {
+        (r.k, r.b)
+        for r in df.select(
+            "k",
+            F.ntile(n_bins).over(Window.orderBy("k")).cast("long").alias("b"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n=st.integers(1, 200),
+    buckets=st.integers(2, 7),
+    seed=st.integers(0, 10_000),
+)
+def test_exact_quantiles_match_rank_definition(spark, n, buckets, seed):
+    """exact_quantiles must return the value at global rank ceil(p·N) under
+    (value, id) order for every prob — duplicates in the VALUE column
+    included (the id tiebreak makes the rank total)."""
+    import math
+    import random
+
+    from spark_gp_spark.operators.dq import exact_quantiles
+
+    rng = random.Random(seed)
+    rows = [(rng.randint(0, 20) * 1.0, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(3)
+    out = {
+        r.prob: (r.rank, r.n_rows, r.value)
+        for r in exact_quantiles(df, "v", ["id"], buckets=buckets).collect()
+    }
+    ordered = sorted(rows)
+    for p in (0.25, 0.5, 0.75):
+        rank = math.ceil(p * n)
+        assert out[p] == (rank, n, round(ordered[rank - 1][0], 6)), (p, n)
