@@ -6337,6 +6337,56 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format breadth: orders written as headered CSV (the
+    reference's ONLY source format — spark-gp reads headerless CSV via
+    sources/tables.py:read_labeled_csv; this entry proves the engine also
+    round-trips its relations THROUGH csv losslessly) and read back with
+    an explicit schema.  Timestamps ride as integer epoch-micros and the
+    price as its exact double (CSV's text layer would otherwise invite
+    locale/precision drift); the per-status aggregate hash-matches the
+    oracle computed on the ORIGINAL parquet, proving the round trip, not
+    just the write.  STAGED for the round-12 window."""
+    o = load_table(spark, sf_dir, "orders")
+    source = f"{sf_dir}/orders.parquet"
+    path, fresh = _derived_copy_path("csv", source)
+    if not fresh:
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            # NTZ → UTC instant is a pure reinterpretation under the UTC
+            # session tz (same rule as tables.normalize_event_ts), so
+            # unix_micros equals DuckDB's epoch_us of the naive value
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+        ).write.mode("overwrite").option("header", "true").csv(path)
+        _derived_copy_commit("csv", source)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate_us bigint"
+    ).option("header", "true").csv(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate_us").alias("min_date_us"),
+        F.max("o_orderdate_us").alias("max_date_us"),
+    )
+
+
+_CSV_ROUNDTRIP_SQL = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+       count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       round(sum(o_totalprice), 2) AS total_price,
+       min(epoch_us(o_orderdate)) AS min_date_us,
+       max(epoch_us(o_orderdate)) AS max_date_us
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 _SHARD_N, _SHARD_SEED = 8, 3
 
 
@@ -7418,4 +7468,5 @@ STAGED_QUERIES: dict = {
         metadata_integrity_report,
         _METADATA_INTEGRITY_SQL,
     ),
+    "csv_roundtrip": (csv_roundtrip, _CSV_ROUNDTRIP_SQL),
 }
