@@ -610,3 +610,41 @@ def test_exact_ntile_diagnostics_no_corpus_single_partition_sort(spark):
                 "Exchange SinglePartition"
             ):
                 assert "HashAggregate" in text, (fn.__name__, text[:1500])
+
+
+def test_r12_staged_verbs_plan_shapes(spark):
+    """Scale-shape locks for the r12-staged batch verbs: every join is an
+    equi-join (no cartesian/BNLJ anywhere) — the candidate generation in
+    minhash_estimate_report must stay the banded equi-join, the novelty
+    first-occurrence attach an equi-join on the shingle, the histogram a
+    bounded aggregate + broadcast, the integrity audit one aggregate over
+    a scan projection."""
+    from spark_gp_spark.queries import (
+        dedup_cluster_size_histogram,
+        metadata_integrity_report,
+        minhash_estimate_report,
+        ngram_novelty,
+    )
+
+    for fn in (
+        minhash_estimate_report,
+        ngram_novelty,
+        dedup_cluster_size_histogram,
+        metadata_integrity_report,
+    ):
+        df = fn(spark, SF)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, fn.__name__
+        # the only BNLJ allowed is the deliberate 1-row stats broadcast
+        # (cluster-size histogram's corpus total) — build side must be a
+        # BroadcastExchange, never a corpus-sized relation
+        for node in _bnlj_nodes(df):
+            build = node.buildSide().toString()
+            side = node.right() if build == "BuildRight" else node.left()
+            assert "BroadcastExchange" in side.toString(), (
+                fn.__name__,
+                side.toString()[:800],
+            )
+    # the integrity audit must stay a single-scan aggregate: no join at all
+    plan = _plan(metadata_integrity_report(spark, SF))
+    assert "Join" not in plan, plan[:1200]
