@@ -298,3 +298,59 @@ def column_integrity_report(
             "max_abs_drift",
         )
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    tiebreak_cols: list,
+    probs: tuple = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-GROUP exact order-statistic quantiles — the grouped form of
+    ``exact_quantiles``: quantile_g(p) = the value at rank ceil(p·N_g)
+    under ORDER BY (value, *tiebreak) WITHIN each group.  Groups
+    partition the work, so the canonical Spark shape is right here: ONE
+    hash shuffle on the group key and a per-group sort that distributes
+    across the cluster (no global ordering exists to need the
+    repartitionByRange machinery — that is the UNGROUPED problem).
+
+    Output: (group, prob, rank, n_rows, value) — |groups|·|probs| rows.
+    Same determinism contract as exact_quantiles: unique composite sort
+    key, exactly-representable probs."""
+    from pyspark.sql import Window
+
+    order = [F.col(value_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    cw = Window.partitionBy(group_col)
+    ranked = df.select(group_col, value_col, *tiebreak_cols).select(
+        group_col,
+        F.col(value_col),
+        F.row_number().over(w).cast("long").alias("_rank"),
+        F.count("*").over(cw).cast("long").alias("_n"),
+    )
+    targets = F.array(
+        *[F.ceil(F.lit(float(p)) * F.col("_n")).cast("long") for p in probs]
+    )
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    return (
+        ranked.filter(F.array_contains(targets, F.col("_rank")))
+        .select(
+            group_col,
+            F.col(value_col),
+            F.col("_rank").alias("rank"),
+            F.col("_n").alias("n_rows"),
+            F.explode(probs_arr).alias("prob"),
+        )
+        .filter(
+            F.col("rank")
+            == F.ceil(F.col("prob") * F.col("n_rows")).cast("long")
+        )
+        .select(
+            group_col,
+            "prob",
+            "rank",
+            "n_rows",
+            F.round(F.col(value_col).cast("double"), 6).alias("value"),
+        )
+    )

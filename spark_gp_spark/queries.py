@@ -5028,6 +5028,35 @@ FROM s JOIN p ON rn = ceil(prob * n)
 """
 
 
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type EXACT value quartiles (operators/dq.py:
+    grouped_exact_quantiles) — the grouped profiling form: quantile_g(p) =
+    value at rank ceil(p·N_g) within each type.  Groups partition the
+    work, so this is the canonical one-shuffle-per-group-key Spark shape
+    (the repartitionByRange exact-rank machinery is the UNGROUPED
+    problem's tool); the oracle restates the same per-group row_number
+    arithmetic.  STAGED for the round-12 window."""
+    from .operators.dq import grouped_exact_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_exact_quantiles(ev, "value", "event_type", ["event_id"])
+
+
+_EVENT_VALUE_QUANTILES_SQL = """
+WITH s AS (
+  SELECT event_type, value AS v,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), p(prob) AS (VALUES (0.25), (0.5), (0.75))
+SELECT event_type, prob, rn::BIGINT AS rank, n::BIGINT AS n_rows,
+       round(v::DOUBLE, 6) AS value
+FROM s JOIN p ON rn = ceil(prob * n)
+"""
+
+
 def metadata_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-integrity audit (operators/dq.py:column_integrity_report):
     per source, how often the stored n_chars column disagrees with
@@ -7478,4 +7507,8 @@ STAGED_QUERIES: dict = {
         _METADATA_INTEGRITY_SQL,
     ),
     "csv_roundtrip": (csv_roundtrip, _CSV_ROUNDTRIP_SQL),
+    "event_value_quantiles": (
+        event_value_quantiles,
+        _EVENT_VALUE_QUANTILES_SQL,
+    ),
 }
