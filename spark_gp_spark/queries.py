@@ -7473,18 +7473,18 @@ ORACLE_SQL = {
 #: that are built, parity-proven, and timed (bench.py staged_times /
 #: staged_errors) but NOT yet registered in QUERIES/ORACLE_SQL.  The
 #: fifteen r10-staged entries registered at the top of the round-11
-#: window (see the QUERIES ordering comment); the EIGHT entries below
+#: window (see the QUERIES ordering comment); the NINE entries below
 #: stage for r12 (`tools/check_correctness.py --staged` at round-11
-#: close: 8 ok / 0 fail).  Entries staged here must carry a NON-None
+#: close: 9 ok / 0 fail).  Entries staged here must carry a NON-None
 #: oracle or be skipped at staging time (ADVICE r10) — hence the
 #: conditional spreads.
 #:
-#: ROUND-12 PLAN: move these eight pairs to the top of QUERIES +
+#: ROUND-12 PLAN: move these nine pairs to the top of QUERIES +
 #: ORACLE_SQL; then any r12-changed entries; then the 12 documented r8
 #: leftovers (named in the QUERIES ordering comment — rotate them FIRST);
-#: then the oldest r9-green entries.  8 + 12 = 20 fixed slots leaves ~30
+#: then the oldest r9-green entries.  9 + 12 = 21 fixed slots leaves ~29
 #: for r12-changed + r9 rotations against a 39-entry r9 class — after
-#: r12 at most ~9 entries remain r9-green, everything else r10+.
+#: r12 at most ~10 entries remain r9-green, everything else r10+.
 STAGED_QUERIES: dict = {
     **(
         {"ann_recall_report_auto": (ann_recall_report_auto, _ANN_RECALL_AUTO_SQL)}
