@@ -171,7 +171,14 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
         Kmm = kern.training_kernel()
         sigma2 = kern.white_noise_var
         m = len(active)
-        Kinv = np.linalg.inv(Kmm)
+        # multi-RHS LU solve vs I instead of explicit inv (the ppa_solve /
+        # Laplace-epilogue pattern, gp_math.py:181-210; VERDICT r11 #3):
+        # same flop order, better conditioning behavior on the
+        # near-singular K_mm that optimized hypers routinely produce.  The
+        # m×m operator is still materialized — it ships to executors and
+        # applies to every candidate chunk as one GEMM, so a factor-only
+        # form would re-solve per chunk for no accuracy gain.
+        Kinv = np.linalg.solve(Kmm, np.eye(m))
 
         factory, act = ctx.kernel_factory, active
 
@@ -186,8 +193,12 @@ def greedy_active_set(ctx: ActiveSetContext, batch: int = 1) -> np.ndarray:
 
         pdm = sigma2 * Kmm + KmnKnm
         assert_sym_positive_definite(pdm)
-        inv_pdm = np.linalg.inv(pdm)
-        magic_vector = np.linalg.solve(pdm, Kmny)
+        # one factorization serves both outputs: solve pdm against
+        # [K_mn y | I] (ppa_solve's exact shape) instead of a separate
+        # inv(pdm) + solve(pdm, Kmny)
+        sol = np.linalg.solve(pdm, np.hstack([Kmny.reshape(m, 1), np.eye(m)]))
+        magic_vector = sol[:, 0]
+        inv_pdm = sol[:, 1:]
         sigma = np.sqrt(sigma2)
         b = min(batch, ctx.active_set_size - m)
         # Duplicate screening (pre-dedup corpora): a candidate row bitwise

@@ -68,21 +68,27 @@ def auto_ivf_params(n: int) -> dict:
     - ``cells`` ≈ √N (FAISS's guideline for IVF list count: balances the
       probe scan ≈ nprobe·N/cells against the centroid scan ≈ cells),
       floored at 16 so tiny corpora keep a meaningful inverted file;
-    - ``nprobe`` ≈ cells/2, floored at 4 — the knee of the r11 recall/time
-      sweep (tools/ann_knee_sweep.py at the sf0.1 bench corpus: cells/4 →
-      recall 0.71 @ 2.09 s, cells/3 → 0.81 @ 1.87 s, cells/2 → 0.90 @
-      1.68 s, 2cells/3 → 0.96 @ 1.61 s — fixed plan overhead dominates at
-      bench scale, so the wider probe is FREE there and the dial is purely
-      a 100 TB cost question).  The probed fraction is calibrated to the
-      benchmark's near-isotropic SYNTHETIC embeddings — the worst case for
-      inverted files, where true neighbors spread across many cells; real
-      clustered embedding corpora reach the same recall at a far smaller
-      fraction, and ``nprobe`` stays the caller's recall/cost dial;
-    - ``nprobe_adc`` ≈ 2·cells/3 — the wider probe the QUANTIZED-residual
-      (IVFADC) path needs for the same recall: ADC distance error and
-      probe misses compound, so the r11 sweep's ≥0.8 knee sits one rung
-      wider than exact-scored IVF's (cells/2 → 0.76, 2cells/3 → 0.82 at
-      shortlist R=100, identical wall time);
+    - ``nprobe`` ≈ cells/2 CAPPED AT 128, floored at 4.  The cells/2
+      FRACTION is a bench-corpus calibration, not the scale rule: the r11
+      recall/time sweep (tools/ann_knee_sweep.py at the sf0.1 bench
+      corpus: cells/4 → recall 0.71 @ 2.09 s, cells/3 → 0.81 @ 1.87 s,
+      cells/2 → 0.90 @ 1.68 s, 2cells/3 → 0.96 @ 1.61 s) was run where
+      fixed plan overhead dominates and the wider probe is free — and on
+      near-isotropic SYNTHETIC embeddings, the worst case for inverted
+      files.  Probing a constant fraction of cells scans ≈ N/2 candidates
+      per query, i.e. near brute force at 100 TB, so the absolute cap
+      bounds the candidate scan at 128·N/cells ≈ 128·√N (≈0.04 % of cells
+      at N = 1e11), the standard IVF operating regime; real clustered
+      corpora reach the gate recall well under the cap, and ``nprobe``
+      stays the caller's recall/cost dial.  The cap binds only above
+      N ≈ 65k — every test/bench corpus sits below it, so auto outputs
+      there are unchanged;
+    - ``nprobe_adc`` ≈ 2·cells/3 capped at 170 — the one-rung-wider probe
+      the QUANTIZED-residual (IVFADC) path needs for the same recall: ADC
+      distance error and probe misses compound, so the r11 sweep's ≥0.8
+      knee sits one rung wider than exact-scored IVF's (cells/2 → 0.76,
+      2cells/3 → 0.82 at shortlist R=100, identical wall time); the cap
+      preserves the 4:3 ratio over the IVF cap at scale;
     - ``sample_rows`` = max(4000, 40·cells) training rows (≥40 points per
       centroid, the k-means stability floor), so the trainer sample grows
       with the index instead of starving √N centroids at scale.
@@ -90,11 +96,11 @@ def auto_ivf_params(n: int) -> dict:
     Every quantity is a pure function of N, so a DuckDB oracle reading the
     same parquet metadata derives the identical configuration."""
     cells = max(16, int(round(n ** 0.5)))
-    nprobe = max(4, int(round(cells / 2)))
+    nprobe = max(4, min(128, int(round(cells / 2))))
     return {
         "cells": cells,
         "nprobe": nprobe,
-        "nprobe_adc": max(4, int(round(2 * cells / 3))),
+        "nprobe_adc": max(4, min(170, int(round(2 * cells / 3)))),
         "sample_rows": max(4000, 40 * cells),
     }
 

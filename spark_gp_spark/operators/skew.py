@@ -117,8 +117,11 @@ def key_skew_report(
             "n_rows",
             F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
             # double BEFORE the multiply: n_rows·_nkeys as int64·int64
-            # overflows near 9.2e18 row·keys (reachable at 100 TB), and the
-            # DuckDB oracle computes this product in DOUBLE
+            # overflows near 9.2e18 row·keys (reachable at 100 TB).  The
+            # DuckDB oracle keeps the product in BIGINT and only goes
+            # DOUBLE at the division — it would raise on true int64
+            # overflow rather than silently diverge, so at test scales
+            # (product far below 2^63) the two engines round identically
             F.round(
                 F.col("n_rows").cast("double")
                 * F.col("_nkeys")

@@ -889,8 +889,13 @@ def minhash_estimate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyone trusts the estimate as a dedup threshold.  Non-vacuous at
     sf0.01: 25 candidate pairs with genuine error in BOTH directions (18
     over- / 7 under-estimates, signed err −0.142..+0.043 around the
-    ±1/16 granularity).  STAGED for the round-12 window."""
-    return D.minhash_estimate_report(load_table(spark, sf_dir, "documents"))
+    ±1/16 granularity).  max_band_size=None because the DuckDB oracle has
+    no hot-band cap — the same Spark/oracle parity choice
+    minhash_lsh_pairs makes (ADVICE r11): with the default cap a (band,
+    key) bucket over 1000 docs would silently diverge the two engines."""
+    return D.minhash_estimate_report(
+        load_table(spark, sf_dir, "documents"), max_band_size=None
+    )
 
 
 def _sql_minhash_estimate(
