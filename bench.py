@@ -792,12 +792,18 @@ def main() -> None:
                 "charged to whichever query runs first"
             ),
             "corpus_prep_gpc_filter": (
-                "fit floor is real: features ~4.5 s (regex text-stats "
-                "chain over the corpus, shared with the plain capstone), "
-                "GPC fit ~6 s driver-local (down from ~9.7 s after the "
-                "gpc_laplace solve consolidation: one LU per Newton step "
-                "+ one inv(B) at the mode instead of ~25k pivoted-LU "
-                "triangular solves), pipeline stages ~3 s; held-out "
+                "SELF-ATTRIBUTED as of r12 — see stage_times: the entry "
+                "logs contamination_scan / features_scale_agg / gpc_fit "
+                "(with the optimizer's eval+reduction counts, so a slow "
+                "official run shows whether it did MORE optimizer work "
+                "or the same work slower) / gpc_transform_scored / "
+                "neardup_canonical_kept spans on every run.  Builder "
+                "floor on this code: features ~4.5 s, GPC fit ~6 s, "
+                "pipeline stages ~3 s — but the r11 official run read "
+                "42.9 s raw against the builder's 18.7 s same-code on a "
+                "CPU-comparable VM, which the prose floor could not "
+                "explain; the per-span split exists exactly so the "
+                "measuring VM attributes its own number.  Held-out "
                 "accuracy gate >= 0.95 unchanged"
             ),
             "streaming_neardup_expiry": (
@@ -852,6 +858,17 @@ def main() -> None:
     }
     if fit_matrix is not None:
         result["fit_matrix"] = fit_matrix
+        # VERDICT r11 #4: the RECORDED linearity gate is the robust
+        # per-eval statistic, not the raw 3-point wall-clock fit.  The raw
+        # r2 conflates per-evaluation cost with how many evaluations
+        # L-BFGS happens to take at each N (data-dependent), so one noisy
+        # median cell can flip it below 0.95 on a contended VM (official
+        # r11: raw 0.9553 vs per-eval 0.9919).  Both numbers stay in
+        # fit_matrix; the gate reads the reference's actual claim — each
+        # likelihood reduction is O(N·n²) — which is the per-eval line.
+        result["gate_linearity_ge_095"] = bool(
+            min(fit_matrix["r2_per_eval"].values()) >= 0.95
+        )
     if extra_fits is not None:
         result.update(extra_fits)
         prov = extra_fits.get("active_set_provider") or {}
