@@ -79,7 +79,7 @@ PANDAS_FAMILY = {
     "ivfadc_topk_auto",
     "lsh_topk",
     "embedding_neardup_pairs",
-    "hard_negatives",
+    "hard_negatives_planted",
     "cluster_balance_sample",
     "cluster_exemplars",
     "jl_project",
@@ -368,7 +368,7 @@ def main() -> None:
         "ivfadc_topk_codes",
         "ivfadc_topk_auto",
         "embedding_neardup_pairs",
-        "hard_negatives",
+        "hard_negatives_planted",
         "cluster_balance_sample",
         "cluster_exemplars",
         "embedding_whiten",

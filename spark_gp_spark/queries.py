@@ -4090,29 +4090,50 @@ WHERE round(list_cosine_similarity(a.v, bb.v), 6) >= 0.45
 """
 
 
-def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hard_negatives_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (operators/selection.py:
     hard_negatives): per fixed query, the 5 most-similar corpus vectors
     AFTER excluding sign-LSH near-duplicates (the unlabeled-positive
     filter) — exact scoring broadcasts the query set; the exclusion is a
-    two-sided query-vs-corpus bucket join (dedup.query_corpus_neardup_pairs,
+    two-sided query-vs-corpus bucket join (dedup.query_corpus_lsh_candidates,
     ~|Q|·tables/2^bits of a corpus scan, not a corpus-wide self-join) whose
-    verified pairs ride a broadcast anti-join on (query_id, neighbor_id);
-    one definition of "near-duplicate" shared with the dedup pipeline."""
+    verified pairs ride a broadcast join on (query_id, neighbor_id);
+    one definition of "near-duplicate" shared with the dedup pipeline.
+
+    PLANTED twin replacing the r10-green `hard_negatives` (the r12 vacuity
+    audit, VERDICT r11 #5, measured the synthetic corpus firing the LSH
+    exclusion ZERO times at sf0.01 — the official scale — and only 3 at
+    sf0.1, so the official hash row proved the ranking but never the
+    screen; same discipline as the r11 exact_dedup/redact_pii twins).
+    The plant unions an EXACT copy of each of the 20 query vectors into
+    the corpus under vec_id + 1_000_000 (FIXTURES.md F-planted,
+    embeddings-table section): identical vectors land in identical LSH
+    buckets in all 8 tables and score cosine 1.0 ≥ 0.45, so without the
+    exclusion every query's rank-1 row would be its own copy, and with it
+    all 20 copies are provably dropped (pytest-gated both ways in
+    tests/test_selection.py)."""
     from .operators.selection import hard_negatives as _hard_negatives
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 20)
+    planted = queries.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
     return _hard_negatives(
-        emb, queries, k=5, threshold=0.45, bits=6, tables=8, seed=11, dim=64
+        emb.unionByName(planted), queries,
+        k=5, threshold=0.45, bits=6, tables=8, seed=11, dim=64,
     )
 
 
 _HARD_NEG_SQL = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT * FROM e0
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, v FROM e0 WHERE vec_id < 20
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20
+  SELECT vec_id AS query_id, v AS qv FROM e0 WHERE vec_id < 20
 ), qsrc AS (
   SELECT query_id AS vec_id, qv AS v FROM q
 ), cb AS (
@@ -7191,10 +7212,166 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # ran green on the new numerics this round.
 # SURVEY.md §2.8's status table maps every query to its operator and
 # last official row.
+#
+# ROUND-12 WINDOW (this ordering; executes the plan written at r11 —
+# VERDICT r11 next #1): the NINE r11-staged entries register at the top
+# (ann_recall_report_auto, ngram_novelty, dedup_cluster_size_histogram,
+# price_exact_quantiles, streaming_asof_enrich, minhash_estimate_report
+# — re-verified green after its r12 wrapper fix aligned the hot-band cap
+# with the uncapped oracle (ADVICE r11) — metadata_integrity_report,
+# csv_roundtrip, event_value_quantiles); then the FOUR auto-ANN entries,
+# re-windowed because auto_ivf_params gained the absolute nprobe cap
+# (output-neutral at every test SF — the cap binds only above N≈65k —
+# but the standing implementation-changed rule applies); then the 12
+# documented r8 leftovers (the ENTIRE remaining r8 class); then the 25
+# oldest r9-green entries, machinery-risk first.  9 + 4 + 12 + 25 = 50
+# exactly.  After this round nothing in the registry is older than
+# r9-green, and the 12 r9 entries remaining below the divider are the
+# lowest-risk pure-declarative window/agg class (user_status_history,
+# event_rolling_24h, session_stats, event_window_agg, event_props_stats,
+# event_value_percentiles, event_distinct_users, doc_repetition,
+# dup_ngram_fraction, embedding_label_centroids, embedding_quantize,
+# top_docs_per_lang) — FIRST rotations at r13.  The greedy-selector
+# inverse→solve change (active_set.py, VERDICT r11 #3) re-windows
+# nothing: no registry query uses the greedy provider (its gates are the
+# pytest golden/FD/RMSE-parity suites); the GPC capstone stage-span
+# telemetry (VERDICT r11 #2) is output-neutral and its entries are
+# rows-only.
 QUERIES = {
-    # --- registered in round 11: the fifteen r10-staged entries (oracles
-    #     + parity pytests landed at r10; --staged replica showed 15/15
-    #     green before registration) ---
+    # --- REGISTERED IN ROUND 12: the nine r11-staged entries (oracles +
+    #     parity checks landed at r11; --staged replica was 9/9 green at
+    #     r11 close AND re-verified after the r12 minhash wrapper fix) ---
+    "ann_recall_report_auto": ann_recall_report_auto,
+    "ngram_novelty": ngram_novelty,
+    "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
+    "price_exact_quantiles": price_exact_quantiles,
+    "streaming_asof_enrich": streaming_asof_enrich,
+    "minhash_estimate_report": minhash_estimate_report,
+    "metadata_integrity_report": metadata_integrity_report,
+    "csv_roundtrip": csv_roundtrip,
+    "event_value_quantiles": event_value_quantiles,
+    # --- planted de-vacuation twin, REPLACING `hard_negatives` (deleted:
+    #     same verb, fixture that provably fires the LSH exclusion at the
+    #     official sf0.01 scale — the r12 audit measured the original's
+    #     screen firing zero times there; r11 twin discipline) ---
+    "hard_negatives_planted": hard_negatives_planted,
+    # --- changed in round 12: auto-ANN sizing gained an absolute nprobe
+    #     cap (128 / ADC 170) for the 100 TB scale story (ADVICE r11).
+    #     The cap binds only above N ~ 65k, so outputs at every test SF
+    #     are bit-identical — re-windowed rule-literally anyway ---
+    "ivf_topk_auto": ivf_topk_auto,
+    "ivfadc_topk_auto": ivfadc_topk_auto,
+    "pq_topk_auto": pq_topk_auto,
+    "opq_topk_auto": opq_topk_auto,
+    # --- rotated in: the 12 documented r8 leftovers (the FULL remaining
+    #     r8 class — after this round nothing is older than r9-green) ---
+    "lsh_topk_multiprobe": lsh_topk_multiprobe,
+    "embedding_drift": embedding_drift,
+    "event_zorder_key": event_zorder_key,
+    "orders_dq_report": orders_dq_report,
+    "orders_profile": orders_profile,
+    "viewers_without_purchase": viewers_without_purchase,
+    "event_type_pivot": event_type_pivot,
+    "doc_fingerprints": doc_fingerprints,
+    "tfidf_top_terms": tfidf_top_terms,
+    "token_budget": token_budget,
+    "doc_chunks": doc_chunks,
+    "event_group_sample": event_group_sample,
+    # --- rotated in: the 25 oldest r9-green entries, machinery-risk
+    #     first (incremental dedup state, trainer-backed selection,
+    #     signature families, as-of joins); the 12 r9 entries left below
+    #     the divider are pure-declarative window/agg column expressions
+    #     on frozen fixtures — first in line at r13 ---
+    "neardup_incremental": neardup_incremental,
+    "token_pmi_pairs": token_pmi_pairs,
+    "contamination_check": contamination_check,
+    "domain_mix_sample": domain_mix_sample,
+    "tfidf_cosine_pairs": tfidf_cosine_pairs,
+    "split_assign": split_assign,
+    "pack_batches": pack_batches,
+    "event_gap_fill": event_gap_fill,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "neardup_components": neardup_components,
+    "neardup_components_star": neardup_components_star,
+    "neardup_canonical": neardup_canonical,
+    "text_stats": text_stats,
+    "bm25_topk": bm25_topk,
+    "event_status_asof": event_status_asof,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_signatures": simhash_signatures,
+    "simhash_pairs": simhash_pairs,
+    "lsh_topk": lsh_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+    "asof_purchases_views": asof_purchases_views,
+    "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
+    "asof_next_view": asof_next_view,
+    # ------------------------------------------------------------------
+    # below this divider: entries whose last official row is r9/r10/r11,
+    # oldest first (the 13 remaining r9 entries lead — first at r13;
+    # event_pair_interval_join yielded its window slot to the planted
+    # hard-negatives twin).
+    # ------------------------------------------------------------------
+    "event_pair_interval_join": event_pair_interval_join,
+    "user_status_history": user_status_history,
+    "event_rolling_24h": event_rolling_24h,
+    "session_stats": session_stats,
+    "event_window_agg": event_window_agg,
+    "event_props_stats": event_props_stats,
+    "event_value_percentiles": event_value_percentiles,
+    "event_distinct_users": event_distinct_users,
+    "doc_repetition": doc_repetition,
+    "dup_ngram_fraction": dup_ngram_fraction,
+    "embedding_label_centroids": embedding_label_centroids,
+    "embedding_quantize": embedding_quantize,
+    "top_docs_per_lang": top_docs_per_lang,
+    # last official row r10:
+    "containment_screen": containment_screen,
+    "editdist_screen": editdist_screen,
+    "corpus_diff": corpus_diff,
+    "incremental_refresh": incremental_refresh,
+    "streaming_trending_terms": streaming_trending_terms,
+    "streaming_neardup_join": streaming_neardup_join,
+    "dedup_normalized": dedup_normalized,
+    "split_leakage": split_leakage,
+    "dedup_incremental": dedup_incremental,
+    "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
+    "gpc_embeddings": gpc_embeddings,
+    "gpc_uncertainty_sample": gpc_uncertainty_sample,
+    "streaming_neardup": streaming_neardup,
+    "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
+    "streaming_neardup_expiry": streaming_neardup_expiry,
+    "streaming_embedding_neardup": streaming_embedding_neardup,
+    "opq_topk": opq_topk,
+    "gopher_quality_rules": gopher_quality_rules,
+    "quality_rule_rates": quality_rule_rates,
+    "embedding_whiten": embedding_whiten,
+    "jl_project": jl_project,
+    "temperature_mix": temperature_mix,
+    "embedding_dim_stats": embedding_dim_stats,
+    "cosine_topk": cosine_topk,
+    "dedup_span_clean": dedup_span_clean,
+    "repetition_clean": repetition_clean,
+    "shard_export_manifest": shard_export_manifest,
+    "doc_logprob": doc_logprob,
+    "streaming_shard_export": streaming_shard_export,
+    "pack_sequences": pack_sequences,
+    "token_budget_fill": token_budget_fill,
+    "dsir_select": dsir_select,
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "part_type_revenue": part_type_revenue,
+    "revenue_rollup": revenue_rollup,
+    "returnflag_status_cube": returnflag_status_cube,
+    "language_distribution": language_distribution,
+    "user_retention_cohorts": user_retention_cohorts,
+    "session_funnel": session_funnel,
+    "event_value_histogram": event_value_histogram,
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "event_distinct_users_salted": event_distinct_users_salted,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    # last official row r11:
     "vocab_coverage_report": vocab_coverage_report,
     "streaming_ingest_dedup": streaming_ingest_dedup,
     "multimodal_media_dedup": multimodal_media_dedup,
@@ -7210,19 +7387,7 @@ QUERIES = {
     "quality_calibration_bins": quality_calibration_bins,
     "vocab_growth_curve": vocab_growth_curve,
     "streaming_vocab_drift": streaming_vocab_drift,
-    # --- new in round 11: bounded-horizon JVM stream-stream near-dup
-    #     join (evictable state; replaces the unbounded twin in the
-    #     TIMED suite — the twin stays registered below, correctness-only)
     "streaming_neardup_join_bounded": streaming_neardup_join_bounded,
-    # --- changed in round 11: auto-ANN sizing moved to the measured
-    #     recall/time knee (tools/ann_knee_sweep.py; recall@5 0.58-0.71
-    #     -> 0.82-0.96 at flat wall time) ---
-    "ivf_topk_auto": ivf_topk_auto,
-    "ivfadc_topk_auto": ivfadc_topk_auto,
-    "pq_topk_auto": pq_topk_auto,
-    "opq_topk_auto": opq_topk_auto,
-    # --- rotated in: last official row r8 (30 of 42; see the window
-    #     arithmetic above) ---
     "streaming_embedding_drift": streaming_embedding_drift,
     "streaming_window_counts_append": streaming_window_counts_append,
     "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
@@ -7253,109 +7418,27 @@ QUERIES = {
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
     "multimodal_frame_sample": multimodal_frame_sample,
-    # ------------------------------------------------------------------
-    # below this divider: entries whose last official row is r9/r10,
-    # plus the 12 documented r8 leftovers — first in line at r12.
-    # ------------------------------------------------------------------
-    "containment_screen": containment_screen,
-    "editdist_screen": editdist_screen,
-    "corpus_diff": corpus_diff,
-    "incremental_refresh": incremental_refresh,
-    "streaming_trending_terms": streaming_trending_terms,
-    "streaming_neardup_join": streaming_neardup_join,
-    "dedup_normalized": dedup_normalized,
-    "split_leakage": split_leakage,
-    "dedup_incremental": dedup_incremental,
-    "corpus_prep_gpc_filter": corpus_prep_gpc_filter,
-    "gpc_embeddings": gpc_embeddings,
-    "gpc_uncertainty_sample": gpc_uncertainty_sample,
-    "streaming_neardup": streaming_neardup,
-    "streaming_neardup_event_ttl": streaming_neardup_event_ttl,
-    "streaming_neardup_expiry": streaming_neardup_expiry,
-    "streaming_embedding_neardup": streaming_embedding_neardup,
-    "opq_topk": opq_topk,
-    "gopher_quality_rules": gopher_quality_rules,
-    "quality_rule_rates": quality_rule_rates,
-    "embedding_whiten": embedding_whiten,
-    "jl_project": jl_project,
-    "temperature_mix": temperature_mix,
-    "embedding_dim_stats": embedding_dim_stats,
-    "cosine_topk": cosine_topk,
-    "dedup_span_clean": dedup_span_clean,
-    "repetition_clean": repetition_clean,
-    "shard_export_manifest": shard_export_manifest,
-    "doc_logprob": doc_logprob,
-    "streaming_shard_export": streaming_shard_export,
-    "hard_negatives": hard_negatives,
-    "pack_sequences": pack_sequences,
-    "token_budget_fill": token_budget_fill,
-    "dsir_select": dsir_select,
-    "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
-    "part_type_revenue": part_type_revenue,
-    "revenue_rollup": revenue_rollup,
-    "returnflag_status_cube": returnflag_status_cube,
-    "language_distribution": language_distribution,
-    "user_retention_cohorts": user_retention_cohorts,
-    "session_funnel": session_funnel,
-    "event_value_histogram": event_value_histogram,
-    "customer_revenue_quartiles": customer_revenue_quartiles,
-    "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    "neardup_incremental": neardup_incremental,
-    "token_pmi_pairs": token_pmi_pairs,
-    "contamination_check": contamination_check,
-    "domain_mix_sample": domain_mix_sample,
-    "tfidf_cosine_pairs": tfidf_cosine_pairs,
-    "split_assign": split_assign,
-    "pack_batches": pack_batches,
-    "event_gap_fill": event_gap_fill,
-    "ngram_jaccard_pairs": ngram_jaccard_pairs,
-    "neardup_components": neardup_components,
-    "neardup_components_star": neardup_components_star,
-    "neardup_canonical": neardup_canonical,
-    "text_stats": text_stats,
-    "bm25_topk": bm25_topk,
-    "event_status_asof": event_status_asof,
-    "minhash_signatures": minhash_signatures,
-    "minhash_lsh_pairs": minhash_lsh_pairs,
-    "simhash_signatures": simhash_signatures,
-    "simhash_pairs": simhash_pairs,
-    "lsh_topk": lsh_topk,
-    "embedding_neardup_pairs": embedding_neardup_pairs,
-    "asof_purchases_views": asof_purchases_views,
-    "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
-    "asof_next_view": asof_next_view,
-    "event_pair_interval_join": event_pair_interval_join,
-    "user_status_history": user_status_history,
-    "event_rolling_24h": event_rolling_24h,
-    "session_stats": session_stats,
-    "event_window_agg": event_window_agg,
-    "event_props_stats": event_props_stats,
-    "event_value_percentiles": event_value_percentiles,
-    "event_distinct_users": event_distinct_users,
-    "doc_repetition": doc_repetition,
-    "dup_ngram_fraction": dup_ngram_fraction,
-    "embedding_label_centroids": embedding_label_centroids,
-    "embedding_quantize": embedding_quantize,
-    "top_docs_per_lang": top_docs_per_lang,
-    "lsh_topk_multiprobe": lsh_topk_multiprobe,
-    "embedding_drift": embedding_drift,
-    "event_zorder_key": event_zorder_key,
-    "orders_dq_report": orders_dq_report,
-    "orders_profile": orders_profile,
-    "viewers_without_purchase": viewers_without_purchase,
-    "event_type_pivot": event_type_pivot,
-    "doc_fingerprints": doc_fingerprints,
-    "tfidf_top_terms": tfidf_top_terms,
-    "token_budget": token_budget,
-    "doc_chunks": doc_chunks,
-    "event_group_sample": event_group_sample,
+    # iterative-ML rows-only entry (no hash to go stale):
     "gpr_lineitem": gpr_lineitem,
 }
 
 ORACLE_SQL = {
+    # --- round-12 registrations (the nine r11-staged entries) ---
+    # rows-only fallback when the import-time testdata is unavailable
+    # (ADVICE r10: never insert a None oracle)
+    **(
+        {"ann_recall_report_auto": _ANN_RECALL_AUTO_SQL}
+        if _ANN_RECALL_AUTO_SQL
+        else {}
+    ),
+    "ngram_novelty": _NGRAM_NOVELTY_SQL,
+    "dedup_cluster_size_histogram": _CLUSTER_SIZE_HIST_SQL,
+    "price_exact_quantiles": _PRICE_QUANTILES_SQL,
+    "streaming_asof_enrich": _STREAM_ASOF_ENRICH_SQL,
+    "minhash_estimate_report": _MINHASH_ESTIMATE_SQL,
+    "metadata_integrity_report": _METADATA_INTEGRITY_SQL,
+    "csv_roundtrip": _CSV_ROUNDTRIP_SQL,
+    "event_value_quantiles": _EVENT_VALUE_QUANTILES_SQL,
     # --- round-11 registrations ---
     "vocab_coverage_report": _VOCAB_COVERAGE_SQL,
     "streaming_ingest_dedup": _DEDUP_INCREMENTAL_SQL,
@@ -7443,7 +7526,7 @@ ORACLE_SQL = {
     "repetition_clean": _REP_CLEAN_SQL,
     "shard_export_manifest": _SHARD_MANIFEST_SQL,
     "streaming_shard_export": _SHARD_MANIFEST_SQL,
-    "hard_negatives": _HARD_NEG_SQL,
+    "hard_negatives_planted": _HARD_NEG_SQL,
     "pack_sequences": _PACK_SEQ_SQL,
     "doc_logprob": _DOC_LOGPROB_SQL,
     **({"ivf_topk": _IVF_TOPK_SQL} if _IVF_TOPK_SQL else {}),
@@ -7519,44 +7602,14 @@ ORACLE_SQL = {
 
 #: Staged-for-NEXT-round inventory: name -> (query fn, oracle SQL) pairs
 #: that are built, parity-proven, and timed (bench.py staged_times /
-#: staged_errors) but NOT yet registered in QUERIES/ORACLE_SQL.  The
-#: fifteen r10-staged entries registered at the top of the round-11
-#: window (see the QUERIES ordering comment); the NINE entries below
-#: stage for r12 (`tools/check_correctness.py --staged` at round-11
-#: close: 9 ok / 0 fail).  Entries staged here must carry a NON-None
-#: oracle or be skipped at staging time (ADVICE r10) — hence the
-#: conditional spreads.
+#: staged_errors) but NOT yet registered in QUERIES/ORACLE_SQL.  The nine
+#: r11-staged entries registered at the top of the ROUND-12 window (see
+#: the QUERIES ordering comment).  Entries staged here must carry a
+#: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-12 PLAN: move these nine pairs to the top of QUERIES +
-#: ORACLE_SQL; then any r12-changed entries; then the 12 documented r8
-#: leftovers (named in the QUERIES ordering comment — rotate them FIRST);
-#: then the oldest r9-green entries.  9 + 12 = 21 fixed slots leaves ~29
-#: for r12-changed + r9 rotations against a 39-entry r9 class — after
-#: r12 at most ~10 entries remain r9-green, everything else r10+.
-STAGED_QUERIES: dict = {
-    **(
-        {"ann_recall_report_auto": (ann_recall_report_auto, _ANN_RECALL_AUTO_SQL)}
-        if _ANN_RECALL_AUTO_SQL
-        else {}
-    ),
-    "ngram_novelty": (ngram_novelty, _NGRAM_NOVELTY_SQL),
-    "dedup_cluster_size_histogram": (
-        dedup_cluster_size_histogram,
-        _CLUSTER_SIZE_HIST_SQL,
-    ),
-    "price_exact_quantiles": (price_exact_quantiles, _PRICE_QUANTILES_SQL),
-    "streaming_asof_enrich": (streaming_asof_enrich, _STREAM_ASOF_ENRICH_SQL),
-    "minhash_estimate_report": (
-        minhash_estimate_report,
-        _MINHASH_ESTIMATE_SQL,
-    ),
-    "metadata_integrity_report": (
-        metadata_integrity_report,
-        _METADATA_INTEGRITY_SQL,
-    ),
-    "csv_roundtrip": (csv_roundtrip, _CSV_ROUNDTRIP_SQL),
-    "event_value_quantiles": (
-        event_value_quantiles,
-        _EVENT_VALUE_QUANTILES_SQL,
-    ),
-}
+#: ROUND-13 PLAN: move any entries staged below to the top of QUERIES +
+#: ORACLE_SQL; then any r13-changed entries; then the 12 remaining
+#: r9-green entries (named in the QUERIES ordering comment — rotate them
+#: FIRST); then the oldest r10-green entries to fill 50.
+STAGED_QUERIES: dict = {}
+

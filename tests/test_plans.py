@@ -374,9 +374,9 @@ def test_hard_negatives_single_corpus_pass_no_sortmerge(spark):
     stream — no sort-merge join, no corpus hash-shuffle outside the
     per-query ranking window, and exactly one nested-loop join (the
     intended exact-scoring broadcast, same as cosine_topk)."""
-    from spark_gp_spark.queries import hard_negatives
+    from spark_gp_spark.queries import hard_negatives_planted
 
-    plan = _plan(hard_negatives(spark, SF))
+    plan = _plan(hard_negatives_planted(spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -284,3 +284,40 @@ def test_cluster_exemplars_rejects_bad_per_cell(spark):
     df = spark.createDataFrame([(0, [0.0, 1.0])], "vec_id bigint, embedding array<double>")
     with _pytest.raises(ValueError, match="per_cell"):
         cluster_exemplars(df, np.zeros((2, 2)), per_cell=0)
+
+
+def test_hard_negatives_planted_registry_fixture_fires(spark):
+    """The REGISTRY fixture must exercise the LSH exclusion at the
+    official correctness scale — the r12 audit measured the unplanted
+    corpus firing it ZERO times at sf0.01 (VERDICT r11 #5), which is why
+    the registered entry plants an exact copy of every query vector under
+    vec_id + 1_000_000.  Both directions gated: with the exclusion none of
+    the 20 copies survives; with it disabled every query's rank-1 row IS
+    its own copy at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.selection import hard_negatives
+    from spark_gp_spark.queries import hard_negatives_planted, load_table
+
+    out = hard_negatives_planted(spark, SF).collect()
+    planted_ids = {r.neighbor_id for r in out if r.neighbor_id >= 1_000_000}
+    own_copies = {
+        r.neighbor_id for r in out if r.neighbor_id == r.query_id + 1_000_000
+    }
+    assert own_copies == set()  # every query's own copy is excluded
+    # foreign copies may legitimately rank (they are copies of OTHER
+    # queries, excluded only when the anchor pair is near-dup) — but the
+    # exclusion itself must have fired for all 20 queries, shown by the
+    # disabled-threshold twin ranking each copy first:
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 20)
+    planted = queries.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    raw = hard_negatives(
+        emb.unionByName(planted), queries,
+        k=1, threshold=float("inf"), bits=6, tables=8, seed=11, dim=64,
+    ).collect()
+    assert len(raw) == 20
+    assert all(r.neighbor_id == r.query_id + 1_000_000 for r in raw)
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in raw)
