@@ -6,7 +6,7 @@ captures a bounded 2000-char stdout tail, so the line stays under 1985
 chars: 2-dp query timings — coarsened, then cheapest-first-shed if the
 suite outgrows the budget — pointer to the full payload) and writes the FULL
 result — fit_matrix, agg_depth, active_set_provider, calibration,
-per-query normalized timings — to the committed BENCH_local_r11.json.
+per-query normalized timings — to the committed BENCH_local_r12.json.
 
 Timings are reported RAW and NORMALIZED: round VMs vary 2-4x in Spark
 fixed costs, so each run measures two fixed-work probes (a JVM-side
@@ -897,14 +897,14 @@ def main() -> None:
     # a pointer to the full file) printed LAST with nothing after it; if
     # even that exceeds the tail budget, the per-query map is dropped from
     # the stdout line (it survives in the file).
-    # The round DRIVER's run overwrites BENCH_local_r11.json (r9/r10
+    # The round DRIVER's run overwrites BENCH_local_r12.json (r9/r10
     # precedent: the builder's closing payload was destroyed at HEAD both
     # times).  VERDICT r10 #7: the builder's own closing run is therefore
-    # committed under the distinct name BENCH_builder_r11.json (a manual
+    # committed under the distinct name BENCH_builder_r12.json (a manual
     # copy at round close), so both payloads survive with their
     # calibration blocks.
     local_file = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r11.json"
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r12.json"
     )
     with open(local_file, "w") as f:
         json.dump(result, f, indent=1)
@@ -919,7 +919,7 @@ def main() -> None:
             "jvm_factor": normalization["jvm_factor"],
             "pandas_factor": normalization["pandas_factor"],
         },
-        "full": "BENCH_local_r11.json",
+        "full": "BENCH_local_r12.json",
     }
     line = compact_stdout_line(compact, timings)
     spark.stop()

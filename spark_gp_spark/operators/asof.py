@@ -34,6 +34,12 @@ def asof_join(
     ``right.ts <= left.ts`` — point-in-time enrichment.
     ``direction='forward'``: earliest right row with ``right.ts >= left.ts``
     — next-event attribution.  Both match ties (DuckDB ASOF ``>=`` / ``<=``).
+    ``direction='nearest'`` (pandas ``merge_asof(direction='nearest')``):
+    whichever of the backward/forward matches is closer in time, ties to
+    the BACKWARD row — sensor/quote alignment where the closest reading
+    wins regardless of side.  Same one-shuffle plan: both directional
+    window frames run over the SAME partitioning and sort order, so
+    Catalyst reuses a single exchange+sort for the pair.
 
     ``tolerance_seconds`` (pandas ``merge_asof``-style): the match is
     nulled when the nearest qualifying row is farther than the tolerance —
@@ -44,8 +50,10 @@ def asof_join(
     Output: all left columns + ``payload_cols`` (null when no right row
     qualifies).  One shuffle on the key either way.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     rt = (
         right.select(
@@ -77,20 +85,37 @@ def asof_join(
     # per-column last(ignorenulls) would skip a matched row's NULL payload and
     # substitute an older row's value — diverging from true as-of semantics
     # (DuckDB ASOF returns the matched row's NULL).
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    match_b = F.last(payload_struct, ignorenulls=True).over(wb)
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    match_f = F.first(payload_struct, ignorenulls=True).over(wf)
     if direction == "backward":
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        match = F.last(payload_struct, ignorenulls=True).over(w)
+        match = match_b
+    elif direction == "forward":
+        match = match_f
     else:
-        w = (
-            Window.partitionBy(key)
-            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
-        )
-        match = F.first(payload_struct, ignorenulls=True).over(w)
+        # nearest: closer of the two one-sided matches; ties (equal
+        # distance) and a missing forward match resolve BACKWARD.  The two
+        # window specs differ only in the __side tie column of the sort,
+        # which the equal-ts tie rule needs on BOTH sides (the backward
+        # frame must see an equal-ts right row, the forward frame likewise)
+        # — Catalyst still plans one exchange; the second sort is a
+        # partition-local re-sort of an already-sorted run.
+        delta_b = F.abs(F.col(left_ts).cast("double") - match_b["__mts"].cast("double"))
+        delta_f = F.abs(F.col(left_ts).cast("double") - match_f["__mts"].cast("double"))
+        match = F.when(
+            match_b.isNull(), match_f
+        ).when(
+            match_f.isNull() | (delta_b <= delta_f), match_b
+        ).otherwise(match_f)
     filled = unioned.select(*left_cols, "__side", match.alias("__match"))
     if tolerance_seconds is None:
         in_tol = F.lit(True)

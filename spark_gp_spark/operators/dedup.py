@@ -1399,3 +1399,49 @@ def minhash_estimate_report(
             F.round(F.col("est_sim") - F.col("exact_jaccard"), 6).alias("err"),
         )
     )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_copies: int = 2,
+) -> DataFrame:
+    """Paragraph-grain duplicate audit — the CCNet/RefinedWeb cleaning tier
+    BELOW document dedup: boilerplate (navigation chrome, license footers,
+    cookie banners) repeats across millions of otherwise-distinct pages,
+    so production pipelines drop duplicated PARAGRAPHS while keeping the
+    documents.  Per document: how many paragraphs it has, how many are
+    shared (appear in >= ``min_copies`` distinct documents), and how many
+    characters survive paragraph-level cleaning.
+
+    Output: (``id_col``, n_paras, n_dup_paras, kept_chars) — kept_chars
+    counts the text of UNIQUE paragraphs only (separators excluded), the
+    post-cleaning size a packing budget would see.
+
+    Scale shape: paragraphs explode once per document; the duplicate
+    count groups by md5(paragraph) so the shuffle moves a fixed 32-char
+    key instead of full paragraph text (the corpus never shuffles its
+    payload twice); the flag rejoins on the same key.  Both joins are
+    plain hash equi-joins; no window over the corpus."""
+    paras = (
+        df.select(
+            id_col,
+            F.explode(F.split(F.col(text_col), "\n\n")).alias("para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("_k", F.md5(F.col("para")))
+    )
+    counts = paras.groupBy("_k").agg(
+        F.countDistinct(id_col).alias("_n_docs")
+    )
+    flagged = paras.join(counts, "_k").withColumn(
+        "_dup", F.col("_n_docs") >= min_copies
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_paras"),
+        F.sum(
+            F.when(~F.col("_dup"), F.length("para")).otherwise(F.lit(0))
+        ).cast("long").alias("kept_chars"),
+    )

@@ -354,3 +354,82 @@ def grouped_exact_quantiles(
             F.round(F.col(value_col).cast("double"), 6).alias("value"),
         )
     )
+
+
+def source_ks_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    alpha_critical: float = 1.628,
+) -> DataFrame:
+    """Pairwise two-sample Kolmogorov–Smirnov drift report between every
+    pair of sources over a numeric column — the distribution-shift audit a
+    curation pipeline runs before mixing crawls: a source whose length /
+    quality distribution drifted (new boilerplate, changed extraction)
+    shows up as a large KS statistic against its peers.
+
+    Output: (source_a, source_b, n_a, n_b, ks, drifted) for every unordered
+    pair — ks = max_v |F_a(v) − F_b(v)| computed EXACTLY (the max runs over
+    cross-multiplied integer counts |c_a·n_b − c_b·n_a|, so both engines
+    agree to the bit before one final rounded division); ``drifted`` is the
+    classic large-sample rejection rule ks > c(alpha)·sqrt((n_a+n_b)/
+    (n_a·n_b)) with c defaulting to the alpha=0.01 constant 1.628.
+
+    Scale shape: ONE aggregate collapses the corpus to (source, value)
+    counts; the dense ECDF grid is distinct-values × sources (a broadcast
+    nested-loop of two already-aggregated tiny relations, never the
+    corpus); the pair sweep self-joins the grid on value — |V|·|S|² rows
+    where |S| is the source count (dozens), all corpus-free."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col, F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_c")
+    )
+    totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    values = counts.select("_v").distinct()
+    grid = values.crossJoin(F.broadcast(totals))
+    dense = grid.join(counts, [group_col, "_v"], "left").fillna({"_c": 0})
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc("_v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ecdf = dense.select(
+        group_col, "_v", "_n", F.sum("_c").over(w).alias("_le")
+    )
+    a = ecdf.select(
+        F.col(group_col).alias("source_a"),
+        "_v",
+        F.col("_n").alias("n_a"),
+        F.col("_le").alias("_le_a"),
+    )
+    b = ecdf.select(
+        F.col(group_col).alias("source_b"),
+        "_v",
+        F.col("_n").alias("n_b"),
+        F.col("_le").alias("_le_b"),
+    )
+    pairs = (
+        a.join(b, "_v")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b", "n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("_le_a") * F.col("n_b") - F.col("_le_b") * F.col("n_a")
+                )
+            ).alias("_num")
+        )
+    )
+    ks = F.col("_num") / (F.col("n_a") * F.col("n_b"))
+    crit = F.lit(alpha_critical) * F.sqrt(
+        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(ks, 6).alias("ks"),
+        (ks > crit).alias("drifted"),
+    )

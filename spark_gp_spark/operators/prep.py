@@ -648,3 +648,46 @@ def exact_global_rank(
         )
         .drop("_egr_pid", "_egr_off")
     )
+
+
+def pii_scan_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """PII exposure REPORT — the audit tier above ``redact_pii``: before a
+    corpus ships, compliance wants counts per PII class per corpus slice
+    (which languages / sources leak emails? how many documents are
+    affected vs how many raw hits?), not just the redacted text.  Shares
+    ``redact_pii``'s exact regexes so the report and the redaction can
+    never disagree about what counts as PII.
+
+    Output: (``group_col``, pii_class, n_docs, n_hits) — one row per
+    (slice, class), n_docs = documents with >= 1 hit, n_hits = total
+    matches.
+
+    Scale shape: the regex counts run inside codegen at the scan
+    (identical expressions to redact_pii); stack() longifies the two
+    per-class columns WITHOUT a second scan; one map-side-combined
+    aggregate over |slices|·|classes| keys."""
+    per = df.select(
+        group_col,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0)
+        ).alias("_email"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(LONG_DIGITS_RE), 0)
+        ).alias("_long_number"),
+    )
+    stacked = per.select(
+        group_col,
+        F.expr(
+            "stack(2, 'email', _email, 'long_number', _long_number)"
+            " as (pii_class, _hits)"
+        ),
+    )
+    return stacked.groupBy(group_col, "pii_class").agg(
+        F.sum((F.col("_hits") > 0).cast("long")).alias("n_docs"),
+        F.sum("_hits").cast("long").alias("n_hits"),
+    )

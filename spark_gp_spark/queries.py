@@ -4898,6 +4898,244 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-EITHER-direction as-of enrichment (operators/asof.py:
+    asof_join direction='nearest' — pandas merge_asof's third direction,
+    which the backward/forward pair could not express): every purchase
+    picks whichever same-user view is CLOSEST in time, past or future,
+    ties to the backward row.  Sensor/quote alignment semantics — the
+    closest reading wins regardless of side.  Same one-exchange plan as
+    the one-sided variants: both directional window frames share the
+    (user, ts) sort.  Non-vacuous both ways at sf0.01 (r12 staging audit):
+    956 purchases match a backward-nearer view and 1025 a forward-nearer
+    one — the forward picks are exactly the rows the one-sided backward
+    as-of cannot express.  The no-view null branch never fires on this
+    fixture (every purchase user has views) — it is unit-gated instead
+    (tests/test_asof.py nearest tests).  STAGED for the round-13
+    window."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = A.asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_event_id", "view_value"], direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("value"),
+        "view_event_id",
+        F.round("view_value", 6).alias("view_value"),
+    )
+
+
+#: nearest = min over both sides by (abs time delta, backward-first);
+#: stated as a plain ranked join because DuckDB ASOF is one-sided.  The
+#: LEFT JOIN keeps no-view purchases as a single null-payload row (rn=1).
+_ASOF_NEAREST_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts AS view_ts, event_id AS view_event_id, value AS view_value
+  FROM events WHERE event_type = 'view'
+), j AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value,
+         r.view_event_id, r.view_value,
+         row_number() OVER (
+           PARTITION BY l.event_id
+           ORDER BY abs(epoch_us(r.view_ts) - epoch_us(l.ts)),
+                    CASE WHEN r.view_ts <= l.ts THEN 0 ELSE 1 END,
+                    r.view_event_id
+         ) AS rn
+  FROM l LEFT JOIN r ON l.user_id = r.user_id
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, round(value, 6) AS value,
+       view_event_id, round(view_value, 6) AS view_value
+FROM j WHERE rn = 1
+"""
+
+
+#: fixed boilerplate paragraph planted on doc_id % 7 = 1 (FIXTURES.md
+#: F-planted): the single-line synthetic corpus has no shared paragraphs,
+#: so the paragraph screen would otherwise pass vacuously.
+_BOILERPLATE_PARA = (
+    "all rights reserved contact support terms of service apply"
+)
+
+
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain duplicate audit (operators/dedup.py:
+    paragraph_dedup_stats) — the CCNet/RefinedWeb boilerplate-removal tier
+    below document dedup: per document, paragraph count, how many
+    paragraphs are shared across >= 2 distinct documents, and the
+    character count surviving paragraph-level cleaning.  The duplicate
+    count shuffles md5(paragraph) (32 chars), never paragraph text.
+
+    The synthetic corpus is single-line word soup with zero shared
+    paragraphs, so the fixture plants the phenomenon (FIXTURES.md
+    F-planted): every doc with doc_id % 7 = 1 gains a trailing
+    boilerplate paragraph — the r12 staging audit at sf0.01 measures 72
+    documents sharing it (n_dup_paras = 1 with their base paragraph
+    unique) against 428 clean documents; both branch classes fire.
+    STAGED for the round-13 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.col("text"), F.lit("\n\n" + _BOILERPLATE_PARA)),
+        ).otherwise(F.col("text")),
+    )
+    return D.paragraph_dedup_stats(planted)
+
+
+_PARAGRAPH_DEDUP_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 1
+              THEN text || chr(10) || chr(10) || '{_BOILERPLATE_PARA}'
+              ELSE text END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS para FROM m
+), p2 AS (
+  SELECT doc_id, para, md5(para) AS k FROM p WHERE len(trim(para)) > 0
+), c AS (
+  SELECT k, count(DISTINCT doc_id) AS nd FROM p2 GROUP BY k
+), f AS (
+  SELECT doc_id, para, nd >= 2 AS dup FROM p2 JOIN c USING (k)
+)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_paras,
+       sum(CASE WHEN dup THEN 0 ELSE len(para) END)::BIGINT AS kept_chars
+FROM f GROUP BY doc_id
+"""
+
+
+def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise two-sample KS drift report between sources over document
+    length (operators/dq.py: source_ks_drift) — the distribution-shift
+    audit run before mixing crawls.  The KS max runs over cross-multiplied
+    INTEGER ECDF counts, so both engines agree exactly before one final
+    rounded division; ``drifted`` applies the alpha=0.01 large-sample
+    rejection rule.
+
+    The synthetic sources share one length distribution (natural KS sits
+    under the critical value for nearly every pair), so the fixture plants
+    a drifted source (FIXTURES.md F-planted): src7's lengths shift +400.
+    r12 staging audit at sf0.01: 20 of 190 pairs reject — all 19 src7
+    pairs plus one natural borderline pair — and 170 do not; both branch
+    classes fire.  STAGED for the round-13 window."""
+    from .operators.dq import source_ks_drift as _ks
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("source") == "src7", F.lit(400)).otherwise(F.lit(0)),
+    )
+    return _ks(docs)
+
+
+_SOURCE_KS_SQL = """
+WITH d AS (
+  SELECT source,
+         n_chars + CASE WHEN source = 'src7' THEN 400 ELSE 0 END AS v
+  FROM documents
+), counts AS (
+  SELECT source, v, count(*) AS c FROM d GROUP BY source, v
+), totals AS (
+  SELECT source, sum(c) AS n FROM counts GROUP BY source
+), grid AS (
+  SELECT t.source, vals.v, t.n
+  FROM (SELECT DISTINCT v FROM counts) vals CROSS JOIN totals t
+), dense AS (
+  SELECT g.source, g.v, g.n, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON g.source = c.source AND g.v = c.v
+), ecdf AS (
+  SELECT source, v, n,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS le
+  FROM dense
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
+         max(abs(a.le * b.n - b.le * a.n)) AS num
+  FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
+  GROUP BY 1, 2, 3, 4
+)
+SELECT source_a, source_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+       round(num / (n_a * n_b), 6) AS ks,
+       (num / (n_a * n_b)) >
+         1.628 * sqrt((n_a + n_b) / (n_a::DOUBLE * n_b)) AS drifted
+FROM pairs
+"""
+
+
+def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report per (lang, class) (operators/prep.py:
+    pii_scan_report) — the compliance audit above redact_pii, sharing its
+    exact regexes so report and redaction can never disagree.  Runs over
+    the SAME planted-PII fixture as redact_pii_planted (doc_id % 13 = 2
+    appends a doc-id-unique email, % 13 = 9 a 16-digit card number —
+    FIXTURES.md F-planted).  r12 staging audit at sf0.01: all 10 (lang,
+    class) cells carry nonzero counts (the plants are doc_id-keyed, so
+    every language slice receives both classes) while ~85% of documents
+    contribute zero hits — both the hit and no-hit regex branches fire.
+    STAGED for the round-13 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 13 == 9,
+            F.concat(F.col("text"), F.lit(" card 4111222233334444 on file")),
+        )
+        .otherwise(F.col("text")),
+    )
+    return P.pii_scan_report(planted)
+
+
+_PII_SCAN_SQL = f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 13 = 2
+              THEN text || ' contact user' || doc_id::VARCHAR || '@example.com now'
+              WHEN doc_id % 13 = 9
+              THEN text || ' card 4111222233334444 on file'
+              ELSE text END AS text
+  FROM documents
+), per AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '{P.EMAIL_RE}')) AS email,
+         len(regexp_extract_all(text, '{P.LONG_DIGITS_RE}')) AS long_number
+  FROM m
+), stacked AS (
+  SELECT lang, 'email' AS pii_class, email AS hits FROM per
+  UNION ALL
+  SELECT lang, 'long_number' AS pii_class, long_number AS hits FROM per
+)
+SELECT lang, pii_class,
+       sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+       sum(hits)::BIGINT AS n_hits
+FROM stacked GROUP BY lang, pii_class
+"""
+
+
 _ASOF_SQL = """
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        round(l.value, 6) AS value,
@@ -7611,5 +7849,10 @@ ORACLE_SQL = {
 #: ORACLE_SQL; then any r13-changed entries; then the 12 remaining
 #: r9-green entries (named in the QUERIES ordering comment — rotate them
 #: FIRST); then the oldest r10-green entries to fill 50.
-STAGED_QUERIES: dict = {}
+STAGED_QUERIES: dict = {
+    "asof_nearest_view": (asof_nearest_view, _ASOF_NEAREST_SQL),
+    "paragraph_dedup_stats": (paragraph_dedup_stats, _PARAGRAPH_DEDUP_SQL),
+    "source_ks_drift": (source_ks_drift, _SOURCE_KS_SQL),
+    "pii_scan_report": (pii_scan_report, _PII_SCAN_SQL),
+}
 

@@ -212,3 +212,91 @@ def test_gap_fill_rejects_malformed_bucket(spark):
     )
     with pytest.raises(ValueError, match="bucket"):
         gap_fill(ev, bucket="1 hour); DROP TABLE x; --")
+
+
+def test_asof_nearest_picks_closer_side(spark):
+    """direction='nearest' (pandas merge_asof third direction): whichever
+    one-sided match is closer in time wins — a backward as-of would pick
+    the stale 08:00 row here even though 10:05 is 55 minutes nearer."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 08:00:00"), 7.0),   # backward, 2 h away
+            (10, _ts("2024-01-01 10:05:00"), 9.0),   # forward, 5 min away
+        ],
+        "user_id bigint, view_ts timestamp, view_value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_value"], direction="nearest",
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["view_value"] == 9.0
+
+
+def test_asof_nearest_tie_resolves_backward(spark):
+    """Equal distance both sides -> the BACKWARD row wins (the documented
+    tie rule, matched by the oracle's side-preference sort key)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:30:00"), 7.0),   # 30 min before
+            (10, _ts("2024-01-01 10:30:00"), 9.0),   # 30 min after
+        ],
+        "user_id bigint, view_ts timestamp, view_value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_value"], direction="nearest",
+    ).collect()
+    assert out[0]["view_value"] == 7.0
+
+
+def test_asof_nearest_one_sided_and_no_match(spark):
+    """A left row with only-forward candidates matches forward; a key with
+    no right rows at all yields NULL payload (the branch the registry
+    fixture cannot exercise — every purchase user there has views)."""
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # only forward rows exist
+            (2, 99, _ts("2024-01-01 10:00:00")),  # no right rows for user 99
+        ],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 12:00:00"), 5.0)],
+        "user_id bigint, view_ts timestamp, view_value double",
+    )
+    out = {
+        r["event_id"]: r["view_value"]
+        for r in asof_join(
+            left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+            payload_cols=["view_value"], direction="nearest",
+        ).collect()
+    }
+    assert out[1] == 5.0
+    assert out[2] is None
+
+
+def test_asof_nearest_tolerance_nulls_far_matches(spark):
+    """tolerance composes with nearest: the closest row is still too far."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 11:00:00"), 5.0)],
+        "user_id bigint, view_ts timestamp, view_value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_value"], direction="nearest",
+        tolerance_seconds=600,
+    ).collect()
+    assert out[0]["view_value"] is None

@@ -1,0 +1,121 @@
+"""Round-12-built verbs staged for the round-13 window: the nearest-
+either-direction as-of variant (operators/asof.py, semantics gated in
+tests/test_asof.py), paragraph-grain duplicate stats
+(operators/dedup.py:paragraph_dedup_stats), the pairwise two-sample KS
+drift report (operators/dq.py:source_ks_drift), and the PII exposure
+report (operators/prep.py:pii_scan_report).
+
+Layers: semantics on hand-built frames (expected values computed by
+hand), then the side-by-side DuckDB parity the r13 driver window will
+run (via the planted registry wrappers)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con(sf_dir, *tables):
+    con = duckdb.connect()
+    con.execute("SET enable_progress_bar=false")
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _assert_parity(got, want):
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0
+    for c in cols:
+        assert (g[c].values == w[c].values).all(), c
+
+
+# ---------------------------------------------------------------- semantics
+
+
+def test_paragraph_dedup_counts_cross_doc_only(spark):
+    """dup = paragraph shared across >= 2 DISTINCT documents; a paragraph
+    repeated twice inside ONE document is not boilerplate."""
+    from spark_gp_spark.operators.dedup import paragraph_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared footer"),
+            (2, "gamma delta\n\nshared footer"),
+            (3, "self twin\n\nself twin"),  # within-doc repeat, no other doc
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup_stats(df).collect()}
+    assert out[1]["n_paras"] == 2 and out[1]["n_dup_paras"] == 1
+    assert out[1]["kept_chars"] == len("alpha beta")
+    assert out[2]["n_dup_paras"] == 1
+    assert out[3]["n_paras"] == 2 and out[3]["n_dup_paras"] == 0
+    assert out[3]["kept_chars"] == 2 * len("self twin")
+
+
+def test_source_ks_drift_hand_computed(spark):
+    """Disjoint supports -> KS = 1 and (at n=10 per side, critical
+    1.628*sqrt(20/100) = 0.728) drifted; identical sources -> KS = 0, not
+    drifted; a half-overlap pair lands at the hand-computed 0.5.  Exact
+    integers throughout."""
+    from spark_gp_spark.operators.dq import source_ks_drift
+
+    rows = (
+        [("a", i) for i in range(1, 11)]
+        + [("b", i) for i in range(11, 21)]
+        + [("c", i) for i in range(1, 11)]
+        + [("h", i) for i in range(6, 16)]  # half-overlaps a: max gap at v=10
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars bigint")
+    out = {
+        (r["source_a"], r["source_b"]): r for r in source_ks_drift(df).collect()
+    }
+    assert out[("a", "b")]["ks"] == 1.0 and out[("a", "b")]["drifted"]
+    assert out[("a", "c")]["ks"] == 0.0 and not out[("a", "c")]["drifted"]
+    # F_a(10) = 1.0, F_h(10) = 5/10 -> KS = 0.5 < 0.728 -> not drifted
+    assert out[("a", "h")]["ks"] == 0.5 and not out[("a", "h")]["drifted"]
+    assert out[("a", "b")]["n_a"] == 10 and out[("a", "b")]["n_b"] == 10
+
+
+def test_pii_scan_report_counts_docs_and_hits(spark):
+    """n_docs counts documents with >= 1 hit; n_hits counts matches — a doc
+    with two emails adds 1 to n_docs and 2 to n_hits."""
+    from spark_gp_spark.operators.prep import pii_scan_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "mail a@b.co and c@d.org here"),
+            (2, "en", "card 4111222233334444"),
+            (3, "en", "clean text"),
+            (4, "fr", "x@y.io"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    out = {
+        (r["lang"], r["pii_class"]): r for r in pii_scan_report(df).collect()
+    }
+    assert out[("en", "email")]["n_docs"] == 1
+    assert out[("en", "email")]["n_hits"] == 2
+    assert out[("en", "long_number")]["n_hits"] == 1
+    assert out[("fr", "email")]["n_docs"] == 1
+    assert out[("fr", "long_number")]["n_hits"] == 0
+
+
+# ------------------------------------------------------------------ parity
+
+
+def test_staged_r12_verbs_duckdb_parity(spark):
+    """The exact side-by-side the r13 driver window will run, at sf0.001."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    con = _con(SF, "documents", "events")
+    for name, (fn, sql) in STAGED_QUERIES.items():
+        got = fn(spark, SF).toPandas()
+        want = con.execute(sql).fetchdf()
+        _assert_parity(got, want)
