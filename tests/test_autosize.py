@@ -34,13 +34,21 @@ def test_auto_ivf_params_scaling_rule():
         "cells": 16, "nprobe": 8, "nprobe_adc": 11, "sample_rows": 4000,
     }
     # sqrt regime: cells ~ sqrt(N); nprobe = cells/2 and nprobe_adc =
-    # 2cells/3 are the r11 recall/time knees (tools/ann_knee_sweep.py);
-    # >= 40 training rows/cell
+    # 2cells/3 are the r11 recall/time knees (tools/ann_knee_sweep.py),
+    # CAPPED at 128 / 170 (ADVICE r11: a constant cells/2 FRACTION scans
+    # ~N/2 candidates per query at 100 TB — near brute force — so the
+    # absolute cap bounds the scan at ~128*sqrt(N); the fraction below
+    # the cap is the bench-corpus calibration); >= 40 training rows/cell
     big = auto_ivf_params(1_000_000)
     assert big["cells"] == 1000
-    assert big["nprobe"] == 500
-    assert big["nprobe_adc"] == 667
+    assert big["nprobe"] == 128
+    assert big["nprobe_adc"] == 170
     assert big["sample_rows"] == 40_000
+    # below the cap threshold (N ~ 65k) the knee fractions are untouched,
+    # so every test/bench corpus keeps its r11-green outputs
+    mid = auto_ivf_params(50_000)
+    assert mid["nprobe"] == round(mid["cells"] / 2) == 112
+    assert mid["nprobe_adc"] == round(2 * mid["cells"] / 3) == 149
     # monotone in N (no weird plateaus from rounding)
     cells = [auto_ivf_params(n)["cells"] for n in (500, 2000, 50_000, 1_000_000)]
     assert cells == sorted(cells)
