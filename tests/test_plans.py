@@ -484,6 +484,11 @@ def test_corpus_prep_v2_rule_gate_fused_and_leaves_cached(spark):
     from spark_gp_spark.operators.text import gopher_filter
     from spark_gp_spark.queries import corpus_prep_pipeline_v2, load_table
 
+    # cold-plan lock: a cached fragment left by a previously-run capstone
+    # test substitutes an InMemoryRelation whose stored plan text carries
+    # its own Joins, flipping the "no Join" assert on ORDER, not on the
+    # operator (reproduced with `-k "gpc or capstone or corpus_prep"`)
+    spark.catalog.clearCache()
     docs = load_table(spark, SF, "documents")
     gate = gopher_filter(docs.filter(F.col("doc_id") >= 20), min_tokens=20)
     gate_plan = _plan(gate)
