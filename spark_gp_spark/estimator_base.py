@@ -332,7 +332,17 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
         # is per-evaluation (each reduction's cost ∝ N·n²); wall-clock to
         # convergence also depends on how many evaluations L-BFGS happens to
         # take, which varies with the data — bench.py normalizes by these.
-        self._fit_stats = {"reductions": 0, "evals": 0, "aux_total": 0.0, "state_updates": 0}
+        self._fit_stats = {
+            "reductions": 0, "evals": 0, "aux_total": 0.0, "state_updates": 0,
+            # wall-clock INSIDE the reductions (the per-expert objective
+            # work, driver-local or distributed) vs everything else in the
+            # fit span (packing collect, optimizer bookkeeping) — the split
+            # that tells a slow suite-context fit WHERE it is slow when the
+            # eval count says it is not doing more work (r12: the bench
+            # suite ran the SAME 61-eval capstone fit 5-6x slower than an
+            # isolated session; this localizes such gaps)
+            "reduction_wall_s": 0.0,
+        }
         stateful = state_update_fn is not None
         seg_len = 1 + p + aux_len
 
@@ -357,6 +367,9 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                         segs.append(np.concatenate([[out[0]], out[1], *out[2:]]))
                     return np.concatenate(segs)
 
+                import time as _time
+
+                _rt0 = _time.perf_counter()
                 self._fit_stats["reductions"] += 1
                 self._fit_stats["evals"] += len(misses)
                 if stateful and pending_accept:
@@ -376,6 +389,9 @@ class GaussianProcessEstimatorBase(Estimator, GaussianProcessParams, GPPersisten
                     )
                 else:
                     flat = experts.sum_over_experts_stateful(fn, len(misses) * seg_len)
+                self._fit_stats["reduction_wall_s"] += (
+                    _time.perf_counter() - _rt0
+                )
                 for i, x in enumerate(misses):
                     seg = flat[i * seg_len : (i + 1) * seg_len]
                     cache[x.tobytes()] = (float(seg[0]), seg[1 : 1 + p].copy())

@@ -2178,6 +2178,13 @@ def _gpc_quality_filter_frames(
         span="gpc_fit",
         evals=gpc._fit_stats.get("evals"),
         reductions=gpc._fit_stats.get("reductions"),
+        # wall INSIDE the objective reductions vs the span total: a slow
+        # fit with flat evals and flat reduction_wall is setup/collect; a
+        # slow fit with inflated reduction_wall is the per-expert numpy
+        # itself running slower in suite context
+        reduction_wall_s=round(
+            gpc._fit_stats.get("reduction_wall_s", 0.0), 3
+        ),
     )
     # persist + materialize the SCORED relation through the still-cached
     # raw frame before dropping it: scored feeds the canonical window AND
