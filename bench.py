@@ -794,17 +794,26 @@ def main() -> None:
             "corpus_prep_gpc_filter": (
                 "SELF-ATTRIBUTED as of r12 — see stage_times: the entry "
                 "logs contamination_scan / features_scale_agg / gpc_fit "
-                "(with the optimizer's eval+reduction counts, so a slow "
-                "official run shows whether it did MORE optimizer work "
-                "or the same work slower) / gpc_transform_scored / "
-                "neardup_canonical_kept spans on every run.  Builder "
-                "floor on this code: features ~4.5 s, GPC fit ~6 s, "
-                "pipeline stages ~3 s — but the r11 official run read "
-                "42.9 s raw against the builder's 18.7 s same-code on a "
-                "CPU-comparable VM, which the prose floor could not "
-                "explain; the per-span split exists exactly so the "
-                "measuring VM attributes its own number.  Held-out "
-                "accuracy gate >= 0.95 unchanged"
+                "(with the optimizer's eval+reduction counts AND "
+                "reduction_wall_s, the wall spent INSIDE the objective "
+                "reductions) / gpc_transform_scored / "
+                "neardup_canonical_kept spans on every run.  The r12 "
+                "root-cause hunt for the r11 official 42.9 s mystery: "
+                "isolated fit ~7-13 s at 61 evals, full-suite fit 68 s "
+                "at the IDENTICAL 61 evals with reduction_wall 61.4 s — "
+                "the same numpy work ran ~9x slower.  Every in-process "
+                "hypothesis FAILED to reproduce it (70-query replica "
+                "suite then capstone: 6.9 s reduction wall; Python GC "
+                "frozen/disabled: flat; GP fit benches first: only "
+                "10.7 s), while the same box's two full closing runs "
+                "25 min apart drifted jvm probe 192->112 ms and total "
+                "368->459 s — i.e. time-varying HOST contention, not "
+                "session state.  The spans turn any future slow reading "
+                "into evidence: flat evals + inflated reduction_wall = "
+                "environment, not algorithm.  Held-out accuracy gate "
+                ">= 0.95 unchanged; r12 also removed the capstone's "
+                "only corpus-wide join (sw_ratio now rides the staged "
+                "text-stats projection, bit-identical features)"
             ),
             "streaming_neardup_expiry": (
                 "r9 sharded bucket-map state landed mid-round: "
