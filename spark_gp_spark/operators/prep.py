@@ -691,3 +691,50 @@ def pii_scan_report(
         F.sum((F.col("_hits") > 0).cast("long")).alias("n_docs"),
         F.sum("_hits").cast("long").alias("n_hits"),
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """EXACT-quota stratified train/val/test split — the evaluation-fairness
+    twin of ``split_assign``: hash splitting gives each stratum only
+    EXPECTED proportions (a 200-doc language can land 72/28 by luck),
+    while benchmark construction wants every stratum cut at exactly
+    ceil(n·pct/100).  Rows rank within their stratum by a salted
+    deterministic hash (reproducible across runs/engines/layouts, and
+    decorrelated from split_assign's buckets), and integer-exact
+    boundaries assign train/val/test.
+
+    Output: (``id_col``, ``stratum_col``, split).
+
+    Scale shape: ONE hash shuffle on the stratum + a per-stratum window
+    (count + row_number share the sort).  The window is per-STRATUM, so
+    partitions are bounded by stratum size, not corpus size — fine for
+    language/source strata (dozens to hundreds); for an unbounded stratum
+    column or a heavily skewed giant stratum, fall back to the hash split
+    (exactness at that scale costs a skewed sort; the trade is the point
+    of having both verbs)."""
+    from .hashing import h32
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        h32(F.concat(F.lit("strat_"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    cnt = Window.partitionBy(stratum_col)
+    rank = F.row_number().over(w)
+    n = F.count("*").over(cnt)
+    # ceil(n·pct/100) in exact integer arithmetic: (n·pct + 99) div 100
+    train_cut = F.floor((n * train_pct + 99) / 100)
+    val_cut = F.floor((n * (train_pct + val_pct) + 99) / 100)
+    return df.select(
+        id_col,
+        stratum_col,
+        F.when(rank <= train_cut, "train")
+        .when(rank <= val_cut, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -655,3 +655,41 @@ def topk_recall(
             "recall"
         ),
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Embedding-table DQ: flag vectors whose L2 norm is a z-score outlier
+    against the corpus — the cheap screen that catches broken encoders,
+    unnormalized batches, and zero/explosive vectors BEFORE they poison
+    cosine ranking (an un-normalized twin dominates every dot product) or
+    quantizer training.
+
+    Output: (``id_col``, norm, z, is_outlier) — norm/z rounded 6 dp and
+    the flag computed from the ROUNDED z so both engines decide borderline
+    cases identically.
+
+    Scale shape: one codegen'd fold per row for the squared norm, one
+    global aggregate for (mean, stddev), broadcast back onto the thin
+    (id, norm) relation — the embedding payload is read once and never
+    shuffled."""
+    sq = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    norms = df.select(F.col(id_col), F.sqrt(sq).alias("_norm"))
+    stats = norms.agg(
+        F.avg("_norm").alias("_mu"), F.stddev_pop("_norm").alias("_sd")
+    )
+    z = F.round((F.col("_norm") - F.col("_mu")) / F.col("_sd"), 6)
+    return norms.join(F.broadcast(stats)).select(
+        id_col,
+        F.round("_norm", 6).alias("norm"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(z_thresh)).alias("is_outlier"),
+    )

@@ -5117,6 +5117,87 @@ def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pii_scan_report(planted)
 
 
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified split (operators/prep.py: stratified_split)
+    — the evaluation-fairness twin of the hash split: every language is
+    cut at exactly ceil(n·pct/100) instead of hash-expected proportions.
+    Ranks within a stratum by a salted deterministic hash (decorrelated
+    from split_assign's buckets); integer-exact boundaries.  Non-vacuous
+    at sf0.01 (r12 staging audit): all three splits populated in every
+    one of the 5 languages with EXACT quotas (en: 175 = ceil(218·0.8)),
+    while the hash split's per-language train share on the same corpus
+    spans 75.0-83.6% — the fairness gap this verb exists to close.
+    STAGED for the round-13 window."""
+    from .operators.prep import stratified_split as _ss
+
+    return _ss(load_table(spark, sf_dir, "documents"))
+
+
+_STRATIFIED_SPLIT_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {h32_sql("'strat_' || doc_id::VARCHAR")}, doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN rk <= (n * 80 + 99) // 100 THEN 'train'
+            WHEN rk <= (n * 90 + 99) // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm DQ screen (operators/similarity.py:
+    embedding_norm_outliers): L2-norm z-score per vector against the
+    corpus, flagging |z| > 3 — the cheap catch for broken encoder
+    batches before they poison cosine ranking or quantizer training.
+
+    The synthetic embeddings' norms concentrate (no natural 3-sigma
+    tail at sf0.01), so the fixture plants the failure class
+    (FIXTURES.md F-planted, embeddings section): vectors with
+    vec_id % 97 = 3 are scaled 4× — the r12 staging audit measures 6
+    planted outliers flagged and 494 clean vectors unflagged at sf0.01;
+    both branch classes fire.  STAGED for the round-13 window."""
+    from .operators.similarity import embedding_norm_outliers as _eno
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 97 == 3,
+            F.transform(F.col("embedding"), lambda x: x * F.lit(4.0)),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    return _eno(emb)
+
+
+_NORM_OUTLIERS_SQL = """
+WITH m AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 97 = 3
+              THEN list_transform(embedding::DOUBLE[], x -> x * 4.0)
+              ELSE embedding::DOUBLE[] END AS v
+  FROM embeddings
+), norms AS (
+  SELECT vec_id,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM m
+), stats AS (
+  SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sd FROM norms
+)
+SELECT vec_id, round(nrm, 6) AS norm,
+       round((nrm - mu) / sd, 6) AS z,
+       abs(round((nrm - mu) / sd, 6)) > 3.0 AS is_outlier
+FROM norms CROSS JOIN stats
+"""
+
+
 _PII_SCAN_SQL = f"""
 WITH m AS (
   SELECT doc_id, lang,
@@ -7861,5 +7942,10 @@ STAGED_QUERIES: dict = {
     "paragraph_dedup_stats": (paragraph_dedup_stats, _PARAGRAPH_DEDUP_SQL),
     "source_ks_drift": (source_ks_drift, _SOURCE_KS_SQL),
     "pii_scan_report": (pii_scan_report, _PII_SCAN_SQL),
+    "stratified_split": (stratified_split, _STRATIFIED_SPLIT_SQL),
+    "embedding_norm_outliers": (
+        embedding_norm_outliers,
+        _NORM_OUTLIERS_SQL,
+    ),
 }
 

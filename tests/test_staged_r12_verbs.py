@@ -2,8 +2,10 @@
 either-direction as-of variant (operators/asof.py, semantics gated in
 tests/test_asof.py), paragraph-grain duplicate stats
 (operators/dedup.py:paragraph_dedup_stats), the pairwise two-sample KS
-drift report (operators/dq.py:source_ks_drift), and the PII exposure
-report (operators/prep.py:pii_scan_report).
+drift report (operators/dq.py:source_ks_drift), the PII exposure
+report (operators/prep.py:pii_scan_report), the exact-quota stratified
+split (operators/prep.py:stratified_split), and the embedding-norm DQ
+screen (operators/similarity.py:embedding_norm_outliers).
 
 Layers: semantics on hand-built frames (expected values computed by
 hand), then the side-by-side DuckDB parity the r13 driver window will
@@ -114,8 +116,58 @@ def test_staged_r12_verbs_duckdb_parity(spark):
     """The exact side-by-side the r13 driver window will run, at sf0.001."""
     from spark_gp_spark.queries import STAGED_QUERIES
 
-    con = _con(SF, "documents", "events")
+    con = _con(SF, "documents", "events", "embeddings")
     for name, (fn, sql) in STAGED_QUERIES.items():
         got = fn(spark, SF).toPandas()
         want = con.execute(sql).fetchdf()
         _assert_parity(got, want)
+
+
+def test_stratified_split_exact_quotas(spark):
+    """Every stratum cuts at exactly ceil(n*pct/100) — including the
+    remainder strata a hash split gets wrong by luck — and assignment is
+    a pure function of the id (re-partitioning cannot move a row)."""
+    import math
+
+    from spark_gp_spark.operators.prep import stratified_split
+
+    rows = [(i, "a") for i in range(17)] + [(100 + i, "b") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_split(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["split"])
+    for lang, n in (("a", 17), ("b", 4)):
+        splits = by[lang]
+        tr = math.ceil(n * 80 / 100)
+        va = math.ceil(n * 90 / 100) - tr
+        assert splits.count("train") == tr, (lang, splits)
+        assert splits.count("val") == va, (lang, splits)
+        assert splits.count("test") == n - tr - va, (lang, splits)
+    # determinism: same ids re-partitioned -> identical assignment
+    again = {
+        (r["doc_id"], r["split"])
+        for r in stratified_split(df.repartition(7)).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+
+
+def test_embedding_norm_outliers_flags_scaled_vector(spark):
+    """A 4x-scaled twin of an otherwise-typical vector is the only
+    outlier; z-scores are computed against the corpus including it."""
+    import numpy as np
+
+    from spark_gp_spark.operators.similarity import embedding_norm_outliers
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)  # all norms = 1
+    vecs = list(base) + [base[0] * 4.0]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in embedding_norm_outliers(df).collect()}
+    assert out[50]["is_outlier"] and out[50]["norm"] == 4.0
+    assert sum(r["is_outlier"] for r in out.values()) == 1
+    assert all(abs(out[i]["norm"] - 1.0) < 1e-6 for i in range(50))
