@@ -1419,29 +1419,38 @@ def paragraph_dedup_stats(
     counts the text of UNIQUE paragraphs only (separators excluded), the
     post-cleaning size a packing budget would see.
 
-    Scale shape: paragraphs explode once per document; the duplicate
-    count groups by md5(paragraph) so the shuffle moves a fixed 32-char
-    key instead of full paragraph text (the corpus never shuffles its
-    payload twice); the flag rejoins on the same key.  Both joins are
-    plain hash equi-joins; no window over the corpus."""
-    paras = (
-        df.select(
-            id_col,
-            F.explode(F.split(F.col(text_col), "\n\n")).alias("para"),
-        )
+    Scale shape: paragraph TEXT never leaves the scan stage — the explode
+    projects straight down to (id, md5(paragraph), length(paragraph)),
+    and that thin relation is persisted (retired via the module's shared
+    cache registry) so the duplicate count and the flag join both read it
+    without a second pass over the corpus; every shuffle carries the
+    32-char key + two ints.  Both joins are plain hash equi-joins; no
+    window over the corpus.  (The r12 plan audit caught the first cut
+    shuffling full paragraph text through the flag join and scanning the
+    corpus twice — this shape is the fix, asserted in
+    tests/test_plans.py.)"""
+    para = F.explode(F.split(F.col(text_col), "\n\n")).alias("para")
+    thin = (
+        df.select(id_col, para)
         .filter(F.length(F.trim(F.col("para"))) > 0)
-        .withColumn("_k", F.md5(F.col("para")))
+        .select(
+            id_col,
+            F.md5(F.col("para")).alias("_k"),
+            F.length("para").alias("_plen"),
+        )
+        .persist()
     )
-    counts = paras.groupBy("_k").agg(
+    _retire_shingle_caches([thin])
+    counts = thin.groupBy("_k").agg(
         F.countDistinct(id_col).alias("_n_docs")
     )
-    flagged = paras.join(counts, "_k").withColumn(
+    flagged = thin.join(counts, "_k").withColumn(
         "_dup", F.col("_n_docs") >= min_copies
     )
     return flagged.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_paras"),
         F.sum(F.col("_dup").cast("long")).alias("n_dup_paras"),
         F.sum(
-            F.when(~F.col("_dup"), F.length("para")).otherwise(F.lit(0))
+            F.when(~F.col("_dup"), F.col("_plen")).otherwise(F.lit(0))
         ).cast("long").alias("kept_chars"),
     )

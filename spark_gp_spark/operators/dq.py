@@ -356,6 +356,22 @@ def grouped_exact_quantiles(
     )
 
 
+_LIVE_KS_CACHES: list = []
+
+
+def _retire_ks_caches(new: list) -> None:
+    """Same discipline as dedup._retire_shingle_caches: unpersist prior
+    invocations' counts relations unless a new handle shares their plan."""
+    for old in _LIVE_KS_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_KS_CACHES.clear()
+    _LIVE_KS_CACHES.extend(new)
+
+
 def source_ks_drift(
     df: DataFrame,
     group_col: str = "source",
@@ -376,15 +392,22 @@ def source_ks_drift(
     (n_a·n_b)) with c defaulting to the alpha=0.01 constant 1.628.
 
     Scale shape: ONE aggregate collapses the corpus to (source, value)
-    counts; the dense ECDF grid is distinct-values × sources (a broadcast
-    nested-loop of two already-aggregated tiny relations, never the
-    corpus); the pair sweep self-joins the grid on value — |V|·|S|² rows
-    where |S| is the source count (dozens), all corpus-free."""
+    counts, PERSISTED (retired via the module cache registry) because five
+    downstream consumers (totals, the value grid, the dense left join, and
+    both sides of the pair sweep) derive from it — uncached, each would
+    re-scan the corpus (the r12 plan audit measured 6 scans / 23
+    exchanges in the first cut; the persist collapses that, asserted in
+    tests/test_plans.py).  The dense ECDF grid is distinct-values ×
+    sources (a broadcast nested-loop of two already-aggregated tiny
+    relations, never the corpus); the pair sweep self-joins the grid on
+    value — |V|·|S|² rows where |S| is the source count (dozens), all
+    corpus-free."""
     from pyspark.sql import Window
 
     counts = df.groupBy(group_col, F.col(value_col).alias("_v")).agg(
         F.count("*").alias("_c")
-    )
+    ).persist()
+    _retire_ks_caches([counts])
     totals = counts.groupBy(group_col).agg(F.sum("_c").alias("_n"))
     values = counts.select("_v").distinct()
     grid = values.crossJoin(F.broadcast(totals))

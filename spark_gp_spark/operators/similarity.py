@@ -657,6 +657,24 @@ def topk_recall(
     )
 
 
+_LIVE_NORM_CACHES: list = []
+
+
+def _retire_norm_caches(new: list) -> None:
+    """Same discipline as dedup._retire_shingle_caches: unpersist prior
+    invocations' thin norm relations unless a new handle shares their
+    plan (CacheManager dedupes semantically — evicting a shared entry
+    would force a recompute)."""
+    for old in _LIVE_NORM_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_NORM_CACHES.clear()
+    _LIVE_NORM_CACHES.extend(new)
+
+
 def embedding_norm_outliers(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -673,16 +691,19 @@ def embedding_norm_outliers(
     the flag computed from the ROUNDED z so both engines decide borderline
     cases identically.
 
-    Scale shape: one codegen'd fold per row for the squared norm, one
-    global aggregate for (mean, stddev), broadcast back onto the thin
-    (id, norm) relation — the embedding payload is read once and never
-    shuffled."""
+    Scale shape: one codegen'd fold per row for the squared norm into a
+    PERSISTED thin (id, norm) relation (retired via the module cache
+    registry), one global aggregate for (mean, stddev) over it, broadcast
+    back — the embedding payload is read once and never shuffled.  (The
+    r12 plan audit caught the first cut re-folding the corpus for the
+    stats pass; the persist is the fix, asserted in tests/test_plans.py.)"""
     sq = F.aggregate(
         F.col(vec_col).cast("array<double>"),
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
-    norms = df.select(F.col(id_col), F.sqrt(sq).alias("_norm"))
+    norms = df.select(F.col(id_col), F.sqrt(sq).alias("_norm")).persist()
+    _retire_norm_caches([norms])
     stats = norms.agg(
         F.avg("_norm").alias("_mu"), F.stddev_pop("_norm").alias("_sd")
     )

@@ -653,3 +653,67 @@ def test_r12_staged_verbs_plan_shapes(spark):
     # the integrity audit must stay a single-scan aggregate: no join at all
     plan = _plan(metadata_integrity_report(spark, SF))
     assert "Join" not in plan, plan[:1200]
+
+
+def _walk_with_cached_children(node):
+    """Physical-tree walk that also descends INTO InMemoryTableScan's
+    cached plan, so scan counts include what the cache itself reads."""
+    yield from _iter_physical_nodes(node)
+
+
+def _staged_plan_nodes(df):
+    df.count()  # materialize caches so the executed tree is final
+    return list(_iter_physical_nodes(df._jdf.queryExecution().executedPlan()))
+
+
+def _exchange_payload_cols(nodes, payload=("para", "text", "embedding")):
+    out = []
+    for n in nodes:
+        if "Exchange" not in n.nodeName():
+            continue
+        cols = [n.output().apply(i).name() for i in range(n.output().size())]
+        if any(c in payload for c in cols):
+            out.append(cols)
+    return out
+
+
+def test_staged_r13_verbs_single_scan_thin_shuffles(spark):
+    """The r12 plan audit caught three scale defects in the first cuts of
+    the r13-staged verbs (paragraph text shuffled through the flag join;
+    the norm fold re-run for the stats pass; source_ks_drift re-scanning
+    documents for each of its 5 counts consumers).  Lock the fixed shapes:
+    after the thin persisted relation materializes, the executed plan has
+    ZERO parquet scans (everything reads the cache) and no Exchange output
+    carries a payload column (para/text/embedding)."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    for name in (
+        "paragraph_dedup_stats", "embedding_norm_outliers", "source_ks_drift",
+    ):
+        fn, _sql = STAGED_QUERIES[name]
+        nodes = _staged_plan_nodes(fn(spark, SF))
+        scans = [n for n in nodes if "FileSourceScan" in n.nodeName()]
+        assert not scans, (name, [n.nodeName() for n in scans])
+        assert any(n.nodeName() == "InMemoryTableScan" for n in nodes), name
+        assert _exchange_payload_cols(nodes) == [], name
+
+
+def test_stratified_split_one_shuffle_and_pii_scan_no_join(spark):
+    """stratified_split: the stratum window is the ONLY hash exchange
+    beyond the loader's widening repartition, and no join appears (quota
+    assignment must not become a count-relation join).  pii_scan_report:
+    pure scan -> project -> stack -> one aggregate, no join at all."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(STAGED_QUERIES["stratified_split"][0](spark, SF))
+    assert not [n for n in nodes if "Join" in n.nodeName()]
+    hash_exch = [
+        n for n in nodes
+        if "Exchange" in n.nodeName() and "hashpartitioning" in n.toString()[:200]
+    ]
+    assert len(hash_exch) == 1, [n.nodeName() for n in hash_exch]
+
+    nodes = _staged_plan_nodes(STAGED_QUERIES["pii_scan_report"][0](spark, SF))
+    assert not [n for n in nodes if "Join" in n.nodeName()]
