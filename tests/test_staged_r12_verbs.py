@@ -171,3 +171,65 @@ def test_embedding_norm_outliers_flags_scaled_vector(spark):
     assert out[50]["is_outlier"] and out[50]["norm"] == 4.0
     assert sum(r["is_outlier"] for r in out.values()) == 1
     assert all(abs(out[i]["norm"] - 1.0) < 1e-6 for i in range(50))
+
+
+# --------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 23), min_size=1, max_size=4),
+    train=st.integers(50, 90),
+    val=st.integers(5, 25),
+)
+def test_stratified_split_quota_invariant(spark, sizes, train, val):
+    """For ANY stratum sizes and any (train, val) pcts with train+val
+    <= 100: every stratum's train count is exactly ceil(n*train/100) and
+    train+val count exactly ceil(n*(train+val)/100) — including the
+     1-row strata where ceil puts everything in train."""
+    import math
+
+    from spark_gp_spark.operators.prep import stratified_split
+
+    if train + val > 100:
+        val = 100 - train
+    rows = [
+        (s * 1000 + i, f"s{s}") for s, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_split(df, train_pct=train, val_pct=val).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["lang"], []).append(r["split"])
+    for s, n in enumerate(sizes):
+        splits = by[f"s{s}"]
+        tr = math.ceil(n * train / 100)
+        tv = math.ceil(n * (train + val) / 100)
+        assert splits.count("train") == tr, (n, train, val, splits)
+        assert splits.count("train") + splits.count("val") == tv
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 9)),
+        min_size=4, max_size=40,
+    )
+)
+def test_source_ks_bounds_and_identity(spark, data):
+    """KS statistics are always in [0, 1]; a source compared against an
+    exact copy of itself reads 0.  (The exact-integer max makes these
+    hard invariants, not float approximations.)"""
+    from spark_gp_spark.operators.dq import source_ks_drift
+
+    rows = [(s, v) for s, v in data] + [("a_copy", v) for s, v in data if s == "a"]
+    if not any(s == "a" for s, _ in data):
+        rows += [("a", 1), ("a_copy", 1)]
+    df = spark.createDataFrame(rows, "source string, n_chars bigint")
+    out = source_ks_drift(df).collect()
+    assert all(0.0 <= r["ks"] <= 1.0 for r in out)
+    ident = [r for r in out if {r["source_a"], r["source_b"]} == {"a", "a_copy"}]
+    assert ident and ident[0]["ks"] == 0.0 and not ident[0]["drifted"]
