@@ -456,3 +456,150 @@ def source_ks_drift(
         F.round(ks, 6).alias("ks"),
         (ks > crit).alias("drifted"),
     )
+
+
+_LIVE_ANOM_CACHES: list = []
+
+
+def _retire_anom_caches(new: list) -> None:
+    """KS-cache discipline for the anomaly screen's counts relation."""
+    for old in _LIVE_ANOM_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_ANOM_CACHES.clear()
+    _LIVE_ANOM_CACHES.extend(new)
+
+
+def robust_anomaly_screen(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    k: float = 3.5,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier screen over a numeric column —
+    the DQ verb a pipeline runs on metric streams where mean/std are
+    themselves poisoned by the outliers being hunted (Iglewicz & Hoaglin's
+    modified z-score rule: flag |x − median| > k·1.4826·MAD, k = 3.5).
+
+    Exactness contract: median and MAD are lower ORDER STATISTICS at rank
+    ceil(N/2) (no interpolation), so both engines derive bit-identical
+    doubles and the strict ``>`` comparison can never disagree.  MAD = 0
+    (majority-tied groups) degrades to flagging every deviation — the
+    documented behavior of the modified z-score on discrete data.
+
+    Scale shape (the source_ks_drift discipline): ONE map-side-combined
+    aggregate collapses the corpus to (group, value) counts — value
+    domains like prices-in-cents are bounded, so this relation stays small
+    when rows grow 1000× — and every window/prefix-sum below runs on the
+    counts relation, never the raw rows (a per-group sort of raw rows
+    would put 100 TB onto |groups| tasks).  The counts relation is
+    persisted (three consumers: totals, the median prefix scan, the
+    deviation re-aggregation) and retired via the module cache registry.
+
+    Output: (group, n_events, median, mad, threshold, n_anomalies,
+    anomaly_rate) — one row per group."""
+    from pyspark.sql import Window
+
+    g, v = group_col, value_col
+    kc = float(k) * float(scale)
+    counts = df.groupBy(g, v).agg(F.count("*").cast("long").alias("_cnt")).persist()
+    _retire_anom_caches([counts])
+    tot = counts.groupBy(g).agg(F.sum("_cnt").cast("long").alias("_n"))
+    half = F.ceil(F.lit(0.5) * F.col("_n")).cast("long")
+    wv = Window.partitionBy(g).orderBy(v)
+    med = (
+        counts.select(g, v, F.sum("_cnt").over(wv).alias("_cum"))
+        .join(F.broadcast(tot), g)
+        .filter(F.col("_cum") >= half)
+        .groupBy(g)
+        .agg(F.min(v).alias("_med"))
+    )
+    adc = (
+        counts.join(F.broadcast(med), g)
+        .select(g, F.abs(F.col(v) - F.col("_med")).alias("_ad"), "_cnt")
+        .groupBy(g, "_ad")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))
+    )
+    wa = Window.partitionBy(g).orderBy("_ad")
+    mad = (
+        adc.select(g, "_ad", F.sum("_cnt").over(wa).alias("_cum"))
+        .join(F.broadcast(tot), g)
+        .filter(F.col("_cum") >= half)
+        .groupBy(g)
+        .agg(F.min("_ad").alias("_mad"))
+    )
+    anom = (
+        adc.join(F.broadcast(mad), g)
+        .groupBy(g)
+        .agg(
+            F.sum(
+                F.when(F.col("_ad") > F.lit(kc) * F.col("_mad"), F.col("_cnt"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("_n_anom")
+        )
+    )
+    return (
+        tot.join(med, g)
+        .join(mad, g)
+        .join(anom, g)
+        .select(
+            F.col(g),
+            F.col("_n").alias("n_events"),
+            F.round("_med", 6).alias("median"),
+            F.round("_mad", 6).alias("mad"),
+            F.round(F.lit(kc) * F.col("_mad"), 6).alias("threshold"),
+            F.col("_n_anom").alias("n_anomalies"),
+            F.round(F.col("_n_anom") / F.col("_n"), 6).alias("anomaly_rate"),
+        )
+    )
+
+
+def referential_integrity_report(edges: list) -> DataFrame:
+    """Whole-schema foreign-key orphan audit — one row per FK edge:
+    (fk, child_rows, n_orphans, orphan_rate), where an orphan is a
+    non-null child key with no parent match.  The cross-table complement
+    of ``dq_report``'s single-table rules: the audit a pipeline runs
+    after ingest/MERGE before trusting any join to be lossless.
+
+    ``edges`` is a list of (name, child_df, child_col, parent_df,
+    parent_col, small_parent).  Scale shape per edge: the parent
+    collapses to DISTINCT keys (map-side-combined — the probe side never
+    carries payload), broadcast when ``small_parent`` (fixed-cardinality
+    dims like nation/region; scaling parents shuffle on the key), then
+    ONE left join + conditional aggregate — no separate anti-join pass,
+    so each edge costs exactly one join and each child scans once per
+    edge touching it (Catalyst prunes to the key column)."""
+    parts: list[DataFrame] = []
+    for name, child, ccol, parent, pcol, small in edges:
+        keys = (
+            parent.select(F.col(pcol).alias("_pk"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        if small:
+            keys = F.broadcast(keys)
+        j = child.select(F.col(ccol).alias("_fk")).join(
+            keys, F.col("_fk") == F.col("_pk"), "left"
+        )
+        orphan = (F.col("_fk").isNotNull() & F.col("_hit").isNull()).cast("long")
+        parts.append(
+            j.agg(
+                F.count("*").cast("long").alias("child_rows"),
+                F.sum(orphan).cast("long").alias("n_orphans"),
+            ).select(F.lit(name).alias("fk"), "child_rows", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "fk",
+        "child_rows",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("child_rows"), 6).alias("orphan_rate"),
+    )

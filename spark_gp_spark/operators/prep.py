@@ -101,6 +101,46 @@ def split_assign(
     )
 
 
+def component_split_assign(
+    comps: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    train: int = SPLIT_TRAIN,
+    val: int = SPLIT_VAL,
+) -> DataFrame:
+    """Train/val/test assignment at near-duplicate-CLUSTER granularity.
+
+    ``split_assign`` is leakage-safe against re-partitioning, but a doc-id
+    hash still lets two NEAR-DUPLICATE documents land in different splits —
+    the train/test contamination mode the dedup literature warns about
+    (Lee et al. 2022 §6: near-dups of eval data inflate scores even after
+    exact dedup).  This operator hashes the connected-COMPONENT
+    representative instead, so every member of a dup cluster shares one
+    split by construction.
+
+    Input is the components relation (``neardup_components``: id,
+    component = min-id representative, component_size).  Output keeps the
+    doc-level assignment alongside (``doc_split``) and flags ``migrated``
+    rows — members whose doc-hash split disagrees with their cluster's.
+    Singletons have component == id, hence identical hashes and
+    ``migrated = false`` always: the verb provably changes ONLY docs in
+    multi-doc clusters.
+
+    Scale shape: a pure zero-shuffle projection over the components
+    relation — all the heavy lifting (pair graph + CC) is the upstream
+    relation's, already bounded; nothing here adds an exchange."""
+    comp_split = split_expr(component_col, train, val)
+    doc_split = split_expr(id_col, train, val)
+    return comps.select(
+        id_col,
+        component_col,
+        "component_size",
+        comp_split.alias("split"),
+        doc_split.alias("doc_split"),
+        (comp_split != doc_split).alias("migrated"),
+    )
+
+
 def doc_chunks(
     df: DataFrame,
     text_col: str = "text",

@@ -1236,3 +1236,50 @@ def ngram_novelty(
             ).alias("novelty_rate"),
         )
     )
+
+
+def rule_cofail_matrix(flags: DataFrame, rule_cols: list) -> DataFrame:
+    """Pairwise co-failure matrix over a boolean rule-flag relation — for
+    every unordered rule pair (a <= b), how many documents fail BOTH.
+    The filter-tuning diagnostic behind a rule stack: near-diagonal mass
+    means rules fire on disjoint documents (each earns its keep); a hot
+    off-diagonal cell means two rules reject the same documents and one
+    is a candidate to drop from the conjunction (Rae et al. 2021 §A1.1
+    tunes exactly this redundancy).  Diagonal cells are per-rule fail
+    counts.
+
+    Scale shape: ONE partially-aggregated pass over the flags relation
+    collapses the corpus to a single row of |pairs| counters (booleans
+    reduce at the scan — the corpus never shuffles), then a driver-free
+    explode widens it to the |pairs|-row matrix.
+
+    Output: (rule_a, rule_b, n_cofail, cofail_rate)."""
+    pairs = [
+        (ra, rb)
+        for i, ra in enumerate(rule_cols)
+        for rb in rule_cols[i:]
+    ]
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for ra, rb in pairs:
+        aggs.append(
+            F.sum(((~F.col(ra)) & (~F.col(rb))).cast("long"))
+            .cast("long")
+            .alias(f"_c_{ra}__{rb}")
+        )
+    row = flags.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(ra).alias("rule_a"),
+                F.lit(rb).alias("rule_b"),
+                F.col(f"_c_{ra}__{rb}").alias("n_cofail"),
+            )
+            for ra, rb in pairs
+        ]
+    )
+    return row.select(F.col("_n"), F.explode(cells).alias("_s")).select(
+        F.col("_s.rule_a").alias("rule_a"),
+        F.col("_s.rule_b").alias("rule_b"),
+        F.col("_s.n_cofail").alias("n_cofail"),
+        F.round(F.col("_s.n_cofail") / F.col("_n"), 6).alias("cofail_rate"),
+    )

@@ -5198,6 +5198,223 @@ FROM norms CROSS JOIN stats
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-granular train/val/test split (operators/prep.py:
+    component_split_assign) — the decontamination-grade split: hash the
+    connected-component REPRESENTATIVE, not the doc id, so near-duplicate
+    documents can never straddle train and test (Lee et al. 2022 §6's
+    leakage mode, which ``split_assign``'s doc hash still permits).
+    Composes the registered neardup_components relation verbatim, so
+    parity inherits the proven CC determinism; the split itself is a
+    zero-shuffle projection on top.  Non-vacuous at sf0.01 (r12 staging
+    audit): 9 of the 23 multi-doc clusters straddle splits under the
+    doc-level hash and are repaired here (9 ``migrated`` rows across all
+    three split pairs), while all 453 singletons provably keep their
+    doc-level split (component == id ⇒ identical hash).  STAGED for the
+    round-13 window."""
+    comps = neardup_components(spark, sf_dir)
+    return P.component_split_assign(comps)
+
+
+_LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH comps AS ({_NEARDUP_COMPONENTS_SQL}),
+b AS (
+  SELECT doc_id, component, component_size,
+         {h32_sql("component::VARCHAR")} % 100 AS cb,
+         {h32_sql("doc_id::VARCHAR")} % 100 AS db
+  FROM comps
+), s AS (
+  SELECT doc_id, component, component_size,
+         CASE WHEN cb < {P.SPLIT_TRAIN} THEN 'train'
+              WHEN cb < {P.SPLIT_TRAIN + P.SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN db < {P.SPLIT_TRAIN} THEN 'train'
+              WHEN db < {P.SPLIT_TRAIN + P.SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS doc_split
+  FROM b
+)
+SELECT doc_id, component, component_size, split, doc_split,
+       split <> doc_split AS migrated
+FROM s
+"""
+
+
+def event_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier screen (operators/dq.py:
+    robust_anomaly_screen) — Iglewicz–Hoaglin modified z-score with EXACT
+    rank-based median and MAD, the monitor for metric streams whose
+    mean/std are poisoned by the very outliers being hunted.  Median and
+    MAD are lower order statistics at rank ceil(N/2) (no interpolation),
+    so both engines derive bit-identical doubles.  Scale shape: one
+    map-side-combined aggregate collapses events to (type, value) counts
+    — cents-quantized values bound the domain, so at 1000× rows the
+    counts relation stays flat — and all prefix scans run on counts,
+    never raw rows.  Non-vacuous at sf0.01 (r12 staging audit): the
+    value column's heavy right tail flags 70–82 anomalies per type
+    (rates 0.035–0.041) with ~96% of rows unflagged — both branch
+    classes fire with no plant needed.  STAGED for the round-13 window."""
+    from .operators.dq import robust_anomaly_screen
+
+    ev = load_table(spark, sf_dir, "events")
+    return robust_anomaly_screen(ev, "value", "event_type")
+
+
+_EVENT_ANOMALY_KC = 3.5 * 1.4826
+
+_EVENT_ANOMALY_SQL = f"""
+WITH c AS (
+  SELECT event_type, value AS v, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(cnt)::BIGINT AS n FROM c GROUP BY 1
+), med AS (
+  SELECT event_type, min(v) AS med FROM (
+    SELECT event_type, v,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum
+    FROM c
+  ) JOIN tot USING (event_type)
+  WHERE cum >= ceil(0.5 * n) GROUP BY event_type
+), adc AS (
+  SELECT event_type, abs(v - med) AS ad, sum(cnt)::BIGINT AS cnt
+  FROM c JOIN med USING (event_type) GROUP BY 1, 2
+), mad AS (
+  SELECT event_type, min(ad) AS mad FROM (
+    SELECT event_type, ad,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY ad) AS cum
+    FROM adc
+  ) JOIN tot USING (event_type)
+  WHERE cum >= ceil(0.5 * n) GROUP BY event_type
+), anom AS (
+  SELECT event_type,
+         sum(CASE WHEN ad > {_EVENT_ANOMALY_KC!r} * mad THEN cnt ELSE 0 END)::BIGINT
+           AS n_anom
+  FROM adc JOIN mad USING (event_type) GROUP BY 1
+)
+SELECT event_type, n AS n_events, round(med, 6) AS median,
+       round(mad, 6) AS mad,
+       round({_EVENT_ANOMALY_KC!r} * mad, 6) AS threshold,
+       n_anom AS n_anomalies,
+       round(n_anom / n, 6) AS anomaly_rate
+FROM tot JOIN med USING (event_type) JOIN mad USING (event_type)
+         JOIN anom USING (event_type)
+"""
+
+
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema FK orphan audit (operators/dq.py:
+    referential_integrity_report) over all seven TPC-H foreign-key edges
+    — the post-ingest check that every join is lossless, extending
+    orders_dq_report's single customer-FK rule to the full schema.  Fixed
+    dims (nation, region) broadcast; scaling parents (orders, part,
+    supplier, customer) shuffle on distinct keys; each edge is ONE left
+    join + conditional aggregate.  The generator's FKs are clean, so the
+    fixture plants four orphan classes with distinct moduli (FIXTURES.md
+    relational-table plants: lineitem.l_orderkey % 1009 = 7 and
+    l_suppkey % 97 = 13 negated, orders.o_custkey % 501 = 17 negated,
+    nation.n_regionkey -> -1 when n_nationkey % 7 = 3) while three edges
+    stay clean — the r12 staging audit measures orphan rates spanning
+    0.0 through 0.16 (4/25 nations) with both branch classes firing.
+    STAGED for the round-13 window."""
+    from .operators.dq import referential_integrity_report as _rir
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 1009 == 7, -F.col("l_orderkey"))
+        .otherwise(F.col("l_orderkey"))
+        .alias("l_orderkey"),
+        "l_partkey",
+        F.when(F.col("l_suppkey") % 97 == 13, -F.col("l_suppkey"))
+        .otherwise(F.col("l_suppkey"))
+        .alias("l_suppkey"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    orders_p = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 501 == 17, -F.col("o_custkey"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    nation_p = nation.select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 7 == 3, F.lit(-1).cast("long"))
+        .otherwise(F.col("n_regionkey"))
+        .alias("n_regionkey"),
+    )
+    edges = [
+        ("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
+         orders, "o_orderkey", False),
+        ("lineitem.l_partkey->part.p_partkey", li, "l_partkey",
+         load_table(spark, sf_dir, "part"), "p_partkey", False),
+        ("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey",
+         load_table(spark, sf_dir, "supplier"), "s_suppkey", False),
+        ("orders.o_custkey->customer.c_custkey", orders_p, "o_custkey",
+         load_table(spark, sf_dir, "customer"), "c_custkey", False),
+        ("customer.c_nationkey->nation.n_nationkey",
+         load_table(spark, sf_dir, "customer"), "c_nationkey",
+         nation, "n_nationkey", True),
+        ("supplier.s_nationkey->nation.n_nationkey",
+         load_table(spark, sf_dir, "supplier"), "s_nationkey",
+         nation, "n_nationkey", True),
+        ("nation.n_regionkey->region.r_regionkey", nation_p, "n_regionkey",
+         load_table(spark, sf_dir, "region"), "r_regionkey", True),
+    ]
+    return _rir(edges)
+
+
+def _sql_fk_edge(name: str, child_sql: str, ccol: str, parent: str, pcol: str) -> str:
+    return f"""
+SELECT '{name}' AS fk, count(*)::BIGINT AS child_rows,
+       sum(CASE WHEN c.{ccol} IS NOT NULL AND p.{pcol} IS NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+FROM {child_sql} c LEFT JOIN {parent} p ON c.{ccol} = p.{pcol}
+"""
+
+
+_REF_INTEGRITY_SQL = (
+    """
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 1009 = 7 THEN -l_orderkey
+              ELSE l_orderkey END AS l_orderkey,
+         l_partkey,
+         CASE WHEN l_suppkey % 97 = 13 THEN -l_suppkey
+              ELSE l_suppkey END AS l_suppkey
+  FROM lineitem
+), op AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey % 501 = 17 THEN -o_custkey
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+), np AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 7 = 3 THEN -1
+              ELSE n_regionkey END AS n_regionkey
+  FROM nation
+)
+SELECT fk, child_rows, n_orphans,
+       round(n_orphans / child_rows, 6) AS orphan_rate
+FROM ("""
+    + " UNION ALL ".join(
+        [
+            _sql_fk_edge("lineitem.l_orderkey->orders.o_orderkey",
+                         "li", "l_orderkey", "orders", "o_orderkey"),
+            _sql_fk_edge("lineitem.l_partkey->part.p_partkey",
+                         "li", "l_partkey", "part", "p_partkey"),
+            _sql_fk_edge("lineitem.l_suppkey->supplier.s_suppkey",
+                         "li", "l_suppkey", "supplier", "s_suppkey"),
+            _sql_fk_edge("orders.o_custkey->customer.c_custkey",
+                         "op", "o_custkey", "customer", "c_custkey"),
+            _sql_fk_edge("customer.c_nationkey->nation.n_nationkey",
+                         "customer", "c_nationkey", "nation", "n_nationkey"),
+            _sql_fk_edge("supplier.s_nationkey->nation.n_nationkey",
+                         "supplier", "s_nationkey", "nation", "n_nationkey"),
+            _sql_fk_edge("nation.n_regionkey->region.r_regionkey",
+                         "np", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+    + ")"
+)
+
+
 _PII_SCAN_SQL = f"""
 WITH m AS (
   SELECT doc_id, lang,
@@ -7219,6 +7436,61 @@ FROM flagged GROUP BY lang
 """
 
 
+def rule_cofail_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Gopher-rule co-failure matrix (operators/text.py:
+    rule_cofail_matrix) — for every unordered rule pair, the documents
+    failing BOTH: the redundancy diagnostic that decides whether a rule
+    earns its place in the conjunction (hot off-diagonal cell = two rules
+    rejecting the same docs).  One partially-aggregated pass to a single
+    counter row, exploded to the 28-cell matrix — the corpus never
+    shuffles.  The synthetic corpus only ever fails len/stopword, so the
+    fixture plants a symbol-spam class (doc_id % 31 = 4 appends sixty '#'
+    tokens — FIXTURES.md F-planted): the r12 staging audit measures 12 of
+    28 cells nonzero across five count levels, including the
+    symbol/alpha_word/mwl cluster co-failing on exactly the planted docs
+    — the redundant-rule signature this matrix exists to expose.  STAGED
+    for the round-13 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 31 == 4,
+            F.concat(F.col("text"), F.lit(_COFAIL_HASH_SPAM)),
+        ).otherwise(F.col("text")),
+    )
+    flags = T.gopher_rules(planted, min_tokens=20)
+    return T.rule_cofail_matrix(flags, list(_GOPHER_FLAG_NAMES[:-1]))
+
+
+_COFAIL_HASH_SPAM = " " + "# " * 59 + "#"
+
+_COFAIL_PAIRS = [
+    (ra, rb)
+    for i, ra in enumerate(_GOPHER_FLAG_NAMES[:-1])
+    for rb in _GOPHER_FLAG_NAMES[:-1][i:]
+]
+
+_RULE_COFAIL_SQL = (
+    "WITH flagged AS ("
+    + _sql_gopher_rules(
+        src="(SELECT doc_id, CASE WHEN doc_id % 31 = 4 THEN text || '"
+        + _COFAIL_HASH_SPAM
+        + "' ELSE text END AS text FROM documents)"
+    )
+    + "), agg AS (SELECT count(*) AS n, "
+    + ", ".join(
+        f"sum(CASE WHEN NOT {ra} AND NOT {rb} THEN 1 ELSE 0 END)::BIGINT AS c_{i}"
+        for i, (ra, rb) in enumerate(_COFAIL_PAIRS)
+    )
+    + " FROM flagged) "
+    + " UNION ALL ".join(
+        f"SELECT '{ra}' AS rule_a, '{rb}' AS rule_b, c_{i} AS n_cofail,"
+        f" round(c_{i} / n, 6) AS cofail_rate FROM agg"
+        for i, (ra, rb) in enumerate(_COFAIL_PAIRS)
+    )
+)
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -7946,6 +8218,13 @@ STAGED_QUERIES: dict = {
     "embedding_norm_outliers": (
         embedding_norm_outliers,
         _NORM_OUTLIERS_SQL,
+    ),
+    "leakage_safe_split": (leakage_safe_split, _LEAKAGE_SAFE_SPLIT_SQL),
+    "event_anomaly_screen": (event_anomaly_screen, _EVENT_ANOMALY_SQL),
+    "rule_cofail_matrix": (rule_cofail_matrix, _RULE_COFAIL_SQL),
+    "referential_integrity_report": (
+        referential_integrity_report,
+        _REF_INTEGRITY_SQL,
     ),
 }
 

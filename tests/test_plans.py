@@ -717,3 +717,52 @@ def test_stratified_split_one_shuffle_and_pii_scan_no_join(spark):
 
     nodes = _staged_plan_nodes(STAGED_QUERIES["pii_scan_report"][0](spark, SF))
     assert not [n for n in nodes if "Join" in n.nodeName()]
+
+
+def test_staged_r13_second_wave_plan_shapes(spark):
+    """Scale-shape locks for the second r12-built wave.
+
+    - event_anomaly_screen: after the (type, value) counts relation
+      materializes, the executed plan reads ONLY the cache (zero parquet
+      scans — median, MAD, and the anomaly sums all derive from counts,
+      never re-folding raw events).
+    - rule_cofail_matrix: no join anywhere; exactly one SinglePartition
+      exchange, and it carries only the counter row (the corpus collapses
+      at the scan).
+    - referential_integrity_report: every parquet scan is pruned to its
+      key column(s) (ReadSchema <= 2 fields — the audit never drags
+      payload through a join), and no cartesian appears.
+    - leakage_safe_split: no payload column in any exchange (the split is
+      a projection over the CC relation)."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["event_anomaly_screen"][0](spark, SF)
+    )
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert not scans, [n.nodeName() for n in scans]
+    assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)
+
+    nodes = _staged_plan_nodes(STAGED_QUERIES["rule_cofail_matrix"][0](spark, SF))
+    assert not [n for n in nodes if "Join" in n.nodeName()]
+    singles = [
+        n for n in nodes
+        if "Exchange" in n.nodeName() and "SinglePartition" in n.toString()[:150]
+    ]
+    assert len(singles) == 1, [n.nodeName() for n in singles]
+    cols = [singles[0].output().apply(i).name()
+            for i in range(singles[0].output().size())]
+    assert "text" not in cols and len(cols) <= 30
+
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["referential_integrity_report"][0](spark, SF)
+    )
+    assert not [n for n in nodes if "Cartesian" in n.nodeName()]
+    for n in nodes:
+        if n.nodeName().startswith("Scan parquet"):
+            schema = n.toString().split("ReadSchema:")[-1]
+            assert schema.count(":") <= 2, schema[:120]
+
+    nodes = _staged_plan_nodes(STAGED_QUERIES["leakage_safe_split"][0](spark, SF))
+    assert _exchange_payload_cols(nodes) == []

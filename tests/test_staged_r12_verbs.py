@@ -5,7 +5,12 @@ tests/test_asof.py), paragraph-grain duplicate stats
 drift report (operators/dq.py:source_ks_drift), the PII exposure
 report (operators/prep.py:pii_scan_report), the exact-quota stratified
 split (operators/prep.py:stratified_split), and the embedding-norm DQ
-screen (operators/similarity.py:embedding_norm_outliers).
+screen (operators/similarity.py:embedding_norm_outliers); second wave:
+the near-dup-cluster-granular split (operators/prep.py:
+component_split_assign), the robust median/MAD anomaly screen
+(operators/dq.py:robust_anomaly_screen), the Gopher-rule co-failure
+matrix (operators/text.py:rule_cofail_matrix), and the whole-schema FK
+orphan audit (operators/dq.py:referential_integrity_report).
 
 Layers: semantics on hand-built frames (expected values computed by
 hand), then the side-by-side DuckDB parity the r13 driver window will
@@ -116,7 +121,10 @@ def test_staged_r12_verbs_duckdb_parity(spark):
     """The exact side-by-side the r13 driver window will run, at sf0.001."""
     from spark_gp_spark.queries import STAGED_QUERIES
 
-    con = _con(SF, "documents", "events", "embeddings")
+    con = _con(
+        SF, "documents", "events", "embeddings", "lineitem", "orders",
+        "customer", "supplier", "part", "nation", "region",
+    )
     for name, (fn, sql) in STAGED_QUERIES.items():
         got = fn(spark, SF).toPandas()
         want = con.execute(sql).fetchdf()
@@ -233,3 +241,109 @@ def test_source_ks_bounds_and_identity(spark, data):
     assert all(0.0 <= r["ks"] <= 1.0 for r in out)
     ident = [r for r in out if {r["source_a"], r["source_b"]} == {"a", "a_copy"}]
     assert ident and ident[0]["ks"] == 0.0 and not ident[0]["drifted"]
+
+
+# ------------------------------------------- second r12 wave (4 more verbs)
+
+
+def test_component_split_assign_semantics(spark):
+    """Every component shares ONE split; singletons (component == id) can
+    never migrate (identical hash input); migrated == (split != doc_split)
+    by definition; and the assignment is a pure function of the component
+    relation (repartitioning cannot move a row)."""
+    from spark_gp_spark.operators.prep import component_split_assign
+
+    comps = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 3), (7, 2, 3), (9, 2, 3), (50, 50, 2), (51, 50, 2)],
+        "doc_id long, component long, component_size long",
+    )
+    out = component_split_assign(comps).toPandas().set_index("doc_id")
+    # one split per component
+    for comp in (2, 50):
+        members = out[out.component == comp]
+        assert members.split.nunique() == 1, comp
+    # singleton: identical hash input => identical split, never migrated
+    assert out.loc[1, "split"] == out.loc[1, "doc_split"]
+    assert not out.loc[1, "migrated"]
+    # flag definition
+    assert (out.migrated == (out.split != out.doc_split)).all()
+    # representative member inherits its own hash => doc_split == split
+    assert out.loc[2, "split"] == out.loc[2, "doc_split"]
+    # stability under repartitioning
+    out2 = component_split_assign(comps.repartition(7)).toPandas().set_index("doc_id")
+    assert (out.sort_index().split == out2.sort_index().split).all()
+
+
+def test_robust_anomaly_screen_hand_computed(spark):
+    """median/MAD are LOWER order statistics at rank ceil(N/2), and the
+    modified z-score rule flags |x - med| > 3.5 * 1.4826 * MAD; MAD = 0
+    degrades to flagging every nonzero deviation."""
+    from spark_gp_spark.operators.dq import robust_anomaly_screen
+
+    rows = [("a", v) for v in [1.0, 1.0, 1.0, 1.0, 100.0]]
+    rows += [("b", v) for v in [10.0, 12.0, 14.0, 16.0, 18.0, 1000.0]]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {
+        r["event_type"]: r
+        for r in robust_anomaly_screen(df, "value", "event_type").collect()
+    }
+    # a: N=5 -> med = rank-3 value = 1; ads [0,0,0,0,99] -> MAD = 0
+    #    threshold 0 -> the single 99-deviation row flags
+    assert out["a"]["median"] == 1.0 and out["a"]["mad"] == 0.0
+    assert out["a"]["n_anomalies"] == 1 and out["a"]["n_events"] == 5
+    # b: N=6 -> med = rank-3 of [10,12,14,16,18,1000] = 14;
+    #    ads sorted [0,2,2,4,4,986] -> MAD = rank-3 = 2;
+    #    threshold = 3.5*1.4826*2 = 10.3782 -> only 986 flags
+    assert out["b"]["median"] == 14.0 and out["b"]["mad"] == 2.0
+    assert abs(out["b"]["threshold"] - 10.3782) < 1e-9
+    assert out["b"]["n_anomalies"] == 1
+    assert abs(out["b"]["anomaly_rate"] - round(1 / 6, 6)) < 1e-12
+
+
+def test_rule_cofail_matrix_hand_computed(spark):
+    """Diagonal = per-rule fail counts; off-diagonal = docs failing BOTH;
+    rates divide by the full corpus size."""
+    from spark_gp_spark.operators.text import rule_cofail_matrix
+
+    flags = spark.createDataFrame(
+        [
+            (1, False, False),
+            (2, False, True),
+            (3, True, True),
+            (4, True, False),
+        ],
+        "doc_id long, r1 boolean, r2 boolean",
+    )
+    out = {
+        (r.rule_a, r.rule_b): r
+        for r in rule_cofail_matrix(flags, ["r1", "r2"]).collect()
+    }
+    assert len(out) == 3
+    assert out[("r1", "r1")].n_cofail == 2
+    assert out[("r2", "r2")].n_cofail == 2
+    assert out[("r1", "r2")].n_cofail == 1
+    assert out[("r1", "r2")].cofail_rate == 0.25
+
+
+def test_referential_integrity_report_hand_computed(spark):
+    """Orphan = non-null child key absent from the parent; NULL keys are
+    not orphans (they are not_null's job); rate divides by ALL child
+    rows.  Duplicate parent keys must not multiply child counts."""
+    from spark_gp_spark.operators.dq import referential_integrity_report
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (2,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (2,)], "pk long")
+    out = referential_integrity_report(
+        [
+            ("edge_shuffle", child, "fk", parent, "pk", False),
+            ("edge_broadcast", child, "fk", parent, "pk", True),
+        ]
+    ).collect()
+    by = {r.fk: r for r in out}
+    for name in ("edge_shuffle", "edge_broadcast"):
+        r = by[name]
+        assert r.child_rows == 5, name          # dup parent key: no fanout
+        assert r.n_orphans == 1, name           # only fk=3; NULL not counted
+        assert r.orphan_rate == 0.2, name
