@@ -7491,6 +7491,32 @@ _RULE_COFAIL_SQL = (
 )
 
 
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality gate AT INGEST (streaming/events.py:
+    run_streaming_quality_gate) — arriving crawl documents are rule-gated
+    per micro-batch before they cost any downstream dedup/index work.
+    The flags projection is stateless (zero streaming state, no
+    watermark, emission on arrival), so the per-source accept rates must
+    equal the BATCH Gopher gate bit-for-bit — which is exactly what the
+    oracle states.  Non-vacuous on the natural corpus (r12 staging audit
+    at sf0.01): the gate rejects 121 of 500 documents with per-source
+    keep rates spanning 0.56-0.88 across all 20 sources — both gate
+    branches fire in every source without a plant.  STAGED for the
+    round-13 window."""
+    from .streaming.events import run_streaming_quality_gate
+
+    return run_streaming_quality_gate(spark, sf_dir)
+
+
+_STREAM_QUALITY_GATE_SQL = f"""
+WITH flagged AS ({_sql_gopher_rules(", source")})
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(keep::INT)::BIGINT AS n_kept,
+       round(sum(keep::INT) / count(*), 6) AS keep_rate
+FROM flagged GROUP BY source
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8205,10 +8231,17 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move any entries staged below to the top of QUERIES +
-#: ORACLE_SQL; then any r13-changed entries; then the 12 remaining
-#: r9-green entries (named in the QUERIES ordering comment — rotate them
-#: FIRST); then the oldest r10-green entries to fill 50.
+#: ROUND-13 PLAN: move the ELEVEN entries staged below to the top of
+#: QUERIES + ORACLE_SQL (6 first-wave + 5 second-wave: leakage_safe_split,
+#: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
+#: streaming_quality_gate — all 11 staged-green at sf0.01, hand-frame /
+#: equality pytested in tests/test_staged_r12_verbs.py +
+#: tests/test_streaming_dedup_join.py, plan-locked in tests/test_plans.py);
+#: then any r13-changed entries; then the 13 remaining r9-green entries
+#: (named in the QUERIES ordering comment — rotate them FIRST); then the
+#: oldest r10-green entries to fill 50.  11 + 13 leaves room for ~26
+#: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
+#: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
     "asof_nearest_view": (asof_nearest_view, _ASOF_NEAREST_SQL),
     "paragraph_dedup_stats": (paragraph_dedup_stats, _PARAGRAPH_DEDUP_SQL),
@@ -8226,5 +8259,6 @@ STAGED_QUERIES: dict = {
         referential_integrity_report,
         _REF_INTEGRITY_SQL,
     ),
+    "streaming_quality_gate": (streaming_quality_gate, _STREAM_QUALITY_GATE_SQL),
 }
 

@@ -927,3 +927,58 @@ def run_streaming_asof_enrich(
             F.col("_m.view_ts_us").alias("view_ts_us"),
         )
     )
+
+
+def run_streaming_quality_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    query_name: str = "gp_stream_quality_gate",
+    n_files: int = 2,
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Quality gating AT INGEST — the Gopher rule conjunction evaluated on
+    each micro-batch of arriving crawl documents, the filter every
+    curation pipeline wants applied before a rejected document ever costs
+    downstream dedup/index work.  Completes the ingest-time trio: content
+    screened against history (run_streaming_ingest_dedup), enriched
+    (run_streaming_asof_enrich), and now quality-gated.
+
+    Spark shape: the flags relation (operators/text.py:gopher_rules) is a
+    pure zero-shuffle projection, so the stream holds NO state, needs no
+    watermark, and emits on arrival — scan -> flags -> append, the
+    cheapest possible streaming plan.  Per-doc decisions land in the sink
+    log (the log-then-summarize discipline: a dashboard reads decisions,
+    the audit reads rates); the returned relation is the batch epilogue —
+    per-source doc/keep counts, which must equal the BATCH gopher gate on
+    the same corpus bit-for-bit because the projection is stateless.
+
+    Output: (source, n_docs, n_kept, keep_rate) — one row per source."""
+    from ..operators.text import gopher_rules
+
+    work = tempfile.mkdtemp(prefix="gp_stream_quality_")
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    src, arrivals, schema = _staged_arrivals(
+        spark, sf_dir, work, n_files, sentinel=False,
+        table="documents", order_col="doc_id",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    flags = gopher_rules(
+        stream, min_tokens=min_tokens, extra_cols=("source",)
+    ).select("doc_id", "source", "keep")
+    q = (
+        flags.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .queryName(query_name)
+        .start()
+    )
+    _drive_append_query(q, src, arrivals)
+    log = spark.read.schema("doc_id bigint, source string, keep boolean").parquet(sink)
+    return log.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(F.col("keep").cast("long")) / F.count("*"), 6
+        ).alias("keep_rate"),
+    )

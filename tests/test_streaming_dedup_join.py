@@ -94,3 +94,38 @@ def test_streaming_asof_enrich_equals_batch_bounded_asof(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_quality_gate_equals_batch_gate(spark, sf_dir):
+    """The ingest-time Gopher gate (stateless flags projection per
+    micro-batch + per-source count epilogue) must equal the BATCH gate on
+    the same corpus exactly, and both accept and reject branches must
+    fire."""
+    from spark_gp_spark.operators.text import gopher_rules
+    from spark_gp_spark.sources.tables import load_table
+    from spark_gp_spark.streaming.events import run_streaming_quality_gate
+
+    got = {
+        (r.source, r.n_docs, r.n_kept, r.keep_rate)
+        for r in run_streaming_quality_gate(spark, sf_dir).collect()
+    }
+    flags = gopher_rules(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=20,
+        extra_cols=("source",),
+    )
+    want = {
+        (r.source, r.n_docs, r.n_kept, r.keep_rate)
+        for r in flags.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count("*"), 6
+            ).alias("keep_rate"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(r[2] < r[1] for r in got)   # some rejections
+    assert any(r[2] > 0 for r in got)      # some survivors
