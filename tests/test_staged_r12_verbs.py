@@ -347,3 +347,139 @@ def test_referential_integrity_report_hand_computed(spark):
         assert r.child_rows == 5, name          # dup parent key: no fanout
         assert r.n_orphans == 1, name           # only fk=3; NULL not counted
         assert r.orphan_rate == 0.2, name
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1, max_size=40,
+    )
+)
+def test_robust_anomaly_screen_matches_numpy_rank_definition(spark, data):
+    """For ANY grouped integer data: median and MAD equal the rank-
+    ceil(N/2) lower order statistics computed directly in numpy, and the
+    anomaly count equals the brute-force count under the same strict->
+    rule."""
+    import math
+
+    import numpy as np
+
+    from spark_gp_spark.operators.dq import robust_anomaly_screen
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in data], "event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in robust_anomaly_screen(df).collect()}
+    groups = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(float(v))
+    for g, vals in groups.items():
+        n = len(vals)
+        med = sorted(vals)[math.ceil(n / 2) - 1]
+        ads = sorted(abs(v - med) for v in vals)
+        mad = ads[math.ceil(n / 2) - 1]
+        thr = 3.5 * 1.4826 * mad
+        n_anom = sum(1 for v in vals if abs(v - med) > thr)
+        assert out[g]["median"] == med, (g, vals)
+        assert out[g]["mad"] == mad, (g, vals)
+        assert out[g]["n_anomalies"] == n_anom, (g, vals)
+        assert out[g]["n_events"] == n
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    comp_sizes=st.lists(st.integers(1, 5), min_size=1, max_size=8),
+)
+def test_component_split_one_split_per_component(spark, comp_sizes):
+    """For ANY component structure: every component carries exactly one
+    split; singletons never migrate; migrated equals the split
+    disagreement flag."""
+    from spark_gp_spark.operators.prep import component_split_assign
+
+    rows, nxt = [], 1
+    for size in comp_sizes:
+        rep = nxt
+        for _ in range(size):
+            rows.append((nxt, rep, size))
+            nxt += 1
+    comps = spark.createDataFrame(
+        rows, "doc_id long, component long, component_size long"
+    )
+    out = component_split_assign(comps).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert len({m["split"] for m in members}) == 1, comp
+        for m in members:
+            assert m["migrated"] == (m["split"] != m["doc_split"])
+            if m["component_size"] == 1:
+                assert not m["migrated"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    flags=st.lists(
+        st.tuples(st.booleans(), st.booleans(), st.booleans()),
+        min_size=1, max_size=30,
+    )
+)
+def test_rule_cofail_matrix_matches_bruteforce(spark, flags):
+    """For ANY boolean flag relation: every matrix cell equals the
+    brute-force count of rows failing both rules, the diagonal equals
+    per-rule fail counts, and every off-diagonal cell is bounded by its
+    two diagonals."""
+    from spark_gp_spark.operators.text import rule_cofail_matrix
+
+    df = spark.createDataFrame(
+        [(i, a, b, c) for i, (a, b, c) in enumerate(flags)],
+        "doc_id long, r1 boolean, r2 boolean, r3 boolean",
+    )
+    rules = ["r1", "r2", "r3"]
+    out = {
+        (r["rule_a"], r["rule_b"]): r["n_cofail"]
+        for r in rule_cofail_matrix(df, rules).collect()
+    }
+    assert len(out) == 6
+    vals = {r: [row[i] for row in flags] for i, r in enumerate(rules)}
+    for i, ra in enumerate(rules):
+        for rb in rules[i:]:
+            want = sum(
+                1 for a, b in zip(vals[ra], vals[rb]) if not a and not b
+            )
+            assert out[(ra, rb)] == want, (ra, rb)
+            assert out[(ra, rb)] <= min(out[(ra, ra)], out[(rb, rb)])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    child=st.lists(st.one_of(st.none(), st.integers(0, 9)), min_size=1, max_size=25),
+    parent=st.lists(st.integers(0, 9), min_size=0, max_size=10),
+)
+def test_referential_integrity_matches_set_difference(spark, child, parent):
+    """For ANY child/parent key multisets: orphans equal the brute-force
+    count of non-null child keys absent from the parent, on both the
+    broadcast and shuffle paths."""
+    from spark_gp_spark.operators.dq import referential_integrity_report
+
+    cdf = spark.createDataFrame([(v,) for v in child], "fk int")
+    pdf = (
+        spark.createDataFrame([(v,) for v in parent], "pk int")
+        if parent
+        else spark.createDataFrame([], "pk int")
+    )
+    out = {
+        r["fk"]: r
+        for r in referential_integrity_report(
+            [
+                ("shuffle", cdf, "fk", pdf, "pk", False),
+                ("broadcast", cdf, "fk", pdf, "pk", True),
+            ]
+        ).collect()
+    }
+    pset = set(parent)
+    want = sum(1 for v in child if v is not None and v not in pset)
+    for name in ("shuffle", "broadcast"):
+        assert out[name]["n_orphans"] == want
+        assert out[name]["child_rows"] == len(child)
