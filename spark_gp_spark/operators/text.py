@@ -1283,3 +1283,127 @@ def rule_cofail_matrix(flags: DataFrame, rule_cols: list) -> DataFrame:
         F.col("_s.n_cofail").alias("n_cofail"),
         F.round(F.col("_s.n_cofail") / F.col("_n"), 6).alias("cofail_rate"),
     )
+
+
+_LIVE_HH_CACHES: list = []
+
+
+def _retire_hh_caches(new: list) -> None:
+    """dedup._retire_shingle_caches discipline for the heavy-hitter
+    sketch relation."""
+    for old in _LIVE_HH_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_HH_CACHES.clear()
+    _LIVE_HH_CACHES.extend(new)
+
+
+def heavy_hitter_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_share_denom: int = 5000,
+    sketch_k: int = 8192,
+) -> DataFrame:
+    """All word n-grams with corpus share >= 1/min_share_denom, by the
+    two-pass sketch-then-verify heavy-hitters pattern (Misra–Gries
+    summaries merged as in Agarwal et al., Mergeable Summaries, PODS'12).
+
+    Where ``key_skew_report`` aggregates the FULL exact count relation
+    (distinct-cardinality-sized — billions of rows for grams at corpus
+    scale) and then takes top-k, this verb never materializes it:
+
+    1. SKETCH: each partition folds its gram stream into a k-counter
+       Misra–Gries summary inside one Arrow-batched ``mapInPandas``
+       (per batch: one vectorized ``value_counts`` merge + an O(k)
+       compress; memory bounded by k regardless of stream length) and
+       emits the k residual counters + its instance total — thin
+       (gram, cnt) rows, <= sketch_k + 1 per partition.
+    2. MERGE: residuals sum per gram (a distributed aggregate over the
+       thin sketch rows), and the candidate set is the top-sketch_k by
+       merged residual via TakeOrderedAndProject — BOUNDED at any
+       partition count, so the broadcast below can never grow with the
+       cluster.
+    3. VERIFY: one exact count pass over the grams of candidate keys
+       only (broadcast semi-join prunes at the scan side), thresholded
+       with integer arithmetic (cnt * denom >= N).
+
+    The MG guarantee (merged undercount <= N/(k+1), and k+1 >
+    min_share_denom is enforced) makes the candidate set a SUPERSET of
+    every qualifying gram, so the verified output EQUALS the exact
+    thresholded answer for ANY partitioning — which is what the oracle
+    and the property gate state.  The compress branch itself cannot fire
+    at bench scale (per-partition distinct grams < k there); it is
+    forced and equality-gated with tiny k in the unit layer.
+
+    Output: (gram, n_occurrences, share)."""
+    import pandas as pd
+
+    if sketch_k < min_share_denom:
+        raise ValueError(
+            "sketch_k must be >= min_share_denom for the Misra-Gries "
+            "superset guarantee"
+        )
+    k = int(sketch_k)
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    grams = toks.select(F.explode(word_ngrams_all_of(F.col("_t"), n)).alias("gram"))
+
+    def _mg_pass(batches):
+        from collections import Counter
+
+        counters: Counter = Counter()
+        total = 0
+        for pdf in batches:
+            vc = pdf["gram"].value_counts()
+            total += int(vc.sum())
+            counters.update(vc.to_dict())
+            if len(counters) > k:
+                sub = sorted(counters.values(), reverse=True)[k]
+                for key in list(counters):
+                    c = counters[key] - sub
+                    if c > 0:
+                        counters[key] = c
+                    else:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "gram": list(counters.keys()) + [None],
+                "cnt": pd.Series(
+                    list(counters.values()) + [0], dtype="int64"
+                ),
+                "part_total": pd.Series(
+                    [None] * len(counters) + [total], dtype="Int64"
+                ),
+            }
+        )
+
+    sketch = grams.mapInPandas(
+        _mg_pass, "gram string, cnt long, part_total long"
+    ).persist()
+    _retire_hh_caches([sketch])
+    merged = (
+        sketch.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.sum("cnt").alias("_c"))
+    )
+    cands = merged.orderBy(F.desc("_c"), "gram").limit(k).select("gram")
+    total = sketch.agg(F.sum("part_total").cast("long").alias("_n"))
+    counts = (
+        grams.join(F.broadcast(cands), "gram")
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_occurrences") * F.lit(int(min_share_denom)) >= F.col("_n")
+        )
+        .select(
+            "gram",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("_n"), 6).alias("share"),
+        )
+    )

@@ -7517,6 +7517,42 @@ FROM flagged GROUP BY source
 """
 
 
+def heavy_hitter_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters by sketch-then-verify (operators/text.py:
+    heavy_hitter_grams) — every word 3-gram with share >= 1/5000, found
+    WITHOUT materializing the distinct-cardinality count relation:
+    per-partition Misra–Gries summaries (Arrow-batched, memory bounded by
+    k) merge through one thin distributed sum, the candidate set is a
+    TakeOrderedAndProject top-k (bounded at any partition count), and one
+    exact pass verifies candidates only.  The MG superset guarantee
+    (k+1 > denom, enforced) makes the output EQUAL the exact thresholded
+    answer for any partitioning — the oracle restates the plain exact
+    GROUP BY + HAVING.  Non-vacuous at sf0.01 (r12 staging audit): 30 of
+    16,245 distinct grams qualify (0.2% selectivity, counts 6-8) — the
+    verify pruning genuinely fires; the sketch compress branch cannot
+    fire at bench scale (per-partition distinct < k) and is forced with
+    tiny k in the property gate instead.  STAGED for the round-13
+    window."""
+    return T.heavy_hitter_grams(load_table(spark, sf_dir, "documents"))
+
+
+_HEAVY_HITTER_SQL = f"""
+WITH tok AS (
+  SELECT {_SQL_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS gram
+  FROM tok
+), tot AS (
+  SELECT count(*) AS n FROM g
+), c AS (
+  SELECT gram, count(*)::BIGINT AS n_occurrences FROM g GROUP BY gram
+)
+SELECT gram, n_occurrences, round(n_occurrences / n, 6) AS share
+FROM c, tot WHERE n_occurrences * 5000 >= n
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8231,15 +8267,16 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the ELEVEN entries staged below to the top of
-#: QUERIES + ORACLE_SQL (6 first-wave + 5 second-wave: leakage_safe_split,
+#: ROUND-13 PLAN: move the TWELVE entries staged below to the top of
+#: QUERIES + ORACLE_SQL (6 first-wave + 6 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
-#: streaming_quality_gate — all 11 staged-green at sf0.01, hand-frame /
-#: equality pytested in tests/test_staged_r12_verbs.py +
-#: tests/test_streaming_dedup_join.py, plan-locked in tests/test_plans.py);
+#: streaming_quality_gate, heavy_hitter_grams — all 12 staged-green at
+#: sf0.01, hand-frame / equality / property pytested in
+#: tests/test_staged_r12_verbs.py + tests/test_streaming_dedup_join.py,
+#: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  11 + 13 leaves room for ~26
+#: oldest r10-green entries to fill 50.  12 + 13 leaves room for ~25
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8260,5 +8297,6 @@ STAGED_QUERIES: dict = {
         _REF_INTEGRITY_SQL,
     ),
     "streaming_quality_gate": (streaming_quality_gate, _STREAM_QUALITY_GATE_SQL),
+    "heavy_hitter_grams": (heavy_hitter_grams, _HEAVY_HITTER_SQL),
 }
 

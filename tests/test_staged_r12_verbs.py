@@ -483,3 +483,68 @@ def test_referential_integrity_matches_set_difference(spark, child, parent):
     for name in ("shuffle", "broadcast"):
         assert out[name]["n_orphans"] == want
         assert out[name]["child_rows"] == len(child)
+
+
+def _bruteforce_heavy(docs, n, denom):
+    counts = {}
+    total = 0
+    for toks in docs:
+        for i in range(0, max(len(toks) - n, 0) + 1):
+            g = " ".join(toks[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+            total += 1
+    return {
+        (g, c, round(c / total, 6))
+        for g, c in counts.items()
+        if c * denom >= total
+    }
+
+
+def test_heavy_hitter_grams_compress_branch_fires_and_stays_exact(spark):
+    """One partition, 12 distinct 2-grams, sketch_k = 4: the Misra–Gries
+    compress PROVABLY fires (counters exceed k on the first batch), and
+    the verified output still equals the exact thresholded answer — the
+    superset guarantee under forced compression."""
+    from spark_gp_spark.operators.text import heavy_hitter_grams
+
+    docs = [["x", "y"] * 6] + [[f"t{i}", f"u{i}"] for i in range(11)]
+    df = spark.createDataFrame(
+        [(" ".join(t),) for t in docs], "text string"
+    ).coalesce(1)
+    got = {
+        (r.gram, r.n_occurrences, r.share)
+        for r in heavy_hitter_grams(
+            df, n=2, min_share_denom=4, sketch_k=4
+        ).collect()
+    }
+    assert got == _bruteforce_heavy(docs, 2, 4)
+    # the planted hitter survives: 6 of the 22 grams (11 from doc0 + 11
+    # singleton docs)
+    assert ("x y", 6, round(6 / 22, 6)) in got
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=1, max_size=20,
+    ),
+    parts=st.integers(1, 5),
+)
+def test_heavy_hitter_grams_partition_invariant_equality(spark, docs, parts):
+    """For ANY corpus and ANY partitioning, with a sketch small enough
+    that compression fires routinely (k = 4), the output equals the
+    exact thresholded answer — the Mergeable-Summaries superset property
+    as a hard invariant."""
+    from spark_gp_spark.operators.text import heavy_hitter_grams
+
+    df = spark.createDataFrame(
+        [(" ".join(t),) for t in docs], "text string"
+    ).repartition(parts)
+    got = {
+        (r.gram, r.n_occurrences, r.share)
+        for r in heavy_hitter_grams(
+            df, n=2, min_share_denom=3, sketch_k=4
+        ).collect()
+    }
+    assert got == _bruteforce_heavy(docs, 2, 3)
