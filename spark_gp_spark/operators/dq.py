@@ -603,3 +603,93 @@ def referential_integrity_report(edges: list) -> DataFrame:
         "n_orphans",
         F.round(F.col("n_orphans") / F.col("child_rows"), 6).alias("orphan_rate"),
     )
+
+
+_LIVE_TREND_CACHES: list = []
+
+
+def _retire_trend_caches(new: list) -> None:
+    """KS-cache discipline for the volume-trend days relation."""
+    for old in _LIVE_TREND_CACHES:
+        try:
+            if not any(old.sameSemantics(nw) for nw in new):
+                old.unpersist()
+        except Exception:
+            pass
+    _LIVE_TREND_CACHES.clear()
+    _LIVE_TREND_CACHES.extend(new)
+
+
+def volume_trend_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: int = 7,
+    k: float = 3.5,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Daily ingest-volume anomaly screen — the monitor that catches a
+    double-ingest spike or an outage drop before either poisons
+    time-bucketed statistics: daily counts, a centered ``window``-day
+    moving average, and the modified z-score rule applied to the
+    RESIDUALS (robust_anomaly_screen's exact rank-based median/MAD
+    convention, so seasonality-detrended outliers flag without the
+    spike inflating its own threshold the way mean/std would).
+
+    Determinism: the residual is (exact integer count) − (window average
+    of exact integer counts), one division per row — bit-identical
+    across engines; median/MAD are lower order statistics at rank
+    ceil(N/2) (rank comparisons only, no float summation anywhere).
+
+    Scale shape: ONE map-side-combined aggregate collapses the corpus to
+    the days relation (bounded by calendar span — ~365 rows/year at ANY
+    corpus size), PERSISTED because four consumers derive from it (the
+    rank pass, the median pick, the deviation rank, and the final
+    projection — uncached, each would re-fold the corpus; the r12 plan
+    walk measured 8 scans in the first cut).  Every window below runs
+    on the cached days relation; the unpartitioned windows are bounded
+    by the same calendar span, the documented exception to the
+    no-single-partition-window rule.
+
+    Output: (day, n_events, moving_avg, resid, is_anomaly)."""
+    from pyspark.sql import Window
+
+    kc = float(k) * float(scale)
+    half = int(window) // 2
+    days = (
+        df.groupBy(F.to_date(F.col(ts_col)).alias("day"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .persist()
+    )
+    _retire_trend_caches([days])
+    wma = Window.orderBy("day").rowsBetween(-half, half)
+    m = days.select(
+        "day", "n_events", F.avg("n_events").over(wma).alias("_ma")
+    ).withColumn("_resid", F.col("n_events") - F.col("_ma"))
+    whole = Window.partitionBy()
+    ranked = m.select(
+        "*",
+        F.row_number().over(Window.orderBy("_resid", "day")).alias("_rn"),
+        F.count("*").over(whole).alias("_nd"),
+    )
+    med = ranked.filter(
+        F.col("_rn") == F.ceil(F.col("_nd") / 2)
+    ).select(F.col("_resid").alias("_med"))
+    ad = ranked.crossJoin(F.broadcast(med)).withColumn(
+        "_ad", F.abs(F.col("_resid") - F.col("_med"))
+    )
+    adr = ad.select(
+        "*", F.row_number().over(Window.orderBy("_ad", "day")).alias("_arn")
+    )
+    mad = adr.filter(
+        F.col("_arn") == F.ceil(F.col("_nd") / 2)
+    ).select(F.col("_ad").alias("_mad"))
+    return (
+        ad.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n_events",
+            F.round("_ma", 6).alias("moving_avg"),
+            F.round("_resid", 6).alias("resid"),
+            (F.col("_ad") > F.lit(kc) * F.col("_mad")).alias("is_anomaly"),
+        )
+    )

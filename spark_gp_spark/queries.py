@@ -7553,6 +7553,72 @@ FROM c, tot WHERE n_occurrences * 5000 >= n
 """
 
 
+def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest-volume anomaly screen (operators/dq.py:
+    volume_trend_anomalies) — daily counts vs a centered 7-day moving
+    average, residuals gated by the exact rank-based median/MAD rule
+    (the event_anomaly_screen convention, detrended).  The synthetic
+    volume curve is flat (max natural residual 1.8 sigma), so the
+    fixture plants the two failure classes a volume monitor exists for
+    (FIXTURES.md relational-table plants): a DOUBLE-INGEST of
+    2024-01-15 (its events unioned twice) and an OUTAGE on 2024-01-22
+    (odd event_ids dropped).  r12 staging audit at sf0.01: exactly the
+    two planted days flag (+251.9 / −139.3 residuals) and the 28 clean
+    days pass.  STAGED for the round-13 window."""
+    from .operators.dq import volume_trend_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    spike = ev.filter(
+        F.to_date("ts") == F.lit("2024-01-15").cast("date")
+    ).select("ts")
+    planted = (
+        ev.filter(
+            ~(
+                (F.to_date("ts") == F.lit("2024-01-22").cast("date"))
+                & (F.col("event_id") % 2 == 1)
+            )
+        )
+        .select("ts")
+        .unionByName(spike)
+    )
+    return volume_trend_anomalies(planted)
+
+
+_EVENT_VOLUME_TREND_SQL = f"""
+WITH pe AS (
+  SELECT ts FROM events
+  WHERE NOT (ts::DATE = DATE '2024-01-22' AND event_id % 2 = 1)
+  UNION ALL
+  SELECT ts FROM events WHERE ts::DATE = DATE '2024-01-15'
+), d AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n_events FROM pe GROUP BY 1
+), m AS (
+  SELECT day, n_events,
+         avg(n_events) OVER (
+           ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+         ) AS ma
+  FROM d
+), r AS (
+  SELECT *, n_events - ma AS resid FROM m
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY resid, day) AS rn,
+         count(*) OVER () AS nd
+  FROM r
+), med AS (
+  SELECT resid AS med FROM rk WHERE rn = ceil(nd / 2)
+), ad AS (
+  SELECT rk.*, abs(resid - med) AS adev FROM rk, med
+), adr AS (
+  SELECT *, row_number() OVER (ORDER BY adev, day) AS arn FROM ad
+), mad AS (
+  SELECT adev AS mad FROM adr WHERE arn = ceil(nd / 2)
+)
+SELECT day, n_events, round(ma, 6) AS moving_avg, round(resid, 6) AS resid,
+       adev > {_EVENT_ANOMALY_KC!r} * mad AS is_anomaly
+FROM ad, mad
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8267,16 +8333,16 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the TWELVE entries staged below to the top of
-#: QUERIES + ORACLE_SQL (6 first-wave + 6 second-wave: leakage_safe_split,
+#: ROUND-13 PLAN: move the THIRTEEN entries staged below to the top of
+#: QUERIES + ORACLE_SQL (6 first-wave + 7 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
-#: streaming_quality_gate, heavy_hitter_grams — all 12 staged-green at
-#: sf0.01, hand-frame / equality / property pytested in
-#: tests/test_staged_r12_verbs.py + tests/test_streaming_dedup_join.py,
+#: streaming_quality_gate, heavy_hitter_grams, event_volume_trend — all
+#: 13 staged-green at sf0.01, hand-frame / equality / property pytested
+#: in tests/test_staged_r12_verbs.py + tests/test_streaming_dedup_join.py,
 #: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  12 + 13 leaves room for ~25
+#: oldest r10-green entries to fill 50.  13 + 13 leaves room for ~24
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8298,5 +8364,6 @@ STAGED_QUERIES: dict = {
     ),
     "streaming_quality_gate": (streaming_quality_gate, _STREAM_QUALITY_GATE_SQL),
     "heavy_hitter_grams": (heavy_hitter_grams, _HEAVY_HITTER_SQL),
+    "event_volume_trend": (event_volume_trend, _EVENT_VOLUME_TREND_SQL),
 }
 

@@ -766,3 +766,18 @@ def test_staged_r13_second_wave_plan_shapes(spark):
 
     nodes = _staged_plan_nodes(STAGED_QUERIES["leakage_safe_split"][0](spark, SF))
     assert _exchange_payload_cols(nodes) == []
+
+
+def test_event_volume_trend_reads_only_days_cache(spark):
+    """The r12 plan walk caught the first cut re-folding the corpus four
+    times (one per consumer of the days aggregate).  Lock the fix: after
+    the persisted days relation materializes, the executed plan has ZERO
+    parquet scans — median, MAD, and the final projection all read the
+    calendar-bounded cache."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(STAGED_QUERIES["event_volume_trend"][0](spark, SF))
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert not scans, [n.nodeName() for n in scans]
+    assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)

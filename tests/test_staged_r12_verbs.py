@@ -548,3 +548,36 @@ def test_heavy_hitter_grams_partition_invariant_equality(spark, docs, parts):
         ).collect()
     }
     assert got == _bruteforce_heavy(docs, 2, 3)
+
+
+def test_volume_trend_anomalies_hand_computed(spark):
+    """A flat daily stream has zero residuals everywhere (the centered MA
+    of a constant is the constant, even at the edges) -> no anomalies;
+    over a NOISY alternating baseline (MAD positive), a tripled day
+    flags exactly itself — the leak of the spike into its neighbors'
+    moving averages stays under the detrended threshold.  (On a
+    perfectly flat baseline MAD collapses to 0 and the screen degrades
+    to flagging every nonzero deviation — the documented modified-z
+    behavior, exercised by the flat case's inverse.)"""
+    import datetime
+
+    from spark_gp_spark.operators.dq import volume_trend_anomalies
+
+    def stream(counts):
+        rows = []
+        for i, c in enumerate(counts):
+            t = datetime.datetime(2024, 3, 1 + i, 12, 0, 0)
+            rows += [(t,)] * c
+        return spark.createDataFrame(rows, "ts timestamp")
+
+    flat = volume_trend_anomalies(stream([10] * 14)).collect()
+    assert len(flat) == 14
+    assert not any(r.is_anomaly for r in flat)
+    assert all(r.resid == 0.0 for r in flat)
+
+    base = [10, 12] * 7  # alternating noise -> MAD ~ 1
+    base[7] = 30         # the planted triple-ingest day
+    spiked = volume_trend_anomalies(stream(base)).collect()
+    anom = [r for r in spiked if r.is_anomaly]
+    assert [str(r.day) for r in anom] == ["2024-03-08"]
+    assert anom[0].n_events == 30
