@@ -27,6 +27,7 @@ def asof_join(
     payload_cols: list[str],
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Left rows enriched with the nearest right row's payload.
 
@@ -46,6 +47,14 @@ def asof_join(
     since "nearest" is already the extremal qualifying row, this is exactly
     "nearest within tolerance".  Stale point-in-time data is often worse
     than no data (feature stores cap lookback for this reason).
+
+    ``tiebreak_col``: a right-side payload column that breaks ties among
+    right rows sharing the same (key, ts) DETERMINISTICALLY (the smallest
+    value wins on both sides) — without it the window's pick among
+    equal-ts right rows depends on physical row order after the shuffle.
+    Pass it whenever the right relation can carry duplicate timestamps
+    per key (the r12 review found this latent nondeterminism; the
+    nearest-view oracle ties by min view_event_id).
 
     Output: all left columns + ``payload_cols`` (null when no right row
     qualifies).  One shuffle on the key either way.
@@ -85,15 +94,21 @@ def asof_join(
     # per-column last(ignorenulls) would skip a matched row's NULL payload and
     # substitute an older row's value — diverging from true as-of semantics
     # (DuckDB ASOF returns the matched row's NULL).
+    # Deterministic tie order among right rows sharing (key, ts): the
+    # backward frame takes last() -> the smallest tiebreak value must sort
+    # LAST; the forward frame takes first() -> it must sort FIRST.  Left
+    # rows carry a null tiebreak and are already separated by __side.
+    b_tail = [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    f_tail = [F.col(tiebreak_col).asc()] if tiebreak_col else []
     wb = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *b_tail)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     match_b = F.last(payload_struct, ignorenulls=True).over(wb)
     wf = (
         Window.partitionBy(key)
-        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), *f_tail)
         .rowsBetween(0, Window.unboundedFollowing)
     )
     match_f = F.first(payload_struct, ignorenulls=True).over(wf)
@@ -108,9 +123,17 @@ def asof_join(
         # which the equal-ts tie rule needs on BOTH sides (the backward
         # frame must see an equal-ts right row, the forward frame likewise)
         # — Catalyst still plans one exchange; the second sort is a
-        # partition-local re-sort of an already-sorted run.
-        delta_b = F.abs(F.col(left_ts).cast("double") - match_b["__mts"].cast("double"))
-        delta_f = F.abs(F.col(left_ts).cast("double") - match_f["__mts"].cast("double"))
+        # partition-local re-sort of an already-sorted run.  Distances
+        # compare in EXACT integer microseconds (unix_micros) — a double
+        # epoch-seconds cast has ~0.5 us ulp at current epochs, enough to
+        # flip the closer-side pick against the oracle's integer
+        # epoch_us arithmetic (interval_join documents the same hazard).
+        delta_b = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(match_b["__mts"])
+        )
+        delta_f = F.abs(
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(match_f["__mts"])
+        )
         match = F.when(
             match_b.isNull(), match_f
         ).when(

@@ -1416,8 +1416,12 @@ def paragraph_dedup_stats(
     characters survive paragraph-level cleaning.
 
     Output: (``id_col``, n_paras, n_dup_paras, kept_chars) — kept_chars
-    counts the text of UNIQUE paragraphs only (separators excluded), the
-    post-cleaning size a packing budget would see.
+    counts every OCCURRENCE of a surviving paragraph (separators
+    excluded): cleaning removes only cross-document boilerplate, so a
+    paragraph repeated within one document (below the ``min_copies``
+    distinct-doc bar) keeps all its copies, and the count is the true
+    post-cleaning size a packing budget would see
+    (tests/test_staged_r12_verbs.py pins the within-doc-repeat case).
 
     Scale shape: paragraph TEXT never leaves the scan stage — the explode
     projects straight down to (id, md5(paragraph), length(paragraph)),

@@ -26,6 +26,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import make_cache_registry
+
 
 @dataclass(frozen=True, eq=False)
 class Rule:
@@ -356,20 +358,8 @@ def grouped_exact_quantiles(
     )
 
 
-_LIVE_KS_CACHES: list = []
-
-
-def _retire_ks_caches(new: list) -> None:
-    """Same discipline as dedup._retire_shingle_caches: unpersist prior
-    invocations' counts relations unless a new handle shares their plan."""
-    for old in _LIVE_KS_CACHES:
-        try:
-            if not any(old.sameSemantics(nw) for nw in new):
-                old.unpersist()
-        except Exception:
-            pass
-    _LIVE_KS_CACHES.clear()
-    _LIVE_KS_CACHES.extend(new)
+#: per-call-site persisted-relation retirement (operators/cache.py)
+_retire_ks_caches = make_cache_registry()
 
 
 def source_ks_drift(
@@ -385,9 +375,12 @@ def source_ks_drift(
     shows up as a large KS statistic against its peers.
 
     Output: (source_a, source_b, n_a, n_b, ks, drifted) for every unordered
-    pair — ks = max_v |F_a(v) − F_b(v)| computed EXACTLY (the max runs over
-    cross-multiplied integer counts |c_a·n_b − c_b·n_a|, so both engines
-    agree to the bit before one final rounded division); ``drifted`` is the
+    pair — ks = max_v |F_a(v) − F_b(v)| computed over cross-multiplied
+    counts |c_a·n_b − c_b·n_a| with the counts widened to DOUBLE before
+    the multiply (int64 products wrap near 9.2e18 at the 100 TB regime;
+    both engines compute the identical IEEE double product, so parity
+    holds at any scale and the products stay integer-exact below 2^53);
+    ``drifted`` is the
     classic large-sample rejection rule ks > c(alpha)·sqrt((n_a+n_b)/
     (n_a·n_b)) with c defaulting to the alpha=0.01 constant 1.628.
 
@@ -437,16 +430,23 @@ def source_ks_drift(
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b", "n_a", "n_b")
         .agg(
+            # double BEFORE the multiply: le*n is a count-product that
+            # overflows int64 near 9.2e18 (Spark wraps silently, DuckDB
+            # errors — the skew_factor fix, r11).  Both engines compute
+            # the identical IEEE double product, so cross-engine parity
+            # holds at any scale; products stay integer-exact below 2^53.
             F.max(
                 F.abs(
-                    F.col("_le_a") * F.col("n_b") - F.col("_le_b") * F.col("n_a")
+                    F.col("_le_a").cast("double") * F.col("n_b")
+                    - F.col("_le_b").cast("double") * F.col("n_a")
                 )
             ).alias("_num")
         )
     )
-    ks = F.col("_num") / (F.col("n_a") * F.col("n_b"))
+    ks = F.col("_num") / (F.col("n_a").cast("double") * F.col("n_b"))
     crit = F.lit(alpha_critical) * F.sqrt(
-        (F.col("n_a") + F.col("n_b")) / (F.col("n_a") * F.col("n_b"))
+        (F.col("n_a") + F.col("n_b"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
     )
     return pairs.select(
         "source_a",
@@ -458,19 +458,7 @@ def source_ks_drift(
     )
 
 
-_LIVE_ANOM_CACHES: list = []
-
-
-def _retire_anom_caches(new: list) -> None:
-    """KS-cache discipline for the anomaly screen's counts relation."""
-    for old in _LIVE_ANOM_CACHES:
-        try:
-            if not any(old.sameSemantics(nw) for nw in new):
-                old.unpersist()
-        except Exception:
-            pass
-    _LIVE_ANOM_CACHES.clear()
-    _LIVE_ANOM_CACHES.extend(new)
+_retire_anom_caches = make_cache_registry()
 
 
 def robust_anomaly_screen(
@@ -574,7 +562,11 @@ def referential_integrity_report(edges: list) -> DataFrame:
     dims like nation/region; scaling parents shuffle on the key), then
     ONE left join + conditional aggregate — no separate anti-join pass,
     so each edge costs exactly one join and each child scans once per
-    edge touching it (Catalyst prunes to the key column)."""
+    edge touching it (Catalyst prunes to the key column).  An empty
+    child table reports orphan_rate 0.0 (not a NULL a rate-threshold
+    gate would silently pass); an empty edges list is a caller error."""
+    if not edges:
+        raise ValueError("referential_integrity_report requires >= 1 edge")
     parts: list[DataFrame] = []
     for name, child, ccol, parent, pcol, small in edges:
         keys = (
@@ -591,7 +583,11 @@ def referential_integrity_report(edges: list) -> DataFrame:
         parts.append(
             j.agg(
                 F.count("*").cast("long").alias("child_rows"),
-                F.sum(orphan).cast("long").alias("n_orphans"),
+                # sum over zero rows is NULL — an empty child must report
+                # 0 orphans, not a NULL a threshold gate ignores
+                F.coalesce(F.sum(orphan), F.lit(0))
+                .cast("long")
+                .alias("n_orphans"),
             ).select(F.lit(name).alias("fk"), "child_rows", "n_orphans")
         )
     out = parts[0]
@@ -601,23 +597,13 @@ def referential_integrity_report(edges: list) -> DataFrame:
         "fk",
         "child_rows",
         "n_orphans",
-        F.round(F.col("n_orphans") / F.col("child_rows"), 6).alias("orphan_rate"),
+        F.round(
+            F.col("n_orphans") / F.greatest(F.col("child_rows"), F.lit(1)), 6
+        ).alias("orphan_rate"),
     )
 
 
-_LIVE_TREND_CACHES: list = []
-
-
-def _retire_trend_caches(new: list) -> None:
-    """KS-cache discipline for the volume-trend days relation."""
-    for old in _LIVE_TREND_CACHES:
-        try:
-            if not any(old.sameSemantics(nw) for nw in new):
-                old.unpersist()
-        except Exception:
-            pass
-    _LIVE_TREND_CACHES.clear()
-    _LIVE_TREND_CACHES.extend(new)
+_retire_trend_caches = make_cache_registry()
 
 
 def volume_trend_anomalies(
@@ -645,12 +631,15 @@ def volume_trend_anomalies(
     corpus size), PERSISTED because four consumers derive from it (the
     rank pass, the median pick, the deviation rank, and the final
     projection — uncached, each would re-fold the corpus; the r12 plan
-    walk measured 8 scans in the first cut).  Every window below runs
-    on the cached days relation; the unpartitioned windows are bounded
-    by the same calendar span, the documented exception to the
+    walk measured 8 scans in the first cut).  A calendar spine densifies
+    the relation first (zero-event days MUST appear — a total outage is
+    the monitor's strongest target).  Every window below runs on the
+    cached days relation; the unpartitioned windows are bounded by the
+    same calendar span, the documented exception to the
     no-single-partition-window rule.
 
-    Output: (day, n_events, moving_avg, resid, is_anomaly)."""
+    Output: (day, n_events, moving_avg, resid, is_anomaly) — one row per
+    calendar day in [min(day), max(day)], including empty days."""
     from pyspark.sql import Window
 
     kc = float(k) * float(scale)
@@ -661,8 +650,20 @@ def volume_trend_anomalies(
         .persist()
     )
     _retire_trend_caches([days])
+    # Dense calendar spine: a day with ZERO events never reaches the
+    # groupBy output, yet a total outage is the strongest instance of the
+    # failure class this monitor exists for (r12 review) — and without
+    # the spine the "centered" window would silently span calendar gaps.
+    span = days.agg(F.min("day").alias("_mn"), F.max("day").alias("_mx"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("day")
+    )
+    dense = spine.join(days, "day", "left").select(
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
     wma = Window.orderBy("day").rowsBetween(-half, half)
-    m = days.select(
+    m = dense.select(
         "day", "n_events", F.avg("n_events").over(wma).alias("_ma")
     ).withColumn("_resid", F.col("n_events") - F.col("_ma"))
     whole = Window.partitionBy()

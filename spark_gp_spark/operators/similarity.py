@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import make_cache_registry
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -657,22 +659,8 @@ def topk_recall(
     )
 
 
-_LIVE_NORM_CACHES: list = []
-
-
-def _retire_norm_caches(new: list) -> None:
-    """Same discipline as dedup._retire_shingle_caches: unpersist prior
-    invocations' thin norm relations unless a new handle shares their
-    plan (CacheManager dedupes semantically — evicting a shared entry
-    would force a recompute)."""
-    for old in _LIVE_NORM_CACHES:
-        try:
-            if not any(old.sameSemantics(nw) for nw in new):
-                old.unpersist()
-        except Exception:
-            pass
-    _LIVE_NORM_CACHES.clear()
-    _LIVE_NORM_CACHES.extend(new)
+#: per-call-site persisted-relation retirement (operators/cache.py)
+_retire_norm_caches = make_cache_registry()
 
 
 def embedding_norm_outliers(
@@ -707,7 +695,16 @@ def embedding_norm_outliers(
     stats = norms.agg(
         F.avg("_norm").alias("_mu"), F.stddev_pop("_norm").alias("_sd")
     )
-    z = F.round((F.col("_norm") - F.col("_mu")) / F.col("_sd"), 6)
+    # sd == 0 (constant-norm corpus, e.g. everything pre-normalized to
+    # unit L2 — the very case this screen validates): define z = 0 and
+    # flag nothing, instead of Spark's NULL-division vs IEEE inf/nan
+    # diverging between engines (r12 review).
+    z = F.round(
+        F.when(F.col("_sd") == 0.0, F.lit(0.0)).otherwise(
+            (F.col("_norm") - F.col("_mu")) / F.col("_sd")
+        ),
+        6,
+    )
     return norms.join(F.broadcast(stats)).select(
         id_col,
         F.round("_norm", 6).alias("norm"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import make_cache_registry
+
 # Tiny per-language stopword inventories for the n-gram/stopword heuristic.
 # Deliberately small so the DuckDB oracle can restate them inline.
 STOPWORDS = {
@@ -1285,20 +1287,8 @@ def rule_cofail_matrix(flags: DataFrame, rule_cols: list) -> DataFrame:
     )
 
 
-_LIVE_HH_CACHES: list = []
-
-
-def _retire_hh_caches(new: list) -> None:
-    """dedup._retire_shingle_caches discipline for the heavy-hitter
-    sketch relation."""
-    for old in _LIVE_HH_CACHES:
-        try:
-            if not any(old.sameSemantics(nw) for nw in new):
-                old.unpersist()
-        except Exception:
-            pass
-    _LIVE_HH_CACHES.clear()
-    _LIVE_HH_CACHES.extend(new)
+#: per-call-site persisted-relation retirement (operators/cache.py)
+_retire_hh_caches = make_cache_registry()
 
 
 def heavy_hitter_grams(

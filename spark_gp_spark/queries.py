@@ -4933,6 +4933,7 @@ def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = A.asof_join(
         left, right, key="user_id", left_ts="ts", right_ts="view_ts",
         payload_cols=["view_event_id", "view_value"], direction="nearest",
+        tiebreak_col="view_event_id",
     )
     return out.select(
         "event_id",
@@ -5073,13 +5074,13 @@ WITH d AS (
   FROM dense
 ), pairs AS (
   SELECT a.source AS source_a, b.source AS source_b, a.n AS n_a, b.n AS n_b,
-         max(abs(a.le * b.n - b.le * a.n)) AS num
+         max(abs(a.le::DOUBLE * b.n - b.le::DOUBLE * a.n)) AS num
   FROM ecdf a JOIN ecdf b ON a.v = b.v AND a.source < b.source
   GROUP BY 1, 2, 3, 4
 )
 SELECT source_a, source_b, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
-       round(num / (n_a * n_b), 6) AS ks,
-       (num / (n_a * n_b)) >
+       round(num / (n_a::DOUBLE * n_b), 6) AS ks,
+       (num / (n_a::DOUBLE * n_b)) >
          1.628 * sqrt((n_a + n_b) / (n_a::DOUBLE * n_b)) AS drifted
 FROM pairs
 """
@@ -5192,8 +5193,9 @@ WITH m AS (
   SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sd FROM norms
 )
 SELECT vec_id, round(nrm, 6) AS norm,
-       round((nrm - mu) / sd, 6) AS z,
-       abs(round((nrm - mu) / sd, 6)) > 3.0 AS is_outlier
+       round(CASE WHEN sd = 0 THEN 0.0 ELSE (nrm - mu) / sd END, 6) AS z,
+       abs(round(CASE WHEN sd = 0 THEN 0.0 ELSE (nrm - mu) / sd END, 6))
+         > 3.0 AS is_outlier
 FROM norms CROSS JOIN stats
 """
 
@@ -5391,7 +5393,7 @@ WITH li AS (
   FROM nation
 )
 SELECT fk, child_rows, n_orphans,
-       round(n_orphans / child_rows, 6) AS orphan_rate
+       round(n_orphans / greatest(child_rows, 1), 6) AS orphan_rate
 FROM ("""
     + " UNION ALL ".join(
         [
@@ -7592,12 +7594,18 @@ WITH pe AS (
   SELECT ts FROM events WHERE ts::DATE = DATE '2024-01-15'
 ), d AS (
   SELECT ts::DATE AS day, count(*)::BIGINT AS n_events FROM pe GROUP BY 1
+), sp AS (
+  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+  FROM d
+), dd AS (
+  SELECT sp.day, coalesce(d.n_events, 0)::BIGINT AS n_events
+  FROM sp LEFT JOIN d USING (day)
 ), m AS (
   SELECT day, n_events,
          avg(n_events) OVER (
            ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
          ) AS ma
-  FROM d
+  FROM dd
 ), r AS (
   SELECT *, n_events - ma AS resid FROM m
 ), rk AS (

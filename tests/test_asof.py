@@ -300,3 +300,49 @@ def test_asof_nearest_tolerance_nulls_far_matches(spark):
         tolerance_seconds=600,
     ).collect()
     assert out[0]["view_value"] is None
+
+
+def test_asof_nearest_microsecond_margin_and_id_ties(spark):
+    """Two r12-review hazards, locked: (a) the closer-side pick compares
+    EXACT integer microseconds — a view 1 us after beats a view 2 us
+    before, where a double epoch-seconds cast (ulp ~0.5 us at 2024
+    epochs) could round both deltas equal and pick backward; (b) two
+    right rows at the IDENTICAL (key, ts) resolve to the smallest
+    tiebreak value deterministically, under any input partitioning."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0, 500000)
+    left = spark.createDataFrame(
+        [(1, 10, base)], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, base - datetime.timedelta(microseconds=2), 100, 7.0),
+            (10, base + datetime.timedelta(microseconds=1), 200, 9.0),
+        ],
+        "user_id bigint, view_ts timestamp, view_event_id bigint,"
+        " view_value double",
+    )
+    out = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="view_ts",
+        payload_cols=["view_event_id", "view_value"], direction="nearest",
+        tiebreak_col="view_event_id",
+    ).collect()
+    assert out[0]["view_event_id"] == 200  # 1 us forward beats 2 us back
+
+    dup = spark.createDataFrame(
+        [
+            (10, base, 300, 1.0),
+            (10, base, 250, 2.0),
+            (10, base, 400, 3.0),
+        ],
+        "user_id bigint, view_ts timestamp, view_event_id bigint,"
+        " view_value double",
+    )
+    for parts in (1, 2, 5):
+        out = asof_join(
+            left, dup.repartition(parts), key="user_id", left_ts="ts",
+            right_ts="view_ts", payload_cols=["view_event_id", "view_value"],
+            direction="nearest", tiebreak_col="view_event_id",
+        ).collect()
+        assert out[0]["view_event_id"] == 250, parts  # min id wins, always

@@ -655,12 +655,6 @@ def test_r12_staged_verbs_plan_shapes(spark):
     assert "Join" not in plan, plan[:1200]
 
 
-def _walk_with_cached_children(node):
-    """Physical-tree walk that also descends INTO InMemoryTableScan's
-    cached plan, so scan counts include what the cache itself reads."""
-    yield from _iter_physical_nodes(node)
-
-
 def _staged_plan_nodes(df):
     df.count()  # materialize caches so the executed tree is final
     return list(_iter_physical_nodes(df._jdf.queryExecution().executedPlan()))

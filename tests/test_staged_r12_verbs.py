@@ -581,3 +581,65 @@ def test_volume_trend_anomalies_hand_computed(spark):
     anom = [r for r in spiked if r.is_anomaly]
     assert [str(r.day) for r in anom] == ["2024-03-08"]
     assert anom[0].n_events == 30
+
+
+def test_volume_trend_total_outage_day_appears_and_flags(spark):
+    """A day with ZERO events must still appear (dense calendar spine)
+    and flag: the r12 review caught the first cut silently dropping
+    empty days from the groupBy output — a full outage passed green."""
+    import datetime
+
+    from spark_gp_spark.operators.dq import volume_trend_anomalies
+
+    rows = []
+    for i, c in enumerate([10, 12] * 7):
+        if 1 + i == 8:
+            continue  # 2024-03-08 has NO events at all
+        t = datetime.datetime(2024, 3, 1 + i, 12, 0, 0)
+        rows += [(t,)] * c
+    out = {
+        str(r.day): r
+        for r in volume_trend_anomalies(
+            spark.createDataFrame(rows, "ts timestamp")
+        ).collect()
+    }
+    assert len(out) == 14                       # the empty day is present
+    assert out["2024-03-08"].n_events == 0
+    assert out["2024-03-08"].is_anomaly
+    assert sum(r.is_anomaly for r in out.values()) == 1
+
+
+def test_embedding_norm_outliers_constant_norm_corpus(spark):
+    """sd = 0 (every norm identical — the pre-normalized corpus this
+    screen exists to validate): z is defined as 0 and nothing flags,
+    instead of NULL/inf division artifacts (r12 review)."""
+    from spark_gp_spark.operators.similarity import embedding_norm_outliers
+
+    df = spark.createDataFrame(
+        [(i, [3.0, 4.0]) for i in range(6)],  # every norm exactly 5
+        "vec_id bigint, embedding array<double>",
+    )
+    out = embedding_norm_outliers(df).collect()
+    assert len(out) == 6
+    assert all(r.z == 0.0 for r in out)
+    assert all(r.is_outlier is False for r in out)
+
+
+def test_referential_integrity_empty_inputs(spark):
+    """An empty edges list raises (caller error, the dq_report
+    convention); an empty child table reports rate 0.0, not a NULL a
+    threshold gate would silently pass (r12 review)."""
+    import pytest
+
+    from spark_gp_spark.operators.dq import referential_integrity_report
+
+    with pytest.raises(ValueError):
+        referential_integrity_report([])
+
+    child = spark.createDataFrame([], "fk long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    r = referential_integrity_report(
+        [("empty_child", child, "fk", parent, "pk", True)]
+    ).collect()[0]
+    assert r.child_rows == 0 and r.n_orphans == 0
+    assert r.orphan_rate == 0.0
