@@ -7529,18 +7529,38 @@ def heavy_hitter_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pass verifies candidates only.  The MG superset guarantee
     (k+1 > denom, enforced) makes the output EQUAL the exact thresholded
     answer for any partitioning — the oracle restates the plain exact
-    GROUP BY + HAVING.  Non-vacuous at sf0.01 (r12 staging audit): 30 of
-    16,245 distinct grams qualify (0.2% selectivity, counts 6-8) — the
-    verify pruning genuinely fires; the sketch compress branch cannot
-    fire at bench scale (per-partition distinct < k) and is forced with
-    tiny k in the property gate instead.  STAGED for the round-13
-    window."""
-    return T.heavy_hitter_grams(load_table(spark, sf_dir, "documents"))
+    GROUP BY + HAVING.  The natural gram shares FLATTEN with corpus size
+    (30 qualify at sf0.01 with counts 6-8, but the sf0.1 sweep read an
+    EMPTY, vacuously-green relation — max share ~1/15000 there), so the
+    fixture plants the phenomenon the verb hunts: doc_id % 37 = 5
+    appends a fixed boilerplate sentence (FIXTURES.md F-planted), giving
+    its three 3-grams a SCALE-INVARIANT share of (N/37)/(~52·N) ≈
+    1/1950 — above the 1/5000 bar at every SF.  r12 staging audit: 33
+    rows at sf0.01 (30 natural + 3 planted) and 3 at sf0.1 (planted
+    only — the natural tail has flattened away, exactly the regime a
+    production boilerplate screen lives in); the verify pruning fires at
+    both.  The sketch compress branch cannot fire at bench scale
+    (per-partition distinct < k) and is forced with tiny k in the
+    property gate instead.  STAGED for the round-13 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 37 == 5,
+            F.concat(F.col("text"), F.lit(" subscribe to our newsletter today")),
+        ).otherwise(F.col("text")),
+    )
+    return T.heavy_hitter_grams(planted)
 
 
 _HEAVY_HITTER_SQL = f"""
-WITH tok AS (
-  SELECT {_SQL_TOKENS} AS toks FROM documents
+WITH pd AS (
+  SELECT CASE WHEN doc_id % 37 = 5
+              THEN text || ' subscribe to our newsletter today'
+              ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT {_SQL_TOKENS} AS toks FROM pd
 ), g AS (
   SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
                 i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))) AS gram
