@@ -694,3 +694,80 @@ def volume_trend_anomalies(
             (F.col("_ad") > F.lit(kc) * F.col("_mad")).alias("is_anomaly"),
         )
     )
+
+
+_retire_conc_caches = make_cache_registry()
+
+
+def user_concentration_report(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Event-concentration audit over a key (defaults: events per user) —
+    the bot/power-user screen run before per-user statistics are trusted:
+    exact Gini coefficient of the per-key event counts plus the share of
+    events held by the top 1% and top 10% of keys.
+
+    Exactness: Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over counts ranked
+    ascending with the key as tiebreak — tie order cannot change the sum
+    (equal x swap ranks, the products' sum is invariant).  Σ rank·x
+    accumulates in DECIMAL(38,0) (int64 would wrap: rank ~1e9 × count
+    ~1e6 summed over 1e9 keys passes 2^63 long before 100 TB; the oracle's
+    HUGEINT sum is exact the same way), and every division happens once,
+    in double, at the end — both engines see identical integers and apply
+    identical IEEE operations.
+
+    Scale shape: one map-side-combined aggregate collapses events to the
+    per-key counts relation, and the ranking runs through
+    ``prep.exact_global_rank`` (repartitionByRange + per-partition prefix
+    counts) — keys scale with the corpus, so a plain unpartitioned
+    row_number window would serialize them onto one task; here the only
+    single-partition exchange feeds the buckets-row offsets aggregate.
+    One final single-row aggregate produces the report.
+
+    Output: one row (n_users, n_events, gini, top1pct_share,
+    top10pct_share)."""
+    from .prep import exact_global_rank
+
+    # exact_global_rank consumes its input twice (the offsets aggregate
+    # and the rank join-back) — uncached that re-runs the corpus-wide
+    # count aggregate, so the thin (key, count) relation is persisted
+    # (r12 plan walk: 2 scans + 2 count shuffles in the first cut).
+    counts = (
+        df.groupBy(F.col(key_col))
+        .agg(F.count("*").cast("long").alias("_ne"))
+        .persist()
+    )
+    _retire_conc_caches([counts])
+    ranked = exact_global_rank(
+        counts, ["_ne", key_col], rank_col="_rk", n_col="_n"
+    )
+    k1 = F.ceil(F.lit(0.01) * F.col("_n"))
+    k10 = F.ceil(F.lit(0.10) * F.col("_n"))
+    agg = ranked.agg(
+        F.max("_n").cast("long").alias("n_users"),
+        F.sum("_ne").cast("long").alias("n_events"),
+        F.sum(F.col("_rk").cast("decimal(38,0)") * F.col("_ne")).alias("_s"),
+        F.sum(
+            F.when(F.col("_rk") > F.col("_n") - k1, F.col("_ne")).otherwise(0)
+        )
+        .cast("long")
+        .alias("_t1"),
+        F.sum(
+            F.when(F.col("_rk") > F.col("_n") - k10, F.col("_ne")).otherwise(0)
+        )
+        .cast("long")
+        .alias("_t10"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("_s").cast("double")
+        - (F.col("n_users") + F.lit(1.0)) * F.col("n_events")
+    ) / (F.col("n_users").cast("double") * F.col("n_events"))
+    return agg.select(
+        "n_users",
+        "n_events",
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("_t1") / F.col("n_events").cast("double"), 6).alias(
+            "top1pct_share"
+        ),
+        F.round(F.col("_t10") / F.col("n_events").cast("double"), 6).alias(
+            "top10pct_share"
+        ),
+    )

@@ -7647,6 +7647,59 @@ FROM ad, mad
 """
 
 
+def user_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-concentration audit (operators/dq.py:
+    user_concentration_report) — exact Gini + top-1%/top-10% event shares
+    per user, the bot screen run before per-user statistics are trusted.
+    Ranks run through the plan-locked exact_global_rank core (keys scale
+    with the corpus — no single-task sort), Σ rank·count accumulates in
+    DECIMAL(38,0)/HUGEINT so the 100 TB product sum cannot wrap, and every
+    division happens once in double at the end.  The synthetic users are
+    near-uniform (natural gini ≈ 0.07, top-1% share 0.013 ≈ the uniform
+    floor — nothing for the screen to catch), so the fixture plants the
+    bot class (FIXTURES.md event-table plants: events with event_id % 23
+    < 2, ~8.7%, reassigned to user 1): r12 staging audit reads gini
+    0.156 / top1pct_share 0.1013 at sf0.01 (7.5× uniform) and 0.1534 /
+    0.0992 at sf0.1 — the concentration signature the audit exists to
+    surface.  STAGED for the round-13 window."""
+    from .operators.dq import user_concentration_report as _ucr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 23 < 2, F.lit(1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("user_id")
+    )
+    return _ucr(ev)
+
+
+_USER_CONCENTRATION_SQL = """
+WITH pe AS (
+  SELECT CASE WHEN event_id % 23 < 2 THEN 1 ELSE user_id END AS user_id
+  FROM events
+), c AS (
+  SELECT user_id, count(*)::BIGINT AS ne FROM pe GROUP BY 1
+), r AS (
+  SELECT ne, user_id,
+         row_number() OVER (ORDER BY ne, user_id) AS rk,
+         count(*) OVER () AS n
+  FROM c
+), a AS (
+  SELECT any_value(n) AS n_users, sum(ne)::BIGINT AS t, sum(rk * ne) AS s,
+         sum(CASE WHEN rk > n - ceil(0.01 * n) THEN ne ELSE 0 END)::BIGINT
+           AS top1,
+         sum(CASE WHEN rk > n - ceil(0.10 * n) THEN ne ELSE 0 END)::BIGINT
+           AS top10
+  FROM r
+)
+SELECT n_users::BIGINT AS n_users, t AS n_events,
+       round((2.0 * s - (n_users + 1.0) * t) / (n_users::DOUBLE * t), 6)
+         AS gini,
+       round(top1 / t::DOUBLE, 6) AS top1pct_share,
+       round(top10 / t::DOUBLE, 6) AS top10pct_share
+FROM a
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8361,16 +8414,17 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the THIRTEEN entries staged below to the top of
-#: QUERIES + ORACLE_SQL (6 first-wave + 7 second-wave: leakage_safe_split,
+#: ROUND-13 PLAN: move the FOURTEEN entries staged below to the top of
+#: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
-#: streaming_quality_gate, heavy_hitter_grams, event_volume_trend — all
-#: 13 staged-green at sf0.01, hand-frame / equality / property pytested
-#: in tests/test_staged_r12_verbs.py + tests/test_streaming_dedup_join.py,
+#: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
+#: user_concentration_report — all 14 staged-green at sf0.01 AND sf0.1,
+#: hand-frame / equality / property pytested in
+#: tests/test_staged_r12_verbs.py + tests/test_streaming_dedup_join.py,
 #: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  13 + 13 leaves room for ~24
+#: oldest r10-green entries to fill 50.  14 + 13 leaves room for ~23
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8393,5 +8447,9 @@ STAGED_QUERIES: dict = {
     "streaming_quality_gate": (streaming_quality_gate, _STREAM_QUALITY_GATE_SQL),
     "heavy_hitter_grams": (heavy_hitter_grams, _HEAVY_HITTER_SQL),
     "event_volume_trend": (event_volume_trend, _EVENT_VOLUME_TREND_SQL),
+    "user_concentration_report": (
+        user_concentration_report,
+        _USER_CONCENTRATION_SQL,
+    ),
 }
 

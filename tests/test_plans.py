@@ -775,3 +775,27 @@ def test_event_volume_trend_reads_only_days_cache(spark):
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert not scans, [n.nodeName() for n in scans]
     assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)
+
+
+def test_user_concentration_reads_only_counts_cache(spark):
+    """exact_global_rank consumes its input twice; the concentration
+    report persists the thin per-key counts relation so the corpus-wide
+    aggregate never re-runs (r12 plan walk: 2 scans + 2 count shuffles
+    uncached).  Lock: zero parquet scans after the cache materializes,
+    and the only single-partition exchanges are the buckets-row offsets
+    aggregate and the one-row report."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["user_concentration_report"][0](spark, SF)
+    )
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert not scans, [n.nodeName() for n in scans]
+    singles = [
+        n for n in nodes
+        if "Exchange" in n.nodeName() and "SinglePartition" in n.toString()[:150]
+    ]
+    for n in singles:
+        cols = [n.output().apply(i).name() for i in range(n.output().size())]
+        assert len(cols) <= 6, cols

@@ -643,3 +643,52 @@ def test_referential_integrity_empty_inputs(spark):
     ).collect()[0]
     assert r.child_rows == 0 and r.n_orphans == 0
     assert r.orphan_rate == 0.0
+
+
+def test_user_concentration_hand_computed(spark):
+    """Uniform counts -> gini exactly 0; a hand frame [1, 1, 14] ->
+    gini = (2*45 - 4*16)/(3*16) = 0.541667, top-1% = the single top key
+    (ceil(0.03) = 1) holding 14/16."""
+    from spark_gp_spark.operators.dq import user_concentration_report
+
+    uniform = spark.createDataFrame(
+        [(u,) for u in (1, 2, 3, 4) for _ in range(5)], "user_id long"
+    )
+    r = user_concentration_report(uniform).collect()[0]
+    assert r.n_users == 4 and r.n_events == 20
+    assert r.gini == 0.0
+
+    skewed = spark.createDataFrame(
+        [(1,), (2,)] + [(3,)] * 14, "user_id long"
+    )
+    r = user_concentration_report(skewed).collect()[0]
+    assert r.n_users == 3 and r.n_events == 16
+    assert r.gini == round((2 * 45 - 4 * 16) / (3 * 16), 6)
+    assert r.top1pct_share == round(14 / 16, 6)
+    assert r.top10pct_share == round(14 / 16, 6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(1, 30), min_size=1, max_size=25),
+    parts=st.integers(1, 5),
+)
+def test_user_concentration_matches_numpy(spark, counts, parts):
+    """For ANY per-key counts and ANY partitioning, gini and the top
+    shares equal the brute-force rank-formula values — the
+    exact_global_rank path is bit-equivalent to a plain sorted rank."""
+    import math
+
+    from spark_gp_spark.operators.dq import user_concentration_report
+
+    rows = [(k,) for k, c in enumerate(counts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "user_id long").repartition(parts)
+    r = user_concentration_report(df).collect()[0]
+    xs = sorted(counts)
+    n, t = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    assert r.n_users == n and r.n_events == t
+    assert r.gini == round((2.0 * s - (n + 1.0) * t) / (n * float(t)), 6)
+    k1, k10 = math.ceil(0.01 * n), math.ceil(0.10 * n)
+    assert r.top1pct_share == round(sum(xs[n - k1:]) / float(t), 6)
+    assert r.top10pct_share == round(sum(xs[n - k10:]) / float(t), 6)
