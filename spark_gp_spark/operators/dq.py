@@ -771,3 +771,159 @@ def user_concentration_report(df: DataFrame, key_col: str = "user_id") -> DataFr
             "top10pct_share"
         ),
     )
+
+
+def reconciliation_report(
+    parent: DataFrame,
+    child: DataFrame,
+    parent_key: str,
+    child_key: str,
+    total_units: Column,
+    child_units: Column,
+    group_col: str,
+    tight: float = 0.01,
+    loose: float = 0.25,
+) -> DataFrame:
+    """Aggregate-consistency audit between a header table and its detail
+    table — the "does the rollup still equal the stored total" check a
+    pipeline runs after ingest/backfill before trusting either relation
+    (orders.o_totalprice vs the lineitem revenue recompute being the
+    canonical instance).  Per ``group_col`` segment it reports how many
+    parents have NO detail rows, reconcile within ``tight`` relative
+    tolerance, land between ``tight`` and ``loose``, or diverge beyond
+    ``loose``, plus the mean/max relative delta.
+
+    Exactness: ``total_units`` / ``child_units`` are caller-built INTEGER
+    unit expressions at one shared fixed-point scale (e.g. 1e-6 dollars),
+    so the detail-side sum and the header-vs-sum delta are exact 64-bit
+    arithmetic — identical in any engine at any partitioning — and the
+    single double division per parent happens on identical integers.
+    Summing doubles here instead would make the class boundaries
+    partition-order-dependent; summing DECIMAL products would hit Spark's
+    precision-loss rescaling above 38 digits.  Unit headroom: at 1e-6
+    dollars a 9.2e12-dollar parent saturates int64 — per-PARENT totals,
+    not corpus totals, so fine at 100 TB.
+
+    Scale shape: the detail table collapses to (key, sum) with map-side
+    partial aggregation BEFORE the join — the join probe carries one row
+    per parent key, never detail rows; parent scans prune to (key, total,
+    group); one equi-join (AQE picks SMJ/broadcast by actual sizes) and a
+    tiny final aggregate on the segment column.  No windows, no
+    cross-products.
+
+    Output: one row per segment (``group_col``, n_rows, n_missing,
+    n_within_tight, n_within_loose, n_beyond, avg_rel_delta,
+    max_rel_delta); rel deltas are NULL-skipped for detail-less parents.
+    """
+    recomputed = child.groupBy(F.col(child_key).alias("_ck")).agg(
+        F.sum(child_units).cast("long").alias("_recomputed")
+    )
+    j = parent.select(
+        F.col(parent_key).alias("_pk"),
+        total_units.cast("long").alias("_total"),
+        F.col(group_col),
+    ).join(recomputed, F.col("_pk") == F.col("_ck"), "left")
+    missing = F.col("_recomputed").isNull()
+    rel = F.abs(F.col("_total") - F.col("_recomputed")).cast(
+        "double"
+    ) / F.greatest(F.col("_total"), F.lit(1)).cast("double")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(missing.cast("long")).cast("long").alias("n_missing"),
+            F.sum((~missing & (rel <= tight)).cast("long"))
+            .cast("long")
+            .alias("n_within_tight"),
+            F.sum((~missing & (rel > tight) & (rel <= loose)).cast("long"))
+            .cast("long")
+            .alias("n_within_loose"),
+            F.sum((~missing & (rel > loose)).cast("long"))
+            .cast("long")
+            .alias("n_beyond"),
+            F.round(F.avg(rel), 6).alias("avg_rel_delta"),
+            F.round(F.max(rel), 6).alias("max_rel_delta"),
+        )
+    )
+
+
+_retire_benford_caches = make_cache_registry()
+
+
+def benford_first_digit_report(
+    df: DataFrame, amount_col: str, flag_threshold: float = 0.04
+) -> DataFrame:
+    """First-significant-digit distribution of a positive amount column vs
+    Benford's law — the synthetic/fabricated-amounts screen from forensic
+    accounting, useful on an analytics corpus as a drift alarm for value
+    columns that SHOULD be organic.  Rows with ``amount < 1`` are out of
+    scope (their leading digit lives in the fraction); the caller picks a
+    column where that filter is empty or irrelevant.
+
+    Every digit 1-9 gets a row even when absent (a digit with ZERO mass is
+    the strongest possible deviation — dropping it would hide exactly the
+    signal the screen exists for), via a 9-row spine left-joined to the
+    observed counts.  Expected shares are the fixed constants
+    round(log10(1 + 1/d), 6), restated verbatim in the oracle; a digit is
+    flagged when |observed_share − expected| > ``flag_threshold``.
+
+    Determinism: counts are exact integers; the single count/total
+    division and the deviation subtraction are one double operation each
+    on identical integers/constants, rounded to 6 — no double SUMS cross
+    the engine boundary.  The first digit comes from the DECIMAL STRING of
+    floor(amount): floor-then-cast is restated in the oracle because
+    DuckDB's double→BIGINT cast rounds-to-nearest while Spark's truncates
+    — floor() first makes both exact.
+
+    Scale shape: ONE pruned scan with a map-side-combined 9-group
+    aggregate; the in-scope total is Σ of the 9 digit counts (every
+    amount ≥ 1 has a leading digit in 1-9), so no second corpus pass —
+    the total is a 9-row aggregate, broadcast as a one-row attach, plus a
+    broadcast 9-row spine join.
+
+    Output: (digit, n_rows, obs_share, exp_share, deviation, flagged)."""
+    benford = {
+        1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+        6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+    }
+    amounts = df.select(F.col(amount_col).alias("_amt")).filter(
+        F.col("_amt") >= 1
+    )
+    counts = amounts.select(
+        F.substring(F.floor(F.col("_amt")).cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("long").alias("_n"))
+    # the 9-row counts relation feeds both the spine join and the total —
+    # uncached, the total's re-aggregation would re-scan the corpus
+    counts = counts.persist()
+    _retire_benford_caches([counts])
+    total = counts.agg(F.sum("_n").cast("long").alias("_tot"))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    exp_share = F.lit(None).cast("double")
+    for d, share in sorted(benford.items(), reverse=True):
+        exp_share = F.when(F.col("digit") == d, F.lit(share)).otherwise(
+            exp_share
+        )
+    obs = F.col("n_rows") / F.greatest(F.col("_tot"), F.lit(1)).cast("double")
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_rows"),
+            F.col("_tot"),
+        )
+        .select(
+            "digit",
+            "n_rows",
+            F.round(obs, 6).alias("obs_share"),
+            exp_share.alias("exp_share"),
+            F.round(obs - exp_share, 6).alias("deviation"),
+            (F.abs(obs - exp_share) > flag_threshold)
+            .cast("long")
+            .alias("flagged"),
+        )
+    )

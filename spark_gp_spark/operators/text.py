@@ -1397,3 +1397,45 @@ def heavy_hitter_grams(
             F.round(F.col("n_occurrences") / F.col("_n"), 6).alias("share"),
         )
     )
+
+
+def lang_mislabel_matrix(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Language-metadata audit: the confusion matrix between a corpus's
+    DECLARED language tag and the n-gram/stopword ``language_id``
+    prediction — the screen that catches mislabeled crawls and routing
+    bugs before per-language sampling weights (domain_mix_sample,
+    stratified_split) are computed from a tag nobody verified.
+
+    Reuses ``text_stats``'s staged single-tokenization projection with the
+    lang tag riding the ``id_col`` pass-through slot, so the matrix costs
+    exactly the stats projection plus ONE bounded groupBy — no doc_id
+    join-back, no second tokenizer pass.  The per-lang share window runs
+    over the GROUPED cells relation (|langs| × |preds| rows, bounded by
+    the label vocabulary, not the corpus), so it is safe at any scale.
+
+    Output: one row per (lang, lang_pred) cell — n_docs, avg_quality
+    (does the mispredicted slice also read as low quality?),
+    share_of_lang, agree."""
+    from pyspark.sql import Window
+
+    cells = (
+        text_stats(df, text_col=text_col, id_col=lang_col)
+        .groupBy(F.col(lang_col).alias("lang"), "lang_pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+    per_lang = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        "avg_quality",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(per_lang).cast("double"), 6
+        ).alias("share_of_lang"),
+        (F.col("lang") == F.col("lang_pred")).cast("long").alias("agree"),
+    )

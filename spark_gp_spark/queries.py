@@ -7700,6 +7700,250 @@ FROM a
 """
 
 
+def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail aggregate reconciliation (operators/dq.py:
+    reconciliation_report) between orders.o_totalprice and the lineitem
+    revenue recompute Σ extendedprice·(1−discount)·(1+tax) — the audit
+    that tells you whether a stored rollup can be trusted after
+    ingest/backfill, segmented by order priority.  Both sides are
+    caller-built EXACT integer micro-dollar expressions (cents ×
+    discount-% × tax-% = 1e-6 dollars), so the detail sum and every class
+    boundary are 64-bit-exact at any partitioning in both engines; the
+    one double division per order runs on identical integers.  The
+    generator's totalprice is independent of its lineitems, so all four
+    branches fire NATURALLY at every SF (sf0.01: 257 detail-less orders,
+    109 within 1%, 2932 within 25%, 11702 beyond — scale-stable shares,
+    no plant needed).  Detail side collapses to (orderkey, sum) map-side
+    BEFORE the join; scans prune to 4 + 3 columns.
+    STAGED for the round-13 window."""
+    from .operators.dq import reconciliation_report as _rec
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    child_units = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        * (100 + F.round(F.col("l_tax") * 100, 0).cast("long"))
+    )
+    total_units = F.round(F.col("o_totalprice") * 1000000, 0).cast("long")
+    return _rec(
+        orders,
+        lineitem,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        total_units=total_units,
+        child_units=child_units,
+        group_col="o_orderpriority",
+    )
+
+
+_ORDER_RECONCILIATION_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100) AS BIGINT)))::BIGINT
+           AS recomputed
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority,
+         CAST(round(o.o_totalprice * 1000000) AS BIGINT) AS total,
+         li.recomputed,
+         CASE WHEN li.recomputed IS NULL THEN NULL
+              ELSE abs(CAST(round(o.o_totalprice * 1000000) AS BIGINT)
+                       - li.recomputed)::DOUBLE
+                   / greatest(CAST(round(o.o_totalprice * 1000000) AS BIGINT),
+                              1)::DOUBLE END AS rel
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN recomputed IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_missing,
+       sum(CASE WHEN rel <= 0.01 THEN 1 ELSE 0 END)::BIGINT
+         AS n_within_tight,
+       sum(CASE WHEN rel > 0.01 AND rel <= 0.25 THEN 1 ELSE 0 END)::BIGINT
+         AS n_within_loose,
+       sum(CASE WHEN rel > 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_beyond,
+       round(avg(rel), 6) AS avg_rel_delta,
+       round(max(rel), 6) AS max_rel_delta
+FROM j GROUP BY 1
+"""
+
+
+def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit deviation screen (operators/dq.py:
+    benford_first_digit_report) over orders.o_totalprice — the
+    fabricated-amounts alarm from forensic accounting as a corpus DQ
+    relation.  The synthetic price generator is nothing like Benford
+    (digits 1-4 carry ~22% each), so at the 0.04 default threshold SIX
+    digits flag and THREE pass at every SF — both branches fire naturally,
+    with ≥ 0.004 margin to the threshold on the closest digit (d6/d7),
+    stable because the shares are distribution properties, not counts.
+    One pruned scan + 9-group aggregate + two broadcast attaches.
+    STAGED for the round-13 window."""
+    from .operators.dq import benford_first_digit_report as _ben
+
+    return _ben(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+_BENFORD_SQL = """
+WITH amounts AS (
+  SELECT o_totalprice AS amt FROM orders WHERE o_totalprice >= 1
+), counts AS (
+  SELECT CAST(substr(CAST(CAST(floor(amt) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit,
+         count(*)::BIGINT AS n
+  FROM amounts GROUP BY 1
+), tot AS (
+  SELECT count(*)::BIGINT AS t FROM amounts
+), exp AS (
+  SELECT * FROM (VALUES
+    (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+    (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+    (9, 0.045757)) AS v(digit, exp_share)
+)
+SELECT e.digit::INTEGER AS digit,
+       coalesce(c.n, 0)::BIGINT AS n_rows,
+       round(coalesce(c.n, 0) / greatest(t, 1)::DOUBLE, 6) AS obs_share,
+       e.exp_share,
+       round(coalesce(c.n, 0) / greatest(t, 1)::DOUBLE - e.exp_share, 6)
+         AS deviation,
+       (abs(coalesce(c.n, 0) / greatest(t, 1)::DOUBLE - e.exp_share)
+        > 0.04)::BIGINT AS flagged
+FROM exp e LEFT JOIN counts c USING (digit) CROSS JOIN tot
+"""
+
+
+def lang_mislabel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tag audit (operators/text.py: lang_mislabel_matrix): the
+    confusion matrix between the corpus's declared ``lang`` column and the
+    stopword/CJK ``language_id`` prediction — the screen run before any
+    per-language sampling weight (domain_mix_sample, stratified_split)
+    trusts a tag nobody verified.  The synthetic corpus text is
+    English-like under every tag, so agree and disagree cells BOTH fire
+    naturally (sf0.01: en→en 198 agree; de/es/fr/zh→en 61-70 each, plus
+    an und column).  The lang tag rides text_stats's id_col pass-through,
+    so the whole matrix is the staged single-tokenization projection plus
+    one bounded groupBy — no doc_id join-back; the share window runs on
+    the grouped |langs|×|preds| cells, never the corpus.
+    STAGED for the round-13 window."""
+    return T.lang_mislabel_matrix(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_MISLABEL_SQL = (
+    _sql_text_stats_cte()
+    + """, cells AS (
+  SELECT d.lang, s.lang_pred, count(*)::BIGINT AS n_docs,
+         round(avg(s.quality), 6) AS avg_quality
+  FROM stats s JOIN documents d USING (doc_id) GROUP BY 1, 2
+)
+SELECT lang, lang_pred, n_docs, avg_quality,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY lang)::DOUBLE, 6)
+         AS share_of_lang,
+       (lang = lang_pred)::BIGINT AS agree
+FROM cells
+"""
+)
+
+
+def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-bias audit of near-dup canonicalization — what does the
+    dedup step actually REMOVE, per source?  Composes
+    operators/dedup.py:neardup_components with the text-quality relation
+    and the quality-max canonical rule (same rule as neardup_canonical),
+    then aggregates kept-vs-removed doc counts, quality, and length by
+    source — the report that catches a dedup config quietly gutting one
+    source or systematically deleting the longer/cleaner twin.  Singleton
+    components count as kept, so every document is classified; sources
+    with no removals report NULL removed-side stats (both engines).  One
+    extra bounded-group window + per-source aggregate beyond the
+    clustering itself.
+    STAGED for the round-13 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = D.neardup_components(docs, threshold=0.5)
+    quality = T.text_stats(docs).select("doc_id", "quality")
+    j = comps.join(quality, "doc_id").join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    kept = F.col("_rn") == 1
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((~kept).cast("long")).cast("long").alias("n_removed"),
+            F.round(
+                F.sum((~kept).cast("long")) / F.count("*").cast("double"), 6
+            ).alias("removed_rate"),
+            F.round(F.avg(F.when(kept, F.col("quality"))), 6).alias(
+                "avg_quality_kept"
+            ),
+            F.round(F.avg(F.when(~kept, F.col("quality"))), 6).alias(
+                "avg_quality_removed"
+            ),
+            F.round(F.avg(F.when(kept, F.col("n_chars"))), 6).alias(
+                "avg_chars_kept"
+            ),
+            F.round(F.avg(F.when(~kept, F.col("n_chars"))), 6).alias(
+                "avg_chars_removed"
+            ),
+        )
+    )
+
+
+def _sql_dedup_survivor_bias() -> str:
+    """Components recursive CTE + quality CTE chain (the
+    _sql_neardup_canonical glue), then kept/removed classification by the
+    same quality-max row_number rule and a per-source rollup."""
+    stats_ctes = _sql_text_stats_cte(prefix="q_").lstrip().removeprefix("WITH ")
+    return (
+        "WITH RECURSIVE "
+        + _sql_ngram_jaccard_ctes()
+        + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.id, e.dst FROM reach w JOIN edges e ON e.src = w.r
+), comp AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+),
+"""
+        + stats_ctes
+        + """, ranked AS (
+  SELECT c.component, c.doc_id, st.quality, d.source, d.n_chars,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY st.quality DESC, st.doc_id) AS rn
+  FROM comp c JOIN q_stats st USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+         AS removed_rate,
+       round(avg(CASE WHEN rn = 1 THEN quality END), 6)
+         AS avg_quality_kept,
+       round(avg(CASE WHEN rn > 1 THEN quality END), 6)
+         AS avg_quality_removed,
+       round(avg(CASE WHEN rn = 1 THEN n_chars END), 6) AS avg_chars_kept,
+       round(avg(CASE WHEN rn > 1 THEN n_chars END), 6)
+         AS avg_chars_removed
+FROM ranked GROUP BY 1
+"""
+    )
+
+
+_DEDUP_SURVIVOR_SQL = _sql_dedup_survivor_bias()
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8414,17 +8658,19 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the FOURTEEN entries staged below to the top of
+#: ROUND-13 PLAN: move the EIGHTEEN entries staged below to the top of
 #: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
 #: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
-#: user_concentration_report — all 14 staged-green at sf0.01 AND sf0.1,
+#: user_concentration_report; + 4 third-wave:
+#: order_reconciliation_report, benford_screen, lang_mislabel_report,
+#: dedup_survivor_bias — every wave staged-green at sf0.01 AND sf0.1,
 #: hand-frame / equality / property pytested in
-#: tests/test_staged_r12_verbs.py + tests/test_streaming_dedup_join.py,
-#: plan-locked in tests/test_plans.py);
+#: tests/test_staged_r12_verbs.py + tests/test_staged_r12_wave3.py +
+#: tests/test_streaming_dedup_join.py, plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  14 + 13 leaves room for ~23
+#: oldest r10-green entries to fill 50.  18 + 13 leaves room for ~19
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8451,5 +8697,12 @@ STAGED_QUERIES: dict = {
         user_concentration_report,
         _USER_CONCENTRATION_SQL,
     ),
+    "order_reconciliation_report": (
+        order_reconciliation_report,
+        _ORDER_RECONCILIATION_SQL,
+    ),
+    "benford_screen": (benford_screen, _BENFORD_SQL),
+    "lang_mislabel_report": (lang_mislabel_report, _LANG_MISLABEL_SQL),
+    "dedup_survivor_bias": (dedup_survivor_bias, _DEDUP_SURVIVOR_SQL),
 }
 

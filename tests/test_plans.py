@@ -799,3 +799,71 @@ def test_user_concentration_reads_only_counts_cache(spark):
     for n in singles:
         cols = [n.output().apply(i).name() for i in range(n.output().size())]
         assert len(cols) <= 6, cols
+
+
+def test_staged_r13_third_wave_plan_shapes(spark):
+    """Scale-shape locks for the third r12-built wave.
+
+    - order_reconciliation_report: every parquet scan pruned to the audit
+      columns (lineitem 4 fields, orders 3), detail side partially
+      aggregated BELOW its exchange (the join probe carries one row per
+      order key, never detail rows), no cartesian.
+    - benford_screen: exactly ONE parquet scan (the total re-derives from
+      the cached 9-row counts relation, not a second corpus pass), pruned
+      to the amount column alone; both attach joins broadcast.
+    - lang_mislabel_report: one scan pruned to (text, lang); the share
+      window's exchange carries grouped cells, never document text.
+    - dedup_survivor_bias: no cartesian; no KEYED exchange carries text.
+      (Both text verbs: document text may ride only the loader's widening
+      round-robin repartition — every hash exchange is post-projection.)"""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["order_reconciliation_report"][0](spark, SF)
+    )
+    assert not [n for n in nodes if "Cartesian" in n.nodeName()]
+    for n in nodes:
+        if n.nodeName().startswith("Scan parquet"):
+            schema = n.toString().split("ReadSchema:")[-1]
+            assert schema.count(":") <= 4, schema[:160]
+    # partial (map-side) aggregation exists below some exchange: the
+    # detail collapse happens before any shuffle moves lineitem rows
+    assert any("partial_" in n.toString()[:400] for n in nodes
+               if "HashAggregate" in n.nodeName())
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(STAGED_QUERIES["benford_screen"][0](spark, SF))
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert len(scans) <= 1, [n.nodeName() for n in scans]
+    for n in scans:
+        schema = n.toString().split("ReadSchema:")[-1]
+        assert schema.count(":") == 1, schema[:120]
+    assert any("BroadcastExchange" in n.nodeName() for n in nodes)
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["lang_mislabel_report"][0](spark, SF)
+    )
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert len(scans) == 1, [n.nodeName() for n in scans]
+    schema = scans[0].toString().split("ReadSchema:")[-1]
+    assert schema.count(":") <= 2, schema[:120]
+    # text may ride ONLY the loader's widening round-robin repartition;
+    # every keyed (hash) exchange must carry grouped cells, never text
+    for n in nodes:
+        if "Exchange" in n.nodeName() and "hashpartitioning" in n.toString()[:200]:
+            cols = [n.output().apply(i).name()
+                    for i in range(n.output().size())]
+            assert "text" not in cols and "_text" not in cols, cols
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["dedup_survivor_bias"][0](spark, SF)
+    )
+    assert not [n for n in nodes if "Cartesian" in n.nodeName()]
+    for n in nodes:
+        if "Exchange" in n.nodeName() and "hashpartitioning" in n.toString()[:200]:
+            cols = [n.output().apply(i).name()
+                    for i in range(n.output().size())]
+            assert "text" not in cols and "_text" not in cols, cols

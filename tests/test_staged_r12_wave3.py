@@ -1,0 +1,191 @@
+"""Third wave of round-12-built verbs staged for the round-13 window:
+the header-vs-detail reconciliation audit (operators/dq.py:
+reconciliation_report), the Benford first-digit screen (operators/dq.py:
+benford_first_digit_report), the language-tag confusion matrix
+(operators/text.py:lang_mislabel_matrix), and the dedup survivor-bias
+report (queries.py:dedup_survivor_bias, composing neardup_components +
+text_stats + the canonical quality-max rule).
+
+Layers: semantics on hand-built frames (expected classes/values computed
+by hand — including the exact integer micro-unit arithmetic and the
+tight-boundary inclusivity of the reconciliation classes, and the 9-row
+Benford spine emitting zero-mass digits), then DuckDB parity at sf0.001
+via test_staged_r12_verbs.py::test_staged_r12_verbs_duckdb_parity, which
+iterates the whole STAGED_QUERIES inventory."""
+
+from pyspark.sql import functions as F
+
+
+def _recon_units():
+    child_units = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        * (100 + F.round(F.col("l_tax") * 100, 0).cast("long"))
+    )
+    total_units = F.round(F.col("o_totalprice") * 1000000, 0).cast("long")
+    return total_units, child_units
+
+
+def test_reconciliation_classes_hand_computed(spark):
+    """Four classes on six hand-built orders: exact match and the
+    inclusive tight boundary (rel == 0.01) both land in n_within_tight;
+    a detail-less order is n_missing and contributes NO rel delta; the
+    discount/tax product reconciles exactly in integer micro-units
+    (100.00 × 0.9 × 1.1 = 99.00)."""
+    from spark_gp_spark.operators.dq import reconciliation_report
+
+    orders = spark.createDataFrame(
+        [
+            (1, 100.00, "A"),  # exact match -> tight, rel 0
+            (2, 100.00, "A"),  # recomputed 110 -> rel 0.10 -> loose
+            (3, 100.00, "B"),  # recomputed 200 -> rel 1.0 -> beyond
+            (4, 50.00, "B"),   # no lineitems -> missing
+            (5, 100.00, "C"),  # recomputed 101 -> rel 0.01 -> tight (<=)
+            (6, 99.00, "C"),   # 100 * (1-0.10) * (1+0.10) = 99 exact
+        ],
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.00, 0.0, 0.0),
+            (2, 110.00, 0.0, 0.0),
+            (3, 200.00, 0.0, 0.0),
+            (5, 101.00, 0.0, 0.0),
+            (6, 100.00, 0.10, 0.10),
+        ],
+        "l_orderkey bigint, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    total_units, child_units = _recon_units()
+    out = {
+        r["o_orderpriority"]: r
+        for r in reconciliation_report(
+            orders, li,
+            parent_key="o_orderkey", child_key="l_orderkey",
+            total_units=total_units, child_units=child_units,
+            group_col="o_orderpriority",
+        ).collect()
+    }
+    a, b, c = out["A"], out["B"], out["C"]
+    assert (a["n_rows"], a["n_missing"], a["n_within_tight"],
+            a["n_within_loose"], a["n_beyond"]) == (2, 0, 1, 1, 0)
+    assert a["avg_rel_delta"] == 0.05 and a["max_rel_delta"] == 0.1
+    assert (b["n_rows"], b["n_missing"], b["n_beyond"]) == (2, 1, 1)
+    # the missing order contributes no rel: avg over {1.0} not {1.0, ...}
+    assert b["avg_rel_delta"] == 1.0 and b["max_rel_delta"] == 1.0
+    assert (c["n_within_tight"], c["n_within_loose"]) == (2, 0)
+    assert c["avg_rel_delta"] == 0.005 and c["max_rel_delta"] == 0.01
+
+
+def test_reconciliation_detail_sum_is_exact_across_rows(spark):
+    """Many 2-decimal detail rows whose DOUBLE sum would carry binary
+    residue (0.1-cent-class values) reconcile exactly in integer cents:
+    1000 × 0.07 = 70.00 with zero delta."""
+    from spark_gp_spark.operators.dq import reconciliation_report
+
+    orders = spark.createDataFrame(
+        [(1, 70.00, "A")],
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 0.07, 0.0, 0.0)] * 1000,
+        "l_orderkey bigint, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    )
+    total_units, child_units = _recon_units()
+    row = reconciliation_report(
+        orders, li,
+        parent_key="o_orderkey", child_key="l_orderkey",
+        total_units=total_units, child_units=child_units,
+        group_col="o_orderpriority",
+    ).collect()[0]
+    assert row["n_within_tight"] == 1 and row["max_rel_delta"] == 0.0
+
+
+def test_benford_spine_and_flags_hand_computed(spark):
+    """Amounts {1.5, 19, 25, 0.5, 999.99, 1e6}: 0.5 is out of scope
+    (< 1), so total = 5 with digits 1×3, 2×1, 9×1.  Digit 2's deviation
+    0.2 − 0.176091 = 0.023909 sits BELOW the 0.04 threshold (unflagged);
+    digit 1 (0.29897) and every zero-mass digit 3-8 (exp > 0.04) flag.
+    The spine emits all 9 digits even though six have no rows."""
+    from spark_gp_spark.operators.dq import benford_first_digit_report
+
+    df = spark.createDataFrame(
+        [(1.5,), (19.0,), (25.0,), (0.5,), (999.99,), (1000000.0,)],
+        "amt double",
+    )
+    out = {r["digit"]: r for r in benford_first_digit_report(df, "amt").collect()}
+    assert sorted(out) == list(range(1, 10))
+    assert out[1]["n_rows"] == 3 and out[1]["obs_share"] == 0.6
+    assert out[1]["deviation"] == 0.29897 and out[1]["flagged"] == 1
+    assert out[2]["n_rows"] == 1 and out[2]["deviation"] == 0.023909
+    assert out[2]["flagged"] == 0
+    assert out[9]["n_rows"] == 1 and out[9]["flagged"] == 1
+    for d in range(3, 9):
+        assert out[d]["n_rows"] == 0 and out[d]["obs_share"] == 0.0
+        assert out[d]["flagged"] == 1  # exp_share > 0.04 for d <= 8
+    assert abs(sum(r["exp_share"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_lang_mislabel_matrix_hand_computed(spark):
+    """Declared-vs-predicted cells: an English-stopword doc agrees, a
+    German-stopword doc declared 'en' lands in the (en, de) cell, a
+    no-stopword doc falls to 'und'; shares are per-DECLARED-lang."""
+    from spark_gp_spark.operators.text import lang_mislabel_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog", "en"),
+            (2, "der hund ist und bleibt", "en"),
+            (3, "zzz qqq xxx", "de"),
+            (4, "the fish and the chips", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {
+        (r["lang"], r["lang_pred"]): r
+        for r in lang_mislabel_matrix(df).collect()
+    }
+    assert set(out) == {("en", "en"), ("en", "de"), ("de", "und")}
+    en_en = out[("en", "en")]
+    assert en_en["n_docs"] == 2 and en_en["agree"] == 1
+    assert en_en["share_of_lang"] == 0.666667
+    assert out[("en", "de")]["n_docs"] == 1
+    assert out[("en", "de")]["agree"] == 0
+    assert out[("en", "de")]["share_of_lang"] == 0.333333
+    assert out[("de", "und")]["share_of_lang"] == 1.0
+
+
+def test_dedup_survivor_bias_keeps_quality_max(spark, tmp_path):
+    """A planted verbatim near-dup pair in one source: the survivor is
+    the quality-max member (tie -> lowest doc_id), the twin is removed;
+    a singleton source reports zero removals with NULL removed-side
+    stats.  Expected kept/removed split derived from text_stats on the
+    same frame, not re-asserted by hand."""
+    from spark_gp_spark.queries import dedup_survivor_bias
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "to the green hills beyond the river"
+    )
+    docs = [
+        (1, base, "en", "s1", len(base)),
+        (2, base, "en", "s1", len(base)),  # verbatim twin -> removed
+        (3, "completely different words entirely unrelated content here",
+         "en", "s2", 57),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in dedup_survivor_bias(spark, sf).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert (s1["n_docs"], s1["n_removed"]) == (2, 1)
+    assert s1["removed_rate"] == 0.5
+    # verbatim twins tie on quality -> doc 1 kept, stats equal both sides
+    assert s1["avg_quality_kept"] == s1["avg_quality_removed"]
+    assert s1["avg_chars_kept"] == float(len(base))
+    assert (s2["n_docs"], s2["n_removed"]) == (1, 0)
+    assert s2["avg_quality_removed"] is None
+    assert s2["avg_chars_removed"] is None
