@@ -7944,6 +7944,56 @@ FROM ranked GROUP BY 1
 _DEDUP_SURVIVOR_SQL = _sql_dedup_survivor_bias()
 
 
+def storage_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout (small-files/compaction) audit (sources/sinks.py:
+    storage_layout_report): events written directory-partitioned by type
+    under a 128-records-per-file cap (write_layout_controlled — one task
+    per partition value, so the writer's file split is DETERMINISTIC),
+    then the per-value file count / min / max / mean rows measured from
+    the REAL files via ``_metadata.file_path``.  The oracle never sees
+    the derived directory: it PREDICTS the layout from the original
+    per-type counts (ceil(n/cap) files of cap rows plus one remainder),
+    so the hash match proves the sink honors its records-per-file
+    contract end-to-end — the audit an operator runs before a 100 TB
+    table's listing overhead eats the cluster.  The 128 cap is a
+    bench-corpus calibration (production caps sit in the millions);
+    both small_files classes fire naturally at every SF (sf0.01: the
+    purchase/view remainders 61/62 flag, click/error/signup 86-97 pass).
+    STAGED for the round-13 window."""
+    from .sources.sinks import (
+        storage_layout_report as _slr,
+        write_layout_controlled,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    source = f"{sf_dir}/events.parquet"
+    path, fresh = _derived_copy_path("layout", source)
+    if not fresh:
+        write_layout_controlled(
+            events.select("event_id", "event_type"), path, "event_type", 128
+        )
+        _derived_copy_commit("layout", source)
+    return _slr(spark, path, "event_type", 128)
+
+
+_STORAGE_LAYOUT_SQL = """
+WITH c AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows FROM events GROUP BY 1
+)
+SELECT event_type, n_rows,
+       ((n_rows + 127) // 128)::BIGINT AS n_files,
+       CASE WHEN n_rows % 128 = 0 THEN least(n_rows, 128)
+            ELSE n_rows % 128 END::BIGINT AS min_file_rows,
+       least(n_rows, 128)::BIGINT AS max_file_rows,
+       round(n_rows / (((n_rows + 127) // 128))::DOUBLE, 6)
+         AS avg_file_rows,
+       (CASE WHEN (CASE WHEN n_rows % 128 = 0 THEN least(n_rows, 128)
+                        ELSE n_rows % 128 END) * 2 < 128
+             THEN 1 ELSE 0 END)::BIGINT AS small_files
+FROM c
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8658,19 +8708,20 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the EIGHTEEN entries staged below to the top of
+#: ROUND-13 PLAN: move the NINETEEN entries staged below to the top of
 #: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
 #: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
-#: user_concentration_report; + 4 third-wave:
+#: user_concentration_report; + 5 third-wave:
 #: order_reconciliation_report, benford_screen, lang_mislabel_report,
-#: dedup_survivor_bias — every wave staged-green at sf0.01 AND sf0.1,
-#: hand-frame / equality / property pytested in
-#: tests/test_staged_r12_verbs.py + tests/test_staged_r12_wave3.py +
-#: tests/test_streaming_dedup_join.py, plan-locked in tests/test_plans.py);
+#: dedup_survivor_bias, storage_layout_report — every wave staged-green
+#: at sf0.001 AND sf0.01 AND sf0.1, hand-frame / equality / property
+#: pytested in tests/test_staged_r12_verbs.py +
+#: tests/test_staged_r12_wave3.py + tests/test_streaming_dedup_join.py,
+#: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  18 + 13 leaves room for ~19
+#: oldest r10-green entries to fill 50.  19 + 13 leaves room for ~18
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8704,5 +8755,6 @@ STAGED_QUERIES: dict = {
     "benford_screen": (benford_screen, _BENFORD_SQL),
     "lang_mislabel_report": (lang_mislabel_report, _LANG_MISLABEL_SQL),
     "dedup_survivor_bias": (dedup_survivor_bias, _DEDUP_SURVIVOR_SQL),
+    "storage_layout_report": (storage_layout_report, _STORAGE_LAYOUT_SQL),
 }
 

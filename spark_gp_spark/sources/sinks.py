@@ -215,3 +215,76 @@ def shard_manifest(
     for name, col in (extra or {}).items():
         aggs.append(col.alias(name))
     return df.groupBy(F.col("shard").cast("int").alias("shard")).agg(*aggs)
+
+
+def write_layout_controlled(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    max_records_per_file: int,
+) -> None:
+    """Directory-partitioned parquet write with a records-per-file cap —
+    the compaction-policy write: ``repartition(partition_col)`` puts every
+    partition value in exactly ONE task, so the writer rolls files at
+    exactly ``max_records_per_file`` rows and the resulting layout is a
+    pure function of the per-value row counts (files of cap rows plus one
+    remainder file).  That determinism is what ``storage_layout_report``
+    audits against."""
+    (
+        df.repartition(partition_col)
+        .write.format("parquet")
+        .mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(partition_col)
+        .save(path)
+    )
+
+
+def storage_layout_report(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_records_per_file: int,
+) -> DataFrame:
+    """Physical-layout audit of a directory-partitioned parquet dataset —
+    the small-files/compaction report an operator runs before a 100 TB
+    table's file listing and open-per-file overhead eat a cluster: per
+    partition value, the file count, row total, min/max/mean rows per
+    file, and a small-files flag (smallest file under half the
+    records-per-file cap).
+
+    Measures the REAL files via the ``_metadata.file_path`` hidden column
+    (robust under the vectorized reader, unlike ``input_file_name`` with
+    multi-file task packing): one (value, file) pre-aggregate, then a
+    bounded per-value rollup — the corpus is read once, pruned to the
+    partition column, and only grouped rows shuffle.
+
+    Paired with ``write_layout_controlled``, the relation is PREDICTABLE
+    from per-value counts alone (ceil(n/cap) files, cap-row files plus
+    one remainder), which is exactly how the DuckDB oracle states it —
+    the hash match proves the writer honors its records-per-file
+    contract, not just that two engines agree on an aggregate."""
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(path)
+        .select(
+            F.col(partition_col),
+            F.col("_metadata.file_path").alias("_file"),
+        )
+        .groupBy(partition_col, "_file")
+        .agg(F.count("*").cast("long").alias("_file_rows"))
+    )
+    cap = max_records_per_file
+    return per_file.groupBy(partition_col).agg(
+        F.sum("_file_rows").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_files"),
+        F.min("_file_rows").cast("long").alias("min_file_rows"),
+        F.max("_file_rows").cast("long").alias("max_file_rows"),
+        F.round(
+            F.sum("_file_rows") / F.count("*").cast("double"), 6
+        ).alias("avg_file_rows"),
+        (F.min("_file_rows") * 2 < F.lit(cap))
+        .cast("long")
+        .alias("small_files"),
+    )

@@ -867,3 +867,21 @@ def test_staged_r13_third_wave_plan_shapes(spark):
             cols = [n.output().apply(i).name()
                     for i in range(n.output().size())]
             assert "text" not in cols and "_text" not in cols, cols
+
+
+def test_storage_layout_report_scan_pruned_to_partition_and_metadata(spark):
+    """The layout audit reads the derived directory pruned to the
+    partition column plus the hidden _metadata struct — the payload
+    column (event_id) must NOT survive column pruning, or the audit would
+    re-read the whole dataset it is only supposed to list."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["storage_layout_report"][0](spark, SF)
+    )
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert scans
+    for n in scans:
+        schema = n.toString().split("ReadSchema:")[-1]
+        assert "event_id" not in schema, schema[:160]

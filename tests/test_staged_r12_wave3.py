@@ -189,3 +189,33 @@ def test_dedup_survivor_bias_keeps_quality_max(spark, tmp_path):
     assert (s2["n_docs"], s2["n_removed"]) == (1, 0)
     assert s2["avg_quality_removed"] is None
     assert s2["avg_chars_removed"] is None
+
+
+def test_storage_layout_report_measures_written_files(spark, tmp_path):
+    """Controlled counts through the layout-controlled writer: 300 rows
+    split at cap 128 into {128, 128, 44}, exactly-one-cap 128 into {128},
+    an under-cap 50 into {50}; small_files flags the partitions whose
+    smallest file is under half the cap (44 and 50, but not 128)."""
+    from spark_gp_spark.sources.sinks import (
+        storage_layout_report,
+        write_layout_controlled,
+    )
+
+    rows = (
+        [(i, "a") for i in range(300)]
+        + [(i, "b") for i in range(128)]
+        + [(i, "c") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string")
+    path = str(tmp_path / "layout")
+    write_layout_controlled(df, path, "event_type", 128)
+    out = {
+        r["event_type"]: r
+        for r in storage_layout_report(spark, path, "event_type", 128).collect()
+    }
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n_rows"], a["n_files"]) == (300, 3)
+    assert (a["min_file_rows"], a["max_file_rows"]) == (44, 128)
+    assert a["avg_file_rows"] == 100.0 and a["small_files"] == 1
+    assert (b["n_files"], b["min_file_rows"], b["small_files"]) == (1, 128, 0)
+    assert (c["n_files"], c["min_file_rows"], c["small_files"]) == (1, 50, 1)
