@@ -168,3 +168,103 @@ def test_exact_quantiles_match_rank_definition(spark, n, buckets, seed):
     for p in (0.25, 0.5, 0.75):
         rank = math.ceil(p * n)
         assert out[p] == (rank, n, round(ordered[rank - 1][0], 6)), (p, n)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000), parts=st.integers(1, 7))
+def test_reconciliation_is_partition_invariant_and_total(spark, seed, parts):
+    """reconciliation_report's integer micro-unit arithmetic makes the
+    relation a pure function of the DATA: for random headers/details the
+    output is identical under any repartitioning (the double-sum
+    alternative would not be), the four classes partition n_rows exactly,
+    and every class matches a pure-python integer recomputation."""
+    import random
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from spark_gp_spark.operators.dq import reconciliation_report
+
+    rng = random.Random(seed)
+    orders, details = [], []
+    expected = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, miss, t, l, b
+    for k in range(40):
+        total_c = rng.randint(100, 2_000_00)  # cents
+        grp = rng.choice("XY")
+        orders.append((k, total_c / 100.0, grp))
+        n_li = rng.randint(0, 3)
+        recomputed_micro = 0
+        for _ in range(n_li):
+            ep_c = rng.randint(1, 1_000_00)
+            disc = rng.randint(0, 10)
+            tax = rng.randint(0, 10)
+            details.append((k, ep_c / 100.0, disc / 100.0, tax / 100.0))
+            recomputed_micro += ep_c * (100 - disc) * (100 + tax)
+        e = expected[grp]
+        e[0] += 1
+        if n_li == 0:
+            e[1] += 1
+        else:
+            rel = abs(total_c * 10_000 - recomputed_micro) / (total_c * 10_000)
+            if rel <= 0.01:
+                e[2] += 1
+            elif rel <= 0.25:
+                e[3] += 1
+            else:
+                e[4] += 1
+    o_df = spark.createDataFrame(
+        orders, "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+    ).repartition(parts)
+    li_df = spark.createDataFrame(
+        details or [(None, None, None, None)],
+        "l_orderkey bigint, l_extendedprice double, l_discount double,"
+        " l_tax double",
+    ).repartition(parts)
+    if not details:
+        li_df = li_df.filter(F.col("l_orderkey").isNotNull())
+    child_units = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        * (100 + F.round(F.col("l_tax") * 100, 0).cast("long"))
+    )
+    total_units = F.round(F.col("o_totalprice") * 1000000, 0).cast("long")
+    rows = reconciliation_report(
+        o_df, li_df,
+        parent_key="o_orderkey", child_key="l_orderkey",
+        total_units=total_units, child_units=child_units,
+        group_col="o_orderpriority",
+    ).collect()
+    assert {r["o_orderpriority"] for r in rows} == set(expected)
+    for r in rows:
+        e = expected[r["o_orderpriority"]]
+        got = [r["n_rows"], r["n_missing"], r["n_within_tight"],
+               r["n_within_loose"], r["n_beyond"]]
+        assert got == e
+        assert r["n_missing"] + r["n_within_tight"] + r["n_within_loose"] \
+            + r["n_beyond"] == r["n_rows"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_benford_report_is_a_distribution_over_in_scope_rows(spark, seed):
+    """For random positive amounts: the 9 spine rows always appear,
+    n_rows sums to the count of in-scope (>= 1) amounts, obs_share sums
+    to 1 (when any row is in scope), and the flag equals the threshold
+    predicate applied to the UNROUNDED deviation."""
+    import random
+
+    from spark_gp_spark.operators.dq import benford_first_digit_report
+
+    rng = random.Random(seed)
+    amounts = [round(rng.uniform(0.0, 10_000.0), 2) for _ in range(80)]
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    rows = benford_first_digit_report(df, "amt").collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    in_scope = [a for a in amounts if a >= 1]
+    assert sum(r["n_rows"] for r in rows) == len(in_scope)
+    if in_scope:
+        shares = sum(r["n_rows"] / len(in_scope) for r in rows)
+        assert abs(shares - 1.0) < 1e-9
+    for r in rows:
+        obs = r["n_rows"] / max(len(in_scope), 1)
+        assert r["flagged"] == (1 if abs(obs - r["exp_share"]) > 0.04 else 0)
