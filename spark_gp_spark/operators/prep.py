@@ -778,3 +778,79 @@ def stratified_split(
         .otherwise("test")
         .alias("split"),
     )
+
+
+#: persisted cells relation of the LAST split_balance_report call (same
+#: retire discipline as _LIVE_TBF_CACHES).
+_LIVE_BALANCE_CACHES: list[DataFrame] = []
+
+
+def _retire_balance_caches(new: list[DataFrame]) -> None:
+    _retire_caches(_LIVE_BALANCE_CACHES, new)
+
+
+def split_balance_report(
+    assigned: DataFrame,
+    split_col: str = "split",
+    stratum_col: str = "lang",
+    tol: float = 0.02,
+) -> DataFrame:
+    """Composition-fairness audit of a train/val/test assignment: per
+    (split, stratum) cell, the stratum's share WITHIN the split vs its
+    share of the whole corpus, the gap between the two, and a tolerance
+    flag — the check that a split rule (or a legacy re-hash of one
+    subset) did not quietly skew what each split is made of.
+
+    The cell spine is the cross of the OBSERVED splits × OBSERVED strata,
+    so a stratum entirely missing from a split — the catastrophic form of
+    the bug — appears as an explicit zero row (split_share 0, gap
+    −corpus_share, flagged) instead of silently not existing.
+
+    Exactness: every count is an exact integer; each share is one
+    long/double division on identical integers in any engine, rounded to
+    6, with the flag computed from the UNROUNDED gap.
+
+    Scale shape: one map-side-combined groupBy collapses the corpus to
+    |splits|×|strata| cells; the spine cross-join and every share window
+    run on that bounded relation (label vocabularies, not corpus rows) —
+    the corpus is scanned once, pruned to two columns.  The cells
+    relation feeds THREE consumers (the spine's two distinct sides plus
+    the join back), so it is persisted — uncached, the corpus-wide count
+    aggregate would re-run per consumer (the r12 wave-4 plan lock caught
+    exactly that: three parquet scans in the first cut)."""
+    cells = (
+        assigned.groupBy(F.col(split_col), F.col(stratum_col))
+        .agg(F.count("*").cast("long").alias("_n"))
+        .persist()
+    )
+    _retire_balance_caches([cells])
+    splits = cells.select(split_col).distinct()
+    strata = cells.select(stratum_col).distinct()
+    full = (
+        splits.crossJoin(strata)
+        .join(cells, [split_col, stratum_col], "left")
+        .select(
+            split_col,
+            stratum_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+    w_split = Window.partitionBy(split_col)
+    w_strat = Window.partitionBy(stratum_col)
+    w_all = Window.partitionBy()
+    split_share = F.col("n_docs") / F.sum("n_docs").over(w_split).cast(
+        "double"
+    )
+    corpus_share = (
+        F.sum("n_docs").over(w_strat) / F.sum("n_docs").over(w_all).cast("double")
+    )
+    gap = split_share - corpus_share
+    return full.select(
+        split_col,
+        stratum_col,
+        "n_docs",
+        F.round(split_share, 6).alias("split_share"),
+        F.round(corpus_share, 6).alias("corpus_share"),
+        F.round(gap, 6).alias("gap"),
+        (F.abs(gap) > tol).cast("long").alias("flagged"),
+    )

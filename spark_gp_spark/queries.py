@@ -7994,6 +7994,77 @@ FROM c
 """
 
 
+def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-composition fairness audit (operators/prep.py:
+    split_balance_report) of the hash train/val/test assignment: per
+    (split, lang) cell, within-split share vs corpus share, the gap, and
+    a 2pp tolerance flag — the audit that catches a split rule skewing
+    what each split is MADE of.  A pure hash split's gaps shrink with n
+    (the natural flag count is 7/15 at sf0.01 but 0/15 at sf0.1 — the
+    screen would go vacuous exactly where it matters), so the fixture
+    plants the REALISTIC bug the audit exists for: zh documents assigned
+    by a legacy ``hash % 50`` bucket rule (FIXTURES.md planted-mutation
+    registry), which can never reach the val/test buckets — zh's val/test
+    cells appear as explicit flagged ZERO rows (the spine is observed
+    splits × observed strata), the (train, zh) overweight gap +0.032 is
+    scale-invariant, and 5-7 cells stay unflagged at every SF, so both
+    branches fire deterministically (the hash is a pure function of
+    doc_id — per-SF values are fixed, not sampled).
+    STAGED for the round-13 window."""
+    from .operators.hashing import h32
+    from .operators.prep import split_balance_report as _sbr
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.when(
+        F.col("lang") == "zh", h32(F.col("doc_id")) % 50
+    ).otherwise(h32(F.col("doc_id")) % 100)
+    assigned = docs.select(
+        "lang",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return _sbr(assigned, split_col="split", stratum_col="lang")
+
+
+_SPLIT_BALANCE_SQL = f"""
+WITH b AS (
+  SELECT lang,
+         CASE WHEN lang = 'zh' THEN {h32_sql("doc_id::VARCHAR")} % 50
+              ELSE {h32_sql("doc_id::VARCHAR")} % 100 END AS bucket
+  FROM documents
+), s AS (
+  SELECT lang,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+), cells AS (
+  SELECT split, lang, count(*)::BIGINT AS n FROM s GROUP BY 1, 2
+), spine AS (
+  SELECT sp.split, st.lang
+  FROM (SELECT DISTINCT split FROM cells) sp
+  CROSS JOIN (SELECT DISTINCT lang FROM cells) st
+), filled AS (
+  SELECT sp.split, sp.lang, coalesce(c.n, 0)::BIGINT AS n_docs
+  FROM spine sp LEFT JOIN cells c USING (split, lang)
+)
+SELECT split, lang, n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY split)::DOUBLE, 6)
+         AS split_share,
+       round(sum(n_docs) OVER (PARTITION BY lang)
+             / sum(n_docs) OVER ()::DOUBLE, 6) AS corpus_share,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY split)::DOUBLE
+             - sum(n_docs) OVER (PARTITION BY lang)
+               / sum(n_docs) OVER ()::DOUBLE, 6) AS gap,
+       (abs(n_docs / sum(n_docs) OVER (PARTITION BY split)::DOUBLE
+            - sum(n_docs) OVER (PARTITION BY lang)
+              / sum(n_docs) OVER ()::DOUBLE) > 0.02)::BIGINT AS flagged
+FROM filled
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8708,20 +8779,20 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the NINETEEN entries staged below to the top of
+#: ROUND-13 PLAN: move the TWENTY entries staged below to the top of
 #: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
 #: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
-#: user_concentration_report; + 5 third-wave:
+#: user_concentration_report; + 6 third-wave:
 #: order_reconciliation_report, benford_screen, lang_mislabel_report,
-#: dedup_survivor_bias, storage_layout_report — every wave staged-green
-#: at sf0.001 AND sf0.01 AND sf0.1, hand-frame / equality / property
-#: pytested in tests/test_staged_r12_verbs.py +
+#: dedup_survivor_bias, storage_layout_report, split_balance_report —
+#: every wave staged-green at sf0.001 AND sf0.01 AND sf0.1, hand-frame /
+#: equality / property pytested in tests/test_staged_r12_verbs.py +
 #: tests/test_staged_r12_wave3.py + tests/test_streaming_dedup_join.py,
 #: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  19 + 13 leaves room for ~18
+#: oldest r10-green entries to fill 50.  20 + 13 leaves room for ~17
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8756,5 +8827,6 @@ STAGED_QUERIES: dict = {
     "lang_mislabel_report": (lang_mislabel_report, _LANG_MISLABEL_SQL),
     "dedup_survivor_bias": (dedup_survivor_bias, _DEDUP_SURVIVOR_SQL),
     "storage_layout_report": (storage_layout_report, _STORAGE_LAYOUT_SQL),
+    "split_balance_report": (split_balance_report, _SPLIT_BALANCE_SQL),
 }
 

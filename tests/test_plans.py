@@ -885,3 +885,23 @@ def test_storage_layout_report_scan_pruned_to_partition_and_metadata(spark):
     for n in scans:
         schema = n.toString().split("ReadSchema:")[-1]
         assert "event_id" not in schema, schema[:160]
+
+
+def test_split_balance_report_reads_only_cells_cache(spark):
+    """The cells relation feeds three consumers (two spine sides + the
+    join back); the first cut re-scanned the corpus per consumer (this
+    lock caught it: 3 parquet scans).  Lock the fix: after the persisted
+    cells relation materializes, the executed plan has ZERO parquet scans
+    — spine, shares, and flags all read the bounded cache — and no
+    CartesianProduct appears (the spine cross is a broadcast nested loop
+    over the bounded distinct sides)."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    spark.catalog.clearCache()
+    nodes = _staged_plan_nodes(
+        STAGED_QUERIES["split_balance_report"][0](spark, SF)
+    )
+    scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
+    assert not scans, [n.nodeName() for n in scans]
+    assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)
+    assert not [n for n in nodes if "Cartesian" in n.nodeName()]

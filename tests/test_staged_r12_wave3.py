@@ -219,3 +219,35 @@ def test_storage_layout_report_measures_written_files(spark, tmp_path):
     assert a["avg_file_rows"] == 100.0 and a["small_files"] == 1
     assert (b["n_files"], b["min_file_rows"], b["small_files"]) == (1, 128, 0)
     assert (c["n_files"], c["min_file_rows"], c["small_files"]) == (1, 50, 1)
+
+
+def test_split_balance_report_zero_cells_and_gaps_hand_computed(spark):
+    """11 docs over strata {a: 9, b: 2}, splits {train: 10, val: 1}, with
+    b entirely absent from val: the zero cell APPEARS (n_docs 0,
+    split_share 0, gap = −corpus_share, flagged), val's pure-a cell flags
+    (+0.181818), and both train gaps (∓0.018182) sit just under the 2pp
+    tolerance — unflagged."""
+    from spark_gp_spark.operators.prep import split_balance_report
+
+    rows = (
+        [("train", "a")] * 8
+        + [("train", "b")] * 2
+        + [("val", "a")]
+    )
+    df = spark.createDataFrame(rows, "split string, lang string")
+    out = {
+        (r["split"], r["lang"]): r
+        for r in split_balance_report(df).collect()
+    }
+    assert set(out) == {("train", "a"), ("train", "b"), ("val", "a"),
+                        ("val", "b")}
+    zero = out[("val", "b")]
+    assert zero["n_docs"] == 0 and zero["split_share"] == 0.0
+    assert zero["gap"] == -0.181818 and zero["flagged"] == 1
+    assert out[("val", "a")]["gap"] == 0.181818
+    assert out[("val", "a")]["flagged"] == 1
+    assert out[("train", "a")]["gap"] == -0.018182
+    assert out[("train", "a")]["flagged"] == 0
+    assert out[("train", "b")]["gap"] == 0.018182
+    assert out[("train", "b")]["flagged"] == 0
+    assert out[("train", "a")]["corpus_share"] == 0.818182
