@@ -8065,6 +8065,106 @@ FROM filled
 """
 
 
+def csv_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time parse-quality audit — the failure-branch complement of
+    csv_roundtrip (which only ever sees clean round trips): orders
+    serialized to headerless CSV with THREE planted malformation classes
+    (FIXTURES.md: o_orderkey % 307 == 11 → row truncated to the key
+    alone; % 211 == 5 → totalprice written as the unparseable 'N/A';
+    % 401 == 13 → totalprice field left EMPTY; precedence in that order),
+    read back under PERMISSIVE mode with a corrupt-record column, and
+    classified from the PARSED evidence in a COLUMN-PRUNING-INDEPENDENT
+    order: a null status means the tokens ran out (SHORT row — status is
+    never null in the source; under Spark's CSV column pruning a short
+    row is null-filled WITHOUT a corrupt record because the pruned
+    required schema no longer fails, while an unpruned read does mark it
+    corrupt — classifying on the status field first is correct either
+    way), then a corrupt record with a parsed status is a BAD VALUE (the
+    price field is always required here, so its parse failure marks the
+    row under any pruning), then a null price is an EMPTY field (valid
+    null, never malformed), else clean.  The oracle never
+    reads the CSV — it predicts all four class counts from the planted
+    moduli over the ORIGINAL parquet, so the hash match proves the
+    writer+reader honor Spark's documented PERMISSIVE semantics
+    end-to-end.  All classes fire at every SF (~n/307, n/211, n/401
+    rows; sf0.001's 1500 orders still land 4/7/3).  One derived write
+    per process; the audit itself is one scan + bounded aggregate.
+    STAGED for the round-13 window."""
+    o = load_table(spark, sf_dir, "orders")
+    source = f"{sf_dir}/orders.parquet"
+    path, fresh = _derived_copy_path("ingestq", source)
+    if not fresh:
+        k = F.col("o_orderkey")
+        line = (
+            F.when(k % 307 == 11, k.cast("string"))
+            .when(
+                k % 211 == 5,
+                F.concat_ws(
+                    ",", k.cast("string"), F.col("o_orderstatus"), F.lit("N/A")
+                ),
+            )
+            .when(
+                k % 401 == 13,
+                F.concat(
+                    k.cast("string"), F.lit(","), F.col("o_orderstatus"),
+                    F.lit(","),
+                ),
+            )
+            .otherwise(
+                F.concat_ws(
+                    ",",
+                    k.cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                )
+            )
+        )
+        o.select(line.alias("value")).write.mode("overwrite").text(path)
+        _derived_copy_commit("ingestq", source)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    cls = (
+        F.when(F.col("o_orderstatus").isNull(), "short_row")
+        .when(F.col("_corrupt_record").isNotNull(), "bad_value")
+        .when(F.col("o_totalprice").isNull(), "null_value")
+        .otherwise("clean")
+    )
+    cells = back.groupBy(cls.alias("ingest_class")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    w_all = Window.partitionBy()
+    return cells.select(
+        "ingest_class",
+        "n_rows",
+        F.round(
+            F.col("n_rows") / F.sum("n_rows").over(w_all).cast("double"), 6
+        ).alias("rate"),
+    )
+
+
+_CSV_INGEST_QUALITY_SQL = """
+WITH cls AS (
+  SELECT CASE WHEN o_orderkey % 307 = 11 THEN 'short_row'
+              WHEN o_orderkey % 211 = 5 THEN 'bad_value'
+              WHEN o_orderkey % 401 = 13 THEN 'null_value'
+              ELSE 'clean' END AS ingest_class
+  FROM orders
+), cells AS (
+  SELECT ingest_class, count(*)::BIGINT AS n_rows FROM cls GROUP BY 1
+)
+SELECT ingest_class, n_rows,
+       round(n_rows / sum(n_rows) OVER ()::DOUBLE, 6) AS rate
+FROM cells
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8779,20 +8879,21 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the TWENTY entries staged below to the top of
+#: ROUND-13 PLAN: move the TWENTY-ONE entries staged below to the top of
 #: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
 #: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
-#: user_concentration_report; + 6 third-wave:
+#: user_concentration_report; + 7 third-wave:
 #: order_reconciliation_report, benford_screen, lang_mislabel_report,
-#: dedup_survivor_bias, storage_layout_report, split_balance_report —
+#: dedup_survivor_bias, storage_layout_report, split_balance_report,
+#: csv_ingest_quality —
 #: every wave staged-green at sf0.001 AND sf0.01 AND sf0.1, hand-frame /
 #: equality / property pytested in tests/test_staged_r12_verbs.py +
 #: tests/test_staged_r12_wave3.py + tests/test_streaming_dedup_join.py,
 #: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  20 + 13 leaves room for ~17
+#: oldest r10-green entries to fill 50.  21 + 13 leaves room for ~16
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8828,5 +8929,6 @@ STAGED_QUERIES: dict = {
     "dedup_survivor_bias": (dedup_survivor_bias, _DEDUP_SURVIVOR_SQL),
     "storage_layout_report": (storage_layout_report, _STORAGE_LAYOUT_SQL),
     "split_balance_report": (split_balance_report, _SPLIT_BALANCE_SQL),
+    "csv_ingest_quality": (csv_ingest_quality, _CSV_INGEST_QUALITY_SQL),
 }
 

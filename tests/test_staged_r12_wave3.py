@@ -251,3 +251,29 @@ def test_split_balance_report_zero_cells_and_gaps_hand_computed(spark):
     assert out[("train", "b")]["gap"] == 0.018182
     assert out[("train", "b")]["flagged"] == 0
     assert out[("train", "a")]["corpus_share"] == 0.818182
+
+
+def test_csv_ingest_quality_classes_hand_planted(spark, tmp_path):
+    """Five hand-built orders hitting each planted modulus exactly once
+    (11 -> short row, 5 -> bad 'N/A' price, 13 -> empty price field) plus
+    two clean rows: the audit reports every class with the right count
+    and rate, proving the writer's malformation classes and the reader's
+    PERMISSIVE classification line up end-to-end at unit scale."""
+    from spark_gp_spark.queries import csv_ingest_quality
+
+    rows = [
+        (11, "O", 10.5),   # 11 % 307 == 11 -> short_row
+        (5, "F", 20.0),    # 5 % 211 == 5  -> bad_value
+        (13, "P", 30.0),   # 13 % 401 == 13 -> null_value
+        (1, "O", 40.0),
+        (2, "F", 50.0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+    out = {r["ingest_class"]: r for r in csv_ingest_quality(spark, sf).collect()}
+    assert out["short_row"]["n_rows"] == 1
+    assert out["bad_value"]["n_rows"] == 1
+    assert out["null_value"]["n_rows"] == 1
+    assert out["clean"]["n_rows"] == 2 and out["clean"]["rate"] == 0.4
