@@ -8165,6 +8165,122 @@ FROM cells
 """
 
 
+def jsonl_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines twin of csv_ingest_quality, with the classes JSON can
+    distinguish that CSV cannot: orders serialized to JSONL with FOUR
+    planted malformation classes (FIXTURES.md: o_orderkey % 313 == 7 →
+    closing brace dropped, a SYNTAX error; % 199 == 3 → totalprice
+    written as the string "oops", a TYPE mismatch; % 353 == 17 → the
+    status key omitted entirely, a MISSING field; % 433 == 29 →
+    totalprice written as an explicit JSON null; precedence in that
+    order), read back under PERMISSIVE mode and classified from parsed
+    evidence: a corrupt record with a null key is a syntax error (the
+    parser salvages nothing), a corrupt record with a parsed key is a
+    type mismatch (only the offending field nulls), a missing status
+    without a corrupt record is a missing field, a null price without a
+    corrupt record is an explicit null — Spark's JSON reader treats both
+    of the latter as VALID, which is exactly the distinction an ingest
+    dashboard needs and the CSV format cannot express.  The oracle
+    predicts all five class counts from the planted moduli over the
+    ORIGINAL parquet (it never reads the JSONL), so the hash match
+    proves the writer + PERMISSIVE JSON reader contract end-to-end.
+    All classes fire at every SF (~n/313, n/199, n/353, n/433).
+    STAGED for the round-13 window."""
+    o = load_table(spark, sf_dir, "orders")
+    source = f"{sf_dir}/orders.parquet"
+    path, fresh = _derived_copy_path("ingestjq", source)
+    if not fresh:
+        k = F.col("o_orderkey")
+        ks = k.cast("string")
+        st = F.col("o_orderstatus")
+        pr = F.col("o_totalprice").cast("string")
+        full_line = F.concat(
+            F.lit('{"o_orderkey":'), ks,
+            F.lit(',"o_orderstatus":"'), st,
+            F.lit('","o_totalprice":'), pr, F.lit("}"),
+        )
+        line = (
+            F.when(
+                k % 313 == 7,
+                F.concat(
+                    F.lit('{"o_orderkey":'), ks,
+                    F.lit(',"o_orderstatus":"'), st, F.lit('"'),
+                ),
+            )
+            .when(
+                k % 199 == 3,
+                F.concat(
+                    F.lit('{"o_orderkey":'), ks,
+                    F.lit(',"o_orderstatus":"'), st,
+                    F.lit('","o_totalprice":"oops"}'),
+                ),
+            )
+            .when(
+                k % 353 == 17,
+                F.concat(
+                    F.lit('{"o_orderkey":'), ks,
+                    F.lit(',"o_totalprice":'), pr, F.lit("}"),
+                ),
+            )
+            .when(
+                k % 433 == 29,
+                F.concat(
+                    F.lit('{"o_orderkey":'), ks,
+                    F.lit(',"o_orderstatus":"'), st,
+                    F.lit('","o_totalprice":null}'),
+                ),
+            )
+            .otherwise(full_line)
+        )
+        o.select(line.alias("value")).write.mode("overwrite").text(path)
+        _derived_copy_commit("ingestjq", source)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    cls = (
+        F.when(corrupt & F.col("o_orderkey").isNull(), "syntax_error")
+        .when(corrupt, "type_mismatch")
+        .when(F.col("o_orderstatus").isNull(), "missing_field")
+        .when(F.col("o_totalprice").isNull(), "explicit_null")
+        .otherwise("clean")
+    )
+    cells = back.groupBy(cls.alias("ingest_class")).agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+    w_all = Window.partitionBy()
+    return cells.select(
+        "ingest_class",
+        "n_rows",
+        F.round(
+            F.col("n_rows") / F.sum("n_rows").over(w_all).cast("double"), 6
+        ).alias("rate"),
+    )
+
+
+_JSONL_INGEST_QUALITY_SQL = """
+WITH cls AS (
+  SELECT CASE WHEN o_orderkey % 313 = 7 THEN 'syntax_error'
+              WHEN o_orderkey % 199 = 3 THEN 'type_mismatch'
+              WHEN o_orderkey % 353 = 17 THEN 'missing_field'
+              WHEN o_orderkey % 433 = 29 THEN 'explicit_null'
+              ELSE 'clean' END AS ingest_class
+  FROM orders
+), cells AS (
+  SELECT ingest_class, count(*)::BIGINT AS n_rows FROM cls GROUP BY 1
+)
+SELECT ingest_class, n_rows,
+       round(n_rows / sum(n_rows) OVER ()::DOUBLE, 6) AS rate
+FROM cells
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8879,21 +8995,21 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the TWENTY-ONE entries staged below to the top of
+#: ROUND-13 PLAN: move the TWENTY-TWO entries staged below to the top of
 #: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
 #: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
-#: user_concentration_report; + 7 third-wave:
+#: user_concentration_report; + 8 third-wave:
 #: order_reconciliation_report, benford_screen, lang_mislabel_report,
 #: dedup_survivor_bias, storage_layout_report, split_balance_report,
-#: csv_ingest_quality —
+#: csv_ingest_quality, jsonl_ingest_quality —
 #: every wave staged-green at sf0.001 AND sf0.01 AND sf0.1, hand-frame /
 #: equality / property pytested in tests/test_staged_r12_verbs.py +
 #: tests/test_staged_r12_wave3.py + tests/test_streaming_dedup_join.py,
 #: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  21 + 13 leaves room for ~16
+#: oldest r10-green entries to fill 50.  22 + 13 leaves room for ~15
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -8930,5 +9046,6 @@ STAGED_QUERIES: dict = {
     "storage_layout_report": (storage_layout_report, _STORAGE_LAYOUT_SQL),
     "split_balance_report": (split_balance_report, _SPLIT_BALANCE_SQL),
     "csv_ingest_quality": (csv_ingest_quality, _CSV_INGEST_QUALITY_SQL),
+    "jsonl_ingest_quality": (jsonl_ingest_quality, _JSONL_INGEST_QUALITY_SQL),
 }
 

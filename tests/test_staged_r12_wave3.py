@@ -277,3 +277,34 @@ def test_csv_ingest_quality_classes_hand_planted(spark, tmp_path):
     assert out["bad_value"]["n_rows"] == 1
     assert out["null_value"]["n_rows"] == 1
     assert out["clean"]["n_rows"] == 2 and out["clean"]["rate"] == 0.4
+
+
+def test_jsonl_ingest_quality_classes_hand_planted(spark, tmp_path):
+    """One order per planted modulus (7 -> dropped closing brace, 3 ->
+    "oops" in the double field, 17 -> status key omitted, 29 -> explicit
+    JSON null) plus two clean: all five classes appear with the right
+    counts — including the missing-field vs explicit-null distinction
+    JSON preserves and CSV cannot."""
+    from spark_gp_spark.queries import jsonl_ingest_quality
+
+    rows = [
+        (7, "O", 10.5),    # 7 % 313 == 7   -> syntax_error
+        (3, "F", 20.0),    # 3 % 199 == 3   -> type_mismatch
+        (17, "P", 30.0),   # 17 % 353 == 17 -> missing_field
+        (29, "O", 40.0),   # 29 % 433 == 29 -> explicit_null
+        (1, "F", 50.0),
+        (2, "O", 60.0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).write.parquet(f"{sf}/orders.parquet")
+    out = {
+        r["ingest_class"]: r for r in jsonl_ingest_quality(spark, sf).collect()
+    }
+    assert out["syntax_error"]["n_rows"] == 1
+    assert out["type_mismatch"]["n_rows"] == 1
+    assert out["missing_field"]["n_rows"] == 1
+    assert out["explicit_null"]["n_rows"] == 1
+    assert out["clean"]["n_rows"] == 2
+    assert abs(sum(r["rate"] for r in out.values()) - 1.0) < 1e-5
