@@ -8281,6 +8281,61 @@ FROM cells
 """
 
 
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit of the binary RESIZE slot (operators/
+    multimodal.py:resize_binary) — the last multimodal fake-path branch
+    without a registry relation (decode and frame-sample already have
+    oracle rows): every payload re-encoded to exactly 256 bytes through
+    the Arrow mapInPandas stub (truncate, or zero-pad on the right), then
+    audited per document: original byte count, the post-resize count
+    (proving the exact-target contract), the action taken, and the LAST
+    16 hex chars of the resized payload — the tail is where both
+    behaviors are visible (zero padding shows as trailing '0's, a
+    truncation shows the cut point), so the hash match proves BYTE-exact
+    resize semantics, not just lengths.  hex() is lowercased on both
+    sides (Spark upper-cases, DuckDB lower-cases).  The corpus splits
+    ~58/42 truncated/padded at every SF (doc byte lengths 44-577 vs the
+    256 target), so both branches fire naturally.  The oracle restates
+    truncation and padding in HEX space (DuckDB has no BLOB substring)
+    over the same UTF-8 payload derivation attach_binary uses.
+    STAGED for the round-13 window."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = M.attach_binary(docs)
+    orig = binary.select(
+        "doc_id", F.length("content").cast("long").alias("orig_bytes")
+    )
+    resized = M.resize_binary(binary, target_bytes=256, fake=True)
+    return resized.join(orig, "doc_id").select(
+        "doc_id",
+        "orig_bytes",
+        F.col("n_bytes").cast("long").alias("new_bytes"),
+        F.when(F.col("orig_bytes") > 256, "truncated")
+        .otherwise("padded")
+        .alias("action"),
+        F.substring(F.lower(F.hex(F.col("content"))), -16, 16).alias(
+            "tail_hex"
+        ),
+    )
+
+
+_MM_RESIZE_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS orig_bytes,
+         lower(hex(encode(text))) AS hx
+  FROM documents
+)
+SELECT doc_id, orig_bytes::BIGINT AS orig_bytes,
+       256::BIGINT AS new_bytes,
+       CASE WHEN orig_bytes > 256 THEN 'truncated' ELSE 'padded' END
+         AS action,
+       right(CASE WHEN orig_bytes >= 256 THEN substring(hx, 1, 512)
+                  ELSE hx || repeat('00', 256 - orig_bytes) END, 16)
+         AS tail_hex
+FROM b
+"""
+
+
 def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled domain rebalancing (operators/prep.py:
     temperature_mix_sample): keep rates DERIVED from the group counts —
@@ -8995,21 +9050,21 @@ ORACLE_SQL = {
 #: the QUERIES ordering comment).  Entries staged here must carry a
 #: NON-None oracle or be skipped at staging time (ADVICE r10).
 #:
-#: ROUND-13 PLAN: move the TWENTY-TWO entries staged below to the top of
+#: ROUND-13 PLAN: move the TWENTY-THREE entries staged below to the top of
 #: QUERIES + ORACLE_SQL (6 first-wave + 8 second-wave: leakage_safe_split,
 #: event_anomaly_screen, rule_cofail_matrix, referential_integrity_report,
 #: streaming_quality_gate, heavy_hitter_grams, event_volume_trend,
-#: user_concentration_report; + 8 third-wave:
+#: user_concentration_report; + 9 third-wave:
 #: order_reconciliation_report, benford_screen, lang_mislabel_report,
 #: dedup_survivor_bias, storage_layout_report, split_balance_report,
-#: csv_ingest_quality, jsonl_ingest_quality —
+#: csv_ingest_quality, jsonl_ingest_quality, multimodal_resize_audit —
 #: every wave staged-green at sf0.001 AND sf0.01 AND sf0.1, hand-frame /
 #: equality / property pytested in tests/test_staged_r12_verbs.py +
 #: tests/test_staged_r12_wave3.py + tests/test_streaming_dedup_join.py,
 #: plan-locked in tests/test_plans.py);
 #: then any r13-changed entries; then the 13 remaining r9-green entries
 #: (named in the QUERIES ordering comment — rotate them FIRST); then the
-#: oldest r10-green entries to fill 50.  22 + 13 leaves room for ~15
+#: oldest r10-green entries to fill 50.  23 + 13 leaves room for ~14
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
@@ -9047,5 +9102,6 @@ STAGED_QUERIES: dict = {
     "split_balance_report": (split_balance_report, _SPLIT_BALANCE_SQL),
     "csv_ingest_quality": (csv_ingest_quality, _CSV_INGEST_QUALITY_SQL),
     "jsonl_ingest_quality": (jsonl_ingest_quality, _JSONL_INGEST_QUALITY_SQL),
+    "multimodal_resize_audit": (multimodal_resize_audit, _MM_RESIZE_SQL),
 }
 

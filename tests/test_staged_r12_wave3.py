@@ -308,3 +308,23 @@ def test_jsonl_ingest_quality_classes_hand_planted(spark, tmp_path):
     assert out["explicit_null"]["n_rows"] == 1
     assert out["clean"]["n_rows"] == 2
     assert abs(sum(r["rate"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_multimodal_resize_audit_byte_exact_tails(spark, tmp_path):
+    """A 2-byte payload pads to 256 with a '0'*16 hex tail; a 300-byte
+    payload truncates with a tail equal to the python-computed hex of
+    bytes 249-256 — byte-exact resize semantics, not just lengths."""
+    from spark_gp_spark.queries import multimodal_resize_audit
+
+    short, long_ = "ab", "x" * 300
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, short, "en", "s", 2), (2, long_, "en", "s", 300)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in multimodal_resize_audit(spark, sf).collect()}
+    assert out[1]["action"] == "padded" and out[1]["new_bytes"] == 256
+    assert out[1]["tail_hex"] == "0" * 16
+    assert out[2]["action"] == "truncated" and out[2]["orig_bytes"] == 300
+    assert out[2]["tail_hex"] == long_.encode()[:256].hex()[-16:]
