@@ -288,3 +288,28 @@ def storage_layout_report(
         .cast("long")
         .alias("small_files"),
     )
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    partition_col: str,
+    max_records_per_file: int,
+) -> None:
+    """Compaction maintenance action — the FIX half of the
+    audit→compact→re-audit loop ``storage_layout_report`` opens: read a
+    directory-partitioned parquet dataset drowning in small files and
+    rewrite it to ``dest`` under a healthy records-per-file cap.
+
+    Deliberately a composition of the existing layout-controlled write,
+    so the healed layout inherits its determinism: one task per partition
+    value, files of exactly ``max_records_per_file`` rows plus one
+    remainder — which means the POST-compaction layout is predictable
+    from per-value row counts alone and ``storage_layout_report`` can
+    verify the heal exactly (the re-audit in the test does).  Writes to a
+    separate ``dest`` because overwriting a dataset while scanning it is
+    a correctness hazard; the caller swaps directories after the write
+    commits."""
+    df = spark.read.parquet(src)
+    write_layout_controlled(df, dest, partition_col, max_records_per_file)

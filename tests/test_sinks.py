@@ -185,3 +185,36 @@ def test_export_shards_one_file_per_shard_and_manifest(spark, tmp_path):
     assert {
         r.shard: r.n_rows for r in shard_manifest(moved).collect()
     } == {k: v[0] for k, v in want.items()}
+
+
+def test_compact_partitioned_heals_small_files(spark, tmp_path):
+    """The full maintenance loop: a dataset written under a tiny 16-row
+    cap fragments into many small files (the audit shows it); compacting
+    to a 128-row cap heals the layout to exactly the predicted
+    ceil(n/128) files per partition value, verified by re-running the
+    SAME audit on the compacted copy."""
+    from spark_gp_spark.sources.sinks import (
+        compact_partitioned,
+        storage_layout_report,
+        write_layout_controlled,
+    )
+
+    rows = [(i, "a") for i in range(300)] + [(i, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string")
+    frag, healed = str(tmp_path / "frag"), str(tmp_path / "healed")
+    write_layout_controlled(df, frag, "event_type", 16)
+    before = {
+        r["event_type"]: r
+        for r in storage_layout_report(spark, frag, "event_type", 16).collect()
+    }
+    assert before["a"]["n_files"] == 19  # ceil(300/16): fragmented
+    compact_partitioned(spark, frag, healed, "event_type", 128)
+    after = {
+        r["event_type"]: r
+        for r in storage_layout_report(
+            spark, healed, "event_type", 128
+        ).collect()
+    }
+    assert after["a"]["n_rows"] == 300 and after["a"]["n_files"] == 3
+    assert (after["a"]["min_file_rows"], after["a"]["max_file_rows"]) == (44, 128)
+    assert after["b"]["n_files"] == 1 and after["b"]["small_files"] == 1
