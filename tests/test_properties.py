@@ -268,3 +268,42 @@ def test_benford_report_is_a_distribution_over_in_scope_rows(spark, seed):
     for r in rows:
         obs = r["n_rows"] / max(len(in_scope), 1)
         assert r["flagged"] == (1 if abs(obs - r["exp_share"]) > 0.04 else 0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 10_000), parts=st.integers(1, 6))
+def test_split_balance_is_a_partition_of_shares(spark, seed, parts):
+    """For random assignments under any repartitioning: the spine covers
+    every observed (split, stratum) cross, within-split shares sum to 1
+    per split, per-cell counts reproduce a pure-python recount (zero
+    cells included), and the flag equals the unrounded-gap predicate."""
+    import random
+    from collections import Counter
+
+    from spark_gp_spark.operators.prep import split_balance_report
+
+    rng = random.Random(seed)
+    splits = ["train", "val", "test"][: rng.randint(2, 3)]
+    strata = ["a", "b", "c", "d"][: rng.randint(2, 4)]
+    rows = [
+        (rng.choice(splits), rng.choice(strata)) for _ in range(rng.randint(20, 120))
+    ]
+    df = spark.createDataFrame(rows, "split string, lang string").repartition(parts)
+    out = split_balance_report(df).collect()
+    seen_splits = {s for s, _ in rows}
+    seen_strata = {l for _, l in rows}
+    assert {(r["split"], r["lang"]) for r in out} == {
+        (s, l) for s in seen_splits for l in seen_strata
+    }
+    counts = Counter(rows)
+    total = len(rows)
+    strat_tot = Counter(l for _, l in rows)
+    split_tot = Counter(s for s, _ in rows)
+    for r in out:
+        n = counts.get((r["split"], r["lang"]), 0)
+        assert r["n_docs"] == n
+        gap = n / split_tot[r["split"]] - strat_tot[r["lang"]] / total
+        assert r["flagged"] == (1 if abs(gap) > 0.02 else 0)
+    for s in seen_splits:
+        shares = sum(r["split_share"] for r in out if r["split"] == s)
+        assert abs(shares - 1.0) < 1e-4  # rounded-to-6 cells summed
