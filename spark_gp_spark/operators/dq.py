@@ -814,6 +814,15 @@ def reconciliation_report(
     Output: one row per segment (``group_col``, n_rows, n_missing,
     n_within_tight, n_within_loose, n_beyond, avg_rel_delta,
     max_rel_delta); rel deltas are NULL-skipped for detail-less parents.
+
+    ``avg_rel_delta`` extends the same exactness discipline to the one
+    per-parent double (r13 sweep of the round(avg(double)) fold-order
+    class): the relative delta quantizes per-parent to 1e-6 units
+    (``round(rel·1e6)::long`` — rel is itself deterministic, computed
+    from exact integers), the per-segment sum is exact 64-bit arithmetic
+    at any partitioning, and one double division per segment runs on
+    identical integers in both engines.  ``max_rel_delta`` needs no
+    quantization — max over doubles is fold-order-independent.
     """
     recomputed = child.groupBy(F.col(child_key).alias("_ck")).agg(
         F.sum(child_units).cast("long").alias("_recomputed")
@@ -841,7 +850,12 @@ def reconciliation_report(
             F.sum((~missing & (rel > loose)).cast("long"))
             .cast("long")
             .alias("n_beyond"),
-            F.round(F.avg(rel), 6).alias("avg_rel_delta"),
+            F.round(
+                F.sum(F.round(rel * 1e6, 0).cast("long"))
+                / F.sum((~missing).cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("avg_rel_delta"),
             F.round(F.max(rel), 6).alias("max_rel_delta"),
         )
     )

@@ -1417,15 +1417,24 @@ def lang_mislabel_matrix(
 
     Output: one row per (lang, lang_pred) cell — n_docs, avg_quality
     (does the mispredicted slice also read as low quality?),
-    share_of_lang, agree."""
+    share_of_lang, agree.
+
+    ``avg_quality`` follows the exact-integer discipline (r13 sweep of
+    the round(avg(double)) fold-order class): quality quantizes per-row
+    to 1e-6 units (``round(quality·1e6)::long``), the per-cell sum is
+    exact at any partitioning, and one double division per cell runs on
+    identical integers in both engines."""
     from pyspark.sql import Window
 
+    q6 = F.round(F.col("quality") * 1e6, 0).cast("long")
     cells = (
         text_stats(df, text_col=text_col, id_col=lang_col)
         .groupBy(F.col(lang_col).alias("lang"), "lang_pred")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.sum(q6) / F.count("*") / F.lit(1e6), 6
+            ).alias("avg_quality"),
         )
     )
     per_lang = Window.partitionBy("lang")

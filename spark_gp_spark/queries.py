@@ -7765,7 +7765,9 @@ SELECT o_orderpriority,
        sum(CASE WHEN rel > 0.01 AND rel <= 0.25 THEN 1 ELSE 0 END)::BIGINT
          AS n_within_loose,
        sum(CASE WHEN rel > 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_beyond,
-       round(avg(rel), 6) AS avg_rel_delta,
+       round(sum(CAST(round(rel * 1000000) AS BIGINT))::DOUBLE
+             / sum(CASE WHEN rel IS NULL THEN 0 ELSE 1 END)::DOUBLE
+             / 1000000.0, 6) AS avg_rel_delta,
        round(max(rel), 6) AS max_rel_delta
 FROM j GROUP BY 1
 """
@@ -7835,7 +7837,8 @@ _LANG_MISLABEL_SQL = (
     _sql_text_stats_cte()
     + """, cells AS (
   SELECT d.lang, s.lang_pred, count(*)::BIGINT AS n_docs,
-         round(avg(s.quality), 6) AS avg_quality
+         round(sum(CAST(round(s.quality * 1000000) AS BIGINT))::DOUBLE
+               / count(*)::DOUBLE / 1000000.0, 6) AS avg_quality
   FROM stats s JOIN documents d USING (doc_id) GROUP BY 1, 2
 )
 SELECT lang, lang_pred, n_docs, avg_quality,
@@ -7859,7 +7862,18 @@ def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no removals report NULL removed-side stats (both engines).  One
     extra bounded-group window + per-source aggregate beyond the
     clustering itself.
-    STAGED for the round-13 window."""
+
+    Exactness (r13 fix of a reproduced parity flake): ``avg_quality_*``
+    averages ARBITRARY doubles, and a double sum's value depends on
+    Spark's partition fold order — a source cell whose mean sits within
+    an ulp of the 6-dp rounding boundary flips against DuckDB's fold
+    (observed 2/6 multi-file pytest runs at r12).  The reconciliation
+    pattern fixes it: quality quantizes per-row to exact 1e-6 integer
+    units (``round(quality·1e6)::long`` — identical in both engines),
+    the per-group sums are exact 64-bit arithmetic at ANY partitioning,
+    and the two closing double divisions run on identical integers.
+    ``avg_chars_*`` needs no quantization — n_chars is integral, so its
+    double sum is exact below 2^53 regardless of fold order."""
     docs = load_table(spark, sf_dir, "documents")
     comps = D.neardup_components(docs, threshold=0.5)
     quality = T.text_stats(docs).select("doc_id", "quality")
@@ -7870,6 +7884,7 @@ def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("quality"), F.asc("doc_id")
     )
     kept = F.col("_rn") == 1
+    q6 = F.round(F.col("quality") * 1e6, 0).cast("long")
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .groupBy("source")
@@ -7879,12 +7894,18 @@ def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum((~kept).cast("long")) / F.count("*").cast("double"), 6
             ).alias("removed_rate"),
-            F.round(F.avg(F.when(kept, F.col("quality"))), 6).alias(
-                "avg_quality_kept"
-            ),
-            F.round(F.avg(F.when(~kept, F.col("quality"))), 6).alias(
-                "avg_quality_removed"
-            ),
+            F.round(
+                F.sum(F.when(kept, q6))
+                / F.sum(kept.cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("avg_quality_kept"),
+            F.round(
+                F.sum(F.when(~kept, q6))
+                / F.sum((~kept).cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("avg_quality_removed"),
             F.round(F.avg(F.when(kept, F.col("n_chars"))), 6).alias(
                 "avg_chars_kept"
             ),
@@ -7919,6 +7940,7 @@ edges AS (
         + stats_ctes
         + """, ranked AS (
   SELECT c.component, c.doc_id, st.quality, d.source, d.n_chars,
+         CAST(round(st.quality * 1000000) AS BIGINT) AS q6,
          row_number() OVER (
            PARTITION BY c.component
            ORDER BY st.quality DESC, st.doc_id) AS rn
@@ -7929,10 +7951,12 @@ SELECT source,
        sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
        round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
          AS removed_rate,
-       round(avg(CASE WHEN rn = 1 THEN quality END), 6)
-         AS avg_quality_kept,
-       round(avg(CASE WHEN rn > 1 THEN quality END), 6)
-         AS avg_quality_removed,
+       round(sum(CASE WHEN rn = 1 THEN q6 END)::DOUBLE
+             / sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / 1000000.0, 6) AS avg_quality_kept,
+       round(sum(CASE WHEN rn > 1 THEN q6 END)::DOUBLE
+             / sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / 1000000.0, 6) AS avg_quality_removed,
        round(avg(CASE WHEN rn = 1 THEN n_chars END), 6) AS avg_chars_kept,
        round(avg(CASE WHEN rn > 1 THEN n_chars END), 6)
          AS avg_chars_removed

@@ -328,3 +328,61 @@ def test_multimodal_resize_audit_byte_exact_tails(spark, tmp_path):
     assert out[1]["tail_hex"] == "0" * 16
     assert out[2]["action"] == "truncated" and out[2]["orig_bytes"] == 300
     assert out[2]["tail_hex"] == long_.encode()[:256].hex()[-16:]
+
+
+def test_avg_exactness_fixed_verbs_parity_pinned(spark):
+    """Pinning test for the r13 exact-integer fix of the
+    round(avg(double)) fold-order class (VERDICT r12 #1): the three
+    verbs whose avg_* columns averaged arbitrary doubles
+    (dedup_survivor_bias — the reproduced flake — lang_mislabel_report,
+    order_reconciliation_report) now quantize per-row to 1e-6 integer
+    units, so their DuckDB parity must hold under ANY partition fold
+    order.  Runs the side-by-side FIVE times while forcing different
+    fold orders via spark.sql.shuffle.partitions {1, 2, 7, 17, 32}; a
+    regression to double sums flaps on a boundary cell and fails here
+    rather than in a 1-in-3 multi-file run."""
+    from spark_gp_spark.queries import STAGED_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    con = _mk_con(sf)
+    verbs = [
+        "dedup_survivor_bias",
+        "lang_mislabel_report",
+        "order_reconciliation_report",
+    ]
+    oracle = {
+        name: con.execute(STAGED_QUERIES[name][1]).fetchdf()
+        for name in verbs
+    }
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("1", "2", "7", "17", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in verbs:
+                got = STAGED_QUERIES[name][0](spark, sf).toPandas()
+                _pin_parity(got, oracle[name], (name, parts))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _mk_con(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET enable_progress_bar=false")
+    for t in ("documents", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _pin_parity(got, want, ctx):
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns), ctx
+    g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) > 0, ctx
+    for c in cols:
+        assert (g[c].values == w[c].values).all(), (ctx, c)
