@@ -253,7 +253,7 @@ def session_stats(
             F.count("*").alias("n_events"),
             F.min(ts).alias("session_start"),
             F.max(ts).alias("session_end"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0), 6).alias("total_value"),
         )
     )
 
@@ -300,7 +300,16 @@ def gap_fill(
         .groupBy(key, "bucket_start")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.avg(value), 6).alias("bucket_value"),
+            # exact-integer mean (r13 fold-order sweep): the value
+            # quantizes per-row to 1e-6 units, the per-bucket sum is
+            # exact at any partitioning, one double division on
+            # identical integers in both engines
+            F.round(
+                F.sum(F.round(F.col(value) * 1e6, 0).cast("long"))
+                / F.count("*")
+                / F.lit(1e6),
+                6,
+            ).alias("bucket_value"),
         )
     )
     step = F.expr(f"INTERVAL {bucket}")

@@ -582,6 +582,7 @@ def editdist_pairs(
     str_expr,
     id_col: str = "doc_id",
     max_dist: int = 8,
+    second_feature=None,
 ) -> DataFrame:
     """EXACT all-pairs Levenshtein ≤ ``max_dist`` over a SHORT string
     expression (titles, normalized prefixes, product names — the fuzzy
@@ -601,28 +602,71 @@ def editdist_pairs(
 
     At 100 TB: candidates per row are bounded by the length-bucket
     occupancy, not the corpus; heavy buckets (everything is 40-60 chars)
-    are exactly the workloads where a cheap second blocking key (first
-    character, language, source domain) composes by AND-ing into the join
-    key — the plan shape doesn't change.
+    are exactly the workloads where ``second_feature`` (opt-in, r13 —
+    the VERDICT r12 scale fix) AND-composes a SECOND lossless blocking
+    dimension into the equi-join key.
+
+    ``second_feature``: an integer column expression over the input row
+    that moves by AT MOST 1 under any single edit (1-Lipschitz in edit
+    distance) — e.g. the count of one character class in the screened
+    string (a substitution/insert/delete changes any such count by ≤ 1).
+    Then dist ≤ d bounds the feature difference by d, the same bucket
+    argument applies (width d+1, buckets differ by ≤ 1), and AND-ing the
+    two bucket keys stays LOSSLESS: every qualifying pair still meets
+    exactly once (the base side keeps its unique (len-bucket, feat-
+    bucket) key; the probe explodes the 3×3 neighborhood).  Probe
+    duplication grows 3× → 9×, but a dense length bucket subdivides by
+    the second feature, so candidate PAIRS — the quadratic term the
+    Levenshtein verify pays for — drop by the occupancy of the joint
+    key.  Output is IDENTICAL with or without it; the oracle states the
+    same plain quadratic semantics either way.
 
     Output: (id_a < id_b, dist), dist ≤ max_dist.
     """
     w = int(max_dist) + 1
     keyed = df.select(
-        F.col(id_col).alias("_id"), str_expr.alias("_s")
+        F.col(id_col).alias("_id"),
+        str_expr.alias("_s"),
+        *(
+            [F.floor(second_feature / w).cast("long").alias("_fk")]
+            if second_feature is not None
+            else []
+        ),
     ).withColumn("_bk", F.floor(F.length("_s") / w).cast("long"))
-    probe = keyed.select(
-        F.col("_id").alias("id_a"),
-        F.col("_s").alias("_sa"),
-        F.explode(
-            F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)
-        ).alias("_bk"),
-    )
-    base = keyed.select(
-        F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_bk"
-    )
+    if second_feature is not None:
+        probe = keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_s").alias("_sa"),
+            F.explode(
+                F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)
+            ).alias("_bk"),
+            "_fk",
+        ).select(
+            "id_a",
+            "_sa",
+            "_bk",
+            F.explode(
+                F.array(F.col("_fk") - 1, F.col("_fk"), F.col("_fk") + 1)
+            ).alias("_fk"),
+        )
+        base = keyed.select(
+            F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_bk", "_fk"
+        )
+        join_key = ["_bk", "_fk"]
+    else:
+        probe = keyed.select(
+            F.col("_id").alias("id_a"),
+            F.col("_s").alias("_sa"),
+            F.explode(
+                F.array(F.col("_bk") - 1, F.col("_bk"), F.col("_bk") + 1)
+            ).alias("_bk"),
+        )
+        base = keyed.select(
+            F.col("_id").alias("id_b"), F.col("_s").alias("_sb"), "_bk"
+        )
+        join_key = ["_bk"]
     return (
-        probe.join(base, "_bk")
+        probe.join(base, join_key)
         .filter(F.col("id_a") < F.col("id_b"))
         # threshold form: the JVM DP early-exits once a row of the band
         # exceeds max_dist (returns -1) — O(len·max_dist) per candidate

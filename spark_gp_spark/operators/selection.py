@@ -219,7 +219,17 @@ def dsir_doc_weights(
     scored = (
         hashed.join(F.broadcast(logratio), on="bucket")
         .groupBy(id_col)
-        .agg(F.round(F.sum("logr"), 6).alias("weight"))
+        # exact-integer sum (r13 fold-order sweep): the per-feature
+        # log-ratio is deterministic (same counts, same ln in both
+        # engines); it quantizes to 1e-6 units so the per-doc sum is
+        # exact at any partitioning
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("logr") * 1e6, 0).cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("weight")
+        )
     )
     return (
         docs.select(id_col)

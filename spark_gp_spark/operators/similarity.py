@@ -411,17 +411,25 @@ def label_centroids(
     (label, component position) — the class-prototype operator (nearest-
     centroid classification, cluster drift monitoring, IVF seeding).
 
-    ``posexplode → groupBy(label, pos) → avg`` is ONE shuffle of thin
-    (label, pos, value) rows with map-side partial averages; no executor
+    ``posexplode → groupBy(label, pos) → sum`` is ONE shuffle of thin
+    (label, pos, value) rows with map-side partial sums; no executor
     ever materializes a full matrix and the driver sees nothing, so the
     same plan runs at any corpus size (vs. collecting vectors per label,
-    which dies at the first hot label)."""
+    which dies at the first hot label).
+
+    Exactness (r13 sweep of the round(avg(double)) fold-order class):
+    components quantize per-row to 1e-6 integer units, the per-cell sum
+    is exact 64-bit arithmetic at any partitioning, and one double
+    division per cell runs on identical integers in both engines — a
+    double sum here would make the 6-dp rounding boundary depend on
+    Spark's partition fold order."""
     ex = df.select(
         label_col,
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v"),
     )
+    v6 = F.round(F.col("_v") * 1e6, 0).cast("long")
     return ex.groupBy(label_col, "pos").agg(
-        F.round(F.avg("_v"), 6).alias("value")
+        F.round(F.sum(v6) / F.count("*") / F.lit(1e6), 6).alias("value")
     )
 
 
@@ -436,9 +444,20 @@ def embedding_dim_stats(
     here before any downstream recall metric moves), and the input to
     per-dimension whitening.
 
-    ``std`` is the sample standard deviation (n−1), matching DuckDB's
-    ``stddev_samp`` so the oracle replays it; all floats round to 6 dp,
-    the engine-portable grain.
+    ``std`` is the sample standard deviation (n−1); all floats round to
+    6 dp, the engine-portable grain.
+
+    Exactness (r13 sweep of the round(avg(double)) fold-order class):
+    components quantize per-row to 1e-6 integer units; Σv and Σv² are
+    exact integer arithmetic at any partitioning (Σv² in DECIMAL(38,0) —
+    the squared 1e-6 units would saturate int64 near ~1e10 rows), and
+    the closing mean/variance expressions are the SAME few IEEE ops on
+    identical integers in both engines (the oracle restates them
+    verbatim).  ``min``/``max`` need no quantization — order statistics
+    are fold-order-independent.  This also makes the streaming twin
+    (streaming/drift.py, complete-mode merge of the same expression
+    tree) agree with the batch stats EXACTLY, not just at 6 dp: integer
+    partials merge associatively across micro-batches.
 
     Scale shape: same as ``label_centroids`` — posexplode to thin
     (pos, value) rows, ONE shuffle over ≤ dim keys with map-side partial
@@ -447,9 +466,20 @@ def embedding_dim_stats(
     ex = df.select(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_v")
     )
+    v6 = F.round(F.col("_v") * 1e6, 0).cast("long")
+    n = F.count("*")
+    s = F.sum(v6)
+    ss = F.sum((v6 * v6).cast("decimal(38,0)"))
+    m1 = s / n  # mean in 1e-6 units, one double division on exact ints
+    var12 = (ss.cast("double") - m1 * s.cast("double")) / (n - 1)
     return ex.groupBy("pos").agg(
-        F.round(F.avg("_v"), 6).alias("mean"),
-        F.round(F.stddev_samp("_v"), 6).alias("std"),
+        F.round(m1 / F.lit(1e6), 6).alias("mean"),
+        F.when(
+            n > 1,
+            F.round(
+                F.sqrt(F.greatest(var12, F.lit(0.0))) / F.lit(1e6), 6
+            ),
+        ).alias("std"),
         F.round(F.min("_v"), 6).alias("min_v"),
         F.round(F.max("_v"), 6).alias("max_v"),
     )
@@ -692,8 +722,22 @@ def embedding_norm_outliers(
     )
     norms = df.select(F.col(id_col), F.sqrt(sq).alias("_norm")).persist()
     _retire_norm_caches([norms])
+    # Exactness (r13 sweep of the round(avg(double)) fold-order class):
+    # mu/sd feed EVERY output row's z, so ulp noise in a double sum would
+    # put the whole relation's 6-dp rounding at the mercy of partition
+    # fold order.  Norms quantize per-row to 1e-6 integer units; Σn and
+    # Σn² are exact (Σn² in DECIMAL(38,0) — squared units saturate int64
+    # at ~100 rows of norm 1e3), and the closing mu/sd expressions are
+    # the same few IEEE ops on identical integers in both engines.
+    n6 = F.round(F.col("_norm") * 1e6, 0).cast("long")
+    cnt = F.count("*")
+    s = F.sum(n6)
+    ss = F.sum((n6 * n6).cast("decimal(38,0)"))
+    m1 = s / cnt  # mean norm in 1e-6 units
+    varp12 = ss.cast("double") / cnt - m1 * m1
     stats = norms.agg(
-        F.avg("_norm").alias("_mu"), F.stddev_pop("_norm").alias("_sd")
+        (m1 / F.lit(1e6)).alias("_mu"),
+        (F.sqrt(F.greatest(varp12, F.lit(0.0))) / F.lit(1e6)).alias("_sd"),
     )
     # sd == 0 (constant-norm corpus, e.g. everything pre-normalized to
     # unit L2 — the very case this screen validates): define z = 0 and

@@ -718,13 +718,24 @@ def doc_logprob(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
+            # exact-integer mean (r13 fold-order sweep): the per-token
+            # logprob is deterministic (same counts, same ln in both
+            # engines); it quantizes to 1e-6 units so the per-doc sum is
+            # exact at any partitioning, then one double division on
+            # identical integers
             F.round(
-                F.avg(
-                    F.log(
-                        (F.col("cnt") + F.lit(float(alpha)))
-                        / (F.col("n_total") + F.lit(float(alpha) * buckets))
-                    )
-                ),
+                F.sum(
+                    F.round(
+                        F.log(
+                            (F.col("cnt") + F.lit(float(alpha)))
+                            / (F.col("n_total") + F.lit(float(alpha) * buckets))
+                        )
+                        * 1e6,
+                        0,
+                    ).cast("long")
+                )
+                / F.count("*")
+                / F.lit(1e6),
                 6,
             ).alias("avg_logprob"),
         )

@@ -55,18 +55,30 @@ from .streaming.events import (
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape.  Money/quantity/discount sums run in EXACT
+    decimal arithmetic (the columns are 2-dp by construction — the
+    revenue_rollup discipline, extended here in the r13 fold-order
+    sweep) and cast to double only at the end, so every rounded value is
+    independent of Spark's partition fold order; the avg_* columns
+    divide the exact decimal sum by the exact count once, on identical
+    operands in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    dsc = F.col("l_discount").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - dsc
+    n = F.count("*")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price * disc).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(qty).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(dsc).cast("double") / n, 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -74,12 +86,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
-       round(avg(l_quantity), 4)                          AS avg_qty,
-       round(avg(l_extendedprice), 4)                     AS avg_price,
-       round(avg(l_discount), 6)                          AS avg_disc,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*)::DOUBLE, 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*)::DOUBLE, 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*)::DOUBLE, 6) AS avg_disc,
        count(*)                                           AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -88,12 +108,15 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: fact lineitem against broadcast dimension chain.  At scale
     the only shuffle is lineitem⨝orders / orders⨝customer on their keys; the
-    nation/region dims are broadcast explicitly."""
+    nation/region dims are broadcast explicitly.  Revenue sums in exact
+    decimal (the revenue_rollup discipline, r13 fold-order sweep)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -101,9 +124,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(price * disc).cast("double"), 2).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -193,7 +214,10 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 _REVENUE_SQL = """
 SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -205,16 +229,21 @@ GROUP BY r_name, n_name
 
 
 def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + revenue per part type; money sums in exact
+    decimal (the revenue_rollup discipline, r13 fold-order sweep)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_type")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum(price * disc).cast("double"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("total_qty"),
             F.count("*").alias("n_items"),
         )
     )
@@ -222,8 +251,12 @@ def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PART_TYPE_SQL = """
 SELECT p_type,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       round(sum(l_quantity), 2) AS total_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_qty,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
@@ -303,13 +336,26 @@ def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         T.text_stats(docs)
         .groupBy("lang_pred")
-        .agg(F.count("*").alias("n_docs"), F.round(F.avg("quality"), 6).alias("avg_quality"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # exact-integer mean (r13 fold-order sweep): quality
+            # quantizes per-row to 1e-6 units, the sum is exact at any
+            # partitioning, one double division on identical integers
+            F.round(
+                F.sum(F.round(F.col("quality") * 1e6, 0).cast("long"))
+                / F.count("*")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_quality"),
+        )
     )
 
 
 _LANG_DIST_SQL = (
     _sql_text_stats_cte()
-    + "SELECT lang_pred, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality "
+    + "SELECT lang_pred, count(*) AS n_docs,"
+    " round(sum(CAST(round(quality * 1000000) AS BIGINT))::DOUBLE"
+    " / count(*)::DOUBLE / 1000000.0, 6) AS avg_quality "
     "FROM stats GROUP BY lang_pred"
 )
 
@@ -4408,7 +4454,7 @@ WITH tk AS (
 ), w AS (
   SELECT d.doc_id, coalesce(round(s.w, 6), 0.0) AS weight
   FROM documents d LEFT JOIN (
-    SELECT doc_id, sum(logr) AS w FROM b JOIN lr USING (bucket) GROUP BY doc_id
+    SELECT doc_id, sum(CAST(round(logr * 1000000) AS BIGINT))::DOUBLE / 1000000.0 AS w FROM b JOIN lr USING (bucket) GROUP BY doc_id
   ) s USING (doc_id)
 )
 SELECT doc_id, weight, row_number() OVER (ORDER BY weight DESC, doc_id)::BIGINT AS rank
@@ -4649,7 +4695,7 @@ WITH tk AS (
   SELECT sum(cnt) AS n_total FROM c
 )
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       round(avg(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r}))), 6)
+       round(sum(CAST(round(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r})) * 1000000) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
          AS avg_logprob
 FROM tb JOIN c USING (bucket) CROSS JOIN n
 GROUP BY doc_id
@@ -4683,7 +4729,7 @@ WITH tk AS (
   SELECT sum(cnt) AS n_total FROM c
 ), lp AS (
   SELECT doc_id,
-         round(avg(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r}))), 6)
+         round(sum(CAST(round(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r})) * 1000000) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
            AS avg_logprob
   FROM tb JOIN c USING (bucket) CROSS JOIN n
   GROUP BY doc_id
@@ -5189,8 +5235,18 @@ WITH m AS (
   SELECT vec_id,
          sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
   FROM m
+), q AS (
+  SELECT vec_id, nrm, CAST(round(nrm * 1000000) AS BIGINT) AS n6 FROM norms
 ), stats AS (
-  SELECT avg(nrm) AS mu, stddev_pop(nrm) AS sd FROM norms
+  -- exact-integer mu/sd (r13 fold-order sweep): same op sequence as the
+  -- Spark side — m1 = sum/count, mu = m1/1e6, sd_pop from exact moments
+  SELECT sum(n6)::DOUBLE / count(*)::DOUBLE / 1000000.0 AS mu,
+         sqrt(greatest(
+           sum(n6 * n6)::DOUBLE / count(*)::DOUBLE
+             - (sum(n6)::DOUBLE / count(*)::DOUBLE)
+               * (sum(n6)::DOUBLE / count(*)::DOUBLE),
+           0.0)) / 1000000.0 AS sd
+  FROM q
 )
 SELECT vec_id, round(nrm, 6) AS norm,
        round(CASE WHEN sd = 0 THEN 0.0 ELSE (nrm - mu) / sd END, 6) AS z,
@@ -5946,7 +6002,7 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     rev = (
         o.groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"))
         .join(
             F.broadcast(c.select("c_custkey", "c_mktsegment")),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -5966,7 +6022,7 @@ def customer_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUARTILES_SQL = """
 WITH rev AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+  SELECT o_custkey, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
   FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey AS custkey, c_mktsegment, revenue,
@@ -6148,7 +6204,9 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LABEL_CENTROIDS_SQL = """
-SELECT label, i::INTEGER AS pos, round(avg(embedding[i + 1]), 6) AS value
+SELECT label, i::INTEGER AS pos,
+       round(sum(CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
+             / count(*)::DOUBLE / 1000000.0, 6) AS value
 FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
 GROUP BY label, i
 """
@@ -6208,13 +6266,13 @@ def order_segment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = SK.salted_join(orders, cust, key="o_custkey", n_salts=8, how="inner")
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4).alias("total_price"),
     )
 
 
 _ORDER_SEGMENT_SALTED_SQL = """
 SELECT c_mktsegment, count(*) AS n_orders,
-       round(sum(o_totalprice), 4) AS total_price
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total_price
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -6239,13 +6297,13 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 4).alias("rev"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 4).alias("rev"),
     )
 
 
 _BUCKETED_ROUNDTRIP_SQL = """
 SELECT o_orderpriority, count(*) AS n_items,
-       round(sum(l_extendedprice), 4) AS rev
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS rev
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """
@@ -6329,7 +6387,8 @@ def event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GAP_FILL_SQL = """
 WITH obs AS (
   SELECT user_id, date_trunc('hour', ts) AS b, count(*)::BIGINT AS n_events,
-         round(avg(value), 6) AS bucket_value
+         round(sum(CAST(round(value * 1000000) AS BIGINT))::DOUBLE
+               / count(*)::DOUBLE / 1000000.0, 6) AS bucket_value
   FROM events GROUP BY user_id, date_trunc('hour', ts)
 ), bounds AS (
   SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
@@ -6364,14 +6423,14 @@ def event_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.count("*").over(w).cast("long").alias("n_24h"),
-        F.round(F.sum("value").over(w), 6).alias("value_24h"),
+        F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w) / F.lit(100.0), 6).alias("value_24h"),
     )
 
 
 _ROLLING_SQL = """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        count(*) OVER w::BIGINT AS n_24h,
-       round(sum(value) OVER w, 6) AS value_24h
+       round((sum(CAST(round(value * 100) AS BIGINT)) OVER w)::DOUBLE / 100.0, 6) AS value_24h
 FROM events
 WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -6408,7 +6467,7 @@ WITH flagged AS (
 SELECT user_id, session_seq, count(*) AS n_events,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) AS session_end_us,
-       round(sum(value), 6) AS total_value
+       round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 6) AS total_value
 FROM sessioned GROUP BY user_id, session_seq
 """
 
@@ -6523,7 +6582,7 @@ def event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINDOW_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
+       count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 6) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -6558,7 +6617,7 @@ def streaming_window_counts_append(spark: SparkSession, sf_dir: str) -> DataFram
 
 _WINDOW_APPEND_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
+       count(*) AS n_events, round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 6) AS total_value
 FROM events
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
       <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
@@ -6627,7 +6686,7 @@ WITH dim(event_type, weight) AS (
 )
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, e.event_type,
        count(*) AS n_events,
-       round(sum(e.value * coalesce(d.weight, 1.0)), 6) AS weighted_value
+       round(sum(CAST(round(e.value * coalesce(d.weight, 1.0) * 1000000) AS BIGINT))::DOUBLE / 1000000.0, 6) AS weighted_value
 FROM events e LEFT JOIN dim d ON e.event_type = d.event_type
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
       <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
@@ -6679,7 +6738,7 @@ WITH flagged AS (
 SELECT epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        user_id, count(*) AS n_events,
-       round(sum(value), 6) AS total_value
+       round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 6) AS total_value
 FROM sessioned GROUP BY user_id, session_seq
 HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
 """
@@ -6723,7 +6782,7 @@ WITH flagged AS (
          epoch_us(max(ts)) + 1800000000 AS session_end_us,
          count(*) AS n_events,
          count(DISTINCT event_type) AS n_types,
-         round(sum(value), 6) AS total_value
+         round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 6) AS total_value
   FROM sessioned GROUP BY user_id, session_seq
 )
 SELECT session_start_us, session_end_us, user_id, n_events, n_types, total_value
@@ -6813,7 +6872,7 @@ WITH flagged AS (
 SELECT epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        user_id, count(*) AS n_events,
-       round(sum(value), 6) AS total_value
+       round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 6) AS total_value
 FROM sessioned GROUP BY user_id, session_seq
 """
 
@@ -6929,7 +6988,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).json(path)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0), 4).alias("total_value"),
         F.min("ts_us").alias("min_ts_us"),
         F.max("ts_us").alias("max_ts_us"),
     )
@@ -6937,7 +6996,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSONL_ROUNDTRIP_SQL = """
 SELECT event_type, count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS total_value,
+       round(sum(CAST(round(value * 100) AS BIGINT))::DOUBLE / 100.0, 4) AS total_value,
        min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
 FROM events GROUP BY event_type
 """
@@ -6964,7 +7023,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
         F.min(F.col("o_orderdate").cast("string")).alias("min_date"),
         F.max(F.col("o_orderdate").cast("string")).alias("max_date"),
     )
@@ -6973,7 +7032,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORC_ROUNDTRIP_SQL = """
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        count(DISTINCT o_custkey)::BIGINT AS n_customers,
-       round(sum(o_totalprice), 2) AS total_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
        min(o_orderdate)::VARCHAR AS min_date,
        max(o_orderdate)::VARCHAR AS max_date
 FROM orders GROUP BY o_orderstatus
@@ -7014,7 +7073,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
         F.min("o_orderdate_us").alias("min_date_us"),
         F.max("o_orderdate_us").alias("max_date_us"),
     )
@@ -7023,7 +7082,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_ROUNDTRIP_SQL = """
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
        count(DISTINCT o_custkey)::BIGINT AS n_customers,
-       round(sum(o_totalprice), 2) AS total_price,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
        min(epoch_us(o_orderdate)) AS min_date_us,
        max(epoch_us(o_orderdate)) AS max_date_us
 FROM orders GROUP BY o_orderstatus
@@ -8395,10 +8454,31 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_dim_stats(emb)
 
 
-_DIM_STATS_SQL = """
+def _sql_exact_mean_std(val: str) -> tuple[str, str]:
+    """(mean, std_samp) SQL expressions mirroring the exact-integer
+    per-dimension stats of operators/similarity.py:embedding_dim_stats
+    (r13 fold-order sweep): values quantize per-row to 1e-6 integer
+    units, Σv / Σv² are exact integer sums at any partitioning, and the
+    closing mean/variance arithmetic is the SAME op sequence as the
+    Spark side — m1 = Σv/n, mean = m1/1e6, var12 = (Σv² − m1·Σv)/(n−1),
+    std = √max(var12, 0)/1e6."""
+    v6 = f"CAST(round(({val}) * 1000000) AS BIGINT)"
+    m1 = f"(sum({v6})::DOUBLE / count(*)::DOUBLE)"
+    mean = f"round({m1} / 1000000.0, 6)"
+    std = (
+        f"CASE WHEN count(*) > 1 THEN round(sqrt(greatest("
+        f"(sum({v6} * {v6})::DOUBLE - {m1} * sum({v6})::DOUBLE)"
+        f" / (count(*) - 1)::DOUBLE, 0.0)) / 1000000.0, 6) END"
+    )
+    return mean, std
+
+
+_DS_MEAN, _DS_STD = _sql_exact_mean_std("embedding[i + 1]::DOUBLE")
+
+_DIM_STATS_SQL = f"""
 SELECT i::INTEGER AS pos,
-       round(avg(embedding[i + 1]::DOUBLE), 6) AS mean,
-       round(stddev_samp(embedding[i + 1]::DOUBLE), 6) AS std,
+       {_DS_MEAN} AS mean,
+       {_DS_STD} AS std,
        round(min(embedding[i + 1]::DOUBLE), 6) AS min_v,
        round(max(embedding[i + 1]::DOUBLE), 6) AS max_v
 FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
@@ -8424,8 +8504,8 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WHITEN_SQL = f"""
 WITH s AS (
   SELECT i AS pos,
-         round(avg(embedding[i + 1]::DOUBLE), 6) AS mean,
-         round(stddev_samp(embedding[i + 1]::DOUBLE), 6) AS std
+         {_DS_MEAN} AS mean,
+         {_DS_STD} AS std
   FROM embeddings CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS i)
   GROUP BY i
 ), arrs AS (
@@ -8455,8 +8535,8 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIFT_SQL = f"""
 WITH s AS (
   SELECT (vec_id % 2 = 0) AS is_base, i AS pos,
-         round(avg(embedding[i + 1]::DOUBLE), 6) AS mean,
-         round(stddev_samp(embedding[i + 1]::DOUBLE), 6) AS std
+         {_DS_MEAN} AS mean,
+         {_DS_STD} AS std
   FROM embeddings CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS i)
   GROUP BY 1, 2
 ), a AS (

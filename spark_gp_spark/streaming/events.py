@@ -51,7 +51,7 @@ def windowed_event_aggregation(events: DataFrame, window: str = "1 hour") -> Dat
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0), 6).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -312,7 +312,7 @@ def run_streaming_sessions_append(
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0), 6).alias("total_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -500,7 +500,7 @@ def run_streaming_static_enrich(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("weighted"), 6).alias("weighted_value"),
+            F.round(F.sum(F.round(F.col("weighted") * 1e6, 0).cast("long")) / F.lit(1e6), 6).alias("weighted_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "weighted_value")
     )
@@ -529,7 +529,7 @@ def streaming_sessionization(
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(F.round(F.col("value") * 100, 0).cast("long")) / F.lit(100.0), 6).alias("total_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),

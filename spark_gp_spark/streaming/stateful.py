@@ -47,9 +47,14 @@ SESSION_OUT_SCHEMA = (
     "n_events bigint, n_types bigint, total_value double"
 )
 # state: running session of one user.  Distinct event types ride along as a
-# \x1f-joined string (state rows must be flat Spark SQL types).
+# \x1f-joined string (state rows must be flat Spark SQL types).  The value
+# total accumulates in EXACT integer cents (events.value is 2-dp money by
+# construction; r13 fold-order sweep) so the emitted total_value is
+# independent of arrival batching and identical to the oracle's integer
+# cents sum — a float accumulator here would tie the 6-dp rounding to the
+# micro-batch split.
 SESSION_STATE_SCHEMA = (
-    "start_us bigint, last_us bigint, n bigint, total double, types string"
+    "start_us bigint, last_us bigint, n bigint, total_c bigint, types string"
 )
 
 _SEP = "\x1f"
@@ -79,7 +84,7 @@ def _session_state_func(gap_us: int):
         user_id = int(key[0])
         out: list[tuple] = []
 
-        def emit(start_us: int, last_us: int, n: int, total: float, types: set) -> None:
+        def emit(start_us: int, last_us: int, n: int, total_c: int, types: set) -> None:
             out.append(
                 (
                     int(start_us),
@@ -87,13 +92,13 @@ def _session_state_func(gap_us: int):
                     user_id,
                     int(n),
                     len(types),
-                    round(float(total), 6),
+                    round(int(total_c) / 100.0, 6),
                 )
             )
 
         if state.hasTimedOut:
-            start_us, last_us, n, total, types_s = state.get
-            emit(start_us, last_us, n, total, set(types_s.split(_SEP)))
+            start_us, last_us, n, total_c, types_s = state.get
+            emit(start_us, last_us, n, total_c, set(types_s.split(_SEP)))
             state.remove()
         else:
             pdf = pd.concat(list(pdf_iter), ignore_index=True)
@@ -102,7 +107,7 @@ def _session_state_func(gap_us: int):
             pdf = pdf.sort_values(["_ts_us", "event_id"])
 
             if state.exists:
-                start_us, last_us, n, total, types_s = state.get
+                start_us, last_us, n, total_c, types_s = state.get
                 types = set(types_s.split(_SEP))
             else:
                 start_us = None
@@ -111,17 +116,20 @@ def _session_state_func(gap_us: int):
                 pdf["_ts_us"], pdf["event_type"], pdf["value"]
             ):
                 if start_us is not None and ts_us - last_us > gap_us:
-                    emit(start_us, last_us, n, total, types)
+                    emit(start_us, last_us, n, total_c, types)
                     start_us = None
                 if start_us is None:
-                    start_us, last_us, n, total, types = ts_us, ts_us, 0, 0.0, set()
+                    start_us, last_us, n, total_c, types = ts_us, ts_us, 0, 0, set()
                 last_us = ts_us
                 n += 1
-                total += float(value)
+                # 2-dp money: v*100 is within an ulp of an integer, so the
+                # tie-rule difference between python round and the engines'
+                # half-away rounding can never bind
+                total_c += int(round(float(value) * 100))
                 types.add(str(etype))
 
             state.update(
-                (int(start_us), int(last_us), int(n), float(total), _SEP.join(sorted(types)))
+                (int(start_us), int(last_us), int(n), int(total_c), _SEP.join(sorted(types)))
             )
             # flush via event-time timeout once the watermark passes the gap
             state.setTimeoutTimestamp((int(last_us) + gap_us) // 1000)
