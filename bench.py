@@ -622,6 +622,26 @@ def main() -> None:
             staged_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
         spark.catalog.clearCache()
 
+    # Registered-window entries OUTSIDE the fixed headline suite (r13:
+    # the 23 newly registered verbs plus the 9 r12-registered ones that
+    # never graduated) — timed under their own key so every official-
+    # window entry has a current measurement WITHOUT moving the headline
+    # value or the timed-suite composition (cross-round comparability;
+    # same failure isolation as staged_times).
+    window_times: dict[str, float | None] = {}
+    window_errors: dict[str, str] = {}
+    for name in [n for n in list(QUERIES)[:50] if n not in bench_queries]:
+        try:
+            t0 = time.time()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            window_times[name] = round(time.time() - t0, 3)
+        except Exception as exc:
+            window_times[name] = None
+            window_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        spark.catalog.clearCache()
+
     # The GP fit runs in the SAME session as the query suite.  Round 1
     # isolated it in a fresh session to dodge an apparent ~10x per-job
     # slowdown; A/B measurement this round (both the round-1 snapshot and
@@ -864,6 +884,10 @@ def main() -> None:
         # from this payload alone (ADVICE r10).
         "staged_times": staged_times,
         "staged_errors": staged_errors,
+        # every official-window entry not in the fixed headline suite,
+        # timed this run (r13: the 23 newly registered + 9 r12 arrivals)
+        "window_times": window_times,
+        "window_errors": window_errors,
     }
     if fit_matrix is not None:
         result["fit_matrix"] = fit_matrix

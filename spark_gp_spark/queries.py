@@ -4964,7 +4964,7 @@ def asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     one — the forward picks are exactly the rows the one-sided backward
     as-of cannot express.  The no-view null branch never fires on this
     fixture (every purchase user has views) — it is unit-gated instead
-    (tests/test_asof.py nearest tests).  STAGED for the round-13
+    (tests/test_asof.py nearest tests).  Registered in the round-13
     window."""
     ev = load_table(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "purchase").select(
@@ -5039,7 +5039,7 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate paragraph — the r12 staging audit at sf0.01 measures 72
     documents sharing it (n_dup_paras = 1 with their base paragraph
     unique) against 428 clean documents; both branch classes fire.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -5087,7 +5087,7 @@ def source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a drifted source (FIXTURES.md F-planted): src7's lengths shift +400.
     r12 staging audit at sf0.01: 20 of 190 pairs reject — all 19 src7
     pairs plus one natural borderline pair — and 170 do not; both branch
-    classes fire.  STAGED for the round-13 window."""
+    classes fire.  Registered in the round-13 window."""
     from .operators.dq import source_ks_drift as _ks
 
     docs = load_table(spark, sf_dir, "documents").withColumn(
@@ -5142,7 +5142,7 @@ def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     class) cells carry nonzero counts (the plants are doc_id-keyed, so
     every language slice receives both classes) while ~85% of documents
     contribute zero hits — both the hit and no-hit regex branches fire.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -5174,7 +5174,7 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     one of the 5 languages with EXACT quotas (en: 175 = ceil(218·0.8)),
     while the hash split's per-language train share on the same corpus
     spans 75.0-83.6% — the fairness gap this verb exists to close.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     from .operators.prep import stratified_split as _ss
 
     return _ss(load_table(spark, sf_dir, "documents"))
@@ -5209,7 +5209,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FIXTURES.md F-planted, embeddings section): vectors with
     vec_id % 97 = 3 are scaled 4× — the r12 staging audit measures 6
     planted outliers flagged and 494 clean vectors unflagged at sf0.01;
-    both branch classes fire.  STAGED for the round-13 window."""
+    both branch classes fire.  Registered in the round-13 window."""
     from .operators.similarity import embedding_norm_outliers as _eno
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -5310,7 +5310,7 @@ def event_anomaly_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raw rows.  Non-vacuous at sf0.01 (r12 staging audit): the
     value column's heavy right tail flags 70–82 anomalies per type
     (rates 0.035–0.041) with ~96% of rows unflagged — both branch
-    classes fire with no plant needed.  STAGED for the round-13 window."""
+    classes fire with no plant needed.  Registered in the round-13 window."""
     from .operators.dq import robust_anomaly_screen
 
     ev = load_table(spark, sf_dir, "events")
@@ -5372,7 +5372,7 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation.n_regionkey -> -1 when n_nationkey % 7 = 3) while three edges
     stay clean — the r12 staging audit measures orphan rates spanning
     0.0 through 0.16 (4/25 nations) with both branch classes firing.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     from .operators.dq import referential_integrity_report as _rir
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -7600,7 +7600,7 @@ def heavy_hitter_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     production boilerplate screen lives in); the verify pruning fires at
     both.  The sketch compress branch cannot fire at bench scale
     (per-partition distinct < k) and is forced with tiny k in the
-    property gate instead.  STAGED for the round-13 window."""
+    property gate instead.  Registered in the round-13 window."""
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn(
         "text",
@@ -7645,7 +7645,7 @@ def event_volume_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     2024-01-15 (its events unioned twice) and an OUTAGE on 2024-01-22
     (odd event_ids dropped).  r12 staging audit at sf0.01: exactly the
     two planted days flag (+251.9 / −139.3 residuals) and the 28 clean
-    days pass.  STAGED for the round-13 window."""
+    days pass.  Registered in the round-13 window."""
     from .operators.dq import volume_trend_anomalies
 
     ev = load_table(spark, sf_dir, "events")
@@ -7720,7 +7720,7 @@ def user_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2, ~8.7%, reassigned to user 1): r12 staging audit reads gini
     0.156 / top1pct_share 0.1013 at sf0.01 (7.5× uniform) and 0.1534 /
     0.0992 at sf0.1 — the concentration signature the audit exists to
-    surface.  STAGED for the round-13 window."""
+    surface.  Registered in the round-13 window."""
     from .operators.dq import user_concentration_report as _ucr
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -7774,7 +7774,7 @@ def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     109 within 1%, 2932 within 25%, 11702 beyond — scale-stable shares,
     no plant needed).  Detail side collapses to (orderkey, sum) map-side
     BEFORE the join; scans prune to 4 + 3 columns.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     from .operators.dq import reconciliation_report as _rec
 
     orders = load_table(spark, sf_dir, "orders")
@@ -7842,7 +7842,7 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ≥ 0.004 margin to the threshold on the closest digit (d6/d7),
     stable because the shares are distribution properties, not counts.
     One pruned scan + 9-group aggregate + two broadcast attaches.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     from .operators.dq import benford_first_digit_report as _ben
 
     return _ben(load_table(spark, sf_dir, "orders"), "o_totalprice")
@@ -7888,7 +7888,7 @@ def lang_mislabel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the whole matrix is the staged single-tokenization projection plus
     one bounded groupBy — no doc_id join-back; the share window runs on
     the grouped |langs|×|preds| cells, never the corpus.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     return T.lang_mislabel_matrix(load_table(spark, sf_dir, "documents"))
 
 
@@ -8042,7 +8042,7 @@ def storage_layout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench-corpus calibration (production caps sit in the millions);
     both small_files classes fire naturally at every SF (sf0.01: the
     purchase/view remainders 61/62 flag, click/error/signup 86-97 pass).
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     from .sources.sinks import (
         storage_layout_report as _slr,
         write_layout_controlled,
@@ -8093,7 +8093,7 @@ def split_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-invariant, and 5-7 cells stay unflagged at every SF, so both
     branches fire deterministically (the hash is a pure function of
     doc_id — per-SF values are fixed, not sampled).
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     from .operators.hashing import h32
     from .operators.prep import split_balance_report as _sbr
 
@@ -8172,7 +8172,7 @@ def csv_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end.  All classes fire at every SF (~n/307, n/211, n/401
     rows; sf0.001's 1500 orders still land 4/7/3).  One derived write
     per process; the audit itself is one scan + bounded aggregate.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     o = load_table(spark, sf_dir, "orders")
     source = f"{sf_dir}/orders.parquet"
     path, fresh = _derived_copy_path("ingestq", source)
@@ -8268,7 +8268,7 @@ def jsonl_ingest_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORIGINAL parquet (it never reads the JSONL), so the hash match
     proves the writer + PERMISSIVE JSON reader contract end-to-end.
     All classes fire at every SF (~n/313, n/199, n/353, n/433).
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     o = load_table(spark, sf_dir, "orders")
     source = f"{sf_dir}/orders.parquet"
     path, fresh = _derived_copy_path("ingestjq", source)
@@ -8381,7 +8381,7 @@ def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     256 target), so both branches fire naturally.  The oracle restates
     truncation and padding in HEX space (DuckDB has no BLOB substring)
     over the same UTF-8 payload derivation attach_binary uses.
-    STAGED for the round-13 window."""
+    Registered in the round-13 window."""
     docs = load_table(spark, sf_dir, "documents")
     binary = M.attach_binary(docs)
     orig = binary.select(
@@ -8784,10 +8784,121 @@ _CLUSTER_EXEMPLARS_SQL = _sql_cluster_exemplars()
 # pytest golden/FD/RMSE-parity suites); the GPC capstone stage-span
 # telemetry (VERDICT r11 #2) is output-neutral and its entries are
 # rows-only.
+# ROUND-13 WINDOW (this ordering; executes the plan written at r12 —
+# VERDICT r12 next #1+#2, with the window arithmetic forced by the r13
+# fold-order sweep): the TWENTY-THREE r12-staged entries register at the
+# top — the dedup_survivor_bias/lang_mislabel/order_reconciliation
+# avg-of-double parity flake was fixed BEFORE registration (exact 1e-6
+# integer units, pinned by a 5-fold-order parity test) and the staged
+# replica re-verified 23/23.  Then the THIRTEEN remaining r9-green
+# entries (the full r9 class, named first-in-line at r12).  The sweep
+# changed 28 registered entries; old-vs-new output comparison at sf0.01
+# (md5 over sorted frames, run against the pre-sweep commit in a git
+# worktree) split them into 8 whose values MOVED (arbitrary-double means
+# now quantized — these re-window unconditionally; 4 of the 8 are in the
+# r9 block) and 20 PROVEN bit-identical (money/cents decimal
+# conversions).  Of the identical 20, seven re-window machinery-risk
+# first (stateful session state schema, streaming aggregates, the
+# flagship q1, the two oldest r10 revenue queries) and the remaining
+# TEN defer below the divider — legitimate because their standing
+# official rows still describe their exact current outputs.
+# 23 + 13 + 7 + 7 = 50 exactly.  After this round nothing in the
+# registry is older than r10-green, and the 10 deferred neutral-changed
+# entries are FIRST at r14.
 QUERIES = {
-    # --- REGISTERED IN ROUND 12: the nine r11-staged entries (oracles +
-    #     parity checks landed at r11; --staged replica was 9/9 green at
-    #     r11 close AND re-verified after the r12 minhash wrapper fix) ---
+    # --- REGISTERED IN ROUND 13: the twenty-three r12-staged entries
+    #     (oracles + hand-frame/property pytests landed at r12; --staged
+    #     replica 23/23 green at sf0.001/0.01/0.1, re-verified after the
+    #     r13 exactness fixes below) ---
+    "asof_nearest_view": asof_nearest_view,
+    "paragraph_dedup_stats": paragraph_dedup_stats,
+    "source_ks_drift": source_ks_drift,
+    "pii_scan_report": pii_scan_report,
+    "stratified_split": stratified_split,
+    "embedding_norm_outliers": embedding_norm_outliers,
+    "leakage_safe_split": leakage_safe_split,
+    "event_anomaly_screen": event_anomaly_screen,
+    "rule_cofail_matrix": rule_cofail_matrix,
+    "referential_integrity_report": referential_integrity_report,
+    "streaming_quality_gate": streaming_quality_gate,
+    "heavy_hitter_grams": heavy_hitter_grams,
+    "event_volume_trend": event_volume_trend,
+    "user_concentration_report": user_concentration_report,
+    "order_reconciliation_report": order_reconciliation_report,
+    "benford_screen": benford_screen,
+    "lang_mislabel_report": lang_mislabel_report,
+    "dedup_survivor_bias": dedup_survivor_bias,
+    "storage_layout_report": storage_layout_report,
+    "split_balance_report": split_balance_report,
+    "csv_ingest_quality": csv_ingest_quality,
+    "jsonl_ingest_quality": jsonl_ingest_quality,
+    "multimodal_resize_audit": multimodal_resize_audit,
+    # --- rotated in: the 13 remaining r9-green entries (the FULL
+    #     remaining r9 class, named first-in-line by the r12 ordering
+    #     comment — after this round nothing is older than r10-green).
+    #     Four of them (event_rolling_24h, session_stats,
+    #     event_window_agg, embedding_label_centroids) also changed in
+    #     the r13 fold-order sweep ---
+    "event_pair_interval_join": event_pair_interval_join,
+    "user_status_history": user_status_history,
+    "event_rolling_24h": event_rolling_24h,
+    "session_stats": session_stats,
+    "event_window_agg": event_window_agg,
+    "event_props_stats": event_props_stats,
+    "event_value_percentiles": event_value_percentiles,
+    "event_distinct_users": event_distinct_users,
+    "doc_repetition": doc_repetition,
+    "dup_ngram_fraction": dup_ngram_fraction,
+    "embedding_label_centroids": embedding_label_centroids,
+    "embedding_quantize": embedding_quantize,
+    "top_docs_per_lang": top_docs_per_lang,
+    # --- changed in round 13, outputs MOVED: the fold-order sweep
+    #     quantizes arbitrary-double means to exact 1e-6 integer units
+    #     (quality, logprob, log-ratio, embedding components, exact
+    #     integer moments for dim stats), which shifts 6th-decimal
+    #     values — verified DIFFERENT from the r12 outputs at sf0.01, so
+    #     these MUST re-window ---
+    "doc_logprob": doc_logprob,
+    "perplexity_buckets": perplexity_buckets,
+    "embedding_dim_stats": embedding_dim_stats,
+    "embedding_whiten": embedding_whiten,
+    "embedding_drift": embedding_drift,
+    "dsir_select": dsir_select,
+    "streaming_embedding_drift": streaming_embedding_drift,
+    # --- changed in round 13, outputs PROVEN IDENTICAL at sf0.01
+    #     (old-vs-new md5 over sorted frames — the money/cents decimal
+    #     conversions are value-neutral): re-windowed machinery-risk
+    #     first (the stateful session STATE SCHEMA moved to integer
+    #     cents; streaming aggregates; then the flagship and the two
+    #     oldest r10 revenue queries).  12 equally-neutral siblings
+    #     defer below the divider — their standing official rows remain
+    #     accurate because the outputs are bit-identical ---
+    "streaming_stateful_sessions": streaming_stateful_sessions,
+    "streaming_static_enrich": streaming_static_enrich,
+    "streaming_sessions": streaming_sessions,
+    "streaming_window_counts": streaming_window_counts,
+    "q1_pricing_summary": q1_pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "part_type_revenue": part_type_revenue,
+    # ------------------------------------------------------------------
+    # below this divider: entries outside the round-13 window.  FIRST at
+    # r14: the 10 deferred r13-changed entries (outputs proven
+    # bit-identical to their last official rows at sf0.01 — see the
+    # sweep commit; re-window them rule-literally next), then the r10
+    # cohort oldest-first as ordered here.
+    # ------------------------------------------------------------------
+    "customer_revenue_quartiles": customer_revenue_quartiles,
+    "order_segment_revenue_salted": order_segment_revenue_salted,
+    "bucketed_join_roundtrip": bucketed_join_roundtrip,
+    "jsonl_roundtrip": jsonl_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
+    "csv_roundtrip": csv_roundtrip,
+    "streaming_window_counts_append": streaming_window_counts_append,
+    "streaming_sessions_append": streaming_sessions_append,
+    "event_gap_fill": event_gap_fill,
+    "language_distribution": language_distribution,
+    # last official row r10 (oldest cohort after the r13 rotation —
+    # rotation order for r14 continues here):
     "ann_recall_report_auto": ann_recall_report_auto,
     "ngram_novelty": ngram_novelty,
     "dedup_cluster_size_histogram": dedup_cluster_size_histogram,
@@ -8795,25 +8906,13 @@ QUERIES = {
     "streaming_asof_enrich": streaming_asof_enrich,
     "minhash_estimate_report": minhash_estimate_report,
     "metadata_integrity_report": metadata_integrity_report,
-    "csv_roundtrip": csv_roundtrip,
     "event_value_quantiles": event_value_quantiles,
-    # --- planted de-vacuation twin, REPLACING `hard_negatives` (deleted:
-    #     same verb, fixture that provably fires the LSH exclusion at the
-    #     official sf0.01 scale — the r12 audit measured the original's
-    #     screen firing zero times there; r11 twin discipline) ---
     "hard_negatives_planted": hard_negatives_planted,
-    # --- changed in round 12: auto-ANN sizing gained an absolute nprobe
-    #     cap (128 / ADC 170) for the 100 TB scale story (ADVICE r11).
-    #     The cap binds only above N ~ 65k, so outputs at every test SF
-    #     are bit-identical — re-windowed rule-literally anyway ---
     "ivf_topk_auto": ivf_topk_auto,
     "ivfadc_topk_auto": ivfadc_topk_auto,
     "pq_topk_auto": pq_topk_auto,
     "opq_topk_auto": opq_topk_auto,
-    # --- rotated in: the 12 documented r8 leftovers (the FULL remaining
-    #     r8 class — after this round nothing is older than r9-green) ---
     "lsh_topk_multiprobe": lsh_topk_multiprobe,
-    "embedding_drift": embedding_drift,
     "event_zorder_key": event_zorder_key,
     "orders_dq_report": orders_dq_report,
     "orders_profile": orders_profile,
@@ -8824,11 +8923,6 @@ QUERIES = {
     "token_budget": token_budget,
     "doc_chunks": doc_chunks,
     "event_group_sample": event_group_sample,
-    # --- rotated in: the 25 oldest r9-green entries, machinery-risk
-    #     first (incremental dedup state, trainer-backed selection,
-    #     signature families, as-of joins); the 12 r9 entries left below
-    #     the divider are pure-declarative window/agg column expressions
-    #     on frozen fixtures — first in line at r13 ---
     "neardup_incremental": neardup_incremental,
     "token_pmi_pairs": token_pmi_pairs,
     "contamination_check": contamination_check,
@@ -8836,7 +8930,6 @@ QUERIES = {
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "split_assign": split_assign,
     "pack_batches": pack_batches,
-    "event_gap_fill": event_gap_fill,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
@@ -8853,26 +8946,6 @@ QUERIES = {
     "asof_purchases_views": asof_purchases_views,
     "asof_purchases_views_tolerance": asof_purchases_views_tolerance,
     "asof_next_view": asof_next_view,
-    # ------------------------------------------------------------------
-    # below this divider: entries whose last official row is r9/r10/r11,
-    # oldest first (the 13 remaining r9 entries lead — first at r13;
-    # event_pair_interval_join yielded its window slot to the planted
-    # hard-negatives twin).
-    # ------------------------------------------------------------------
-    "event_pair_interval_join": event_pair_interval_join,
-    "user_status_history": user_status_history,
-    "event_rolling_24h": event_rolling_24h,
-    "session_stats": session_stats,
-    "event_window_agg": event_window_agg,
-    "event_props_stats": event_props_stats,
-    "event_value_percentiles": event_value_percentiles,
-    "event_distinct_users": event_distinct_users,
-    "doc_repetition": doc_repetition,
-    "dup_ngram_fraction": dup_ngram_fraction,
-    "embedding_label_centroids": embedding_label_centroids,
-    "embedding_quantize": embedding_quantize,
-    "top_docs_per_lang": top_docs_per_lang,
-    # last official row r10:
     "containment_screen": containment_screen,
     "editdist_screen": editdist_screen,
     "corpus_diff": corpus_diff,
@@ -8892,40 +8965,27 @@ QUERIES = {
     "opq_topk": opq_topk,
     "gopher_quality_rules": gopher_quality_rules,
     "quality_rule_rates": quality_rule_rates,
-    "embedding_whiten": embedding_whiten,
     "jl_project": jl_project,
     "temperature_mix": temperature_mix,
-    "embedding_dim_stats": embedding_dim_stats,
     "cosine_topk": cosine_topk,
     "dedup_span_clean": dedup_span_clean,
     "repetition_clean": repetition_clean,
     "shard_export_manifest": shard_export_manifest,
-    "doc_logprob": doc_logprob,
     "streaming_shard_export": streaming_shard_export,
     "pack_sequences": pack_sequences,
     "token_budget_fill": token_budget_fill,
-    "dsir_select": dsir_select,
-    "q1_pricing_summary": q1_pricing_summary,
-    "revenue_by_nation": revenue_by_nation,
-    "part_type_revenue": part_type_revenue,
     "revenue_rollup": revenue_rollup,
     "returnflag_status_cube": returnflag_status_cube,
-    "language_distribution": language_distribution,
     "user_retention_cohorts": user_retention_cohorts,
     "session_funnel": session_funnel,
     "event_value_histogram": event_value_histogram,
-    "customer_revenue_quartiles": customer_revenue_quartiles,
     "event_distinct_users_salted": event_distinct_users_salted,
-    "order_segment_revenue_salted": order_segment_revenue_salted,
-    "bucketed_join_roundtrip": bucketed_join_roundtrip,
-    # last official row r11:
     "vocab_coverage_report": vocab_coverage_report,
     "streaming_ingest_dedup": streaming_ingest_dedup,
     "multimodal_media_dedup": multimodal_media_dedup,
     "exact_dedup_planted": exact_dedup_planted,
     "dedup_keep_first_planted": dedup_keep_first_planted,
     "redact_pii_planted": redact_pii_planted,
-    "perplexity_buckets": perplexity_buckets,
     "ann_recall_report": ann_recall_report,
     "neardup_threshold_sweep": neardup_threshold_sweep,
     "bpe_merge_candidates": bpe_merge_candidates,
@@ -8935,8 +8995,6 @@ QUERIES = {
     "vocab_growth_curve": vocab_growth_curve,
     "streaming_vocab_drift": streaming_vocab_drift,
     "streaming_neardup_join_bounded": streaming_neardup_join_bounded,
-    "streaming_embedding_drift": streaming_embedding_drift,
-    "streaming_window_counts_append": streaming_window_counts_append,
     "corpus_prep_pipeline_v2": corpus_prep_pipeline_v2,
     "ivf_topk": ivf_topk,
     "pq_encode": pq_encode,
@@ -8949,18 +9007,11 @@ QUERIES = {
     "semdedup_keep": semdedup_keep,
     "cluster_balance_sample": cluster_balance_sample,
     "cluster_exemplars": cluster_exemplars,
-    "jsonl_roundtrip": jsonl_roundtrip,
-    "orc_roundtrip": orc_roundtrip,
     "streaming_token_budget": streaming_token_budget,
     "corpus_prep_pipeline": corpus_prep_pipeline,
     "orders_upsert_merge": orders_upsert_merge,
-    "streaming_window_counts": streaming_window_counts,
     "streaming_dedup": streaming_dedup,
     "streaming_interval_join": streaming_interval_join,
-    "streaming_static_enrich": streaming_static_enrich,
-    "streaming_sessions": streaming_sessions,
-    "streaming_sessions_append": streaming_sessions_append,
-    "streaming_stateful_sessions": streaming_stateful_sessions,
     "streaming_upsert": streaming_upsert,
     "multimodal_binary_stats": multimodal_binary_stats,
     "multimodal_decode_features": multimodal_decode_features,
@@ -8970,6 +9021,30 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # --- registered in round 13 (oracles staged at r12) ---
+    "asof_nearest_view": _ASOF_NEAREST_SQL,
+    "paragraph_dedup_stats": _PARAGRAPH_DEDUP_SQL,
+    "source_ks_drift": _SOURCE_KS_SQL,
+    "pii_scan_report": _PII_SCAN_SQL,
+    "stratified_split": _STRATIFIED_SPLIT_SQL,
+    "embedding_norm_outliers": _NORM_OUTLIERS_SQL,
+    "leakage_safe_split": _LEAKAGE_SAFE_SPLIT_SQL,
+    "event_anomaly_screen": _EVENT_ANOMALY_SQL,
+    "rule_cofail_matrix": _RULE_COFAIL_SQL,
+    "referential_integrity_report": _REF_INTEGRITY_SQL,
+    "streaming_quality_gate": _STREAM_QUALITY_GATE_SQL,
+    "heavy_hitter_grams": _HEAVY_HITTER_SQL,
+    "event_volume_trend": _EVENT_VOLUME_TREND_SQL,
+    "user_concentration_report": _USER_CONCENTRATION_SQL,
+    "order_reconciliation_report": _ORDER_RECONCILIATION_SQL,
+    "benford_screen": _BENFORD_SQL,
+    "lang_mislabel_report": _LANG_MISLABEL_SQL,
+    "dedup_survivor_bias": _DEDUP_SURVIVOR_SQL,
+    "storage_layout_report": _STORAGE_LAYOUT_SQL,
+    "split_balance_report": _SPLIT_BALANCE_SQL,
+    "csv_ingest_quality": _CSV_INGEST_QUALITY_SQL,
+    "jsonl_ingest_quality": _JSONL_INGEST_QUALITY_SQL,
+    "multimodal_resize_audit": _MM_RESIZE_SQL,
     # --- round-12 registrations (the nine r11-staged entries) ---
     # rows-only fallback when the import-time testdata is unavailable
     # (ADVICE r10: never insert a None oracle)
@@ -9172,40 +9247,9 @@ ORACLE_SQL = {
 #: r10-rotations.  Update test_util.py::test_staged_inventory_is_consistent
 #: in the SAME commit as the rotation.
 STAGED_QUERIES: dict = {
-    "asof_nearest_view": (asof_nearest_view, _ASOF_NEAREST_SQL),
-    "paragraph_dedup_stats": (paragraph_dedup_stats, _PARAGRAPH_DEDUP_SQL),
-    "source_ks_drift": (source_ks_drift, _SOURCE_KS_SQL),
-    "pii_scan_report": (pii_scan_report, _PII_SCAN_SQL),
-    "stratified_split": (stratified_split, _STRATIFIED_SPLIT_SQL),
-    "embedding_norm_outliers": (
-        embedding_norm_outliers,
-        _NORM_OUTLIERS_SQL,
-    ),
-    "leakage_safe_split": (leakage_safe_split, _LEAKAGE_SAFE_SPLIT_SQL),
-    "event_anomaly_screen": (event_anomaly_screen, _EVENT_ANOMALY_SQL),
-    "rule_cofail_matrix": (rule_cofail_matrix, _RULE_COFAIL_SQL),
-    "referential_integrity_report": (
-        referential_integrity_report,
-        _REF_INTEGRITY_SQL,
-    ),
-    "streaming_quality_gate": (streaming_quality_gate, _STREAM_QUALITY_GATE_SQL),
-    "heavy_hitter_grams": (heavy_hitter_grams, _HEAVY_HITTER_SQL),
-    "event_volume_trend": (event_volume_trend, _EVENT_VOLUME_TREND_SQL),
-    "user_concentration_report": (
-        user_concentration_report,
-        _USER_CONCENTRATION_SQL,
-    ),
-    "order_reconciliation_report": (
-        order_reconciliation_report,
-        _ORDER_RECONCILIATION_SQL,
-    ),
-    "benford_screen": (benford_screen, _BENFORD_SQL),
-    "lang_mislabel_report": (lang_mislabel_report, _LANG_MISLABEL_SQL),
-    "dedup_survivor_bias": (dedup_survivor_bias, _DEDUP_SURVIVOR_SQL),
-    "storage_layout_report": (storage_layout_report, _STORAGE_LAYOUT_SQL),
-    "split_balance_report": (split_balance_report, _SPLIT_BALANCE_SQL),
-    "csv_ingest_quality": (csv_ingest_quality, _CSV_INGEST_QUALITY_SQL),
-    "jsonl_ingest_quality": (jsonl_ingest_quality, _JSONL_INGEST_QUALITY_SQL),
-    "multimodal_resize_audit": (multimodal_resize_audit, _MM_RESIZE_SQL),
+    # (empty at the r13 rotation: all twenty-three r12-staged entries
+    # registered at the top of the ROUND-13 window above.  Entries
+    # staged during r13 for the r14 window are added here with their
+    # oracles as they land.)
 }
 

@@ -14,6 +14,17 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
+
+def _verb(name):
+    """(fn, oracle) lookup that survives rotation: entries move from
+    STAGED_QUERIES into the live registry when their round's window
+    opens, and these shape/parity locks must keep running either way."""
+    from spark_gp_spark.queries import ORACLE_SQL, QUERIES, STAGED_QUERIES
+
+    if name in STAGED_QUERIES:
+        return STAGED_QUERIES[name]
+    return QUERIES[name], ORACLE_SQL.get(name)
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -679,13 +690,12 @@ def test_staged_r13_verbs_single_scan_thin_shuffles(spark):
     after the thin persisted relation materializes, the executed plan has
     ZERO parquet scans (everything reads the cache) and no Exchange output
     carries a payload column (para/text/embedding)."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
     for name in (
         "paragraph_dedup_stats", "embedding_norm_outliers", "source_ks_drift",
     ):
-        fn, _sql = STAGED_QUERIES[name]
+        fn, _sql = _verb(name)
         nodes = _staged_plan_nodes(fn(spark, SF))
         scans = [n for n in nodes if "FileSourceScan" in n.nodeName()]
         assert not scans, (name, [n.nodeName() for n in scans])
@@ -698,10 +708,9 @@ def test_stratified_split_one_shuffle_and_pii_scan_no_join(spark):
     beyond the loader's widening repartition, and no join appears (quota
     assignment must not become a count-relation join).  pii_scan_report:
     pure scan -> project -> stack -> one aggregate, no join at all."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
-    nodes = _staged_plan_nodes(STAGED_QUERIES["stratified_split"][0](spark, SF))
+    nodes = _staged_plan_nodes(_verb("stratified_split")[0](spark, SF))
     assert not [n for n in nodes if "Join" in n.nodeName()]
     hash_exch = [
         n for n in nodes
@@ -709,7 +718,7 @@ def test_stratified_split_one_shuffle_and_pii_scan_no_join(spark):
     ]
     assert len(hash_exch) == 1, [n.nodeName() for n in hash_exch]
 
-    nodes = _staged_plan_nodes(STAGED_QUERIES["pii_scan_report"][0](spark, SF))
+    nodes = _staged_plan_nodes(_verb("pii_scan_report")[0](spark, SF))
     assert not [n for n in nodes if "Join" in n.nodeName()]
 
 
@@ -728,17 +737,16 @@ def test_staged_r13_second_wave_plan_shapes(spark):
       payload through a join), and no cartesian appears.
     - leakage_safe_split: no payload column in any exchange (the split is
       a projection over the CC relation)."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["event_anomaly_screen"][0](spark, SF)
+        _verb("event_anomaly_screen")[0](spark, SF)
     )
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert not scans, [n.nodeName() for n in scans]
     assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)
 
-    nodes = _staged_plan_nodes(STAGED_QUERIES["rule_cofail_matrix"][0](spark, SF))
+    nodes = _staged_plan_nodes(_verb("rule_cofail_matrix")[0](spark, SF))
     assert not [n for n in nodes if "Join" in n.nodeName()]
     singles = [
         n for n in nodes
@@ -750,7 +758,7 @@ def test_staged_r13_second_wave_plan_shapes(spark):
     assert "text" not in cols and len(cols) <= 30
 
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["referential_integrity_report"][0](spark, SF)
+        _verb("referential_integrity_report")[0](spark, SF)
     )
     assert not [n for n in nodes if "Cartesian" in n.nodeName()]
     for n in nodes:
@@ -758,7 +766,7 @@ def test_staged_r13_second_wave_plan_shapes(spark):
             schema = n.toString().split("ReadSchema:")[-1]
             assert schema.count(":") <= 2, schema[:120]
 
-    nodes = _staged_plan_nodes(STAGED_QUERIES["leakage_safe_split"][0](spark, SF))
+    nodes = _staged_plan_nodes(_verb("leakage_safe_split")[0](spark, SF))
     assert _exchange_payload_cols(nodes) == []
 
 
@@ -768,10 +776,9 @@ def test_event_volume_trend_reads_only_days_cache(spark):
     the persisted days relation materializes, the executed plan has ZERO
     parquet scans — median, MAD, and the final projection all read the
     calendar-bounded cache."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
-    nodes = _staged_plan_nodes(STAGED_QUERIES["event_volume_trend"][0](spark, SF))
+    nodes = _staged_plan_nodes(_verb("event_volume_trend")[0](spark, SF))
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert not scans, [n.nodeName() for n in scans]
     assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)
@@ -784,11 +791,10 @@ def test_user_concentration_reads_only_counts_cache(spark):
     uncached).  Lock: zero parquet scans after the cache materializes,
     and the only single-partition exchanges are the buckets-row offsets
     aggregate and the one-row report."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["user_concentration_report"][0](spark, SF)
+        _verb("user_concentration_report")[0](spark, SF)
     )
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert not scans, [n.nodeName() for n in scans]
@@ -816,11 +822,10 @@ def test_staged_r13_third_wave_plan_shapes(spark):
     - dedup_survivor_bias: no cartesian; no KEYED exchange carries text.
       (Both text verbs: document text may ride only the loader's widening
       round-robin repartition — every hash exchange is post-projection.)"""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["order_reconciliation_report"][0](spark, SF)
+        _verb("order_reconciliation_report")[0](spark, SF)
     )
     assert not [n for n in nodes if "Cartesian" in n.nodeName()]
     for n in nodes:
@@ -833,7 +838,7 @@ def test_staged_r13_third_wave_plan_shapes(spark):
                if "HashAggregate" in n.nodeName())
 
     spark.catalog.clearCache()
-    nodes = _staged_plan_nodes(STAGED_QUERIES["benford_screen"][0](spark, SF))
+    nodes = _staged_plan_nodes(_verb("benford_screen")[0](spark, SF))
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert len(scans) <= 1, [n.nodeName() for n in scans]
     for n in scans:
@@ -843,7 +848,7 @@ def test_staged_r13_third_wave_plan_shapes(spark):
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["lang_mislabel_report"][0](spark, SF)
+        _verb("lang_mislabel_report")[0](spark, SF)
     )
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert len(scans) == 1, [n.nodeName() for n in scans]
@@ -859,7 +864,7 @@ def test_staged_r13_third_wave_plan_shapes(spark):
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["dedup_survivor_bias"][0](spark, SF)
+        _verb("dedup_survivor_bias")[0](spark, SF)
     )
     assert not [n for n in nodes if "Cartesian" in n.nodeName()]
     for n in nodes:
@@ -874,11 +879,10 @@ def test_storage_layout_report_scan_pruned_to_partition_and_metadata(spark):
     partition column plus the hidden _metadata struct — the payload
     column (event_id) must NOT survive column pruning, or the audit would
     re-read the whole dataset it is only supposed to list."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["storage_layout_report"][0](spark, SF)
+        _verb("storage_layout_report")[0](spark, SF)
     )
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert scans
@@ -895,11 +899,10 @@ def test_split_balance_report_reads_only_cells_cache(spark):
     — spine, shares, and flags all read the bounded cache — and no
     CartesianProduct appears (the spine cross is a broadcast nested loop
     over the bounded distinct sides)."""
-    from spark_gp_spark.queries import STAGED_QUERIES
 
     spark.catalog.clearCache()
     nodes = _staged_plan_nodes(
-        STAGED_QUERIES["split_balance_report"][0](spark, SF)
+        _verb("split_balance_report")[0](spark, SF)
     )
     scans = [n for n in nodes if n.nodeName().startswith("Scan parquet")]
     assert not scans, [n.nodeName() for n in scans]

@@ -118,14 +118,20 @@ def test_pii_scan_report_counts_docs_and_hits(spark):
 
 
 def test_staged_r12_verbs_duckdb_parity(spark):
-    """The exact side-by-side the r13 driver window will run, at sf0.001."""
-    from spark_gp_spark.queries import STAGED_QUERIES
+    """The exact side-by-side the r13 driver window runs, at sf0.001 —
+    the 23 r12-staged verbs (REGISTERED at the r13 rotation; this gate
+    keeps running against the live registry) plus anything newly staged
+    in STAGED_QUERIES."""
+    from spark_gp_spark.queries import ORACLE_SQL, QUERIES, STAGED_QUERIES
 
+    registered_r13 = list(QUERIES)[:23]
     con = _con(
         SF, "documents", "events", "embeddings", "lineitem", "orders",
         "customer", "supplier", "part", "nation", "region",
     )
-    for name, (fn, sql) in STAGED_QUERIES.items():
+    verbs = {n: (QUERIES[n], ORACLE_SQL[n]) for n in registered_r13}
+    verbs.update(STAGED_QUERIES)
+    for name, (fn, sql) in verbs.items():
         got = fn(spark, SF).toPandas()
         want = con.execute(sql).fetchdf()
         _assert_parity(got, want)

@@ -341,8 +341,6 @@ def test_avg_exactness_fixed_verbs_parity_pinned(spark):
     fold orders via spark.sql.shuffle.partitions {1, 2, 7, 17, 32}; a
     regression to double sums flaps on a boundary cell and fails here
     rather than in a 1-in-3 multi-file run."""
-    from spark_gp_spark.queries import STAGED_QUERIES
-
     sf = "/root/testdata/sf0.001"
     con = _mk_con(sf)
     verbs = [
@@ -351,7 +349,7 @@ def test_avg_exactness_fixed_verbs_parity_pinned(spark):
         "order_reconciliation_report",
     ]
     oracle = {
-        name: con.execute(STAGED_QUERIES[name][1]).fetchdf()
+        name: con.execute(_wverb(name)[1]).fetchdf()
         for name in verbs
     }
     before = spark.conf.get("spark.sql.shuffle.partitions")
@@ -359,7 +357,7 @@ def test_avg_exactness_fixed_verbs_parity_pinned(spark):
         for parts in ("1", "2", "7", "17", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             for name in verbs:
-                got = STAGED_QUERIES[name][0](spark, sf).toPandas()
+                got = _wverb(name)[0](spark, sf).toPandas()
                 _pin_parity(got, oracle[name], (name, parts))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
@@ -386,3 +384,11 @@ def _pin_parity(got, want, ctx):
     assert len(g) == len(w) and len(g) > 0, ctx
     for c in cols:
         assert (g[c].values == w[c].values).all(), (ctx, c)
+
+
+def _wverb(name):
+    from spark_gp_spark.queries import ORACLE_SQL, QUERIES, STAGED_QUERIES
+
+    if name in STAGED_QUERIES:
+        return STAGED_QUERIES[name]
+    return QUERIES[name], ORACLE_SQL.get(name)

@@ -179,11 +179,10 @@ def test_bench_compact_line_ladder():
 def test_staged_inventory_is_consistent():
     """STAGED_QUERIES is the single source of truth for what the next
     round registers: disjoint from the live registry, every entry a
-    (callable, NON-None oracle SQL) pair (ADVICE r10).  Also pins the r11
-    rotation outcome: the fifteen r10-staged entries are registered with
-    oracles, and the three vacuous originals are GONE from the registry
-    (replaced by their planted twins — same verbs, de-vacuated
-    fixtures)."""
+    (callable, NON-None oracle SQL) pair (ADVICE r10).  Also pins the
+    r13 rotation outcome: the twenty-three r12-staged entries are
+    registered at the top of the window with oracles, the full r9 class
+    rotated through, and the 8 sweep-value-changed entries re-windowed."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -193,39 +192,54 @@ def test_staged_inventory_is_consistent():
     for name, (fn, sql) in STAGED_QUERIES.items():
         assert callable(fn), name
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
-    # r12 rotation outcome: the nine r11-staged entries sit in the window
-    # with oracles (the auto-recall oracle is import-environment-dependent
-    # — None without testdata — everything else must carry SQL), and the
-    # r11 registrations this test previously pinned remain REGISTERED
-    # (below the divider now: rotated out on age, not removed).
-    registered_r12 = [
-        "ann_recall_report_auto", "ngram_novelty",
-        "dedup_cluster_size_histogram", "price_exact_quantiles",
-        "streaming_asof_enrich", "minhash_estimate_report",
-        "metadata_integrity_report", "csv_roundtrip",
-        "event_value_quantiles", "hard_negatives_planted",
-    ]
     window = list(QUERIES)[:50]
-    for name in registered_r12:
-        assert name in window, name
-        if name != "ann_recall_report_auto":
-            assert isinstance(ORACLE_SQL.get(name), str), name
-    still_registered_r11 = [
-        "vocab_coverage_report", "exact_dedup_planted", "redact_pii_planted",
-        "ann_recall_report", "streaming_neardup_join_bounded",
+    # r13 rotation outcome: the 23 r12-staged entries lead the window,
+    # each oracle-backed
+    registered_r13 = [
+        "asof_nearest_view", "paragraph_dedup_stats", "source_ks_drift",
+        "pii_scan_report", "stratified_split", "embedding_norm_outliers",
+        "leakage_safe_split", "event_anomaly_screen", "rule_cofail_matrix",
+        "referential_integrity_report", "streaming_quality_gate",
+        "heavy_hitter_grams", "event_volume_trend",
+        "user_concentration_report", "order_reconciliation_report",
+        "benford_screen", "lang_mislabel_report", "dedup_survivor_bias",
+        "storage_layout_report", "split_balance_report",
+        "csv_ingest_quality", "jsonl_ingest_quality",
+        "multimodal_resize_audit",
     ]
-    for name in still_registered_r11:
+    assert window[:23] == registered_r13
+    for name in registered_r13:
+        assert isinstance(ORACLE_SQL.get(name), str), name
+    # the full r9 class rotated in — nothing in the registry is older
+    # than r10-green after r13
+    r9_class = [
+        "event_pair_interval_join", "user_status_history",
+        "event_rolling_24h", "session_stats", "event_window_agg",
+        "event_props_stats", "event_value_percentiles",
+        "event_distinct_users", "doc_repetition", "dup_ngram_fraction",
+        "embedding_label_centroids", "embedding_quantize",
+        "top_docs_per_lang",
+    ]
+    for name in r9_class:
+        assert name in window, name
+    # the 8 entries whose outputs MOVED in the r13 fold-order sweep
+    # (arbitrary-double means quantized to exact integer units) carry a
+    # fresh official row
+    value_changed = [
+        "doc_logprob", "perplexity_buckets", "embedding_dim_stats",
+        "embedding_whiten", "embedding_drift", "dsir_select",
+        "streaming_embedding_drift", "embedding_label_centroids",
+    ]
+    for name in value_changed:
+        assert name in window, name
+    # earlier rounds' registrations remain REGISTERED (rotated below the
+    # divider on age, never removed)
+    for name in ("ann_recall_report_auto", "hard_negatives_planted",
+                 "vocab_coverage_report", "exact_dedup_planted",
+                 "redact_pii_planted", "ann_recall_report",
+                 "streaming_neardup_join_bounded", "lsh_topk_multiprobe",
+                 "event_zorder_key", "orders_dq_report"):
         assert name in QUERIES, name
-    # the window holds no entry older than r9-green: the whole r8 class
-    # rotated through at r12 and must appear in the first 50
-    r8_class = [
-        "lsh_topk_multiprobe", "embedding_drift", "event_zorder_key",
-        "orders_dq_report", "orders_profile", "viewers_without_purchase",
-        "event_type_pivot", "doc_fingerprints", "tfidf_top_terms",
-        "token_budget", "doc_chunks", "event_group_sample",
-    ]
-    for name in r8_class:
-        assert name in window, name
     # vacuous originals replaced by planted twins stay gone
     for gone in ("exact_dedup", "dedup_keep_first", "redact_pii",
                  "hard_negatives"):
