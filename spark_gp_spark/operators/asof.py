@@ -304,11 +304,15 @@ def gap_fill(
             # quantizes per-row to 1e-6 units, the per-bucket sum is
             # exact at any partitioning, one double division on
             # identical integers in both engines
-            F.round(
-                F.sum(F.round(F.col(value) * 1e6, 0).cast("long"))
-                / F.count("*")
-                / F.lit(1e6),
-                6,
+            # scale-0 close on the exact integer quotient (the sum/count
+            # can land exactly on half a micro-unit; see text.doc_logprob)
+            (
+                F.round(
+                    F.sum(F.round(F.col(value) * 1e6, 0).cast("long"))
+                    / F.count("*"),
+                    0,
+                )
+                / F.lit(1e6)
             ).alias("bucket_value"),
         )
     )

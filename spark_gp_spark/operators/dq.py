@@ -850,11 +850,15 @@ def reconciliation_report(
             F.sum((~missing & (rel > loose)).cast("long"))
             .cast("long")
             .alias("n_beyond"),
-            F.round(
-                F.sum(F.round(rel * 1e6, 0).cast("long"))
-                / F.sum((~missing).cast("long"))
-                / F.lit(1e6),
-                6,
+            # scale-0 close on the exact integer quotient (the sum/count
+            # can land exactly on half a micro-unit; see text.doc_logprob)
+            (
+                F.round(
+                    F.sum(F.round(rel * 1e6, 0).cast("long"))
+                    / F.sum((~missing).cast("long")),
+                    0,
+                )
+                / F.lit(1e6)
             ).alias("avg_rel_delta"),
             F.round(F.max(rel), 6).alias("max_rel_delta"),
         )

@@ -429,7 +429,9 @@ def label_centroids(
     )
     v6 = F.round(F.col("_v") * 1e6, 0).cast("long")
     return ex.groupBy(label_col, "pos").agg(
-        F.round(F.sum(v6) / F.count("*") / F.lit(1e6), 6).alias("value")
+        # scale-0 close on the exact integer quotient (the sum/count can
+        # land exactly on half a micro-unit; see text.doc_logprob)
+        (F.round(F.sum(v6) / F.count("*"), 0) / F.lit(1e6)).alias("value")
     )
 
 
@@ -473,12 +475,14 @@ def embedding_dim_stats(
     m1 = s / n  # mean in 1e-6 units, one double division on exact ints
     var12 = (ss.cast("double") - m1 * s.cast("double")) / (n - 1)
     return ex.groupBy("pos").agg(
-        F.round(m1 / F.lit(1e6), 6).alias("mean"),
+        # scale-0 close on micro-unit quantities, /1e6 after: m1 is an
+        # integer quotient that can land exactly on half a micro-unit
+        # (see text.doc_logprob); std gets the same shape so both
+        # engines round the identical pre-division double
+        (F.round(m1, 0) / F.lit(1e6)).alias("mean"),
         F.when(
             n > 1,
-            F.round(
-                F.sqrt(F.greatest(var12, F.lit(0.0))) / F.lit(1e6), 6
-            ),
+            F.round(F.sqrt(F.greatest(var12, F.lit(0.0))), 0) / F.lit(1e6),
         ).alias("std"),
         F.round(F.min("_v"), 6).alias("min_v"),
         F.round(F.max("_v"), 6).alias("max_v"),

@@ -723,20 +723,29 @@ def doc_logprob(
             # engines); it quantizes to 1e-6 units so the per-doc sum is
             # exact at any partitioning, then one double division on
             # identical integers
-            F.round(
-                F.sum(
-                    F.round(
-                        F.log(
-                            (F.col("cnt") + F.lit(float(alpha)))
-                            / (F.col("n_total") + F.lit(float(alpha) * buckets))
-                        )
-                        * 1e6,
-                        0,
-                    ).cast("long")
+            # close at SCALE 0 (micro-units), divide by 1e6 after: the
+            # integer quotient sum/count can land EXACTLY on half a
+            # micro-unit (doc 461 at sf0.001: sum/14 = ...5.5), where the
+            # subsequent /1e6 is inexact and Spark's decimal HALF_UP
+            # rounds the reconstructed tie up while DuckDB's
+            # float-multiply round sees the sub-tie double — scale-0
+            # rounding happens on the identical exact double in both
+            (
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.log(
+                                (F.col("cnt") + F.lit(float(alpha)))
+                                / (F.col("n_total") + F.lit(float(alpha) * buckets))
+                            )
+                            * 1e6,
+                            0,
+                        ).cast("long")
+                    )
+                    / F.count("*"),
+                    0,
                 )
-                / F.count("*")
-                / F.lit(1e6),
-                6,
+                / F.lit(1e6)
             ).alias("avg_logprob"),
         )
     )
@@ -1443,9 +1452,10 @@ def lang_mislabel_matrix(
         .groupBy(F.col(lang_col).alias("lang"), "lang_pred")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
-            F.round(
-                F.sum(q6) / F.count("*") / F.lit(1e6), 6
-            ).alias("avg_quality"),
+            # scale-0 close on the exact integer quotient (see doc_logprob)
+            (F.round(F.sum(q6) / F.count("*"), 0) / F.lit(1e6)).alias(
+                "avg_quality"
+            ),
         )
     )
     per_lang = Window.partitionBy("lang")

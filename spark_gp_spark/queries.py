@@ -340,12 +340,20 @@ def language_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             # exact-integer mean (r13 fold-order sweep): quality
             # quantizes per-row to 1e-6 units, the sum is exact at any
-            # partitioning, one double division on identical integers
-            F.round(
-                F.sum(F.round(F.col("quality") * 1e6, 0).cast("long"))
-                / F.count("*")
-                / F.lit(1e6),
-                6,
+            # partitioning, one double division on identical integers.
+            # The close rounds at SCALE 0 (micro-units) and divides by
+            # 1e6 after: sum/count can land EXACTLY on half a micro-unit
+            # (rational quotient), where Spark's decimal HALF_UP and
+            # DuckDB's float-multiply round diverge at scale 6 — at
+            # scale 0 both engines round the identical double away from
+            # zero (observed divergence: doc_logprob doc 461, sf0.001).
+            (
+                F.round(
+                    F.sum(F.round(F.col("quality") * 1e6, 0).cast("long"))
+                    / F.count("*"),
+                    0,
+                )
+                / F.lit(1e6)
             ).alias("avg_quality"),
         )
     )
@@ -355,7 +363,7 @@ _LANG_DIST_SQL = (
     _sql_text_stats_cte()
     + "SELECT lang_pred, count(*) AS n_docs,"
     " round(sum(CAST(round(quality * 1000000) AS BIGINT))::DOUBLE"
-    " / count(*)::DOUBLE / 1000000.0, 6) AS avg_quality "
+    " / count(*)::DOUBLE) / 1000000.0 AS avg_quality "
     "FROM stats GROUP BY lang_pred"
 )
 
@@ -4695,7 +4703,7 @@ WITH tk AS (
   SELECT sum(cnt) AS n_total FROM c
 )
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
-       round(sum(CAST(round(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r})) * 1000000) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+       round(sum(CAST(round(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r})) * 1000000) AS BIGINT))::DOUBLE / count(*)::DOUBLE) / 1000000.0
          AS avg_logprob
 FROM tb JOIN c USING (bucket) CROSS JOIN n
 GROUP BY doc_id
@@ -4729,7 +4737,7 @@ WITH tk AS (
   SELECT sum(cnt) AS n_total FROM c
 ), lp AS (
   SELECT doc_id,
-         round(sum(CAST(round(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r})) * 1000000) AS BIGINT))::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+         round(sum(CAST(round(ln((cnt + {_LM_ALPHA!r}) / (n_total + {_LM_ALPHA * _LM_BUCKETS!r})) * 1000000) AS BIGINT))::DOUBLE / count(*)::DOUBLE) / 1000000.0
            AS avg_logprob
   FROM tb JOIN c USING (bucket) CROSS JOIN n
   GROUP BY doc_id
@@ -6206,7 +6214,7 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LABEL_CENTROIDS_SQL = """
 SELECT label, i::INTEGER AS pos,
        round(sum(CAST(round(embedding[i + 1]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
-             / count(*)::DOUBLE / 1000000.0, 6) AS value
+             / count(*)::DOUBLE) / 1000000.0 AS value
 FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i)
 GROUP BY label, i
 """
@@ -6388,7 +6396,7 @@ _GAP_FILL_SQL = """
 WITH obs AS (
   SELECT user_id, date_trunc('hour', ts) AS b, count(*)::BIGINT AS n_events,
          round(sum(CAST(round(value * 1000000) AS BIGINT))::DOUBLE
-               / count(*)::DOUBLE / 1000000.0, 6) AS bucket_value
+               / count(*)::DOUBLE) / 1000000.0 AS bucket_value
   FROM events GROUP BY user_id, date_trunc('hour', ts)
 ), bounds AS (
   SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id
@@ -7825,8 +7833,8 @@ SELECT o_orderpriority,
          AS n_within_loose,
        sum(CASE WHEN rel > 0.25 THEN 1 ELSE 0 END)::BIGINT AS n_beyond,
        round(sum(CAST(round(rel * 1000000) AS BIGINT))::DOUBLE
-             / sum(CASE WHEN rel IS NULL THEN 0 ELSE 1 END)::DOUBLE
-             / 1000000.0, 6) AS avg_rel_delta,
+             / sum(CASE WHEN rel IS NULL THEN 0 ELSE 1 END)::DOUBLE)
+             / 1000000.0 AS avg_rel_delta,
        round(max(rel), 6) AS max_rel_delta
 FROM j GROUP BY 1
 """
@@ -7897,7 +7905,7 @@ _LANG_MISLABEL_SQL = (
     + """, cells AS (
   SELECT d.lang, s.lang_pred, count(*)::BIGINT AS n_docs,
          round(sum(CAST(round(s.quality * 1000000) AS BIGINT))::DOUBLE
-               / count(*)::DOUBLE / 1000000.0, 6) AS avg_quality
+               / count(*)::DOUBLE) / 1000000.0 AS avg_quality
   FROM stats s JOIN documents d USING (doc_id) GROUP BY 1, 2
 )
 SELECT lang, lang_pred, n_docs, avg_quality,
@@ -7953,17 +7961,15 @@ def dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum((~kept).cast("long")) / F.count("*").cast("double"), 6
             ).alias("removed_rate"),
-            F.round(
-                F.sum(F.when(kept, q6))
-                / F.sum(kept.cast("long"))
-                / F.lit(1e6),
-                6,
+            (
+                F.round(F.sum(F.when(kept, q6)) / F.sum(kept.cast("long")), 0)
+                / F.lit(1e6)
             ).alias("avg_quality_kept"),
-            F.round(
-                F.sum(F.when(~kept, q6))
-                / F.sum((~kept).cast("long"))
-                / F.lit(1e6),
-                6,
+            (
+                F.round(
+                    F.sum(F.when(~kept, q6)) / F.sum((~kept).cast("long")), 0
+                )
+                / F.lit(1e6)
             ).alias("avg_quality_removed"),
             F.round(F.avg(F.when(kept, F.col("n_chars"))), 6).alias(
                 "avg_chars_kept"
@@ -8011,11 +8017,11 @@ SELECT source,
        round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
          AS removed_rate,
        round(sum(CASE WHEN rn = 1 THEN q6 END)::DOUBLE
-             / sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE
-             / 1000000.0, 6) AS avg_quality_kept,
+             / sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::DOUBLE)
+             / 1000000.0 AS avg_quality_kept,
        round(sum(CASE WHEN rn > 1 THEN q6 END)::DOUBLE
-             / sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE
-             / 1000000.0, 6) AS avg_quality_removed,
+             / sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE)
+             / 1000000.0 AS avg_quality_removed,
        round(avg(CASE WHEN rn = 1 THEN n_chars END), 6) AS avg_chars_kept,
        round(avg(CASE WHEN rn > 1 THEN n_chars END), 6)
          AS avg_chars_removed
@@ -8464,11 +8470,11 @@ def _sql_exact_mean_std(val: str) -> tuple[str, str]:
     std = √max(var12, 0)/1e6."""
     v6 = f"CAST(round(({val}) * 1000000) AS BIGINT)"
     m1 = f"(sum({v6})::DOUBLE / count(*)::DOUBLE)"
-    mean = f"round({m1} / 1000000.0, 6)"
+    mean = f"round({m1}) / 1000000.0"
     std = (
         f"CASE WHEN count(*) > 1 THEN round(sqrt(greatest("
         f"(sum({v6} * {v6})::DOUBLE - {m1} * sum({v6})::DOUBLE)"
-        f" / (count(*) - 1)::DOUBLE, 0.0)) / 1000000.0, 6) END"
+        f" / (count(*) - 1)::DOUBLE, 0.0))) / 1000000.0 END"
     )
     return mean, std
 
