@@ -164,6 +164,37 @@ def _minhash_staged(
     return base.select("_id", "shingles", F.aggregate("_b", init, step).alias("sig"))
 
 
+def minhash_staged_cols(
+    df: DataFrame,
+    text_col: str,
+    keep: list[str],
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """``df`` narrowed to ``keep`` + a MinHash ``sig_col``, with every
+    pipeline stage (tokens → shingles → base hashes → signature) staged as
+    its own projection — the same Catalyst re-inlining guard as
+    ``_minhash_staged`` (a folded ``minhash_signature`` expression
+    re-evaluates the tokenizer O(shingle_n · n_tokens) times per row;
+    staging measured ~2× faster on the batch path and cut the streaming
+    near-dup signature stage the same way).  Works on streaming frames —
+    projections preserve watermarks — which is why it takes an explicit
+    ``keep`` list instead of assuming the batch (_id, shingles) shape."""
+    toks = df.select(*keep, tokens(F.col(text_col)).alias("_toks"))
+    sh = toks.select(*keep, word_ngrams_of(F.col("_toks"), shingle_n).alias("_sh"))
+    base = sh.select(*keep, F.transform("_sh", lambda s: h32(s)).alias("_b"))
+    params = minhash_params(num_hashes, seed)
+    init = F.array(*[F.lit(MERSENNE_P).cast("bigint") for _ in params])
+
+    def step(acc: Column, h: Column) -> Column:
+        affines = F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P) for a, b in params])
+        return F.zip_with(acc, affines, lambda x, y: F.least(x, y))
+
+    return base.select(*keep, F.aggregate("_b", init, step).alias(sig_col))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_band_struct, minhash_signature
+from ..operators.dedup import minhash_band_struct, minhash_staged_cols
 from .events import (
     _drive_append_query,
     _no_nodata_batches,
@@ -257,14 +257,22 @@ def streaming_neardup_matches(
     event_time = ts_col is not None
     if event_time:
         docs = docs.withWatermark(ts_col, watermark_delay)
-    # STAGE the signature as its own projection before banding: the band
-    # struct references the signature 16 times, and Catalyst inlines (and
-    # re-evaluates) non-aliased higher-order aggregates per reference — the
-    # same re-inlining trap _minhash_staged documents for the batch path
-    staged = docs.select(
+    # STAGE the whole signature pipeline (tokens → shingles → base hashes →
+    # signature) as separate projections, exactly like the batch
+    # _minhash_staged: a folded minhash_signature expression re-evaluates
+    # the tokenizer O(shingle_n · n_tokens) times per row (the Catalyst
+    # re-inlining trap; r13 plan capture showed split(lower(text)) inlined
+    # 3× per shingle element), and the band struct additionally references
+    # the signature 16 times
+    keyed = docs.select(
         F.col(id_col).alias("_id"),
         *([F.col(ts_col).alias("_ts")] if event_time else []),
-        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed).alias("sig"),
+        F.col(text_col).alias("_text"),
+    )
+    staged = minhash_staged_cols(
+        keyed, "_text",
+        keep=["_id"] + (["_ts"] if event_time else []),
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
     )
     banded = staged.select(
         "_id",
@@ -700,10 +708,13 @@ def run_streaming_neardup_join(
         )
         .withWatermark("_ts", "0 seconds")
     )
-    staged = stream.select(
-        F.col("doc_id").alias("_id"),
-        "_ts",
-        minhash_signature(F.col("text"), num_hashes, shingle_n, seed).alias("sig"),
+    # staged signature pipeline — same re-inlining guard as
+    # streaming_neardup_matches (see there)
+    staged = minhash_staged_cols(
+        stream.select(F.col("doc_id").alias("_id"), "_ts", "text"),
+        "text",
+        keep=["_id", "_ts"],
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed,
     )
     banded = staged.select(
         "_id",
