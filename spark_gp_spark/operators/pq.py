@@ -460,8 +460,11 @@ def ivfadc_topk(
     its own LUT over the query's residual against THAT cell's centroid.
 
     Inputs: ``codes`` = pq_encode_residual output (id, cell, codes) — the
-    cell column doubles as the inverted file; ``queries_probe`` =
-    ivf.ivf_probe_frame output (query_id, cell), nprobe rows per query;
+    cell column doubles as the inverted file; ``queries_probe`` = OPTIONAL
+    ivf.ivf_probe_frame output (query_id, cell) used ONLY by the eager
+    wiring diagnostic below — pass None to skip it (the registry entries
+    do since r13: the probe job + collect cost ~0.6 s warm per entry and
+    scoring never reads it; the numpy/JVM probe parity is pytest-gated);
     ``query_cell_luts`` = adc_luts_residual output [(query_id, cell, lut)].
     Candidates per query ≈ nprobe·N/n_cells, each scored as m integer LUT
     lookups joined on (query_id, cell) — still one equi-join plus a

@@ -3264,7 +3264,6 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from .operators.ivf import ivf_probe_frame, train_centroids_from_parquet
     from .operators.pq import (
         adc_luts_residual,
         ivfadc_topk as _ivfadc_topk,
@@ -3273,6 +3272,7 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_query_vectors,
         train_pq_codebooks_residual_from_parquet,
     )
+    from .operators.ivf import train_centroids_from_parquet
 
     path = f"{sf_dir}/embeddings.parquet"
     cents = train_centroids_from_parquet(path, _IVF_K, _IVF_SEED, _IVF_SAMPLE)
@@ -3285,13 +3285,14 @@ def ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     luts = adc_luts_residual(Q, probe_lists, cents, books)
     query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    probes = ivf_probe_frame(
-        emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
-        _IVF_NPROBE, "query_id",
-    )
+    # r13: no ivf_probe_frame job here — scoring is driven by the LUT
+    # relation alone, so the Spark-side probe frame fed NOTHING but the
+    # eager wiring collect inside pq.ivfadc_topk (~0.6 s warm / 2.4 s cold
+    # per entry, measured).  The numpy/JVM probe-parity contract stays
+    # pytest-gated (test_pq.py probe-parity + the tie/miswiring diagnostic
+    # test), and the bench recall gate covers quality end to end.
     codes = pq_encode_residual(emb, books, cents)
-    return _ivfadc_topk(codes, probes, query_cell_luts, k=5)
+    return _ivfadc_topk(codes, None, query_cell_luts, k=5)
 
 
 def _persisted_ann_index(path: str) -> dict:
@@ -3321,11 +3322,13 @@ def _persisted_ann_index(path: str) -> dict:
 
 def _probe_luts_from_index(spark, sf_dir: str, idx: dict):
     """Shared query-side tail for the persisted-index queries: driver-side
-    residual LUTs + the Spark-side probe frame, both from the LOADED index
-    arrays."""
+    residual LUTs from the LOADED index arrays.  Returns (None, luts) —
+    the probe-frame slot is kept for signature stability, but since r13 no
+    Spark probe job is built: scoring follows the LUTs alone, so the frame
+    only ever fed the eager wiring collect in pq.ivfadc_topk (~0.6 s warm
+    per entry, measured); the numpy/JVM probe parity stays pytest-gated."""
     import numpy as np
 
-    from .operators.ivf import ivf_probe_frame
     from .operators.pq import adc_luts_residual, probe_cells_np, read_query_vectors
 
     path = f"{sf_dir}/embeddings.parquet"
@@ -3336,13 +3339,7 @@ def _probe_luts_from_index(spark, sf_dir: str, idx: dict):
     probe_lists = probe_cells_np(Q, cents, nprobe)
     luts = adc_luts_residual(Q, probe_lists, cents, idx["codebooks"])
     query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
-    emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    probes = ivf_probe_frame(
-        emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
-        nprobe, "query_id",
-    )
-    return probes, query_cell_luts
+    return None, query_cell_luts
 
 
 def ensure_ann_codes(spark: SparkSession, sf_dir: str) -> str:
@@ -3500,7 +3497,6 @@ def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.ivf import (
         auto_ivf_params,
-        ivf_probe_frame,
         parquet_num_rows,
         train_centroids_from_parquet,
     )
@@ -3531,13 +3527,11 @@ def ivfadc_topk_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         luts = adc_luts_residual(Q, probe_lists, cents, books)
         query_cell_luts = [(qs[r][0], cell, lut) for r, cell, lut in luts]
         emb = load_table(spark, sf_dir, "embeddings")
-        vec = F.col("embedding").cast("array<double>")
-        probes = ivf_probe_frame(
-            emb.filter(F.col("vec_id") < 20), F.col("vec_id"), vec, cents,
-            ivf_p["nprobe_adc"], "query_id",
-        )
+        # r13: probe-frame diagnostic job removed from the query path (see
+        # ivfadc_topk) — it cost ~0.6 s warm of this entry's plan_build for
+        # a collect whose wiring contract is pytest-gated.
         codes = pq_encode_residual(emb, books, cents)
-        short = _ivfadc_topk(codes, probes, query_cell_luts, k=_ANN_RERANK)
+        short = _ivfadc_topk(codes, None, query_cell_luts, k=_ANN_RERANK)
         out = exact_rerank(short, emb, k=5)
     return out
 
