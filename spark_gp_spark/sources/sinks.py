@@ -222,16 +222,63 @@ def write_layout_controlled(
     path: str,
     partition_col: str,
     max_records_per_file: int,
+    order_col: str | None = None,
 ) -> None:
     """Directory-partitioned parquet write with a records-per-file cap —
-    the compaction-policy write: ``repartition(partition_col)`` puts every
-    partition value in exactly ONE task, so the writer rolls files at
-    exactly ``max_records_per_file`` rows and the resulting layout is a
-    pure function of the per-value row counts (files of cap rows plus one
-    remainder file).  That determinism is what ``storage_layout_report``
-    audits against."""
+    the compaction-policy write: the resulting layout is a pure function
+    of the per-value row counts (ceil(n/cap) files: full files of cap
+    rows plus one n%cap remainder).  That determinism is what
+    ``storage_layout_report`` audits against.
+
+    Two physical strategies, identical layout:
+
+    - ``order_col=None`` (legacy): ``repartition(partition_col)`` puts
+      every partition value in exactly ONE task, so the writer's
+      ``maxRecordsPerFile`` roll is trivially deterministic — but a hot
+      partition value is a single-task write (the 100 TB ceiling VERDICT
+      r12 flagged).
+    - ``order_col`` given (a column unique within each partition value):
+      rows are grouped into explicit cap-row file groups by
+      ``row_number() over (partition value, order)`` div cap and the
+      write repartitions on (value, file group), so a hot value spreads
+      over ~ceil(n/cap) tasks.  The layout is UNCHANGED: every file
+      group lands whole in one task, so each task holds k whole cap-row
+      groups (+ at most the one remainder group, which is its own key),
+      and a writer rolling at cap rows over k·cap (+r) same-value rows
+      emits exactly k cap-row files (+ one r-row file) no matter how the
+      groups interleave — summed over tasks that is ceil(n/cap) files,
+      min file = n%cap, the same relation the serial path produces and
+      the DuckDB oracle predicts.  The only single-task-per-value pass
+      left is the row_number window, a THIN shuffle of (order, value)
+      — the decide-small/move-once discipline of the optimization
+      guide §8 — instead of the full write."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    writer_input = df.repartition(F.col(partition_col))
+    if order_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(order_col)
+        # the exchange carries only thin rows, so AQE's advisory-size
+        # coalescing would collapse it to ONE task at bench scale (783
+        # files written serially: 8.3 s measured at sf0.1) — pin the
+        # partition count to cluster parallelism instead (cluster-
+        # adaptive, not a local constant; measured 2.05 s same layout).
+        # Whole (value, file group) keys still land in single tasks, so
+        # the layout proof above is untouched at any partition count.
+        n_tasks = df.sparkSession.sparkContext.defaultParallelism
+        writer_input = (
+            df.withColumn(
+                "_file_no",
+                F.floor(
+                    (F.row_number().over(w) - F.lit(1))
+                    / F.lit(int(max_records_per_file))
+                ),
+            )
+            .repartition(n_tasks, F.col(partition_col), F.col("_file_no"))
+            .drop("_file_no")
+        )
     (
-        df.repartition(partition_col)
+        writer_input
         .write.format("parquet")
         .mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
@@ -296,6 +343,7 @@ def compact_partitioned(
     dest: str,
     partition_col: str,
     max_records_per_file: int,
+    order_col: str | None = None,
 ) -> None:
     """Compaction maintenance action — the FIX half of the
     audit→compact→re-audit loop ``storage_layout_report`` opens: read a
@@ -312,4 +360,4 @@ def compact_partitioned(
     a correctness hazard; the caller swaps directories after the write
     commits."""
     df = spark.read.parquet(src)
-    write_layout_controlled(df, dest, partition_col, max_records_per_file)
+    write_layout_controlled(df, dest, partition_col, max_records_per_file, order_col)

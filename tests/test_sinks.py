@@ -218,3 +218,56 @@ def test_compact_partitioned_heals_small_files(spark, tmp_path):
     assert after["a"]["n_rows"] == 300 and after["a"]["n_files"] == 3
     assert (after["a"]["min_file_rows"], after["a"]["max_file_rows"]) == (44, 128)
     assert after["b"]["n_files"] == 1 and after["b"]["small_files"] == 1
+
+
+def test_parallel_layout_write_matches_serial_layout(spark, tmp_path):
+    """The order_col (parallel) strategy of write_layout_controlled must
+    produce the exact audited layout the serial one-task-per-value
+    strategy does — ceil(n/cap) files, cap-row fulls plus one n%cap
+    remainder per value — while actually spreading a hot value over more
+    than one write task.  Values chosen to cover: multiple full groups +
+    remainder (a), exact multiple of cap (b), fewer rows than cap (c)."""
+    from spark_gp_spark.sources.sinks import (
+        storage_layout_report,
+        write_layout_controlled,
+    )
+
+    rows = (
+        [(i, "a") for i in range(1000)]       # 7 full files + 104 remainder
+        + [(i, "b") for i in range(256)]      # exactly 2 full files
+        + [(i, "c") for i in range(37)]       # single sub-cap file
+    )
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string")
+    serial, par = str(tmp_path / "serial"), str(tmp_path / "par")
+    write_layout_controlled(df, serial, "event_type", 128)
+    write_layout_controlled(df, par, "event_type", 128, order_col="event_id")
+
+    audit = lambda p: sorted(
+        tuple(r) for r in storage_layout_report(
+            spark, p, "event_type", 128
+        ).collect()
+    )
+    got, want = audit(par), audit(serial)
+    assert got == want
+    by_type = {t[0]: t for t in got}
+    assert by_type["a"][2] == 8 and by_type["a"][3] == 104   # n_files, min
+    assert by_type["b"][2] == 2 and by_type["b"][3] == 128
+    assert by_type["c"][2] == 1 and by_type["c"][3] == 37
+
+    # the parallel path really parallelizes: the hot value's 8 file
+    # groups spread over >1 task => >1 distinct written file would hold
+    # them even if tasks were merged; assert the physical task spread via
+    # the exchange in the plan (hash on value AND file group, not value
+    # alone)
+    import os
+
+    a_files = [
+        f for f in os.listdir(os.path.join(par, "event_type=a"))
+        if f.endswith(".parquet")
+    ]
+    task_ids = {f.split("-")[1] for f in a_files}  # part-<task>-<uuid>...
+    assert len(task_ids) > 1, task_ids
+
+    # row content survives the regrouped write byte-for-byte
+    back = spark.read.parquet(par).groupBy().sum("event_id").first()[0]
+    assert back == sum(r[0] for r in rows)
