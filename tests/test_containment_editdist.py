@@ -241,3 +241,59 @@ def test_staged_incremental_refresh_matches_oracle(spark, sf_dir):
         + "SELECT count(*) FROM batch"
     ).fetchone()[0]
     assert len(got) < n_batch, "history screen dropped nothing (vacuous)"
+
+
+def test_myers_kernel_matches_dp_reference():
+    """The bit-parallel Myers kernel is codepoint-exact against the plain
+    DP on adversarial fuzz: tiny/empty strings, patterns at and beyond the
+    64-codepoint word boundary (fallback rows), multi-byte Unicode, and
+    near-identical pairs (the regime the screen keeps)."""
+    import random
+
+    from spark_gp_spark.operators.dedup import _dp_levenshtein, _myers_distances
+
+    random.seed(7)
+    cases = []
+    for alph in ("ab", "abc", "aβ⽇🎉b ", "abcdefghijklmnopqrstuvwxyz 01"):
+        for _ in range(150):
+            la = random.choice([0, 1, 2, 7, 30, 47, 48, 63, 64, 65, 70])
+            lb = random.choice([0, 1, 2, 7, 30, 47, 48, 63, 64, 65, 70])
+            cases.append((
+                "".join(random.choice(alph) for _ in range(la)),
+                "".join(random.choice(alph) for _ in range(lb)),
+            ))
+    for _ in range(150):  # near-identical pairs
+        a = "".join(random.choice("abcd") for _ in range(48))
+        b = list(a)
+        for _ in range(random.randint(0, 5)):
+            op, p = random.randint(0, 2), random.randrange(max(len(b), 1))
+            if op == 0 and b:
+                b[p] = random.choice("abcd")
+            elif op == 1 and b:
+                del b[p]
+            else:
+                b.insert(p, random.choice("abcd"))
+        cases.append((a, "".join(b)))
+    got = _myers_distances([c[0] for c in cases], [c[1] for c in cases])
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == _dp_levenshtein(a, b), (a, b, got[i])
+
+
+def test_editdist_arrow_and_jvm_verify_agree_on_corpus(spark, sf_dir):
+    """The arrow (Myers) and jvm (banded levenshtein) verify paths return
+    the identical pair relation over the real corpus — the exactness
+    contract behind making arrow the default."""
+    from spark_gp_spark.queries import _EDITDIST_MAX, _EDITDIST_PREFIX, load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.substring(F.col("text"), 1, _EDITDIST_PREFIX)
+    rel = {}
+    for verify in ("arrow", "jvm"):
+        rel[verify] = {
+            (r.id_a, r.id_b): r.dist
+            for r in editdist_pairs(
+                docs, s, max_dist=_EDITDIST_MAX, verify=verify
+            ).collect()
+        }
+    assert rel["arrow"] == rel["jvm"]
+    assert rel["arrow"], "corpus produced no qualifying pairs"
