@@ -896,10 +896,16 @@ def connected_components(
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).persist()
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    # ONE eager checkpoint up front; inside the loop each new label frame
+    # is checkpointed as ``updated``, and ``labels`` is a pure projection
+    # of it — re-checkpointing at the top of every round (the pre-r13
+    # shape) materialized the same 2-column frame twice per round for no
+    # lineage benefit (depth stays O(1) either way)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
     changed = 0
     for _ in range(max_iter):
-        labels = labels.localCheckpoint(eager=True)
         neigh = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
