@@ -38,6 +38,7 @@ from typing import Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import normalize_event_ts
 from .events import _drive_append_query, _staged_arrivals
@@ -139,12 +140,159 @@ def _session_state_func(gap_us: int):
     return func
 
 
+#: shard count for the sharded session machine — bounds applyInPandasWithState
+#: GROUP invocations per micro-batch (the fixed ~0.9 ms/group Arrow cost the
+#: near-dup machine's sharding amortizes; ~1500 distinct users at sf0.1 →
+#: ~23 users per shard, per-batch invocations drop ~23×) while per-user state
+#: volume is unchanged (parallel arrays over the shard's users).
+SESSION_SHARDS = 64
+
+#: sharded state: one row per shard — parallel arrays over its live users.
+SESSION_SHARD_STATE_SCHEMA = (
+    "users array<bigint>, starts array<bigint>, lasts array<bigint>, "
+    "ns array<bigint>, totals array<bigint>, types array<string>"
+)
+
+
+def _sharded_session_state_func(gap_us: int):
+    """SHARDED gap-session machine: one group per ``pmod(crc32(user), S)``
+    shard holding {user → (start, last, n, total_c, types)} as parallel
+    state arrays.  Emission semantics are IDENTICAL to the per-user
+    machine (proven by the twin-equality test + the shared oracle):
+
+    - rows apply per user in (ts, event_id) order; a gap > ``gap_us``
+      closes and emits the running session — exactly the per-user fold;
+    - final-session flush rides event-time expiry: a user whose deadline
+      ((last_us + gap_us) // 1000, the per-user machine's
+      setTimeoutTimestamp) is STRICTLY below the watermark is emitted and
+      dropped (a) on every data invocation of its shard BEFORE rows
+      apply — under the staged-arrival driver the per-user engine fires
+      those timeouts in the preceding no-data batch, which runs with the
+      SAME watermark (the new chunk hasn't advanced it yet) — and (b) on
+      the shard's own event-time timeout, armed at
+      max(min live deadline, wm + 1) (the near-dup machine's late-data
+      clamp), which is what flushes after the sentinel pushes the final
+      watermark.  The emitted ROW is a pure function of the session
+      state, so WHICH invocation emits it cannot change the sink."""
+
+    cols = [
+        "session_start_us",
+        "session_end_us",
+        "user_id",
+        "n_events",
+        "n_types",
+        "total_value",
+    ]
+    dtypes = {
+        "session_start_us": "int64",
+        "session_end_us": "int64",
+        "user_id": "int64",
+        "n_events": "int64",
+        "n_types": "int64",
+        "total_value": "float64",
+    }
+
+    def func(key: Tuple, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            g = state.get
+            st = {
+                int(u): [int(s), int(l), int(n), int(t), set(ty.split(_SEP))]
+                for u, s, l, n, t, ty in zip(g[0], g[1], g[2], g[3], g[4], g[5])
+            }
+        else:
+            st = {}
+        out: list[tuple] = []
+
+        def emit(user_id: int, v: list) -> None:
+            out.append(
+                (
+                    int(v[0]),
+                    int(v[1]) + gap_us,
+                    int(user_id),
+                    int(v[2]),
+                    len(v[4]),
+                    round(int(v[3]) / 100.0, 6),
+                )
+            )
+
+        # expire users whose event-time deadline the watermark strictly
+        # passed (both on data arrival and on the shard timeout)
+        expired = [u for u, v in st.items() if (v[1] + gap_us) // 1000 < wm]
+        for u in expired:
+            emit(u, st.pop(u))
+
+        if not state.hasTimedOut:
+            pdf = pd.concat(list(pdf_iter), ignore_index=True)
+            pdf["_ts_us"] = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            pdf = pdf.sort_values(["_ts_us", "event_id"])
+            for user, ts_us, etype, value in zip(
+                pdf["user_id"], pdf["_ts_us"], pdf["event_type"], pdf["value"]
+            ):
+                u = int(user)
+                v = st.get(u)
+                if v is not None and ts_us - v[1] > gap_us:
+                    emit(u, v)
+                    v = None
+                if v is None:
+                    v = st[u] = [ts_us, ts_us, 0, 0, set()]
+                v[1] = ts_us
+                v[2] += 1
+                # 2-dp money (see the per-user machine): exact cents
+                v[3] += int(round(float(value) * 100))
+                v[4].add(str(etype))
+
+        if st:
+            users = sorted(st)
+            state.update(
+                (
+                    users,
+                    [st[u][0] for u in users],
+                    [st[u][1] for u in users],
+                    [st[u][2] for u in users],
+                    [st[u][3] for u in users],
+                    [_SEP.join(sorted(st[u][4])) for u in users],
+                )
+            )
+            state.setTimeoutTimestamp(
+                max(min((v[1] + gap_us) // 1000 for v in st.values()), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(out, columns=cols).astype(dtypes)
+
+    return func
+
+
 def stateful_session_stats(events: DataFrame, gap: str = "30 minutes",
-                           delay: str = "1 hour") -> DataFrame:
+                           delay: str = "1 hour",
+                           sharded: bool = True) -> DataFrame:
     """Gap sessions with exact distinct-type counts over a (streaming) events
-    frame — ``applyInPandasWithState`` custom state machine, one shuffle on
-    ``user_id``."""
+    frame — ``applyInPandasWithState`` custom state machine.  Default is the
+    SHARDED machine (one group per user-hash shard — r13; the per-group
+    Arrow invocation cost with ~unique user keys dominated the entry);
+    ``sharded=False`` keeps the per-user state machine as the parity twin
+    the sharded one is tested against."""
     gap_us = _duration_us(gap)
+    if sharded:
+        sharded_in = events.withColumn(
+            "_shard",
+            F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(SESSION_SHARDS)),
+        )
+        return (
+            sharded_in.withWatermark("ts", delay)
+            .groupBy("_shard")
+            .applyInPandasWithState(
+                _sharded_session_state_func(gap_us),
+                outputStructType=SESSION_OUT_SCHEMA,
+                stateStructType=SESSION_SHARD_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf="EventTimeTimeout",
+            )
+        )
     return (
         events.withWatermark("ts", delay)
         .groupBy("user_id")
@@ -177,6 +325,7 @@ def run_stateful_session_stats(
     gap: str = "30 minutes",
     query_name: str = "gp_stream_stateful_sessions",
     n_files: int = 2,
+    sharded: bool = True,
 ) -> DataFrame:
     """Drive the events parquet through the custom stateful operator with the
     staged-arrival + sentinel protocol (events.py) into a parquet sink."""
@@ -187,7 +336,7 @@ def run_stateful_session_stats(
     stream = normalize_event_ts(
         spark, spark.readStream.schema(schema).parquet(src)
     ).select("ts", "event_id", "user_id", "event_type", "value")
-    out = stateful_session_stats(stream, gap=gap)
+    out = stateful_session_stats(stream, gap=gap, sharded=sharded)
     from .events import _state_partitions
 
     with _state_partitions(spark):

@@ -31,3 +31,24 @@ def test_stateful_sessions_match_batch_oracle(spark, sf_dir):
     # the stateful op must carry >1 distinct type in at least one session —
     # otherwise the exact-distinct machinery is untested
     assert (out["n_types"] > 1).any()
+
+
+def test_sharded_sessions_equal_per_user_machine(spark, sf_dir):
+    """The sharded shard-dict machine (r13, the per-group Arrow-invocation
+    amortization) must emit the exact relation the per-user state machine
+    does — same fold, same strict-< ms-floored event-time expiry."""
+    from spark_gp_spark.streaming.stateful import run_stateful_session_stats
+
+    a = _norm(
+        run_stateful_session_stats(
+            spark, sf_dir, query_name="gp_shard_tw_a", sharded=True
+        ).toPandas()
+    )
+    b = _norm(
+        run_stateful_session_stats(
+            spark, sf_dir, query_name="gp_shard_tw_b", sharded=False
+        ).toPandas()
+    )
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        assert (a[c].round(9) == b[c].round(9)).all(), f"column {c} diverges"
