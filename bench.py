@@ -83,6 +83,10 @@ PANDAS_FAMILY = {
     "cluster_balance_sample",
     "cluster_exemplars",
     "jl_project",
+    # r13: the edit-distance verify moved to a mapInArrow Myers kernel —
+    # measured split at sf0.1: 4.4 s of the 5.2 s entry is the Arrow
+    # boundary crossing + kernel, so the pandas probe is now its family
+    "editdist_screen",
 }
 
 
