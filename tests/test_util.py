@@ -134,7 +134,11 @@ def test_bench_compact_line_ladder():
     import re
 
     latest = max(
-        glob.glob("/root/repo/BENCH_local_r*.json"),
+        (
+            p
+            for p in glob.glob("/root/repo/BENCH_local_r*.json")
+            if re.search(r"_r(\d+)\.json$", p)  # skip e.g. _r13_baseline.json
+        ),
         key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     real = json.load(open(latest))["queries"]
