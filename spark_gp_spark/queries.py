@@ -1275,13 +1275,18 @@ def editdist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pairs with Levenshtein ≤ _EDITDIST_MAX over the 48-char text
     prefix, via LOSSLESS length-bucket blocking (dist ≥ |len diff|, bucket
     width max_dist+1 ⇒ qualifying pairs differ by ≤ 1 bucket), so the
-    oracle states the plain quadratic semantics while the Spark plan stays
-    an equi-join.  The verb for short-field dedup (titles, names) where
-    shingle sets are too coarse.  Registered in the round-10 window."""
+    oracle states the plain quadratic semantics while the Spark plan
+    never materializes the pair relation: verify="tiled" (r13) groups
+    unordered tile-pair cells and generates/verifies the quadratic pair
+    set inside the vectorized Myers kernel — the boundary carries
+    O(rows·3T) short strings, not O(pairs).  The verb for short-field
+    dedup (titles, names) where shingle sets are too coarse.  Registered
+    in the round-10 window."""
     docs = load_table(spark, sf_dir, "documents")
     return D.editdist_pairs(
         docs, F.substring(F.col("text"), 1, _EDITDIST_PREFIX),
         max_dist=_EDITDIST_MAX,
+        verify="tiled",
     )
 
 

@@ -280,15 +280,16 @@ def test_myers_kernel_matches_dp_reference():
 
 
 def test_editdist_arrow_and_jvm_verify_agree_on_corpus(spark, sf_dir):
-    """The arrow (Myers) and jvm (banded levenshtein) verify paths return
-    the identical pair relation over the real corpus — the exactness
-    contract behind making arrow the default."""
+    """The arrow (Myers), tiled (grouped Myers) and jvm (banded
+    levenshtein) verify paths return the identical pair relation over the
+    real corpus — the exactness contract behind the screen's tiled
+    default."""
     from spark_gp_spark.queries import _EDITDIST_MAX, _EDITDIST_PREFIX, load_table
 
     docs = load_table(spark, sf_dir, "documents")
     s = F.substring(F.col("text"), 1, _EDITDIST_PREFIX)
     rel = {}
-    for verify in ("arrow", "jvm"):
+    for verify in ("arrow", "jvm", "tiled"):
         rel[verify] = {
             (r.id_a, r.id_b): r.dist
             for r in editdist_pairs(
@@ -296,4 +297,53 @@ def test_editdist_arrow_and_jvm_verify_agree_on_corpus(spark, sf_dir):
             ).collect()
         }
     assert rel["arrow"] == rel["jvm"]
+    assert rel["tiled"] == rel["jvm"]
     assert rel["arrow"], "corpus produced no qualifying pairs"
+
+
+def test_editdist_tiled_verify_is_lossless_and_exactly_once(spark):
+    """The tiled path (unordered cell-pair groups, in-kernel pair
+    generation) returns exactly the brute-force relation on the
+    bucket-straddling fixture — for degenerate and non-degenerate tile
+    counts, and with a second blocking feature AND-composed (3×3×T
+    neighborhood).  Duplicate pairs (a row meeting another in two groups)
+    or missed cross-bucket/cross-tile pairs would both show here."""
+    rows = [
+        (1, "kitten"),
+        (2, "sitting"),        # dist 3
+        (3, "kitte"),          # dist 1 to kitten
+        (4, "a" * 30),         # far from everything
+        (5, "a" * 33),         # dist 3 to #4, next length bucket at w=4
+        (6, "completely different"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    brute = {
+        (min(i1, i2), max(i1, i2)): lev(s1, s2)
+        for (i1, s1), (i2, s2) in itertools.combinations(rows, 2)
+        if lev(s1, s2) <= 3
+    }
+    sf = F.length(F.regexp_replace(F.col("text"), "[^aeiou]", ""))
+    for kwargs in (
+        dict(tiles=1),   # degenerate: every bucket is one cell
+        dict(tiles=2),
+        dict(tiles=7),   # more tiles than rows per bucket
+        dict(tiles=2, second_feature=sf),
+    ):
+        got = [
+            ((r.id_a, r.id_b), r.dist)
+            for r in editdist_pairs(
+                docs, F.col("text"), max_dist=3, verify="tiled", **kwargs
+            ).collect()
+        ]
+        assert len(got) == len(dict(got)), f"duplicate pairs with {kwargs}"
+        assert dict(got) == brute, kwargs

@@ -549,6 +549,26 @@ def test_r10_verbs_plan_shapes(spark):
     assert "HashAggregate" in plan  # the train-side distinct
 
 
+def test_editdist_screen_tiled_no_pair_join_one_group_exchange(spark):
+    """The tiled screen never materializes the candidate-pair relation in
+    the plan: no join of any kind (the quadratic term is generated inside
+    the Arrow kernel), exactly one hash exchange — the explicit
+    repartition on the full group key that the groupBy reuses — and the
+    kernel is a FlatMapGroupsInArrow fed by the tile-replication
+    Generate."""
+    from spark_gp_spark.queries import editdist_screen
+
+    plan = _plan(editdist_screen(spark, SF))
+    assert "FlatMapGroupsInArrow" in plan
+    assert "Generate" in plan  # partner-cell replication
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan
+    # one hashpartitioning exchange (group key); the only other exchange
+    # is the single-file-scan widening round-robin from load_table
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_threshold_sweep_candidate_generation_is_equi_join(spark):
     # the sweep must inherit ngram_jaccard's inverted-index shape: the
     # grid explode multiplies only flagged pairs, never the corpus, and
