@@ -1079,21 +1079,29 @@ def connected_components(
     sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).persist()
-    # ONE eager checkpoint up front; inside the loop each new label frame
-    # is checkpointed as ``updated``, and ``labels`` is a pure projection
-    # of it — re-checkpointing at the top of every round (the pre-r13
-    # shape) materialized the same 2-column frame twice per round for no
-    # lineage benefit (depth stays O(1) either way)
+    # No seed checkpoint: the initial label frame is a pure 2-column
+    # projection of ``nodes`` (lineage depth 1), so materializing it buys
+    # no lineage cut — round 0's ``updated`` checkpoint below is the first
+    # one that truncates anything.  (Pre-r13 the seed was eagerly
+    # checkpointed: one full extra materialization job per CC call.)
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    )
     changed = 0
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("_neigh_min"))
-        )
+    for _i in range(max_iter):
+        if _i == 0:
+            # Identity round: component == id at entry, so joining labels
+            # onto sym is the identity map src -> src; the neighbor min is
+            # just min(src) per dst, one aggregate with no join.
+            neigh = sym.groupBy(F.col("dst").alias("id")).agg(
+                F.min("src").alias("_neigh_min")
+            )
+        else:
+            neigh = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("_neigh_min"))
+            )
         updated = labels.join(neigh, "id", "left").select(
             "id",
             F.least(F.col("component"), F.coalesce("_neigh_min", F.col("component"))).alias(
