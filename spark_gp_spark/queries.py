@@ -6294,8 +6294,21 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     write→read→join path must be value-lossless."""
     from .sources.sinks import read_bucketed, write_bucketed
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    items = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    # Pre-cluster each side by its bucket key into bucket-count partitions:
+    # task hash == bucket hash (both Murmur3 on the key), so every task
+    # holds exactly one bucket — the write parallelizes across buckets and
+    # emits one file per bucket instead of (input partitions × buckets)
+    # fragments (guide §6: cluster before the write to control layout).
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, "o_orderkey")
+    )
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(8, "l_orderkey")
+    )
     write_bucketed(orders, "rt_orders_bkt", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
     write_bucketed(items, "rt_lineitem_bkt", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
     joined = read_bucketed(spark, "rt_orders_bkt").join(

@@ -21,6 +21,25 @@ TABLES = (
 #: would add a shuffle that AQE then has to undo.
 _DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 
+#: Tables whose consumers run EXPENSIVE per-row work straight off the scan
+#: (tokenize → shingle → MinHash regex chains on documents; Arrow-batched
+#: vector math on embeddings).  Only these get the single-file widening
+#: exchange below: for the cheap-per-row fact tables (lineitem, orders,
+#: events — decimal arithmetic, timestamps, case/when) the round-robin
+#: exchange moves every full row once to save per-row work worth less than
+#: the move, and their downstream aggregates/joins/windows re-parallelize
+#: at their first natural shuffle anyway.  Measured at sf0.1 (r13, warm
+#: A/B): orders_dq_report 1.0-1.4 -> 0.75 s, session_stats 0.8,
+#: asof_purchases_views 1.1 -> 0.83, orders_upsert_merge 1.2 -> 0.81
+#: without the widen.  ``lineitem`` STAYS widened: its hot consumers
+#: (revenue_rollup and friends) immediately shuffle all 600 k rows into a
+#: fact-fact join, and the widen is what parallelizes that shuffle's map
+#: side (rollup regressed 1.7-2.6 -> 2.5-3.5 s when lineitem lost it).
+#: At production scale (directory inputs) the widen is a no-op either
+#: way, so this only removes a local-harness artifact where it was a net
+#: loss.
+_WIDEN_TABLES = frozenset({"documents", "embeddings", "lineitem"})
+
 
 #: Catalyst's InferFiltersFromGenerate turns every `explode(expr)` into an
 #: extra `size(expr) > 0 AND expr IS NOT NULL` filter and PUSHES it through
@@ -62,13 +81,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _widen(spark: SparkSession, df: DataFrame, name: str, path: str) -> DataFrame:
     """Single-file single-rowgroup parquet scans as ONE partition, serializing
-    every downstream operator.  For fact tables read from such a file (the
-    local test corpus), insert one cheap round-robin exchange so per-row work
-    parallelizes.  Real production tables are directories of many files — the
-    scan is already wide and this is a no-op.  Decided from the filesystem
-    layout, not ``df.rdd`` (which would build a Python RDD conversion on
-    every load)."""
-    if name in _DIM_TABLES:
+    every downstream operator.  For tables whose consumers do expensive
+    per-row work straight off the scan (``_WIDEN_TABLES``), insert one cheap
+    round-robin exchange so that work parallelizes; for cheap-per-row fact
+    tables the exchange costs more than it saves (see ``_WIDEN_TABLES``).
+    Real production tables are directories of many files — the scan is
+    already wide and this is a no-op.  Decided from the filesystem layout,
+    not ``df.rdd`` (which would build a Python RDD conversion on every
+    load)."""
+    if name not in _WIDEN_TABLES:
         return df
     if os.path.isfile(path):
         return df.repartition(spark.sparkContext.defaultParallelism)
