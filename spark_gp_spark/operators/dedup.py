@@ -1240,8 +1240,18 @@ def neardup_components(
         comp = connected_components(pairs, df.select(id_col))
     else:
         raise ValueError(f"algorithm must be 'propagation' or 'star', got {algorithm!r}")
-    sizes = comp.groupBy("component").agg(F.count("*").alias("component_size"))
-    return comp.join(sizes, "component").select(id_col, "component", "component_size")
+    # Size attach as a window count over the label frame: one exchange on
+    # component instead of the aggregate + join-back pair (two exchanges,
+    # three stages) — identical values, and the window needs no ordering
+    # so there is no sort beyond the exchange (guide §2.4: two operations
+    # keyed the same way share one exchange).
+    from pyspark.sql import Window as _W
+
+    return comp.select(
+        id_col,
+        "component",
+        F.count("*").over(_W.partitionBy("component")).alias("component_size"),
+    )
 
 
 def embedding_neardup_pairs(
