@@ -1383,7 +1383,16 @@ def incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_next_text")
     )
-    diff = snapshot_diff(old, new, "doc_id", F.md5("text"))
+    # new is a self-join subtree and diff full-outer-joins it against old;
+    # uncached, the batch/history/final branches re-inline BOTH subtrees —
+    # the pre-fix plan carried ~100 Exchange nodes / 5 copies of the new
+    # self-join.  Persist each once (the corpus_prep cache discipline; the
+    # next registry query retires them via the session registry).
+    from .operators.dedup import _retire_shingle_caches
+
+    new = new.persist()
+    diff = snapshot_diff(old, new, "doc_id", F.md5("text")).persist()
+    _retire_shingle_caches([new, diff])
     batch = new.join(
         diff.filter(F.col("status").isin("added", "changed")).select(
             "doc_id", "status"
