@@ -311,7 +311,16 @@ def token_cooccurrence_pmi(
         dfreq = dfreq.crossJoin(F.broadcast(n_docs)).filter(
             F.col("df") <= F.col("_n") * F.lit(float(max_df_frac))
         )
-    kept = post.join(dfreq.select("tok"), "tok", "left_semi")
+    # dfreq feeds three consumers (the semi-join and both PMI df attaches)
+    # and kept feeds both sides of the pair self-join — uncached, the
+    # tokenize + explode + df-aggregate chain re-evaluates ~5× (the pre-fix
+    # plan carried 56 Exchange / 20 scan references).  Persist both thin
+    # relations once; the session registry retires them on the next call.
+    dfreq = dfreq.persist()
+    kept = post.join(dfreq.select("tok"), "tok", "left_semi").persist()
+    from .dedup import _retire_shingle_caches
+
+    _retire_shingle_caches([dfreq, kept])
     a = kept.select("_id", F.col("tok").alias("tok_a"))
     b = kept.select("_id", F.col("tok").alias("tok_b"))
     co = (
