@@ -928,3 +928,20 @@ def test_split_balance_report_reads_only_cells_cache(spark):
     assert not scans, [n.nodeName() for n in scans]
     assert any(n.nodeName() == "InMemoryTableScan" for n in nodes)
     assert not [n for n in nodes if "Cartesian" in n.nodeName()]
+
+
+def test_pmi_and_incremental_refresh_share_cached_relations(spark):
+    """r13 plan-audit fixes: token_pmi_pairs persists dfreq + kept (its
+    tokenize/df-aggregate chain fed ~5 consumers uncached — 56 Exchange /
+    20 scan references) and incremental_refresh persists new + diff (its
+    self-join subtree fed every branch — 100 Exchange / 40 scans).  Lock
+    the caches: both plans read InMemoryTableScan, and the scan-reference
+    count stays collapsed."""
+    from spark_gp_spark.queries import incremental_refresh, token_pmi_pairs
+
+    spark.catalog.clearCache()
+    for fn, max_scans in ((token_pmi_pairs, 14), (incremental_refresh, 25)):
+        plan = _plan(fn(spark, SF))
+        assert "InMemoryTableScan" in plan, fn.__name__
+        n_scans = plan.count("Scan parquet")
+        assert n_scans <= max_scans, (fn.__name__, n_scans)
