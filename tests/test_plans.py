@@ -50,6 +50,24 @@ def _bnlj_nodes(df):
     ]
 
 
+def _iter_physical_nodes_with_caches(node, seen_cache_ids=None):
+    """Like ``_iter_physical_nodes`` but also descends into each cached
+    relation's build plan (once per distinct cache) — a persisted subtree
+    hides its own join nodes behind InMemoryTableScan."""
+    if seen_cache_ids is None:
+        seen_cache_ids = set()
+    for n in _iter_physical_nodes(node):
+        yield n
+        if n.nodeName() == "InMemoryTableScan":
+            inner = n.relation().cachedPlan()
+            key = inner.id()
+            if key not in seen_cache_ids:
+                seen_cache_ids.add(key)
+                yield from _iter_physical_nodes_with_caches(
+                    inner, seen_cache_ids
+                )
+
+
 def test_star_join_broadcasts_dimensions(spark):
     from spark_gp_spark.queries import revenue_by_nation
 
@@ -85,7 +103,16 @@ def test_no_cartesian_in_dedup_and_similarity(spark):
     # data-dependent blowup.
     df = token_pmi_pairs(spark, SF)
     assert "CartesianProduct" not in _plan(df)
-    bnlj = _bnlj_nodes(df)
+    # r13: the dfreq/kept persists collapsed the replicated subtree into
+    # cached relations, so the N-attach BNLJ now lives INSIDE a cached
+    # build plan (one copy) rather than replicating per consumer — walk
+    # cached plans too, once per distinct cache
+    root = df._jdf.queryExecution().executedPlan()
+    bnlj = [
+        n
+        for n in _iter_physical_nodes_with_caches(root)
+        if n.nodeName() == "BroadcastNestedLoopJoin"
+    ]
     assert 1 <= len(bnlj) <= 4
     for node in bnlj:
         build = node.buildSide().toString()
