@@ -1060,6 +1060,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     max_iter: int = 25,
+    driver_local_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -1074,10 +1075,84 @@ def connected_components(
     high-diameter graphs use ``connected_components_star`` (O(log²) rounds).
     Warns loudly if ``max_iter`` is hit before convergence instead of
     silently returning partial labels.
+
+    ``driver_local_edges``: adaptive locality (the ``driverLocalRows``
+    pattern the GP estimators use).  When the EDGE relation — tiny compared
+    to the corpus whenever the dedup threshold does its job — fits under
+    this cap, labels come from one driver-side union-find over the
+    collected pairs plus one broadcast left join back onto ``nodes``:
+    2 jobs total instead of (diameter + 1) rounds × (checkpoint job +
+    convergence-count job).  Labels are identical by construction (min
+    reachable id is what union-find with min-representative roots
+    computes, independent of edge order), pinned by a fast-vs-loop
+    equality test.  At 100 TB an edge set past the cap falls back to the
+    distributed loop automatically; 0 disables the fast path.  The probe
+    persists the 2-column edge projection and counts it — one fully
+    parallel evaluation that the fast path then collects from cache and
+    the fallback loop reads for BOTH branches of its symmetrizing union
+    (which previously re-evaluated the whole edge subtree twice).
     """
     id_col = nodes.columns[0]
-    sym = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges2 = edges.select("id_a", "id_b")
+    edges2_persisted = False
+    if driver_local_edges and driver_local_edges > 0:
+        edges2 = edges2.persist()
+        edges2_persisted = True
+        n_edges = edges2.count()
+        if n_edges <= driver_local_edges:
+            head = edges2.collect()
+            edges2.unpersist()
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = r[0], r[1]
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min id stays the root, so the root IS the component
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            mapping = [(x, find(x)) for x in parent]
+            mapping = [(x, c) for x, c in mapping if x != c]
+            id_type = nodes.schema[0].dataType
+            from pyspark.sql.types import StructField, StructType
+
+            spark = nodes.sparkSession
+            if mapping:
+                mdf = spark.createDataFrame(
+                    mapping,
+                    StructType(
+                        [
+                            StructField("id", id_type),
+                            StructField("_cc_component", id_type),
+                        ]
+                    ),
+                )
+                return (
+                    nodes.select(F.col(id_col).alias("id"))
+                    .join(F.broadcast(mdf), "id", "left")
+                    .select(
+                        F.col("id").alias(id_col),
+                        F.coalesce("_cc_component", F.col("id")).alias("component"),
+                    )
+                )
+            return nodes.select(
+                F.col(id_col), F.col(id_col).alias("component")
+            )
+    sym = edges2.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        edges2.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     ).persist()
     # No seed checkpoint: the initial label frame is a pure 2-column
     # projection of ``nodes`` (lineage depth 1), so materializing it buys
@@ -1115,6 +1190,8 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if edges2_persisted:
+        edges2.unpersist()
     if changed != 0:
         import warnings
 

@@ -98,12 +98,50 @@ def test_components_on_chain_graph(spark):
 
 def test_propagation_warns_on_max_iter_exhaustion(spark):
     # diameter 5 chain with a 3-round budget: labels are partial → must warn
+    # (driver_local_edges=0 forces the distributed loop, which is what the
+    # budget applies to — the union-find fast path is always exact)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 16)], "id_a long, id_b long"
     )
     nodes = spark.range(10, 17).select(F.col("id").alias("doc_id"))
     with pytest.warns(UserWarning, match="did not converge"):
-        D.connected_components(edges, nodes, max_iter=3).collect()
+        D.connected_components(
+            edges, nodes, max_iter=3, driver_local_edges=0
+        ).collect()
+
+
+def test_driver_local_union_find_matches_loop(spark, docs):
+    """The adaptive-locality fast path (driver union-find + broadcast join)
+    must label EXACTLY like the distributed min-propagation loop: on the
+    near-dup fixture graph, on a multi-hop chain (transitivity), and at the
+    cap boundary where the take(cap+1) probe forces the loop fallback."""
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5, max_posting_size=None)
+    nodes = docs.select("doc_id")
+    fast = {r.doc_id: r.component for r in D.connected_components(pairs, nodes).collect()}
+    loop = {
+        r.doc_id: r.component
+        for r in D.connected_components(pairs, nodes, driver_local_edges=0).collect()
+    }
+    assert fast == loop
+
+    # chain: the union-find must collapse the whole path to the min id
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 15)], "id_a long, id_b long"
+    )
+    cnodes = spark.range(10, 17).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.component for r in D.connected_components(edges, cnodes).collect()}
+    assert got == {i: 10 for i in range(10, 16)} | {16: 16}
+
+    # cap boundary: 5 edges with cap 4 must fall back to the loop (same
+    # labels); cap 5 stays on the fast path (same labels again)
+    for cap in (4, 5):
+        got = {
+            r.doc_id: r.component
+            for r in D.connected_components(
+                edges, cnodes, driver_local_edges=cap
+            ).collect()
+        }
+        assert got == {i: 10 for i in range(10, 16)} | {16: 16}
 
 
 def test_star_components_on_planted_chain(spark):
