@@ -76,14 +76,61 @@ class GaussianProcessClassifier(GaussianProcessEstimatorBase, _GPCOutputParams):
             self._assert_labels_are_01(points)
             tol = self.getOrDefault(self.tol)
 
-            def objective(y, X, kernel, x, state, _tol=tol):
-                # warm-start Newton from this expert's carried mode; report
-                # the iteration count as an aux scalar for _fit_stats
-                nll, ngrad, _f, n_newton = gpc_laplace(y, X, kernel, x, _tol, f0=state)
-                return nll, ngrad, np.array([float(n_newton)])
+            # Driver-local mode memo (dispatch-count reduction, r14): on the
+            # LocalExperts path every objective evaluation already converges
+            # the expert's Newton mode at (x, warm-start state) — the accept
+            # path's state rewrite and the final latent-mode projection then
+            # re-ran the identical solve and threw its epilogue away.  Cache
+            # the mode keyed by the EXACT inputs (expert identity, hyper
+            # bytes, warm-start bytes): a hit returns the bit-identical f
+            # with zero numpy work; a miss (e.g. an accept of a point served
+            # from the L-BFGS memo under an older state) falls back to the
+            # solve with ``mode_only=True``, which skips only the epilogue
+            # quantities nobody reads.  Distributed experts keep the plain
+            # closures — a worker-side dict would be re-pickled per job and
+            # never hit across jobs.
+            from .experts import LocalExperts
 
-            def state_update(y, X, kernel, x, state, _tol=tol):
-                return gpc_laplace(y, X, kernel, x, _tol, f0=state)[2]
+            use_mode_cache = isinstance(experts, LocalExperts)
+            if use_mode_cache:
+                mode_cache: dict = {}
+
+                def _key(y, x, state):
+                    return (
+                        id(y),
+                        x.tobytes(),
+                        None if state is None else state.tobytes(),
+                    )
+
+                def objective(y, X, kernel, x, state, _tol=tol):
+                    nll, ngrad, f, n_newton = gpc_laplace(
+                        y, X, kernel, x, _tol, f0=state
+                    )
+                    mode_cache[_key(y, x, state)] = f
+                    return nll, ngrad, np.array([float(n_newton)])
+
+                def state_update(y, X, kernel, x, state, _tol=tol):
+                    f = mode_cache.get(_key(y, x, state))
+                    if f is not None:
+                        return f
+                    return gpc_laplace(
+                        y, X, kernel, x, _tol, f0=state, mode_only=True
+                    )[2]
+
+            else:
+
+                def objective(y, X, kernel, x, state, _tol=tol):
+                    # warm-start Newton from this expert's carried mode;
+                    # report the iteration count as an aux scalar
+                    nll, ngrad, _f, n_newton = gpc_laplace(
+                        y, X, kernel, x, _tol, f0=state
+                    )
+                    return nll, ngrad, np.array([float(n_newton)])
+
+                def state_update(y, X, kernel, x, state, _tol=tol):
+                    return gpc_laplace(
+                        y, X, kernel, x, _tol, f0=state, mode_only=True
+                    )[2]
 
             x_opt = self._optimize_hypers(
                 experts, objective, state_update_fn=state_update, aux_len=1
@@ -92,8 +139,15 @@ class GaussianProcessClassifier(GaussianProcessEstimatorBase, _GPCOutputParams):
             def latent_mode(y, X, kernel, state, _x=x_opt, _tol=tol):
                 # warm-start the final mode solve at x_opt from the carried
                 # expert state (mode is start-point independent — the
-                # property tests/test_properties.py pins)
-                return gpc_laplace(y, X, kernel, _x, _tol, f0=state)[2]
+                # property tests/test_properties.py pins); consult the mode
+                # memo first on the driver-local path
+                if use_mode_cache:
+                    f = mode_cache.get(_key(y, _x, state))
+                    if f is not None:
+                        return f
+                return gpc_laplace(
+                    y, X, kernel, _x, _tol, f0=state, mode_only=True
+                )[2]
 
             raw_predictor = self._projected_process(
                 points, experts, x_opt, targets_fn=latent_mode, targets_use_state=True

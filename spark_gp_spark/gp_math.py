@@ -58,6 +58,7 @@ def gpc_laplace(
     x: np.ndarray,
     tol: float = 1e-6,
     f0: np.ndarray | None = None,
+    mode_only: bool = False,
 ) -> tuple[float, np.ndarray, np.ndarray, int]:
     """Laplace-approximated (-logZ, -grad logZ, posterior mode f, #Newton
     iterations) for one expert chunk; labels y in {0,1}.
@@ -72,6 +73,14 @@ def gpc_laplace(
     GaussianProcessClassifier.scala:52-60), collapsing the ~10-iteration
     cold solve to 1-3 warm iterations.  The converged mode is a function of
     (y, X, x) only, so results are identical either way up to ``tol``.
+
+    ``mode_only=True`` is the dispatch-count reduction for callers that only
+    consume the returned mode ``f`` (state updates, the final latent-mode
+    projection): the Newton loop and the epilogue's final-mode PSD check run
+    EXACTLY as in the full path — including the identical Cholesky-failure
+    rejection, so the returned f is bit-identical in every branch — but the
+    epilogue's multi-RHS solve, R, and the hyperparameter-gradient loop are
+    skipped (likelihood/gradient return as +inf/zeros and must not be read).
     """
     kernel.set_hyperparameters(np.asarray(x, dtype=np.float64))
     kernel.set_training_vectors(X)
@@ -130,6 +139,10 @@ def gpc_laplace(
         L = np.linalg.cholesky(B)
     except np.linalg.LinAlgError:
         return _rejected()
+    if mode_only:
+        # final-mode PSD check done (identical rejection envelope); the
+        # caller reads only f — skip the multi-RHS solve and gradient loop
+        return np.inf, np.zeros(len(dK)), f, n_newton
     grad_log_p = y - pi
     b = w * f + grad_log_p
     # ONE multi-RHS solve serves a, R, AND the C-column-norm diagonal

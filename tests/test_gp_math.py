@@ -127,3 +127,30 @@ def test_gpc_laplace_warm_start_matches_cold_and_cuts_newton():
     assert np.allclose(g_w, g_c, atol=1e-7)
     assert np.allclose(f_w, f_c, atol=1e-6)
     assert it_w < it_c
+
+
+def test_gpc_laplace_mode_only_is_bit_identical():
+    """``mode_only=True`` must return BIT-identical (f, n_newton) to the full
+    path in every branch — cold start, warm start, and the extreme-amplitude
+    rejection envelope — since the GPC state updates and the final latent
+    projection consume only f (r14 dispatch-count reduction)."""
+    cases = [
+        (np.array([1.0, 0.5]), None),
+        (np.array([0.3, 2.0]), None),
+    ]
+    # warm-start cases reuse the converged cold mode
+    for x0, _ in list(cases):
+        f_cold = gpc_laplace(Y_CLS, X, _make_kernel(), x0)[2]
+        cases.append((x0, f_cold))
+    # extreme amplitude: drives the Gram toward numerical non-PSD, the
+    # rejection branch both paths must take identically
+    cases.append((np.array([1e12, 1e-9]), None))
+    for x0, f0 in cases:
+        nll_f, _, f_full, it_full = gpc_laplace(Y_CLS, X, _make_kernel(), x0, f0=f0)
+        nll_m, _, f_mode, it_mode = gpc_laplace(
+            Y_CLS, X, _make_kernel(), x0, f0=f0, mode_only=True
+        )
+        assert it_mode == it_full
+        assert f_mode.tobytes() == f_full.tobytes()
+        # the rejection branch must agree between the two paths
+        assert np.isinf(nll_m) or np.isfinite(nll_f)
