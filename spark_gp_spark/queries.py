@@ -2478,12 +2478,17 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = P.contamination_check(
         corpus, probe, shingle_n=8
     ).select("doc_id").distinct()
-    kept = canonical.filter(F.col("quality") >= _PIPE_QMIN).join(
+    # persist the PRE-mix kept relation: the temperature-mix group counts
+    # AND the post-mix join both consume it, and uncached each consumer
+    # re-runs the whole canonical-window + contamination-anti-join chain
+    # over the corpus (the same re-inlined-subtree class the r13 plan audit
+    # fixed in incremental_refresh; v1 has always persisted its kept frame)
+    kept_pre = canonical.filter(F.col("quality") >= _PIPE_QMIN).join(
         contaminated, "doc_id", "left_anti"
-    ).join(corpus.select("doc_id", "lang"), "doc_id")
-    mixed = P.temperature_mix_sample(kept, group_col="lang")
+    ).join(corpus.select("doc_id", "lang"), "doc_id").persist()
+    mixed = P.temperature_mix_sample(kept_pre, group_col="lang")
     kept = (
-        kept.join(mixed.select("doc_id", "thresh_bp"), "doc_id")
+        kept_pre.join(mixed.select("doc_id", "thresh_bp"), "doc_id")
         .withColumn("split", P.split_expr("doc_id"))
         .persist()
     )
@@ -2492,7 +2497,7 @@ def corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_PIPE_BUDGET,
         shard_col="split",
     )
-    _retire_shingle_caches([corpus, kept])
+    _retire_shingle_caches([corpus, kept_pre, kept])
     return (
         kept.join(packed.select("doc_id", "n_tokens", "batch_id"), "doc_id")
         .select(
